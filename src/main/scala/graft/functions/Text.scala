@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristics, portable
+  * hashing, SimHash, and document fingerprints.
+  *
+  * All of these are per-row Catalyst expressions (higher-order array functions,
+  * regexes, bit ops) — no shuffle, no UDFs — so they stream through a parquet
+  * scan at full codegen speed and scale linearly to 100 TB.
+  */
+object Text {
+
+  /** Mersenne prime 2^31 - 1: modulus for portable 31-bit hash arithmetic.
+    * Small enough that (a * h + b) never overflows a signed 64-bit long even
+    * under ANSI overflow checking. */
+  val P31: Long = 2147483647L
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenizer regex (GPT-2 style simplification): runs of
+    * letters, single digits, or single punctuation marks. A cheap, deterministic
+    * proxy for "LLM token count" when no tokenizer model is available. */
+  val BpeishRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Approximate BPE token count: matches of [[BpeishRegex]], with long letter
+    * runs counted as ceil(len / 4) subword pieces. */
+  def bpeTokenCount(c: Column): Column = {
+    val pieces = regexp_extract_all(c, lit(BpeishRegex), lit(0))
+    aggregate(pieces, lit(0L),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
+  }
+
+  /** Word n-gram shingles: array of space-joined n-token windows. Documents
+    * shorter than n tokens yield one shingle (the whole document). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Character n-gram shingles over whitespace-normalized lowercase text. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = lower(Cleaning.normWhitespace(c))
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+      .otherwise(array(s))
+  }
+
+  // ---------------------------------------------------------------- hashing
+
+  /** Portable 60-bit integer hash: first 15 hex chars of md5. Unlike
+    * xxhash64/murmur3 this is reproducible in any engine that has md5 (DuckDB,
+    * Trino, ...), which makes hash-keyed results oracle-checkable. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Portable hash reduced mod 2^31-1 (always in [0, P31)). */
+  def md5Mod(c: Column): Column = pmod(md5Long(c), lit(P31))
+
+  /** Fast non-portable 64-bit hash (xxhash64) reduced to [0, P31). */
+  def fastMod(c: Column): Column = pmod(xxhash64(c), lit(P31))
+
+  /** SimHash over whitespace tokens using `bits` bits of xxhash64 (max 64).
+    * Per-row fold: for each bit position, sum +1/-1 votes across token hashes,
+    * then take the sign bit. Pure array expressions — no shuffle. */
+  def simhash(c: Column, bits: Int = 64): Column = {
+    require(bits >= 1 && bits <= 64)
+    val votes = aggregate(
+      tokens(c),
+      array_repeat(lit(0), bits),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, b) => a + when(call_function("shiftright", xxhash64(t), b)
+          .bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial document fingerprint over token hashes, mod 2^31-1:
+    * fp = fold(tokens, acc -> (acc * 1000003 + h(tok)) mod P). Order-sensitive
+    * (unlike a bag-of-words hash) and engine-portable via [[md5Mod]].
+    * acc < 2^31 and h < 2^31 keep every step below 2^52 — no ANSI overflow. */
+  def fingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + md5Mod(t), lit(P31)))
+
+  // ---------------------------------------------------------------- quality
+
+  /** Ratio of punctuation chars to total chars (0 for empty text). */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    val nPunct = len - length(regexp_replace(c, "[\\p{Punct}]", ""))
+    when(len > 0, nPunct.cast("double") / len.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Ratio of ASCII letters to total chars (0 for empty text). */
+  def alphaRatio(c: Column): Column = {
+    val len = length(c)
+    val nAlpha = len - length(regexp_replace(c, "[A-Za-z]", ""))
+    when(len > 0, nAlpha.cast("double") / len.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** English stopwords used for quality / language scoring. */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    val stop = array(StopwordsEn.map(lit): _*)
+    when(size(t) > 0,
+      size(filter(t, x => array_contains(stop, x))).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 for empty text). */
+  def meanWordLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality score in [0, 1]: length band + sane mean word
+    * length + some-but-not-too-many stopwords + low punctuation density.
+    * Deterministic arithmetic only, so it has an exact SQL twin. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0))
+    val mwl = meanWordLen(c)
+    val wordScore = when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.5)
+    val stopScore = when(stopwordRatio(c) > 0.01, 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio(c) < 0.2, 1.0).otherwise(0.5)
+    round((lenScore + wordScore + stopScore + punctScore) / 4.0, 4)
+  }
+
+  // ---------------------------------------------------------------- lang-ID
+
+  /** Per-language stopword marker lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and deterministic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "en", "que", "por", "para", "con"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有",
+      "和", "不", "人", "这"))
+
+  /** Language-ID heuristic: count stopword-marker hits per language over the
+    * token bag; highest count wins, ties broken by [[LangMarkers]] order, zero
+    * hits -> "und" (undetermined). Returns a (lang, hits) struct via
+    * [[langIdStruct]] or just the code via [[langId]]. */
+  def langId(c: Column): Column = langIdStruct(c).getField("lang")
+
+  def langIdStruct(c: Column): Column = {
+    val t = tokens(c)
+    val scores = LangMarkers.map { case (lang, words) =>
+      val w = array(words.map(lit): _*)
+      (lang, size(filter(t, x => array_contains(w, x))))
+    }
+    // argmax with deterministic precedence = LangMarkers order: fold keeps the
+    // earlier language on ties (strict > comparison).
+    val best = scores.tail.foldLeft(
+      struct(lit(scores.head._1).as("lang"), scores.head._2.as("hits"))) {
+      case (acc, (lang, hits)) =>
+        when(hits > acc.getField("hits"),
+          struct(lit(lang).as("lang"), hits.as("hits"))).otherwise(acc)
+    }
+    when(best.getField("hits") > 0, best)
+      .otherwise(struct(lit("und").as("lang"), lit(0).as("hits")))
+  }
+}

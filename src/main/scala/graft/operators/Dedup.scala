@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Cleaning, Text}
+
+/** Deduplication operators for large-scale corpora: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): every variant avoids the O(n^2) all-pairs join —
+  * exact dedup is one hash shuffle on the key; MinHash/SimHash/vector-LSH
+  * generate candidates by shuffling on *bucket* keys so only same-bucket rows
+  * ever meet; the exact-Jaccard verifier joins on shared shingles (inverted
+  * index), not on the cross product. Hot keys (e.g. a shingle appearing in
+  * every document) are the skew risk — callers can cap posting-list length via
+  * `maxDocFreq` the way web-dedup pipelines drop ubiquitous shingles.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest `id` row per distinct key tuple. One shuffle
+    * on the key columns; `row_number` (not `dropDuplicates`) so the survivor
+    * is deterministic (SURVEY.md §4: explicit order, J4). */
+  def exact(df: DataFrame, keys: Seq[Column], id: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(id.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact text dedup on whitespace-normalized lowercase content. */
+  def exactText(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df, Seq(Cleaning.normName(col(textCol))), col(idCol))
+
+  /** (id, shingle) posting pairs: distinct word n-gram shingles per doc,
+    * optionally dropping shingles that occur in more than `maxDocFreq` docs
+    * (stopword-shingle skew guard for the inverted-index join). */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxDocFreq: Option[Long] = None): DataFrame = {
+    val posts = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Text.wordShingles(col(textCol), shingleSize)))
+          .as("shingle"))
+    maxDocFreq match {
+      case None => posts
+      case Some(cap) =>
+        // count() is a map-side-combinable agg on the same key as the join
+        // that follows, so this costs one extra small shuffle and removes the
+        // quadratic blowup of ubiquitous shingles.
+        val rare = posts.groupBy("shingle").count()
+          .filter(col("count") <= cap).select("shingle")
+        posts.join(rare, "shingle").select("id", "shingle")
+    }
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via an inverted-index
+    * self-join: |A ∩ B| from grouping shared shingles, |A ∪ B| = |A|+|B|-∩.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    * Fully relational — this is also the oracle-checkable ground truth that
+    * the MinHash variant approximates. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val posts = shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq)
+    val sizes = posts.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+
+    val inter = posts.as("a")
+      .join(posts.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature matrix: one row per doc, `numHashes` min-hash values.
+    * Signature i = min over shingles of ((a_i * h + b_i) mod P31) where h is
+    * the shingle hash. Computed as `numHashes` conditional min aggregates over
+    * the exploded postings — partial aggregation (map-side combine) keeps the
+    * shuffle at |docs| * numHashes longs regardless of corpus size. */
+  def minhashSignatures(posts: DataFrame, numHashes: Int): DataFrame = {
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible across runs
+    val params = Seq.fill(numHashes)(
+      (rnd.nextLong().abs % (Text.P31 - 1) + 1, rnd.nextLong().abs % Text.P31))
+    val h = Text.fastMod(col("shingle"))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * h + lit(b), lit(Text.P31))).as(s"mh_$i")
+    }
+    posts.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-duplicate candidate pairs.
+    *
+    * numHashes = bands * rowsPerBand; docs collide in a band when that band's
+    * signature slice matches exactly; collision probability of a pair with
+    * true Jaccard j is 1 - (1 - j^rows)^bands (the usual S-curve). Candidates
+    * are found by grouping on (band, hash(slice)) — a shuffle on bucket keys,
+    * never a cross join. When `verify` is set, candidates are re-scored with
+    * exact Jaccard over the postings and filtered to >= threshold, so LSH
+    * recall misses are the only divergence from ground truth.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, verify: Boolean = true,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val posts = shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq)
+      .cache()
+    val sigs = minhashSignatures(posts, numHashes)
+
+    // explode into (band, bucket) — bucket = hash of the band's slice
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        .as(Seq("band", "bucket")))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    if (!verify) cand
+    else {
+      // exact-Jaccard rescoring of the candidate set only
+      val sizes = posts.groupBy("id").agg(count(lit(1)).as("n"))
+      val pairShingles = cand
+        .join(posts.select(col("id").as("id_a"), col("shingle")), "id_a")
+        .join(posts.select(col("id").as("id_b"), col("shingle")),
+          Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      pairShingles
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+        .withColumn("jaccard", col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+  }
+
+  /** SimHash near-duplicate pairs: `bits`-bit simhash per doc, candidates via
+    * the pigeonhole trick — split the fingerprint into (maxHamming + 1)
+    * chunks; any pair within `maxHamming` bits must agree on at least one
+    * whole chunk, so grouping on (chunkIdx, chunkValue) finds all of them with
+    * a bucket shuffle instead of a cross join. Exact hamming filter after. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 64): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = bits / nChunks
+    val sims = df.select(col(idCol).as("id"),
+      Text.simhash(col(textCol), bits).as("simhash"))
+
+    val chunked = sims.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+        i => call_function("shiftrightunsigned", col("simhash"), i * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))))
+        .as(Seq("chunk", "val")))
+
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Text.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (ids with cosine >= threshold,
+    * id_a < id_b). Brute-force variant: a self-join that Spark executes as a
+    * (range-partitioned) cartesian product — correct ground truth, only for
+    * modest corpus sizes or as the verifier behind [[embeddingNearDupLsh]]. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.Vec.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding near-dup at scale: random-hyperplane LSH buckets first (only
+    * same-bucket pairs are compared), exact cosine filter after. With `planes`
+    * sign bits, a pair at angle θ collides with prob (1 - θ/π)^planes per
+    * table; `tables` independent plane sets trade recall for cost. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 12, tables: Int = 4): DataFrame = {
+    val dim = Similarity.vecDim(df, vecCol)
+    val bucketed = df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until tables).map { t =>
+        graft.functions.Vec.lshBucket(col(vecCol),
+          Similarity.hyperplanes(dim, planes, seed = 42 + t))
+      }: _*)).as(Seq("table", "bucket")))
+
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.table") === col("b.table")
+          && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.Vec.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vec
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, all pure DataFrame plans:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against the
+  *    corpus scan; one pass, no corpus shuffle. The 100-TB path when the query
+  *    side fits in a broadcast (it usually does).
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign bits at
+  *    scan time (a codegen'd expression, no shuffle), queries probe only their
+  *    own bucket. Sub-linear candidate sets; recall tunable via planes/tables.
+  *  - [[ivfTopK]]: IVF-style coarse quantizer — corpus assigned to its nearest
+  *    centroid once (broadcast centroids), queries probe `nprobe` nearest
+  *    lists. This is the FAISS IVF-Flat layout expressed relationally.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes as literal array
+    * columns: fixed seed → identical planes on every executor and every run
+    * (an explicit-determinism requirement, SURVEY.md §4). */
+  def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*))
+  }
+
+  /** Dimensionality of an array column, probed from the first row. */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries(queryIdCol, vecCol)` is broadcast; the corpus streams past it in
+    * one stage (BroadcastNestedLoopJoin — the *intended* plan here: k·|corpus|
+    * scored pairs with zero shuffle of the corpus). Ties broken by corpus id
+    * for run-to-run determinism. */
+  def bruteForceTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col(corpusIdCol) =!= col(queryIdCol))
+      .select(col(queryIdCol).as("query_id"), col(corpusIdCol).as("neighbor_id"),
+        Vec.cosine(col(queryVecCol), col(corpusVecCol)).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: corpus + queries hashed into sign-bit buckets over
+    * `tables` independent plane sets; candidates = same (table, bucket);
+    * exact cosine rescoring + top-k on the candidate set. */
+  def lshTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, planes: Int = 10, tables: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, corpusVecCol)
+    def bucketize(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(array((0 until tables).map { t =>
+          Vec.lshBucket(col(vecCol), hyperplanes(dim, planes, seed = 42 + t))
+        }: _*)).as(Seq("table", "bucket")))
+
+    val c = bucketize(corpus, corpusIdCol, corpusVecCol)
+    val q = bucketize(queries, queryIdCol, queryVecCol)
+
+    val cand = c.as("c")
+      .join(q.as("q"),
+        col("c.table") === col("q.table") && col("c.bucket") === col("q.bucket")
+          && col("c.id") =!= col("q.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        col("q.vec").as("qvec"), col("c.vec").as("cvec"))
+      .distinct()
+      .select(col("query_id"), col("neighbor_id"),
+        Vec.cosine(col("qvec"), col("cvec")).as("cosine"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-Flat ANN: `nlist` coarse centroids (here: a deterministic sample of
+    * corpus vectors — real deployments would k-means, the plan shape is the
+    * same); every corpus row is assigned to its nearest centroid (broadcast
+    * join, no corpus shuffle beyond the final group), queries probe their
+    * `nprobe` nearest lists. */
+  def ivfTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic coarse centroids: the nlist corpus vectors with the
+    // smallest ids (stand-in for trained centroids; layout identical)
+    val centroids = corpus
+      .select(col(corpusIdCol).as("cent_id"), col(corpusVecCol).as("cent_vec"))
+      .orderBy(col("cent_id").asc).limit(nlist)
+
+    def assign(df: DataFrame, idCol: String, vecCol: String, nProbe: Int) = {
+      val scored = df.join(broadcast(centroids))
+        .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cent_id"),
+          Vec.cosine(col(vecCol), col("cent_vec")).as("cent_sim"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= nProbe)
+        .select(col("id"), col("vec"), col("cent_id"))
+    }
+
+    val c = assign(corpus, corpusIdCol, corpusVecCol, 1)
+    val q = assign(queries, queryIdCol, queryVecCol, nprobe)
+
+    val cand = c.as("c")
+      .join(q.as("q"),
+        col("c.cent_id") === col("q.cent_id") && col("c.id") =!= col("q.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        Vec.cosine(col("q.vec"), col("c.vec")).as("cosine"))
+      .distinct()
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cleaning
+
+/** Golden-record deduplication — the reference's centerpiece operator
+  * (clean_contacts.py:158-236; SURVEY.md §2.5 A1): group contacts by a dedup
+  * key and, per column, keep the "most complete" value: the longest valid
+  * value, ties broken by recency, then by stable row order.
+  *
+  * Spark-first design: the whole merge is ONE hash aggregation using the
+  * built-in `max_by` with a *strict* ordering struct — (length, last_updated,
+  * -row_id) is totally ordered because row_id is unique, so there are no
+  * nondeterministic ties (the explicit-determinism requirement of SURVEY.md
+  * §4: the reference's pre-sort-then-groupby order cannot survive a shuffle,
+  * so the ordering is folded INTO the aggregate). `max_by` gets partial
+  * aggregation (map-side combine) for free, which is what makes this one
+  * shuffle of group-local winners — not rows — at 100 TB.
+  */
+object GoldenRecord {
+
+  /** Ordering struct for mostComplete: null for invalid values so max_by
+    * skips them entirely. Lexicographic struct comparison = longest value,
+    * then latest timestamp, then earliest row. */
+  private def completeness(value: Column, lastUpdated: Column, rowId: Column): Column =
+    when(Cleaning.isPresent(value.cast("string")),
+      struct(
+        length(value.cast("string")).as("len"),
+        coalesce(lastUpdated.cast("timestamp"),
+          lit("1970-01-01 00:00:00").cast("timestamp")).as("ts"),
+        (-rowId).as("neg_row")))
+      .otherwise(lit(null))
+
+  /** Most-complete value of `value` within the group: longest valid (non-null,
+    * non-"", non-sentinel) value; equal lengths -> the most recently updated
+    * row; still equal -> the earliest row in stable input order.
+    * (clean_contacts.py:204-226 with the O1 recency pre-sort folded in.) */
+  def mostComplete(value: Column, lastUpdated: Column, rowId: Column): Column =
+    max_by(value, completeness(value, lastUpdated, rowId))
+
+  /** Attach the dedup key (clean_contacts.py:164-179): lower(email), falling
+    * back to lower(fullname) + "-" + mobile. Case-insensitive role resolution
+    * (the intended semantics — divergence ledger §1.4). */
+  def withDedupKey(df: DataFrame, keyCol: String = "dedup_key"): DataFrame = {
+    def c(role: String): Column =
+      Roles.exact(df, role).map(n => col(n).cast("string"))
+        .getOrElse(lit(null).cast("string"))
+    df.withColumn(keyCol, Cleaning.dedupKey(c("EMAIL"), c("FULLNAME"), c("MOBILE")))
+  }
+
+  /** Full golden-record dedup: key -> group -> per-column mostComplete.
+    * `rowIdCol` must be a pre-existing unique id; `lastUpdatedCol` is optional
+    * (recency tiebreak). Output has one row per key, original columns only. */
+  def dedupe(df: DataFrame, rowIdCol: String,
+      lastUpdatedCol: Option[String] = None,
+      keyCol: String = "dedup_key"): DataFrame = {
+    val keyed = if (df.columns.contains(keyCol)) df else withDedupKey(df, keyCol)
+    val ts = lastUpdatedCol.map(col).getOrElse(lit(null).cast("timestamp"))
+    val dataCols = keyed.columns.toSeq.filterNot(c => c == keyCol)
+    val aggs = dataCols.map(c => mostComplete(col(c), ts, col(rowIdCol)).as(c))
+    keyed.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*).drop(keyCol)
+  }
+
+  /** SEQNO reassignment (P8, clean_contacts.py:62-63): 1..N in an explicit
+    * order — pandas relied on implicit "current order", which does not exist
+    * in a distributed plan, so the sort key is a required argument. */
+  def resetSeqNumbers(df: DataFrame, seqCol: String, order: Seq[Column]): DataFrame =
+    df.withColumn(seqCol, row_number().over(Window.orderBy(order: _*)).cast("long"))
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential pipeline orchestrator (reference cleaning/run.py; SURVEY.md
+  * §2.11 X1): fill -> clean -> dedup -> validate as ordinary method calls on
+  * ONE SparkSession — stage handoff is a DataFrame reference, not a
+  * subprocess + filesystem round-trip. Per-stage wall time is recorded the
+  * way run.py logs step durations (run.py:35-57).
+  */
+object Pipeline {
+
+  case class StageResult(name: String, seconds: Double, rows: Long)
+
+  case class RunResult(cleaned: DataFrame, changeLog: DataFrame,
+      validationErrors: DataFrame, stages: Seq[StageResult], passed: Boolean)
+
+  private def timed[T](name: String, out: scala.collection.mutable.Buffer[StageResult])
+      (f: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val df = f
+    val n = df.count() // materialize the stage boundary, like run.py does
+    out += StageResult(name, (System.nanoTime() - t0) / 1e9, n)
+    df
+  }
+
+  /** Run the full reference pipeline over a master frame + source frames.
+    * `master` columns are resolved case-insensitively; a unique, dense
+    * `row_id` is attached here (P7 — windowed row_number for parity with the
+    * reference's stable original index). */
+  def run(spark: SparkSession, master: DataFrame,
+      sources: Seq[(String, DataFrame, Map[String, String])],
+      orderCols: Seq[String]): RunResult = {
+    val stages = scala.collection.mutable.Buffer.empty[StageResult]
+
+    val withId = master.withColumn("row_id",
+      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+
+    val fillRes = Fill.fillFromSources(withId, sources)
+    val filled = timed("fill", stages)(fillRes.filled)
+
+    val cleaned = timed("clean", stages)(Clean(filled))
+
+    val deduped = timed("dedup", stages)(
+      GoldenRecord.dedupe(cleaned, rowIdCol = "row_id",
+        lastUpdatedCol = Roles.exact(cleaned, "LAST_UPDATED")))
+
+    val errors = timed("validate", stages)(Validate.errors(deduped))
+
+    RunResult(deduped, fillRes.changeLog, errors, stages.toSeq,
+      Validate.passes(errors))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TSV sources / sinks with the reference's reader semantics
+  * (SURVEY.md §2.1 S1-S7).
+  *
+  * - typed read = pandas dtype inference (reference clean_contacts.py:260)
+  * - allString read = `dtype=str` + `fillna('')` (fill_missing_contacts.py:150)
+  * - chunked reads (fill_missing_contacts_large.py:47-66) are free: Spark file
+  *   scans are partitioned and pipelined by construction; the 10k-row chunk
+  *   knob becomes `spark.sql.files.maxPartitionBytes`.
+  * - the single-file TSV sink contract (clean_contacts.py:273) is honored via
+  *   coalesce(1) behind a flag — the documented scalability exception
+  *   (SURVEY.md §4): every other stage stays fully parallel.
+  */
+object Tsv {
+
+  /** Typed TSV scan (S1): header + schema inference. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t").option("header", true)
+      .option("inferSchema", true)
+      // CSV fidelity against reference fixtures (SURVEY.md §7.4.7):
+      // embedded-quote fields like """EXO""" use doubled quotes
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+
+  /** All-string TSV scan (S2): every cell StringType, nulls -> "". */
+  def readAllString(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .option("sep", "\t").option("header", true)
+      .option("inferSchema", false)
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+    df.na.fill("")
+  }
+
+  /** Enumerate `*.tsv` in a directory in deterministic sorted order (S4).
+    * The reference iterates `os.listdir` order — platform-dependent; sorted
+    * order is the explicit-determinism fix (SURVEY.md §4). Per-file schemas
+    * differ, so this cannot be one glob read. */
+  def listTsv(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".tsv"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** TSV sink (S6). `singleFile=true` honors the reference's one-file
+    * contract (coalesce(1) + driver rename); false writes a normal
+    * distributed directory of part files — the 100-TB default. */
+  def write(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    val target = if (singleFile) path + ".dir" else path
+    out.write.mode("overwrite")
+      .option("sep", "\t").option("header", true)
+      .option("emptyValue", "").option("nullValue", "")
+      .csv(target)
+    if (singleFile) {
+      val dir = new java.io.File(target)
+      val part = dir.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $target"))
+      val dest = new java.io.File(path)
+      if (dest.exists()) dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata parquet tables and compare against the Spark result
+parquet dumped by graft.Verify (columns sorted by name, rows sorted, values
+stringified before hashing — mirroring the driver contract).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    vals = df.astype(str)
+    vals = vals.sort_values(by=list(vals.columns)).reset_index(drop=True)
+    return vals
+
+def h(df):
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            fail += 1
+            continue
+        ce, cg = canon(exp), canon(got)
+        if list(ce.columns) != list(cg.columns):
+            print(f"FAIL {name}: columns {list(cg.columns)} != {list(ce.columns)}")
+            fail += 1
+        elif len(ce) != len(cg):
+            print(f"FAIL {name}: rows {len(cg)} != {len(ce)}")
+            fail += 1
+        elif h(ce) != h(cg):
+            diff = (ce != cg)
+            bad = diff.any(axis=1)
+            print(f"FAIL {name}: hash mismatch ({bad.sum()}/{len(ce)} rows differ)")
+            i = bad.idxmax()
+            print(f"  first diff row {i}:\n  oracle: {ce.loc[i].to_dict()}\n  spark:  {cg.loc[i].to_dict()}")
+            fail += 1
+        else:
+            ok += 1
+            print(f"ok   {name} ({len(ce)} rows)")
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
