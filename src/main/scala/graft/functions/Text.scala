@@ -94,6 +94,27 @@ object Text {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable simhash over the low `bits` bits of [[md5Long]] token
+    * hashes (default 32). Same vote-and-pack shape as [[simhash]], but
+    * reproducible in any engine with md5 — used by the oracle-checked
+    * fingerprint queries. Tokens are hashed once (transform), then the fold
+    * votes per bit position. */
+  def simhashPortable(c: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 60)
+    val hashes = transform(tokens(c), t => md5Long(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, b) => a + when(call_function("shiftright", h, b)
+          .bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** Rolling polynomial document fingerprint over token hashes, mod 2^31-1:
     * fp = fold(tokens, acc -> (acc * 1000003 + h(tok)) mod P). Order-sensitive
     * (unlike a bag-of-words hash) and engine-portable via [[md5Mod]].

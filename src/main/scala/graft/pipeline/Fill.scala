@@ -63,10 +63,20 @@ object Fill {
 
     // Union of three equi-joins = the reference's three hash indexes (J2).
     // Spark plans each as a shuffled/broadcast hash join; the union is the
-    // candidate set (§2.7), deduped on (row_id, src_order).
+    // candidate set (§2.7), deduped on (row_id, src_order). Both sides carry
+    // the same helper-column names, so each join output is re-projected to
+    // disambiguated names before the union.
+    val mCols = Seq(col("m.row_id").as("row_id")) ++
+      Seq("_name", "_email", "_phone").map(k => col(s"m.$k").as(s"m$k")) ++
+      targetCols.map(c => col(s"m.$c").as(s"mt_$c"))
+    val sCols = Seq(col("s.src_order").as("src_order")) ++
+      Seq("_name", "_email", "_phone").map(k => col(s"s.$k").as(s"s$k")) ++
+      fieldMap.values.toSeq.distinct.map(c => col(s"s.$c").as(s"sv_$c"))
+
     def joinOn(key: String): DataFrame =
       probe.as("m").join(build.as("s"),
-        col(s"m.$key") =!= "" && col(s"m.$key") === col(s"s.$key"))
+          col(s"m.$key") =!= "" && col(s"m.$key") === col(s"s.$key"))
+        .select(mCols ++ sCols: _*)
 
     val candidates = Seq("_name", "_email", "_phone").map(joinOn)
       .reduce(_ unionByName _)
@@ -74,9 +84,9 @@ object Fill {
 
     // F7: >=2-of-3 verification as a residual filter.
     val verified = candidates.filter(Cleaning.matchesAtLeast(minMatches,
-      (col("m._name"), col("s._name")),
-      (col("m._email"), col("s._email")),
-      (col("m._phone"), col("s._phone"))))
+      (col("m_name"), col("s_name")),
+      (col("m_email"), col("s_email")),
+      (col("m_phone"), col("s_phone"))))
 
     // J4: first-match-wins, deterministic: earliest source row per master row.
     val winner = verified
@@ -88,21 +98,23 @@ object Fill {
     val fills = winner.select(Seq(col("row_id").as("__fill_row_id")) ++
       Seq(col("src_order"),
         concat_ws("+",
-          when(col("m._name") =!= "" && col("m._name") === col("s._name"), "name"),
-          when(col("m._email") =!= "" && col("m._email") === col("s._email"), "email"),
-          when(col("m._phone") =!= "" && col("m._phone") === col("s._phone"), "phone"))
+          when(col("m_name") =!= "" && col("m_name") === col("s_name"), "name"),
+          when(col("m_email") =!= "" && col("m_email") === col("s_email"), "email"),
+          when(col("m_phone") =!= "" && col("m_phone") === col("s_phone"), "phone"))
           .as("__matched_on")) ++
       fieldMap.map { case (mf, sf) =>
-        when(Cleaning.isMissing(col(s"m.$mf")) && Cleaning.isPresent(col(s"s.$sf")),
-          col(s"s.$sf").cast("string")).as(s"__new_$mf")
+        when(Cleaning.isMissing(col(s"mt_$mf")) && Cleaning.isPresent(col(s"sv_$sf")),
+          col(s"sv_$sf").cast("string")).as(s"__new_$mf")
       }.toSeq: _*)
 
     val filled = master.as("t")
       .join(fills, col("t.row_id") === col("__fill_row_id"), "left")
       .select(master.columns.toSeq.map { c =>
         if (fieldMap.contains(c))
+          // present -> keep; missing + fill available -> fill; else keep the
+          // original (possibly ""/sentinel) value untouched
           coalesce(when(Cleaning.isPresent(col(s"t.$c")), col(s"t.$c")),
-            col(s"__new_$c")).as(c)
+            col(s"__new_$c"), col(s"t.$c")).as(c)
         else col(s"t.$c").as(c)
       }: _*)
 

@@ -55,6 +55,7 @@ object Tsv {
     val target = if (singleFile) path + ".dir" else path
     out.write.mode("overwrite")
       .option("sep", "\t").option("header", true)
+      .option("quote", "\"").option("escape", "\"") // doubled-quote escaping, matching the readers
       .option("emptyValue", "").option("nullValue", "")
       .csv(target)
     if (singleFile) {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, Text, Vec}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
 import graft.pipeline.{Fill, GoldenRecord, Validate}
 
 /** The driver-graded query registry: every SURVEY.md §2 operator family is
@@ -469,8 +469,381 @@ object Queries {
       },
       Some("""SELECT event_id,
              |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
-             |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin))
+             |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q18: exact text dedup at corpus scale (hash-shuffle on the normalized
+    // content key, deterministic min-id survivor). Exact duplicates are
+    // planted (the synthetic corpus has none) so the operator does real work.
+    QueryDef("q18_dedup_docs",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val dup = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        Dedup.exactText(d.unionByName(dup), "text", "doc_id")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+             |keyed AS (SELECT doc_id,
+             |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+             |  FROM all_docs)
+             |SELECT doc_id FROM (
+             |  SELECT doc_id, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+             |  FROM keyed)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q19: exact word-3-gram Jaccard near-dup pairs via the inverted-index
+    // self-join (never a cross product). Near-dups are planted by dropping
+    // the first token of every 7th doc.
+    QueryDef("q19_jaccard_pairs",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        Dedup.ngramJaccardPairs(all, "doc_id", "text",
+            shingleSize = 3, threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle)),
+
+    // ---------------------------------------------------------------------
+    // q20: MinHash + LSH banding near-dup candidates with exact-Jaccard
+    // rescoring (128 hashes, 32 bands). No SQL oracle (LSH recall is
+    // probabilistic); the ScalaTest spec checks recall against q19's exact
+    // ground truth.
+    QueryDef("q20_minhash_lsh_pairs",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        Dedup.minhashLshPairs(all, "doc_id", "text", shingleSize = 3,
+            numHashes = 128, bands = 32, threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---------------------------------------------------------------------
+    // q21: exact top-10 cosine ANN, query side broadcast against one corpus
+    // scan (zero corpus shuffle). Ranking on round(cosine, 6) with id
+    // tiebreak so the order is identical in both engines.
+    QueryDef("q21_ann_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(Vec.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT query_id, e.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(qv, e.v), 6) AS cosine
+             |  FROM e, q WHERE e.vec_id <> query_id),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, cosine, rank FROM r
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q22: multimodal binary-column plumbing: blob attach, byte stats,
+    // stride byte-sampling (the video frame-sample plan shape) — pure
+    // per-row projection, no shuffle.
+    QueryDef("q22_media_stats",
+      (s, dir) => {
+        val d = Multimodal.withBlob(t(s, dir, "documents"), "text")
+        d.select(col("doc_id"),
+            octet_length(col("content")).cast("long").as("n_bytes"),
+            md5(col("text")).as("text_md5"),
+            upper(Multimodal.sampleBytes(col("content"), 97)).as("byte_sample"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS text_md5,
+             |  upper(array_to_string(list_transform(
+             |    range(1, greatest(length(text), 1) + 1, 97),
+             |    i -> to_hex(ascii(substr(text, CAST(i AS INT), 1)))), ''))
+             |    AS byte_sample
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q23: mapPartitions feature extraction over binary media blobs — the
+    // batch shape a codec-backed featurizer needs (deterministic fake
+    // features; real plumbing). No SQL twin (imperative per-partition code);
+    // spec-tested for determinism.
+    QueryDef("q23_media_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.withBlob(t(s, dir, "documents"), "text")
+          .select(col("doc_id").as("id"), col("content"))
+          .as[Multimodal.MediaRow]
+        Multimodal.featurize(media, dim = 8).toDF().orderBy(col("id"))
+      },
+      None),
+
+    // ---------------------------------------------------------------------
+    // q24: gap-based sessionization (30-min inactivity) + per-session
+    // rollup: ONE shuffle on user_id, both windows and the final group
+    // reuse the same partitioning.
+    QueryDef("q24_sessions",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        Sessionize.sessionStats(e, col("user_id"), col("ts"), col("event_id"),
+            col("value"), gapSeconds = 1800)
+          .select(col("key").as("user_id"), col("session_id").cast("long"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH flags AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_start
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(is_start) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flags)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  count(*) AS n_events, round(sum(value), 2) AS total_value
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q25: engine-portable document fingerprints: rolling md5-based
+    // polynomial hash (order-sensitive) + BPE-ish subword token count.
+    QueryDef("q25_doc_fingerprint",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+            Text.fingerprint(col("text")).as("fp"),
+            Text.bpeTokenCount(col("text")).as("n_bpe"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |h AS (SELECT doc_id, text,
+             |    list_transform(toks,
+             |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+             |  FROM tok)
+             |SELECT doc_id,
+             |  CASE WHEN len(hs) = 0 THEN 0
+             |       ELSE list_reduce(hs, (a, b) -> (a * 1000003 + b) % 2147483647)
+             |  END AS fp,
+             |  CAST(list_sum(list_transform(
+             |    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+             |    p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q26: portable 32-bit SimHash (md5 token hashes, per-bit vote fold) —
+    // the oracle-checkable twin of the xxhash64 simhash used for near-dup
+    // bucketing in q30.
+    QueryDef("q26_simhash32",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+            Text.simhashPortable(col("text"), bits = 32).as("simhash32"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    list_transform(toks,
+             |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+             |  FROM tok)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE
+             |    list_sum(list_transform(range(32), b ->
+             |      CASE WHEN list_sum(list_transform(hs, h ->
+             |             CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+             |  END AS BIGINT) AS simhash32
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q27: multi-column golden-record merge with the full tie-break chain:
+    // longest valid value -> latest timestamp -> earliest row; sentinel
+    // values ("", "nan") excluded; all-missing groups yield null.
+    QueryDef("q27_golden_contacts",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val base = c.select(
+          col("c_custkey").cast("long").as("row_id"),
+          (col("c_custkey") % 211).as("grp"),
+          when(col("c_custkey") % 13 === 0, lit(""))
+            .when(col("c_custkey") % 17 === 0, lit("nan"))
+            .otherwise(concat(col("c_mktsegment"), lit("-"),
+              col("c_custkey").cast("string"))).as("addr"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("555-"),
+              (col("c_custkey") % 10000).cast("string"))).as("phone"),
+          timestamp_seconds(lit(1577836800L) + col("c_custkey")).as("ts"))
+        base.groupBy(col("grp"))
+          .agg(
+            GoldenRecord.mostComplete(col("addr"), col("ts"), col("row_id"))
+              .as("best_addr"),
+            GoldenRecord.mostComplete(col("phone"), col("ts"), col("row_id"))
+              .as("best_phone"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS row_id,
+             |    c_custkey % 211 AS grp,
+             |    CASE WHEN c_custkey % 13 = 0 THEN ''
+             |         WHEN c_custkey % 17 = 0 THEN 'nan'
+             |         ELSE c_mktsegment || '-' || c_custkey END AS addr,
+             |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+             |         ELSE '555-' || (c_custkey % 10000) END AS phone,
+             |    to_timestamp(1577836800 + c_custkey) AS ts
+             |  FROM customer),
+             |a AS (SELECT grp, addr, row_number() OVER (PARTITION BY grp
+             |    ORDER BY length(addr) DESC, ts DESC, row_id ASC) AS rn
+             |  FROM base WHERE addr IS NOT NULL AND trim(addr) <> ''
+             |    AND trim(addr) NOT IN ('nan', 'None', 'NaN')),
+             |p AS (SELECT grp, phone, row_number() OVER (PARTITION BY grp
+             |    ORDER BY length(phone) DESC, ts DESC, row_id ASC) AS rn
+             |  FROM base WHERE phone IS NOT NULL AND trim(phone) <> ''
+             |    AND trim(phone) NOT IN ('nan', 'None', 'NaN')),
+             |g AS (SELECT grp, count(*) AS n_rows FROM base GROUP BY grp)
+             |SELECT g.grp, a.addr AS best_addr, p.phone AS best_phone, g.n_rows
+             |FROM g
+             |LEFT JOIN (SELECT grp, addr FROM a WHERE rn = 1) a USING (grp)
+             |LEFT JOIN (SELECT grp, phone FROM p WHERE rn = 1) p USING (grp)
+             |ORDER BY g.grp""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q28: embedding-cosine near-dup pairs, exact (planted perturbed copies;
+    // double-precision arithmetic on both sides for bit parity).
+    QueryDef("q28_embed_neardup",
+      (s, dir) => {
+        val all = plantedVecs(s, dir)
+        Dedup.embeddingNearDup(all, "vec_id", "vec", threshold = 0.98)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |allv AS (
+             |  SELECT * FROM e
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+             |  FROM e WHERE vec_id % 5 = 0)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+             |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q29: the same near-dup search through random-hyperplane LSH buckets
+    // (the 100-TB path: only same-bucket pairs are scored). Probabilistic
+    // recall -> no SQL oracle; the spec checks recall against q28's exact
+    // ground truth.
+    QueryDef("q29_embed_neardup_lsh",
+      (s, dir) => {
+        val all = plantedVecs(s, dir)
+        Dedup.embeddingNearDupLsh(all, "vec_id", "vec", threshold = 0.98,
+            planes = 12, tables = 4)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---------------------------------------------------------------------
+    // q30: SimHash near-dup pairs via the pigeonhole chunk trick (64-bit
+    // xxhash simhash, hamming <= 6 found with a bucket shuffle, never a
+    // cross join). xxhash64 is Spark-only -> no SQL oracle; spec-tested.
+    QueryDef("q30_simhash_pairs",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        Dedup.simhashPairs(all, "doc_id", "text", maxHamming = 6, bits = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None)
   )
+
+  /** Documents with planted near-duplicates: every `modulo`-th doc is
+    * re-added (id + 10000) with its first token dropped — deterministic,
+    * engine-portable (the synthetic corpus itself has no near-dups). */
+  private def plantedNearDups(s: SparkSession, dir: String, modulo: Int): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pert = d.filter(col("doc_id") % modulo === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    d.unionByName(pert)
+  }
+
+  /** Embeddings (as doubles) with planted near-duplicates: every 5th vector
+    * re-added (id + 100000) shifted by +0.02 per component — cosine vs the
+    * original ≈ 0.999, far above any unrelated pair (max 0.52). */
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+    val pert = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.02)).as("vec"))
+    e.unionByName(pert)
+  }
+
+  /** Oracle twin of q19 — word-3-gram Jaccard restated over DuckDB list
+    * functions + an inverted-index join. */
+  private lazy val jaccardOracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |tok AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM all_docs),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_distinct(list_transform(range(len(toks) - 2),
+      |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+      |         ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM tok),
+      |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM posts a JOIN posts b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Oracle twin of q15 — the language-ID / quality formulas restated over
     * DuckDB list functions. Token model: lower(trim(text)) split on \s+. */

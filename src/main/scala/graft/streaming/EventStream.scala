@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest over the events table (SURVEY.md §2.10 — an
+  * extension beyond reference parity: the reference is strictly batch, but
+  * the engine leaves room for incremental ingest of the same transforms).
+  *
+  * Design: `readStream` file source -> event-time watermark -> windowed
+  * aggregation -> sink. The aggregation is the streaming twin of the batch
+  * q16_events_hourly query; `Trigger.AvailableNow` drains a static directory
+  * and stops, which is how the spec proves batch/stream equivalence.
+  *
+  * Scale notes: file-source listing is incremental (maxFilesPerTrigger);
+  * state is bounded by the watermark (1h windows x event types), so state
+  * store size is independent of stream length.
+  */
+object EventStream {
+
+  /** events schema with raw int64 nanos ts (the parquet's physical type —
+    * streaming reads need an explicit schema). */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(RawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Hourly per-type rollup with a 2-hour watermark: the streaming twin of
+    * the batch q16 query. Late rows beyond the watermark are dropped —
+    * bounded state at unbounded stream length. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Drain the directory with AvailableNow into an in-memory table and stop.
+    * Returns the query (already awaited). Used by specs to prove the
+    * streaming plan computes exactly the batch answer. */
+  def drainToMemory(spark: SparkSession, dir: String, table: String): StreamingQuery = {
+    val q = hourlyRollup(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

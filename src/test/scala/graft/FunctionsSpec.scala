@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.PyTitleCase
+import graft.functions.{Cleaning, Text, Vec}
+
+/** Unit tests for the column-function layer (SURVEY.md §2.8, §5 test plan):
+  * sentinel zoo, normalizers, validity predicates, text metrics, vector math,
+  * and Python str.title() parity. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head().get(0)
+
+  private def evalStr(input: Option[String], f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    Seq(input).toDF("v").select(f(col("v"))).head().get(0)
+
+  // ------------------------------------------------------------- Cleaning
+
+  test("isMissing covers the sentinel zoo (clean_contacts.py:206)") {
+    val missing = Seq(None, Some(""), Some("  "), Some("nan"), Some("None"),
+      Some("NaN"), Some(" nan "))
+    val present = Seq(Some("x"), Some("0"), Some("Nanette"))
+    for (v <- missing)
+      assert(evalStr(v, Cleaning.isMissing) == true, s"expected missing: $v")
+    for (v <- present)
+      assert(evalStr(v, Cleaning.isMissing) == false, s"expected present: $v")
+  }
+
+  test("normPhone keeps last 10 digits only when >= 10 (fill:14-21)") {
+    assert(evalStr(Some("+1 (555) 123-4567"), Cleaning.normPhone) == "5551234567")
+    assert(evalStr(Some("123-4567"), Cleaning.normPhone) == "1234567")
+    assert(evalStr(Some("64 21 555 123 4567"), Cleaning.normPhone) == "5551234567")
+  }
+
+  test("email regex anchors at start only, like Python re.match (C6)") {
+    assert(evalStr(Some("a@b.co"), Cleaning.validEmail) == true)
+    assert(evalStr(Some("a@b.co extra junk"), Cleaning.validEmail) == true) // unanchored end
+    // Python re.match also accepts "junk a@b.co" ([^@]+ eats the space)
+    assert(evalStr(Some("junk a@b.co"), Cleaning.validEmail) == true)
+    assert(evalStr(Some("@b.co"), Cleaning.validEmail) == false) // anchored start
+    assert(evalStr(Some("nope"), Cleaning.validEmail) == false)
+    assert(evalStr(Some("a@b"), Cleaning.validEmail) == false) // needs a dot
+    assert(evalStr(Some("a@b@c.com"), Cleaning.validEmail) == false)
+  }
+
+  test("ynFlag tri-state standardization (clean:129-147)") {
+    val cases = Seq("y" -> "Y", "YES" -> "Y", "true" -> "Y", "1" -> "Y",
+      " n " -> "N", "No" -> "N", "false" -> "N", "0" -> "N")
+    for ((in, out) <- cases)
+      assert(evalStr(Some(in), Cleaning.ynFlag) == out, s"$in -> $out")
+    assert(evalStr(Some("maybe"), Cleaning.ynFlag) == null)
+    assert(evalStr(None, Cleaning.ynFlag) == null)
+  }
+
+  test("dedupKey: email wins, else fullname-mobile (clean:164-179)") {
+    def key(e: Option[String], f: Option[String], m: Option[String]) =
+      Seq((e, f, m)).toDF("e", "f", "m")
+        .select(Cleaning.dedupKey(col("e"), col("f"), col("m"))).head().getString(0)
+    assert(key(Some("A@B.com"), Some("Jo Do"), Some("123")) == "a@b.com")
+    assert(key(Some(""), Some(" Jo  Do "), Some("(123)")) == "jo do-123")
+    assert(key(None, None, None) == "-")
+  }
+
+  test("matchesAtLeast k-of-n truth table (F7, fill:34-45)") {
+    def m(k: Int, a: (String, String), b: (String, String)) =
+      Seq((a._1, a._2, b._1, b._2)).toDF("a1", "a2", "b1", "b2")
+        .select(Cleaning.matchesAtLeast(k,
+          (col("a1"), col("a2")), (col("b1"), col("b2")))).head().getBoolean(0)
+    assert(m(2, ("x", "x"), ("y", "y")))
+    assert(!m(2, ("x", "x"), ("y", "z")))
+    assert(m(1, ("x", "x"), ("y", "z")))
+    assert(!m(1, ("", ""), ("y", "z"))) // empty never matches
+  }
+
+  test("parseTs: lenient multi-format, null on failure (C8)") {
+    assert(evalStr(Some("2010-12-13 14:54:49.000"), Cleaning.parseTs) != null)
+    assert(evalStr(Some("2010-12-13 14:54:49"), Cleaning.parseTs) != null)
+    assert(evalStr(Some("2010-12-13"), Cleaning.parseTs) != null)
+    assert(evalStr(Some("not a date"), Cleaning.parseTs) == null)
+  }
+
+  // ------------------------------------------------------------ PyTitleCase
+
+  test("PyTitleCase matches Python str.title() semantics (C5)") {
+    val cases = Seq(
+      "o'brien" -> "O'Brien",           // initcap would give O'brien
+      "abc2d" -> "Abc2D",               // digit restarts the word
+      "hello world" -> "Hello World",
+      "MIXED case" -> "Mixed Case",
+      "" -> "",
+      "x" -> "X",
+      "jean-luc" -> "Jean-Luc",
+      "it's" -> "It'S")                 // faithful to Python's quirk
+    for ((in, out) <- cases)
+      assert(PyTitleCase.titleCase(in) == out, s"'$in' -> '$out'")
+  }
+
+  test("PyTitleCase column path (interpreted + codegen) agrees") {
+    val df = Seq("o'brien", "abc2d", "a b c").toDF("v")
+    val got = df.select(Cleaning.pyTitle(col("v")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("O'Brien", "Abc2D", "A B C"))
+  }
+
+  // ------------------------------------------------------------------ Text
+
+  test("tokens / shingles shapes") {
+    val df = Seq("the quick  brown fox").toDF("t")
+    assert(df.select(Text.tokenCount(col("t"))).head().getInt(0) == 4)
+    val sh = df.select(Text.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("the quick brown", "quick brown fox"))
+    val short = Seq("one two").toDF("t")
+      .select(Text.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(short == Seq("one two"))
+  }
+
+  test("fingerprint: portable rolling hash, order-sensitive") {
+    def fp(s: String) = Seq(s).toDF("t").select(Text.fingerprint(col("t")))
+      .head().getLong(0)
+    assert(fp("a b c") != fp("c b a")) // order matters
+    assert(fp("a b c") == fp(" a  b c ")) // whitespace-normalized
+    assert(fp("") == 0L)
+    assert(fp("a b c") >= 0 && fp("a b c") < Text.P31)
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val pert = (2 to 60).map(i => s"tok$i").mkString(" ") // one token dropped
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq(base, pert, far).toDF("t")
+      .select(Text.simhash(col("t"), 64).as("h")).collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(df(0), df(1)) <= 8, s"near pair hamming ${ham(df(0), df(1))}")
+    assert(ham(df(0), df(2)) > 16, s"far pair hamming ${ham(df(0), df(2))}")
+  }
+
+  test("quality score in [0,1]; langId picks marker language") {
+    val df = Seq(
+      "the cat and the dog went to the market in the morning",
+      "der hund und die katze ist nicht mit der maus",
+      "xyzzy plugh").toDF("t")
+      .select(Text.qualityScore(col("t")).as("q"), Text.langId(col("t")).as("l"))
+      .collect()
+    for (r <- df) {
+      val q = r.getDouble(0)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+    assert(df(0).getString(1) == "en")
+    assert(df(1).getString(1) == "de")
+    assert(df(2).getString(1) == "und")
+  }
+
+  // ------------------------------------------------------------------- Vec
+
+  test("vector math: dot / norm / cosine") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b")
+    assert(df.select(Vec.dot(col("a"), col("b"))).head().getDouble(0) == 0.0)
+    assert(math.abs(df.select(Vec.cosine(col("a"), col("a"))).head().getDouble(0) - 1.0) < 1e-12)
+    assert(df.select(Vec.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+    // zero vector -> null, not divide-by-zero
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(z.select(Vec.cosine(col("a"), col("b"))).head().get(0) == null)
+  }
+}

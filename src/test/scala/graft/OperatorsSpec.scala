@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+
+/** Operator-level tests: dedup family (exact / Jaccard / MinHash-LSH /
+  * SimHash / embedding), ANN search, sessionization, multimodal plumbing. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps the min-id survivor per key") {
+    val df = Seq((3L, "A", "x"), (1L, "A", "x"), (2L, "B", "y"))
+      .toDF("id", "k1", "k2")
+    val out = Dedup.exact(df, Seq(col("k1"), col("k2")), col("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("exactText dedups on normalized content") {
+    val df = docs((1L, "Hello  World"), (2L, " hello world "), (3L, "other"))
+    val out = Dedup.exactText(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on shingle sets") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
+    val df = docs((1L, "a b c d"), (2L, "a b c"), (3L, "x y z"))
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleSize = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0.5)))
+  }
+
+  test("minhashLshPairs finds planted near-dups with exact rescoring") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (2 to 50).map(i => s"tok$i").mkString(" ")
+    val far = (1 to 50).map(i => s"zzz$i").mkString(" ")
+    val df = docs((1L, base), (2L, near), (3L, far))
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", shingleSize = 3,
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhashPairs: pigeonhole candidates + hamming filter") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (2 to 60).map(i => s"tok$i").mkString(" ")
+    val far = (1 to 60).map(i => s"aaa$i").mkString(" ")
+    val df = docs((1L, base), (2L, near), (3L, far))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("embeddingNearDup and its LSH variant agree on planted pairs") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val planted = vecs.filter(_._1 % 5 == 0)
+      .map { case (i, v) => (i + 100, v.map(_ + 0.01)) }
+    val df = (vecs ++ planted).toDF("id", "vec")
+    val exact = Dedup.embeddingNearDup(df, "id", "vec", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 100L), (5L, 105L), (10L, 110L), (15L, 115L)))
+    val lsh = Dedup.embeddingNearDupLsh(df, "id", "vec", 0.99,
+      planes = 8, tables = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // precision is exact (rescored)
+    assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors") {
+    // 1-d directions: cosine is 1 for same direction, -1 opposite
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("id", "vec")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Similarity.bruteForceTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 2)
+      .select("neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("sessionization: 30-min gap splits sessions, rollup is correct") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, 1.0), (2L, ts(10), 1L, 2.0), // session 1
+      (3L, ts(45), 1L, 3.0),                        // session 2 (35-min gap)
+      (4L, ts(5), 2L, 4.0))                         // user 2, session 1
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize.sessionStats(ev, col("user_id"), col("ts"),
+      col("event_id"), col("value"), gapSeconds = 1800)
+      .orderBy("key", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(out == Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
+  }
+
+  test("multimodal: featurize is deterministic, batch-shaped, right dims") {
+    val media = Seq((1L, "hello world"), (2L, "abc"))
+      .toDF("id", "text")
+    val ds = Multimodal.withBlob(media, "text")
+      .select(col("id"), col("content")).as[Multimodal.MediaRow]
+    val a = Multimodal.featurize(ds, dim = 8).collect().sortBy(_.id)
+    val b = Multimodal.featurize(ds.repartition(3), dim = 8).collect().sortBy(_.id)
+    assert(a.length == 2 && a.forall(_.features.length == 8))
+    assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq,
+      "features must not depend on partitioning")
+    assert(math.abs(a(0).features.sum - 1.0f) < 1e-5f) // normalized histogram
+  }
+
+  test("multimodal: decodeMeta stub yields plausible typed metadata") {
+    val df = Multimodal.withBlob(Seq((1L, "some content")).toDF("id", "text"), "text")
+      .select(Multimodal.decodeMeta(col("content")).as("m"))
+      .select("m.kind", "m.width", "m.height", "m.channels")
+    val r = df.head()
+    assert(Set("image", "audio", "video").contains(r.getString(0)))
+    assert(r.getInt(1) >= 1 && r.getInt(1) <= 1920)
+    assert(r.getInt(2) >= 1 && r.getInt(2) <= 1080)
+    assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+  }
+}
