@@ -144,9 +144,11 @@ object Text {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was", "it",
     "for", "on", "with", "as", "at", "by", "this", "that")
 
-  /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(c: Column): Column = {
-    val t = tokens(c)
+  /** Fraction of tokens that are (English) stopwords (token-array form:
+    * callers that compute several metrics should materialize `tokens(c)`
+    * once and reuse it — lambda expressions are interpreted, so repeated
+    * tokenization dominates multi-metric scans). */
+  def stopwordRatioOf(t: Column): Column = {
     val stop = array(StopwordsEn.map(lit): _*)
     when(size(t) > 0,
       size(filter(t, x => array_contains(stop, x))).cast("double")
@@ -154,27 +156,33 @@ object Text {
       .otherwise(lit(0.0))
   }
 
-  /** Mean token length (0 for empty text). */
-  def meanWordLen(c: Column): Column = {
-    val t = tokens(c)
+  def stopwordRatio(c: Column): Column = stopwordRatioOf(tokens(c))
+
+  /** Mean token length (0 for empty text), token-array form. */
+  def meanWordLenOf(t: Column): Column =
     when(size(t) > 0,
       aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
         / size(t).cast("double"))
       .otherwise(lit(0.0))
-  }
+
+  def meanWordLen(c: Column): Column = meanWordLenOf(tokens(c))
 
   /** Heuristic document quality score in [0, 1]: length band + sane mean word
     * length + some-but-not-too-many stopwords + low punctuation density.
-    * Deterministic arithmetic only, so it has an exact SQL twin. */
-  def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast("double")
+    * Deterministic arithmetic only, so it has an exact SQL twin. Token-array
+    * form: pass a materialized `tokens(c)` column to share the tokenization
+    * with sibling metrics. */
+  def qualityScoreOf(c: Column, t: Column): Column = {
+    val nTok = size(t).cast("double")
     val lenScore = least(nTok / 20.0, lit(1.0))
-    val mwl = meanWordLen(c)
+    val mwl = meanWordLenOf(t)
     val wordScore = when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.5)
-    val stopScore = when(stopwordRatio(c) > 0.01, 1.0).otherwise(0.5)
+    val stopScore = when(stopwordRatioOf(t) > 0.01, 1.0).otherwise(0.5)
     val punctScore = when(punctRatio(c) < 0.2, 1.0).otherwise(0.5)
     round((lenScore + wordScore + stopScore + punctScore) / 4.0, 4)
   }
+
+  def qualityScore(c: Column): Column = qualityScoreOf(c, tokens(c))
 
   // ---------------------------------------------------------------- lang-ID
 
@@ -194,8 +202,11 @@ object Text {
     * [[langIdStruct]] or just the code via [[langId]]. */
   def langId(c: Column): Column = langIdStruct(c).getField("lang")
 
-  def langIdStruct(c: Column): Column = {
-    val t = tokens(c)
+  def langIdStruct(c: Column): Column = langIdStructOf(tokens(c))
+
+  def langIdOf(t: Column): Column = langIdStructOf(t).getField("lang")
+
+  def langIdStructOf(t: Column): Column = {
     val scores = LangMarkers.map { case (lang, words) =>
       val w = array(words.map(lit): _*)
       (lang, size(filter(t, x => array_contains(w, x))))

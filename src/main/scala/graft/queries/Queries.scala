@@ -429,12 +429,14 @@ object Queries {
     QueryDef("q15_doc_stats",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        d.select(col("doc_id"),
-            Text.tokenCount(col("text")).as("n_tokens"),
-            Text.langId(col("text")).as("lang_pred"),
-            round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-            round(Text.meanWordLen(col("text")), 6).as("mean_word_len"),
-            Text.qualityScore(col("text")).as("quality"))
+        // explode-once -> codegen'd conditional-sum aggregate -> join back:
+        // the corpus-scale shape (interpreted per-row lambdas would burn
+        // cores on dispatch at 100 TB) — see operators.TextProfile
+        graft.operators.TextProfile.profile(d, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("lang_pred"),
+            round(col("stopword_ratio"), 6).as("stopword_ratio"),
+            round(col("mean_word_len"), 6).as("mean_word_len"),
+            col("quality"))
           .orderBy(col("doc_id"))
       },
       Some(docStatsOracle)),
