@@ -1,0 +1,101 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Thin HTTP control surface (SURVEY.md §2.11 X2-X4) — the Spark
+  * re-expression of the reference's Flask API (backend_api.py):
+  *
+  *   GET  /stages          — list registered pipeline stages (X2 /scripts)
+  *   POST /run {"stage"}   — run a stage on the shared SparkSession, return
+  *                           {stdout-ish log, seconds, ok} (X3 /run)
+  *   GET  /output-files    — list artifact files (X4)
+  *   GET  /output/<name>   — fetch one artifact (X4)
+  *
+  * Differences by design: stages run as method calls on ONE SparkSession
+  * (no subprocess per request), and concurrent runs are serialized with a
+  * lock — the reference's racing-writes hazard (SURVEY.md §3.2) is fixed
+  * rather than reproduced. JDK HttpServer: zero extra dependencies.
+  */
+class RestServer(port: Int, outputDir: String,
+    stages: Map[String, () => String]) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val runLock = new Object
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def start(): Unit = {
+    server.createContext("/stages", (ex: HttpExchange) =>
+      respond(ex, 200, stages.keys.toSeq.sorted
+        .map(jsonStr).mkString("[", ",", "]")))
+
+    server.createContext("/run", (ex: HttpExchange) => {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+      else {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        // minimal parse: {"stage": "<name>"}
+        val name = "\"stage\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(body).map(_.group(1))
+        name.flatMap(n => stages.get(n).map(n -> _)) match {
+          case None => respond(ex, 400, """{"error":"unknown stage"}""")
+          case Some((n, f)) =>
+            val t0 = System.nanoTime()
+            val (ok, log) = runLock.synchronized {
+              try (true, f())
+              catch { case e: Throwable => (false, String.valueOf(e.getMessage)) }
+            }
+            val sec = (System.nanoTime() - t0) / 1e9
+            respond(ex, if (ok) 200 else 500,
+              s"""{"stage":${jsonStr(n)},"ok":$ok,"seconds":$sec,"log":${jsonStr(log)}}""")
+        }
+      }
+    })
+
+    server.createContext("/output-files", (ex: HttpExchange) => {
+      val files = Option(new java.io.File(outputDir).listFiles())
+        .getOrElse(Array.empty).filter(_.isFile).map(_.getName).sorted
+      respond(ex, 200, files.map(jsonStr).mkString("[", ",", "]"))
+    })
+
+    server.createContext("/output/", (ex: HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/output/")
+      val f = new java.io.File(outputDir, name)
+      // path-traversal guard (the reference had none)
+      if (!f.getCanonicalPath.startsWith(
+          new java.io.File(outputDir).getCanonicalPath) || !f.isFile)
+        respond(ex, 404, """{"error":"not found"}""")
+      else respond(ex, 200,
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8), "text/plain")
+    })
+
+    server.setExecutor(null)
+    server.start()
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  def boundPort: Int = server.getAddress.getPort
+}

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cleaning
@@ -60,5 +61,62 @@ object Clean {
       expr.as(c)
     }
     df.select(cleaned: _*)
+  }
+
+  /** Nullable-integer conversion (SURVEY.md §1.2 + A5,
+    * clean_contacts.py:32-50): double columns whose non-null values are all
+    * whole numbers become LongType (pandas `Int64`), as do the explicit ID
+    * columns SEQNO / SALESNO / COMPANY_ACCNO. The whole-number check is ONE
+    * aggregate pass over all candidate columns (A5: `max(abs(col % 1)) == 0`
+    * folded into a single job), then a driver-side schema decision. */
+  val IdFields: Seq[String] = Seq("SEQNO", "SALESNO", "COMPANY_ACCNO")
+
+  def integerize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val doubleCols = df.schema.fields
+      .filter(_.dataType == DoubleType).map(_.name).toSeq
+    val whole: Set[String] =
+      if (doubleCols.isEmpty) Set.empty
+      else {
+        val checks = doubleCols.map(c =>
+          max(abs(col(c) % 1.0)).as(c))
+        val row = df.agg(checks.head, checks.tail: _*).head()
+        doubleCols.zipWithIndex
+          .filter { case (_, i) => row.isNullAt(i) || row.getDouble(i) == 0.0 }
+          .map(_._1).toSet
+      }
+    val ids = IdFields.flatMap(Roles.exact(df, _)).toSet
+    df.select(df.columns.toSeq.map { c =>
+      if (whole(c) || ids(c)) col(c).cast("long").as(c) else col(c)
+    }: _*)
+  }
+
+  /** SUB-column heuristic sequence reset (P9, clean_contacts.py:66-84): if a
+    * SUB1..26 column is numeric, has more than one distinct value, and its
+    * max is at most 2N, overwrite it with 1..N in `order`. The eligibility
+    * stats for ALL sub columns come from one aggregate pass (A6). The
+    * reference used the implicit pandas row order; a distributed plan needs
+    * the explicit sort key. */
+  def resetSubSequences(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val subs = (1 to 26).map(i => s"SUB$i").flatMap(Roles.exact(df, _))
+    if (subs.isEmpty) return df
+    val n = df.count()
+    val aggCols =
+      subs.map(c => countDistinct(col(c)).as(s"d_$c")) ++
+        subs.map(c => max(expr(s"try_cast(cast(`$c` as string) as double)"))
+          .as(s"m_$c"))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val eligible = subs.filter { c =>
+      val d = stats.getAs[Long](s"d_$c")
+      val mIdx = stats.fieldIndex(s"m_$c")
+      d > 1 && !stats.isNullAt(mIdx) && stats.getDouble(mIdx) <= 2.0 * n
+    }.toSet
+    if (eligible.isEmpty) df
+    else {
+      val w = Window.orderBy(order: _*)
+      df.select(df.columns.toSeq.map { c =>
+        if (eligible(c)) row_number().over(w).cast("long").as(c) else col(c)
+      }: _*)
+    }
   }
 }

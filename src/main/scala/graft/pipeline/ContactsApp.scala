@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cleaning
+
+/** The complete contacts pipeline wired from file paths — what a user of the
+  * reference runs via `python cleaning/run.py` (SURVEY.md §3.1), as one
+  * library call on one SparkSession:
+  *
+  *   fill (J2 over the data_files TSVs, sorted order) ->
+  *   mailchimp fill (J1, optional) -> clean (P1/C1-C9/F1) ->
+  *   golden-record dedup (A1) -> validate (F4/F5) -> artifacts (S6/S8)
+  *
+  * Role resolution is case-insensitive (intended semantics; the observed
+  * reference run silently no-ops on lowercase headers — SURVEY.md §1.4
+  * divergence ledger).
+  */
+object ContactsApp {
+
+  case class Artifacts(cleanedTsv: String, changeLogJson: String,
+      validationJson: String)
+
+  /** Stable dense row ids in file order (P7): single-file CSV reads preserve
+    * order within the scan, monotonically_increasing_id preserves partition
+    * order, and the window makes the ids dense. */
+  def withRowIds(df: DataFrame): DataFrame =
+    df.withColumn("__mono", monotonically_increasing_id())
+      .withColumn("row_id",
+        row_number().over(Window.orderBy(col("__mono"))).cast("long"))
+      .drop("__mono")
+
+  /** Attach `_name/_email/_phone` match keys using case-insensitively
+    * resolved roles; missing roles key to "". */
+  def withResolvedKeys(df: DataFrame): DataFrame = {
+    def c(candidates: Seq[String]): Column =
+      Roles.byCandidates(df, candidates).map(col).getOrElse(lit(""))
+    val first = c(Roles.FirstNameCandidates)
+    val last = c(Roles.LastNameCandidates)
+    val full = c(Roles.FullNameCandidates)
+    val name = Cleaning.fullName(first, last, full, full)
+    Fill.withMatchKeys(df, name, c(Roles.EmailCandidates), c(Roles.PhoneCandidates))
+  }
+
+  /** Field map: master column <- source column for each fillable role
+    * present on both sides (fill_missing_contacts.py:205-220). */
+  def fieldMap(master: DataFrame, source: DataFrame): Map[String, String] = {
+    val roles = Seq(
+      Roles.FirstNameCandidates, Roles.LastNameCandidates,
+      Roles.FullNameCandidates, Roles.EmailCandidates, Roles.PhoneCandidates)
+    roles.flatMap { cands =>
+      for {
+        m <- Roles.byCandidates(master, cands)
+        s <- Roles.byCandidates(source, cands)
+      } yield m -> s
+    }.toMap
+  }
+
+  /** Load one source file: all-string TSV + match keys + stable src_order. */
+  def loadSource(spark: SparkSession, path: String): DataFrame = {
+    val raw = Tsv.readAllString(spark, path)
+    withResolvedKeys(raw)
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("src_order",
+        row_number().over(Window.orderBy(col("__mono"))).cast("long"))
+      .drop("__mono")
+  }
+
+  /** Full run. `sourcesDir` is scanned for *.tsv in sorted order (S4 with
+    * the explicit-determinism fix). Returns the pipeline result; artifacts
+    * are written only when `out` is provided. */
+  def run(spark: SparkSession, masterPath: String, sourcesDir: String,
+      out: Option[Artifacts] = None): Pipeline.RunResult = {
+    val master = withResolvedKeys(withRowIds(Tsv.readAllString(spark, masterPath)))
+
+    val sources = Tsv.listTsv(sourcesDir).flatMap { path =>
+      val src = loadSource(spark, path)
+      val fm = fieldMap(master, src)
+      val roles = Roles.resolve(src)
+      // F6 guard: a file with no usable roles (or nothing to map) is skipped
+      if (!roles.usable || fm.isEmpty) None
+      else Some((new java.io.File(path).getName, src, fm))
+    }
+
+    val result = Pipeline.run(spark, master, sources,
+      orderCols = Seq("row_id"))
+
+    out.foreach { a =>
+      Tsv.write(result.cleaned.drop("_name", "_email", "_phone"),
+        a.cleanedTsv, singleFile = true)
+      JsonAudit.writeArray(result.changeLog, a.changeLogJson)
+      JsonAudit.writeArray(result.validationErrors, a.validationJson)
+    }
+    result
+  }
+}

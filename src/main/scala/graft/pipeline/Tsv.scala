@@ -57,6 +57,9 @@ object Tsv {
       .option("sep", "\t").option("header", true)
       .option("quote", "\"").option("escape", "\"") // doubled-quote escaping, matching the readers
       .option("emptyValue", "").option("nullValue", "")
+      // reference timestamp shape, e.g. 2010-12-13 14:54:49.000
+      // (output/MergedDatabase.tsv:2), not ISO-8601
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
       .csv(target)
     if (singleFile) {
       val dir = new java.io.File(target)

@@ -1,0 +1,46 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.RestServer
+
+/** REST control surface (X2-X4): list stages, run a stage on the shared
+  * session, fetch artifacts; unknown stages and traversal attempts are
+  * rejected. */
+class RestServerSpec extends AnyFunSuite {
+
+  test("stages list / run / output endpoints") {
+    val outDir = Files.createTempDirectory("rest").toFile
+    Files.writeString(new java.io.File(outDir, "result.txt").toPath, "hello")
+    var ran = 0
+    val srv = new RestServer(0, outDir.getAbsolutePath, Map(
+      "clean" -> (() => { ran += 1; "cleaned 42 rows" }),
+      "boom" -> (() => sys.error("kaput"))))
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    val http = HttpClient.newHttpClient()
+    def get(p: String) = http.send(
+      HttpRequest.newBuilder(URI.create(base + p)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    def post(p: String, body: String) = http.send(
+      HttpRequest.newBuilder(URI.create(base + p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(get("/stages").body() == """["boom","clean"]""")
+      val run = post("/run", """{"stage":"clean"}""")
+      assert(run.statusCode() == 200 && run.body().contains("cleaned 42 rows"))
+      assert(ran == 1)
+      assert(post("/run", """{"stage":"nope"}""").statusCode() == 400)
+      val failed = post("/run", """{"stage":"boom"}""")
+      assert(failed.statusCode() == 500 && failed.body().contains("kaput"))
+      assert(get("/output-files").body() == """["result.txt"]""")
+      assert(get("/output/result.txt").body() == "hello")
+      assert(get("/output/../../etc/passwd").statusCode() == 404)
+    } finally srv.stop()
+  }
+}
