@@ -536,11 +536,14 @@ object Queries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+          .withColumn("nrm", Vec.norm(col("vec"))) // norms once per row, not per pair
         val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+            col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(Vec.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+            round(Vec.cosineFromParts(Vec.dot(col("qvec"), col("vec")),
+              col("qnrm"), col("nrm")), 6).as("cosine"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)
         scored.withColumn("rank", row_number().over(w).cast("long"))

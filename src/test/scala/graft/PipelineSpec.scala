@@ -181,6 +181,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(back(1).getAs[String]("a") == "quote\"d")
   }
 
+  test("latestTsv picks newest file by mtime (S5)") {
+    val dir = Files.createTempDirectory("latest").toFile
+    val a = new java.io.File(dir, "a.tsv"); val b = new java.io.File(dir, "b.tsv")
+    Files.writeString(a.toPath, "x\n1")
+    Files.writeString(b.toPath, "x\n2")
+    a.setLastModified(1000000L); b.setLastModified(2000000L)
+    assert(Tsv.latestTsv(dir.getAbsolutePath).map(new java.io.File(_).getName)
+      .contains("b.tsv"))
+    assert(Tsv.latestTsv(Files.createTempDirectory("empty").toString).isEmpty)
+  }
+
   // ------------------------------------------------------------------ Jdbc
 
   test("JDBC staging round-trip (embedded Derby) with pushdown read") {
