@@ -160,11 +160,12 @@ object Dedup {
     * — ~10x faster at corpus scale. Partial aggregation keeps the shuffle
     * at |docs| x bits ints. Docs with zero tokens are absent (simhash 0). */
   def simhashAgg(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 64): DataFrame = {
+      bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(bits >= 1 && bits <= 64)
     val posts = df.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
+    val h = tokenHash(col("tok"))
     val votes = (0 until bits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"__v$b"))

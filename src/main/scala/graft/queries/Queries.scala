@@ -669,8 +669,15 @@ object Queries {
     QueryDef("q26_simhash32",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        d.select(col("doc_id"),
-            Text.simhashPortable(col("text"), bits = 32).as("simhash32"))
+        // aggregation form (codegen conditional sums) with the portable md5
+        // token hash — same values as Text.simhashPortable, ~5x faster;
+        // left join restores zero-token docs as simhash 0
+        val sims = Dedup.simhashAgg(d, "doc_id", "text", bits = 32,
+          tokenHash = Text.md5Long)
+        d.select(col("doc_id")).join(sims.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("simhash"), lit(0L)).as("simhash32"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (

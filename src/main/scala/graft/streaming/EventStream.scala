@@ -49,6 +49,34 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming gap-sessionization: `session_window` grows a per-key window
+    * while events arrive within `gap`, closes it at watermark + gap — the
+    * streaming twin of [[graft.operators.Sessionize]] (state bounded by the
+    * watermark; the custom-state escape hatch for richer semantics is
+    * `KeyValueGroupedDataset.flatMapGroupsWithState`, same plan position).
+    * Works on batch frames too (used by the equivalence spec). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Drain a directory through [[sessionize]] into an in-memory table. */
+  def drainSessionsToMemory(spark: SparkSession, dir: String,
+      table: String): StreamingQuery = {
+    val q = sessionize(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drain the directory with AvailableNow into an in-memory table and stop.
     * Returns the query (already awaited). Used by specs to prove the
     * streaming plan computes exactly the batch answer. */

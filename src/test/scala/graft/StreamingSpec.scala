@@ -27,4 +27,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming session_window sessionization == batch gap sessions") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("events-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    EventStream.drainSessionsToMemory(spark, streamDir.toString, "stream_sessions")
+    val streamed = spark.table("stream_sessions")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+
+    val batch = graft.operators.Sessionize.sessionStats(
+      graft.queries.Tables(spark, dir, "events"),
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      gapSeconds = 1800)
+      .select(col("key").as("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
