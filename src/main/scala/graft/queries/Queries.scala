@@ -789,6 +789,85 @@ object Queries {
       None),
 
     // ---------------------------------------------------------------------
+    // q31: hierarchical ROLLUP totals (subtotal + grand-total rows) — one
+    // aggregation with grouping-set expansion, partial-agg friendly.
+    QueryDef("q31_rollup_returns",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("sum_qty"), col("n_rows"))
+          .orderBy(col("returnflag"), col("linestatus"))
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q32: as-of / prior-event lookup per key (the window-function form of
+    // an as-of join against the same stream): previous event's value and
+    // the microsecond gap, one shuffle on user_id.
+    QueryDef("q32_prior_event",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        e.select(col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+              .as("gap_us"))
+          .filter(col("event_id") % 10 === 0)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  lag(value) OVER w AS prev_value,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |QUALIFY event_id % 10 = 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q33: blocked fuzzy (Levenshtein) matching — the scalable form of the
+    // reference's latent fuzzywuzzy intent. Typo'd copies are planted; the
+    // suffix block key is typo-tolerant, so candidates meet in a bucket
+    // shuffle, never a cross join.
+    QueryDef("q33_fuzzy_pairs",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val base = c.select(col("c_custkey").cast("long").as("id"),
+          concat(lit("cust"), col("c_custkey").cast("string")).as("name"))
+        val dirty = base.filter(col("id") % 4 === 0)
+          .select((col("id") + 1000000).as("id"),
+            regexp_replace(col("name"), "^cust", "cusst").as("name"))
+        val all = base.unionByName(dirty)
+        graft.operators.Fuzzy.blockedPairs(all, "id", "name",
+            substring(col("name"), -4, 4), maxDist = 1)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS id,
+             |    'cust' || c_custkey AS name FROM customer),
+             |dirty AS (
+             |  SELECT id + 1000000 AS id,
+             |    regexp_replace(name, '^cust', 'cusst') AS name
+             |  FROM base WHERE id % 4 = 0),
+             |allr AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+             |blocked AS (SELECT id, name, right(name, 4) AS blk FROM allr)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  levenshtein(a.name, b.name) AS dist
+             |FROM blocked a JOIN blocked b
+             |  ON a.blk = b.blk AND a.id < b.id
+             |WHERE levenshtein(a.name, b.name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q30: SimHash near-dup pairs via the pigeonhole chunk trick (64-bit
     // xxhash simhash, hamming <= 6 found with a bucket shuffle, never a
     // cross join). xxhash64 is Spark-only -> no SQL oracle; spec-tested.
