@@ -877,6 +877,41 @@ object Queries {
         Dedup.simhashPairs(all, "doc_id", "text", maxHamming = 6, bits = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
+      None),
+
+    // ---------------------------------------------------------------------
+    // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
+    // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
+    // oracle; OperatorsSpec checks recall against the brute-force truth.
+    QueryDef("q34_ann_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.lshTopK(e, "vec_id", "vec", q, "qid", "qvec",
+            k = 10, planes = 8, tables = 8)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---------------------------------------------------------------------
+    // q35: IVF-style ANN top-k (coarse centroid lists, nprobe probing) —
+    // the FAISS IVF-Flat layout as a relational plan.
+    QueryDef("q35_ann_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.ivfTopK(e, "vec_id", "vec", q, "qid", "qvec",
+            k = 10, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
       None)
   )
 

@@ -87,6 +87,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1), (2L, 2)))
   }
 
+  test("lshTopK / ivfTopK recall vs brute-force ground truth") {
+    val rnd = new scala.util.Random(3)
+    // clustered corpus so ANN structure exists: 4 centers + noise
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 3))
+    val corpus = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5))
+    val lsh = pairs(Similarity.lshTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5, planes = 6, tables = 8))
+    val ivf = pairs(Similarity.ivfTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 4))
+    assert(truth.size == 40)
+    assert((lsh & truth).size >= 30, s"LSH recall ${(lsh & truth).size}/40")
+    assert((ivf & truth).size >= 24, s"IVF recall ${(ivf & truth).size}/40")
+  }
+
+  test("fuzzy blocked pairs find planted typos, never cross-join") {
+    val base = (1L to 40L).map(i => (i, s"name$i")).toDF("id", "name")
+    val dirty = (1L to 40L).filter(_ % 5 == 0)
+      .map(i => (i + 100, s"nxme$i")).toDF("id", "name") // 1 substitution
+    val all = base.unionByName(dirty)
+    val pairs = graft.operators.Fuzzy.blockedPairs(all, "id", "name",
+        expr("right(name, 2)"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    for (i <- Seq(5L, 10L, 15L, 20L, 25L, 30L, 35L, 40L))
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 100 && p._3 == 1),
+        s"missing planted pair for $i in $pairs")
+  }
+
   test("sessionization: 30-min gap splits sessions, rollup is correct") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val ev = Seq(

@@ -59,6 +59,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(joanna.getAs[String]("MOBILE") == "111") // "" excluded
   }
 
+  test("MostCompleteAgg (custom Aggregator) agrees with the max_by fast path") {
+    val rnd = new scala.util.Random(11)
+    val sentinels = Seq(null, "", "nan", "None", "NaN", " ")
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 23}"
+      val v = if (rnd.nextDouble() < 0.3) sentinels(rnd.nextInt(sentinels.size))
+        else rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val tsv = ts(f"2020-01-${rnd.nextInt(28) + 1}%02d 00:00:00")
+      (g, v, tsv, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "ts", "id")
+    val fast = df.groupBy("g")
+      .agg(GoldenRecord.mostComplete(col("v"), col("ts"), col("id")).as("best"))
+    val exact = df.groupBy("g")
+      .agg(graft.operators.MostCompleteAgg(col("v"),
+        unix_micros(col("ts")), col("id")).as("best"))
+    val d1 = fast.exceptAll(exact); val d2 = exact.exceptAll(fast)
+    assert(d1.isEmpty && d2.isEmpty,
+      s"fast path and Aggregator disagree: ${d1.collect().toSeq} ${d2.collect().toSeq}")
+  }
+
   // ------------------------------------------------------------------ Fill
 
   private def master(rows: (Long, String, String, String)*) =
