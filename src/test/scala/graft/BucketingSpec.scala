@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100-TB co-located-join posture (SURVEY.md "Partitioning & shuffle"):
+  * pre-bucketing both join sides on the key eliminates the shuffle exchanges
+  * from the join — the physical plan must contain NO Exchange. This is the
+  * mechanism a production deployment uses for the repeated master<->source
+  * linkage joins. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed tables join without any shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+    val orders = (1L to 1000L).map(i => (i, i % 100, i * 1.5))
+      .toDF("o_orderkey", "o_custkey", "o_total")
+    val customer = (0L until 100L).map(i => (i, s"cust$i"))
+      .toDF("c_custkey", "c_name")
+
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+
+    // join on the bucket key AND aggregate on it: bucketing satisfies the
+    // distribution requirement of both operators -> zero exchanges
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("shuffle_merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(sum(col("o_total")).as("t"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join + same-key agg should not shuffle at all:\n$plan")
+    assert(plan.contains("Bucketed: true"))
+
+    assert(joined.count() == 100)
+  }
+}
