@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY.md §4: the dedup empty-key group is the known
+  * hot key; at 100 TB any groupBy/join key can be Zipfian).
+  *
+  * Two mechanisms:
+  *  - AQE handles skewed JOINS automatically (skew-join splitting is on by
+  *    default; nothing to do in code).
+  *  - Skewed AGGREGATIONS over algebraic functions decompose manually:
+  *    salt the key, partially aggregate (key, salt), then merge per key —
+  *    the hot key's rows spread over `numSalts` reducers in phase 1 and
+  *    only |keys| x numSalts partial rows reach phase 2.
+  *
+  * (Spark's own partial aggregation already does this when upstream
+  * partitioning is random; explicit salting matters when the input is
+  * ALREADY hash-partitioned by the hot key — e.g. right after a keyed
+  * shuffle — or for high-cardinality partial-agg-defeating layouts.)
+  */
+object Skew {
+
+  case class SaltedAgg(partial: Column, merge: String => Column, name: String)
+
+  /** count + sum decomposition, the common case. */
+  def countAndSum(value: Column): Seq[SaltedAgg] = Seq(
+    SaltedAgg(count(lit(1)), c => sum(col(c)), "count"),
+    SaltedAgg(sum(value), c => sum(col(c)), "sum"))
+
+  /** Salted two-phase aggregation: results are identical to
+    * `df.groupBy(key).agg(...)` for algebraic aggregates, with the hot key
+    * spread over `numSalts` phase-1 groups. */
+  def saltedAggregate(df: DataFrame, key: Column, numSalts: Int,
+      aggs: Seq[SaltedAgg]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
+    val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
+      .agg(aggs.head.partial.as(s"__p0"),
+        aggs.tail.zipWithIndex.map { case (a, i) =>
+          a.partial.as(s"__p${i + 1}")
+        }: _*)
+    phase1.groupBy(col("__key"))
+      .agg(aggs.head.merge("__p0").as(aggs.head.name),
+        aggs.tail.zipWithIndex.map { case (a, i) =>
+          a.merge(s"__p${i + 1}").as(a.name)
+        }: _*)
+      .withColumnRenamed("__key", "key")
+  }
+}

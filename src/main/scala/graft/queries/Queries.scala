@@ -880,6 +880,73 @@ object Queries {
       None),
 
     // ---------------------------------------------------------------------
+    // q36: statistics per group — exact interpolated median + sample
+    // stddev + avg (rounded: summation/merge order differs across engines
+    // in the last bits).
+    QueryDef("q36_group_stats",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(avg(l_quantity), 6) AS avg_qty,
+             |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q37: set operations (intersect / except) on order-status key sets.
+    QueryDef("q37_setops",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val f = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))
+        val p = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))
+        val both = f.intersect(p).withColumn("set_op", lit("both"))
+        val onlyF = f.except(p).withColumn("set_op", lit("only_f"))
+        both.unionByName(onlyF).orderBy(col("set_op"), col("custkey"))
+      },
+      Some("""WITH f AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+             |          WHERE o_orderstatus = 'F'),
+             |     p AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+             |          WHERE o_orderstatus = 'O')
+             |SELECT custkey, 'both' AS set_op FROM f INTERSECT SELECT custkey, 'both' FROM p
+             |UNION ALL
+             |(SELECT custkey, 'only_f' AS set_op FROM f EXCEPT SELECT custkey, 'only_f' FROM p)
+             |ORDER BY set_op, custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q38: salted two-phase aggregation over a deliberately skewed key
+    // (~60% of rows share one key) — result identical to a direct groupBy,
+    // hot key spread across phase-1 reducers (operators.Skew).
+    QueryDef("q38_skewed_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val keyed = li.select(
+          when(col("l_orderkey") % 5 < 3, lit("HOT"))
+            .otherwise(concat(lit("k"), (col("l_orderkey") % 97).cast("string")))
+            .as("skew_key"),
+          col("l_quantity"))
+        graft.operators.Skew.saltedAggregate(keyed, col("skew_key"), 16,
+            graft.operators.Skew.countAndSum(col("l_quantity")))
+          .select(col("key"), col("count").as("n"),
+            round(col("sum"), 2).as("sum_qty"))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT CASE WHEN l_orderkey % 5 < 3 THEN 'HOT'
+             |  ELSE 'k' || (l_orderkey % 97) END AS key,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY key ORDER BY key""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.

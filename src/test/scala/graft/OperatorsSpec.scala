@@ -139,6 +139,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
   }
 
+  test("salted aggregation == direct groupBy on a skewed key") {
+    val df = ((1 to 500).map(_ => ("HOT", 1.0)) ++
+      (1 to 50).map(i => (s"k${i % 7}", i.toDouble))).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("count"), sum(col("v")).as("sum"))
+      .withColumnRenamed("k", "key")
+    val salted = graft.operators.Skew.saltedAggregate(df, col("k"), 8,
+      graft.operators.Skew.countAndSum(col("v")))
+    val d1 = direct.exceptAll(salted); val d2 = salted.exceptAll(direct)
+    assert(d1.isEmpty && d2.isEmpty)
+  }
+
   test("multimodal: featurize is deterministic, batch-shaped, right dims") {
     val media = Seq((1L, "hello world"), (2L, "abc"))
       .toDF("id", "text")
