@@ -31,9 +31,19 @@ object Multimodal {
 
   /** Attach a binary content column derived from a string column (the
     * testdata stand-in for reading real media bytes; a production source
-    * would be `spark.read.format("binaryFile")`). */
+    * would be [[readBinaryDir]]). */
   def withBlob(df: DataFrame, textCol: String, blobCol: String = "content"): DataFrame =
     df.withColumn(blobCol, encode(col(textCol), "UTF-8"))
+
+  /** The real media source: Spark's binaryFile format — one row per file
+    * with (path, modificationTime, length, content). `pathGlobFilter`
+    * selects the media type; partition parallelism comes from the file
+    * listing, so a 100-TB image corpus scans exactly like parquet. */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
 
   /** STUB decode — deterministic fake: metadata derived from the content
     * hash, standing in for an image/audio header parse. Column-expression

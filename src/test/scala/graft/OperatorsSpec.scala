@@ -164,6 +164,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a(0).features.sum - 1.0f) < 1e-5f) // normalized histogram
   }
 
+  test("multimodal: binaryFile source reads media dirs with glob filter") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.img").toPath,
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(new java.io.File(dir, "b.img").toPath,
+      Array[Byte](5, 6))
+    java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath,
+      Array[Byte](9))
+    val df = Multimodal.readBinaryDir(spark, dir.getAbsolutePath, "*.img")
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(2L, 4L))
+    val features = Multimodal.featurize(
+      df.select(col("length").as("id"), col("content"))
+        .as[Multimodal.MediaRow], dim = 4).collect()
+    assert(features.forall(_.features.length == 4))
+  }
+
+  test("partitioned parquet scan prunes partitions (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("parts").toString
+    val df = (1 to 100).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "month", "v")
+    df.write.partitionBy("month").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("month") === "2024-02")
+      .agg(sum(col("v")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(month") || plan.contains("month#"),
+      s"expected partition pruning in:\n$plan")
+    // only one of three partitions is read
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("2024-01") || scanned.contains("PartitionCount: 1"),
+      s"partition not pruned:\n$scanned")
+    q.collect()
+  }
+
   test("multimodal: decodeMeta stub yields plausible typed metadata") {
     val df = Multimodal.withBlob(Seq((1L, "some content")).toDF("id", "text"), "text")
       .select(Multimodal.decodeMeta(col("content")).as("m"))
