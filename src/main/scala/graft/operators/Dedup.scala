@@ -62,7 +62,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    // cached: consumed 3x (sizes + both sides of the inverted-index join);
+    // without it the tokenize+shingle+explode pipeline re-runs per consumer
     val posts = shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq)
+      .cache()
     val sizes = posts.groupBy("id").agg(count(lit(1)).as("n_shingles"))
 
     val inter = posts.as("a")
