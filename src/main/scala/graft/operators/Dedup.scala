@@ -95,11 +95,14 @@ object Dedup {
     val rnd = new scala.util.Random(42) // fixed seed: reproducible across runs
     val params = Seq.fill(numHashes)(
       (rnd.nextLong().abs % (Text.P31 - 1) + 1, rnd.nextLong().abs % Text.P31))
-    val h = Text.fastMod(col("shingle"))
+    // hash each shingle ONCE; the numHashes min-aggs read the attribute
+    // (inlining would xxhash the shingle numHashes times per posting)
+    val hashed = posts.select(col("id"), Text.fastMod(col("shingle")).as("__h"))
+    val h = col("__h")
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * h + lit(b), lit(Text.P31))).as(s"mh_$i")
     }
-    posts.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
   }
@@ -166,9 +169,13 @@ object Dedup {
       bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(bits >= 1 && bits <= 64)
+    // hash each token ONCE in the projection — the 64 vote sums all read
+    // the same column (inlining tokenHash into every sum would hash each
+    // token `bits` times)
     val posts = df.select(col(idCol).as("id"),
-      explode(Text.tokens(col(textCol))).as("tok"))
-    val h = tokenHash(col("tok"))
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .select(col("id"), tokenHash(col("tok")).as("__h"))
+    val h = col("__h")
     val votes = (0 until bits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"__v$b"))

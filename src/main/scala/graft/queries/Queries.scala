@@ -947,6 +947,37 @@ object Queries {
              |GROUP BY key ORDER BY key""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q39: RANGE-frame window aggregation — 7-day moving average of daily
+    // order totals (value-range frame over a day-number ordering, distinct
+    // from the ROWS frames used elsewhere).
+    QueryDef("q39_moving_avg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val daily = o
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice")).as("total"))
+          .withColumn("day_num",
+            datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
+        val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        daily
+          .withColumn("ma7", round(avg(col("total")).over(w), 2))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            round(col("total"), 2).as("total"), col("ma7"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', o_orderdate) AS day,
+             |    sum(o_totalprice) AS total,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_num
+             |  FROM orders GROUP BY 1)
+             |SELECT strftime(day, '%Y-%m-%d') AS day,
+             |  round(total, 2) AS total,
+             |  round(avg(total) OVER (ORDER BY day_num
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.
