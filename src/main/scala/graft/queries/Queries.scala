@@ -978,6 +978,34 @@ object Queries {
              |FROM daily ORDER BY day""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q40: pivot (long -> wide) with explicit value list: revenue by
+    // market segment x order status. Explicit values keep the plan a single
+    // pass (no extra distinct-values job).
+    QueryDef("q40_pivot",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum(col("o_totalprice")), 2))
+          .select(col("c_mktsegment"),
+            coalesce(col("F"), lit(0.0)).as("rev_f"),
+            coalesce(col("O"), lit(0.0)).as("rev_o"),
+            coalesce(col("P"), lit(0.0)).as("rev_p"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
+             |    THEN o_totalprice END), 2), 0.0) AS rev_f,
+             |  coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
+             |    THEN o_totalprice END), 2), 0.0) AS rev_o,
+             |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
+             |    THEN o_totalprice END), 2), 0.0) AS rev_p
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.

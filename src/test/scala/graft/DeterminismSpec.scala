@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.pipeline.GoldenRecord
+
+/** Explicit-determinism guard (SURVEY.md §4 / §7.4.1): the reference relied
+  * on single-threaded row order; every operator here must produce IDENTICAL
+  * results regardless of partitioning. Each case runs the same op over
+  * repartition(1) and repartition(13) and asserts set equality. */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    val d1 = a.exceptAll(b); val d2 = b.exceptAll(a)
+    assert(d1.isEmpty && d2.isEmpty,
+      s"partitioning changed the result: ${d1.take(3).toSeq} ${d2.take(3).toSeq}")
+  }
+
+  private lazy val contacts = {
+    val rnd = new scala.util.Random(5)
+    (1 to 300).map { i =>
+      val g = s"g${i % 40}"
+      val v = if (rnd.nextDouble() < 0.25) "" else
+        rnd.alphanumeric.take(rnd.nextInt(10)).mkString
+      (g, v, java.sql.Timestamp.valueOf(
+        f"2021-0${rnd.nextInt(9) + 1}%d-01 00:00:00"), i.toLong)
+    }.toDF("g", "v", "ts", "id")
+  }
+
+  test("golden-record merge is partitioning-invariant") {
+    def merge(df: DataFrame) = df.groupBy("g")
+      .agg(GoldenRecord.mostComplete(col("v"), col("ts"), col("id")).as("best"))
+    same(merge(contacts.repartition(1)), merge(contacts.repartition(13)))
+  }
+
+  test("exact dedup survivor is partitioning-invariant") {
+    def d(df: DataFrame) = Dedup.exact(df, Seq(col("g")), col("id"))
+      .select("g", "id")
+    same(d(contacts.repartition(1)), d(contacts.repartition(13)))
+  }
+
+  test("minhash signatures are partitioning-invariant") {
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i * 7 + j) % 50}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def sig(df: DataFrame) = Dedup.minhashSignatures(
+      Dedup.shinglePostings(df, "doc_id", "text", 3), 32)
+      .select(col("id"), col("sig").cast("array<long>").as("sig"))
+    same(sig(docs.repartition(1)), sig(docs.repartition(13)))
+  }
+
+  test("fill winner is partitioning-invariant") {
+    import graft.pipeline.Fill
+    val m = Fill.withMatchKeys(
+      (1L to 50L).map(i => (i, s"name$i", "", s"55500000${i % 10}"))
+        .toDF("row_id", "name", "email", "phone"),
+      col("name"), col("email"), col("phone"))
+    val src = Fill.withMatchKeys(
+      (1L to 200L).map(j => (j, s"name${j % 50 + 1}", s"e$j@x.com",
+        s"55500000${(j % 50 + 1) % 10}"))
+        .toDF("src_order", "name", "email", "phone"),
+      col("name"), col("email"), col("phone"))
+    def fill(mp: DataFrame, sp: DataFrame) =
+      Fill.fillFromSource(mp, sp, Map("email" -> "email"), "s").filled
+        .select("row_id", "email")
+    same(fill(m.repartition(1), src.repartition(1)),
+      fill(m.repartition(7), src.repartition(13)))
+  }
+}
