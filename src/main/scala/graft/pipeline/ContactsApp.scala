@@ -68,6 +68,42 @@ object ContactsApp {
       .drop("__mono")
   }
 
+  /** The merge_contacts_kindaworks entry point (SURVEY.md §3.3, J1): fill
+    * the master's missing emails from a Mailchimp-style export by exact
+    * (name, phone) match and missing phones by (name, email), first source
+    * row wins, broadcast build side. Headers are normalized (P2), roles
+    * coalesced (P4), keys normalized (P5) — all case-insensitively. */
+  def applyMailchimp(master: DataFrame, mailchimpRaw: DataFrame): DataFrame = {
+    val lower = mailchimpRaw.toDF(mailchimpRaw.columns.map(_.trim.toLowerCase): _*)
+    val keyed = withResolvedKeys(lower)
+    val srcEmail = Roles.byCandidates(lower, Roles.EmailCandidates)
+      .map(col).getOrElse(lit(""))
+    val srcPhone = Roles.byCandidates(lower, Roles.PhoneCandidates)
+      .map(col).getOrElse(lit(""))
+    val mc = keyed
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("src_order",
+        row_number().over(Window.orderBy(col("__mono"))).cast("long"))
+      .select(col("src_order"), col("_name"), col("_email"), col("_phone"),
+        srcEmail.as("email"), srcPhone.as("mobile"))
+
+    // the operator works on canonical email/mobile names; rename the
+    // master's resolved role columns in and back out
+    val me = Roles.byCandidates(master, Roles.EmailCandidates)
+      .getOrElse(sys.error("master has no email role"))
+    val mp = Roles.byCandidates(master, Roles.PhoneCandidates)
+      .getOrElse(sys.error("master has no phone role"))
+    val canon = master
+      .withColumnRenamed(me, "__graft_email")
+      .withColumnRenamed(mp, "__graft_mobile")
+      .withColumnRenamed("__graft_email", "email")
+      .withColumnRenamed("__graft_mobile", "mobile")
+    val filled = Fill.mailchimpFill(canon, mc)
+    filled
+      .withColumnRenamed("email", me)
+      .withColumnRenamed("mobile", mp)
+  }
+
   /** Full run. `sourcesDir` is scanned for *.tsv in sorted order (S4 with
     * the explicit-determinism fix). Returns the pipeline result; artifacts
     * are written only when `out` is provided. */

@@ -1006,6 +1006,80 @@ object Queries {
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q41: corpus vocabulary — word frequency top-20 (explode -> count ->
+    // top-k with total tie order). The canonical corpus-analysis scan.
+    QueryDef("q41_word_freq",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(explode(Text.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word").asc)
+          .limit(20)
+      },
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS word
+             |  FROM documents)
+             |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q42: 6-way snowflake join (TPC-H Q5 shape): revenue by nation where
+    // customer and supplier share the nation. Dimensions broadcast; the
+    // lineitem<->orders join carries the bulk.
+    QueryDef("q42_local_supplier_volume",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q43: correlated-subquery semantics — orders above their customer's
+    // average order value, decorrelated into a window aggregate (one
+    // shuffle; the SQL twin states it as the correlated form).
+    QueryDef("q43_above_cust_avg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+        // cust_avg is filtered on but not emitted: engines sum in different
+        // orders, and an average landing on a half-cent would round apart
+        o.withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+          .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(o_totalprice, 2) AS price
+             |FROM (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+             |  FROM orders)
+             |WHERE o_totalprice > cust_avg * 1.5
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.

@@ -59,6 +59,27 @@ class GoldenE2ESpec extends AnyFunSuite {
     assert(log.startsWith("[") && log.endsWith("]"))
   }
 
+  test("mailchimp J1 fill on the real reference export: invariants hold") {
+    val mc = "/root/reference/data_sources/mailchimpclean.tsv"
+    assume(new java.io.File(mc).isFile && new java.io.File(RefMaster).isFile)
+    val master = ContactsApp.withResolvedKeys(
+      ContactsApp.withRowIds(pipeline.Tsv.readAllString(spark, RefMaster)))
+    val mcRaw = pipeline.Tsv.readAllString(spark, mc)
+    val out = ContactsApp.applyMailchimp(master, mcRaw)
+
+    assert(out.count() == master.count(), "row count must be preserved")
+    // present values never overwritten
+    val joined = master.select(col("row_id"), col("email").as("before"))
+      .join(out.select(col("row_id"), col("email").as("after")), "row_id")
+    val overwritten = joined.filter(
+      Cleaning.isPresent(col("before")) && col("before") =!= col("after"))
+    assert(overwritten.isEmpty, "J1 must only fill missing emails")
+    // fills are a (possibly empty) subset of previously-missing rows
+    val filled = joined.filter(
+      !Cleaning.isPresent(col("before")) && Cleaning.isPresent(col("after")))
+    assert(filled.count() >= 0)
+  }
+
   test("cleaning is idempotent on the reference master") {
     assume(new java.io.File(RefMaster).isFile)
     val df = Tsv.readAllString(spark, RefMaster).limit(500)
