@@ -33,4 +33,30 @@ class Streaming2Spec extends AnyFunSuite {
       assert(last(3L).n == 1 && last(3L).total == 7.0)
     } finally q.stop()
   }
+
+  test("foreachBatch contacts ingest cleans micro-batches like the batch stage") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("ingest-in")
+    val out = Files.createTempDirectory("ingest-out").toString + "/staged"
+    val ckpt = Files.createTempDirectory("ingest-ckpt").toString
+    val tsv = "FIRSTNAME\tEMAIL\tISACTIVE\n" +
+      "  jo  \tJO@X.COM junk\tyes\n" +
+      "bo\tnot-an-email\t0\n"
+    Files.writeString(in.resolve("batch1.tsv"), tsv)
+
+    val schema = graft.streaming.ContactsStream.schemaOf(
+      spark, in.resolve("batch1.tsv").toString)
+    graft.streaming.ContactsStream.cleanIngest(
+      spark, in.toString, schema, out, ckpt)
+
+    val staged = spark.read.parquet(out)
+      .orderBy("FIRSTNAME").collect()
+    assert(staged.length == 2)
+    // Clean applied: title-cased name, validated+normalized email, Y/N flag
+    assert(staged(1).getAs[String]("FIRSTNAME") == "Jo")
+    assert(staged(1).getAs[String]("EMAIL") == "jo@x.com junk")
+    assert(staged(1).getAs[String]("ISACTIVE") == "Y")
+    assert(staged(0).getAs[String]("EMAIL") == null) // invalid -> null
+    assert(staged(0).getAs[String]("ISACTIVE") == "N")
+  }
 }
