@@ -953,28 +953,37 @@ object Queries {
     QueryDef("q39_moving_avg",
       (s, dir) => {
         val o = t(s, dir, "orders")
+        // integer cents: prices have 2 decimals, so sum*100 is integral and
+        // integer addition is order-exact in doubles — both engines compute
+        // bit-identical averages (a raw double MA rounds apart on
+        // half-cents depending on summation order)
         val daily = o
           .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-          .agg(sum(col("o_totalprice")).as("total"))
+          .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long")
+            .as("cents"))
           .withColumn("day_num",
             datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
         val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
         daily
-          .withColumn("ma7", round(avg(col("total")).over(w), 2))
+          // round to whole cents FIRST: an avg of integers can land exactly
+          // on x.5 (even window), where Spark (decimal-string HALF_UP) and
+          // DuckDB (binary-value) round differently after the /100
+          .withColumn("ma7",
+            round(round(avg(col("cents")).over(w), 0) / 100.0, 2))
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-            round(col("total"), 2).as("total"), col("ma7"))
+            round(col("cents") / 100.0, 2).as("total"), col("ma7"))
           .orderBy(col("day"))
       },
       Some("""WITH daily AS (
              |  SELECT date_trunc('day', o_orderdate) AS day,
-             |    sum(o_totalprice) AS total,
+             |    CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents,
              |    date_diff('day', DATE '1970-01-01',
              |      CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_num
              |  FROM orders GROUP BY 1)
              |SELECT strftime(day, '%Y-%m-%d') AS day,
-             |  round(total, 2) AS total,
-             |  round(avg(total) OVER (ORDER BY day_num
-             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+             |  round(cents / 100.0, 2) AS total,
+             |  round(round(avg(cents) OVER (ORDER BY day_num
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 0) / 100.0, 2) AS ma7
              |FROM daily ORDER BY day""".stripMargin)),
 
     // ---------------------------------------------------------------------
