@@ -124,6 +124,25 @@ class OperatorsSpec extends AnyFunSuite {
         s"missing planted pair for $i in $pairs")
   }
 
+  test("multi-pass fuzzy blocking raises recall over any single pass") {
+    // typo in the SUFFIX defeats suffix-blocking but not prefix-blocking
+    val base = (1L to 30L).map(i => (i, f"name$i%03d")).toDF("id", "name")
+    val dirty = Seq((901L, "name00x"), (902L, "nxme002")) // suffix / prefix typo
+      .toDF("id", "name")
+    val all = base.unionByName(dirty)
+    val byPrefix = expr("left(name, 4)")
+    val bySuffix = expr("right(name, 3)")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = ids(graft.operators.Fuzzy.multiBlockedPairs(all, "id", "name",
+      Seq(byPrefix, bySuffix), maxDist = 1))
+    assert(multi.contains((1L, 901L)), s"prefix pass should find suffix typo: $multi")
+    assert(multi.contains((2L, 902L)), s"suffix pass should find prefix typo: $multi")
+    val single = ids(graft.operators.Fuzzy.blockedPairs(all, "id", "name",
+      bySuffix, maxDist = 1))
+    assert(!single.contains((1L, 901L)))
+  }
+
   test("sessionization: 30-min gap splits sessions, rollup is correct") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val ev = Seq(
