@@ -213,6 +213,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-CLUSTER formation: connected components over a near-dup pair
+    * set (pairs alone don't dedup a corpus — transitive groups do). Min-label
+    * propagation: every node starts as its own label; each iteration takes
+    * the min over neighbors; converges in O(component diameter) rounds.
+    * Near-dup components are shallow (dups of dups of one source), so the
+    * iteration count is small; each round is one join + one aggregate, and
+    * localCheckpoint keeps lineage bounded. GraphX/GraphFrames would do the
+    * same thing with the same shuffles — plain DataFrames avoid the
+    * dependency. Returns (id, cluster) where cluster = min id in the
+    * component. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** Embedding-cosine near-duplicate pairs (ids with cosine >= threshold,
     * id_a < id_b). Brute-force variant: a self-join that Spark executes as a
     * (range-partitioned) cartesian product — correct ground truth, only for

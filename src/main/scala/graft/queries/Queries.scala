@@ -1089,6 +1089,58 @@ object Queries {
              |ORDER BY o_orderkey""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q44: duplicate-CLUSTER formation — connected components (min-label
+    // propagation) over the exact near-dup pair set; the oracle states the
+    // same closure as a recursive CTE.
+    QueryDef("q44_dup_clusters",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+          shingleSize = 3, threshold = 0.7)
+        Dedup.connectedComponents(
+            all.select(col("doc_id").as("id")), pairs)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE
+             |all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM all_docs),
+             |sh AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |         THEN list_distinct(list_transform(range(len(toks) - 2),
+             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+             |         ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM tok),
+             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM posts a JOIN posts b
+             |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM all_docs
+             |  UNION
+             |  SELECT reach.id, edges.dst FROM reach
+             |  JOIN edges ON edges.src = reach.r)
+             |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+             |ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.

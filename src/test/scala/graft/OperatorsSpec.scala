@@ -124,6 +124,19 @@ class OperatorsSpec extends AnyFunSuite {
         s"missing planted pair for $i in $pairs")
   }
 
+  test("connectedComponents: chains, singletons, and merges resolve to min label") {
+    val nodes = (1L to 10L).toDF("id")
+    // chain 1-2-3-4, pair 6-7, triangle-merge 8-9 + 9-10 + 8-10; 5 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L),
+      (8L, 9L), (9L, 10L), (8L, 10L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(5L) == 5L)
+    assert(cc(6L) == 6L && cc(7L) == 6L)
+    assert(Seq(8L, 9L, 10L).forall(cc(_) == 8L))
+  }
+
   test("multi-pass fuzzy blocking raises recall over any single pass") {
     // typo in the SUFFIX defeats suffix-blocking but not prefix-blocking
     val base = (1L to 30L).map(i => (i, f"name$i%03d")).toDF("id", "name")
