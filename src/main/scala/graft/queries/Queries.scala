@@ -1141,6 +1141,51 @@ object Queries {
              |ORDER BY id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q45: stratified sampling with per-stratum quotas — at most 30 docs per
+    // language, picked in deterministic pseudo-random order (md5 of the id:
+    // engine-portable, seed-free, reproducible). The data-mixing primitive
+    // of training-corpus construction.
+    QueryDef("q45_stratified_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 30)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q46: token-budget selection — order the corpus by quality (best
+    // first), keep documents while the cumulative token count fits the
+    // budget. Window cumulative sum over longs (order-exact).
+    QueryDef("q46_token_budget",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = graft.operators.TextProfile.profile(d, "doc_id", "text")
+        val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        scored
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 20000)
+          .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+              |FROM (
+              |  SELECT doc_id, n_tokens,
+              |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM (${docStatsNoOrder.replace("\n", "\n  ")}))
+              |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.
@@ -1231,6 +1276,11 @@ object Queries {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q15's oracle without its final ORDER BY, for embedding as a subquery
+    * (q46). */
+  private lazy val docStatsNoOrder: String =
+    docStatsOracle.stripSuffix(" ORDER BY doc_id")
 
   /** Oracle twin of q15 — the language-ID / quality formulas restated over
     * DuckDB list functions. Token model: lower(trim(text)) split on \s+. */
