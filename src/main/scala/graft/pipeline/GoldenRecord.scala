@@ -64,6 +64,29 @@ object GoldenRecord {
     keyed.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*).drop(keyCol)
   }
 
+  /** Incremental golden-record upsert — the daily-ingest shape: instead of
+    * re-merging the whole golden table (the reference's "incremental" story
+    * is rerunning the script over everything), only groups whose dedup key
+    * appears in the incoming batch are re-merged; untouched golden rows
+    * pass through without a shuffle of their data. Incoming batches are
+    * small relative to the golden table, so `touchedKeys` broadcasts and
+    * the anti/semi joins stay map-side. Result is identical to
+    * `dedupe(existing ∪ incoming)` (spec-proved). */
+  def upsertIncremental(existing: DataFrame, incoming: DataFrame,
+      rowIdCol: String, lastUpdatedCol: Option[String] = None,
+      keyCol: String = "dedup_key"): DataFrame = {
+    val exKeyed = if (existing.columns.contains(keyCol)) existing
+      else withDedupKey(existing, keyCol)
+    val inKeyed = if (incoming.columns.contains(keyCol)) incoming
+      else withDedupKey(incoming, keyCol)
+    val touchedKeys = inKeyed.select(col(keyCol)).distinct()
+    val touched = exKeyed.join(broadcast(touchedKeys), Seq(keyCol), "left_semi")
+    val untouched = exKeyed.join(broadcast(touchedKeys), Seq(keyCol), "left_anti")
+    val merged = dedupe(touched.unionByName(inKeyed), rowIdCol,
+      lastUpdatedCol, keyCol)
+    untouched.drop(keyCol).unionByName(merged)
+  }
+
   /** SEQNO reassignment (P8, clean_contacts.py:62-63): 1..N in an explicit
     * order — pandas relied on implicit "current order", which does not exist
     * in a distributed plan, so the sort key is a required argument. */

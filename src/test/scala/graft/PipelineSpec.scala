@@ -80,6 +80,24 @@ class PipelineSpec extends AnyFunSuite {
       s"fast path and Aggregator disagree: ${d1.collect().toSeq} ${d2.collect().toSeq}")
   }
 
+  test("incremental upsert == full re-dedupe") {
+    val rnd = new scala.util.Random(17)
+    def mk(ids: Range) = ids.map { i =>
+      val email = if (i % 4 == 0) "" else s"g${i % 31}@x.com"
+      (i.toLong, email, s"Person${rnd.alphanumeric.take(i % 9).mkString}",
+        s"55512${i % 100}%02d")
+    }.toDF("row_id", "EMAIL", "FULLNAME", "MOBILE")
+    val existingRaw = mk(1 to 200)
+    val golden = GoldenRecord.dedupe(existingRaw, "row_id")
+    val incoming = mk(1000 to 1040)
+    val incremental = GoldenRecord.upsertIncremental(golden, incoming, "row_id")
+    val full = GoldenRecord.dedupe(
+      golden.unionByName(incoming), "row_id")
+    val d1 = incremental.exceptAll(full); val d2 = full.exceptAll(incremental)
+    assert(d1.isEmpty && d2.isEmpty,
+      s"incremental != full: ${d1.take(3).toSeq} ${d2.take(3).toSeq}")
+  }
+
   // ------------------------------------------------------------------ Fill
 
   private def master(rows: (Long, String, String, String)*) =
