@@ -1186,6 +1186,82 @@ object Queries {
               |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q47: END-TO-END corpus dedup — the canonical training-data flow:
+    // near-dup pairs (inverted-index Jaccard) -> duplicate clusters
+    // (connected components) -> keep the best-quality representative per
+    // cluster. Composes three library operators in one plan.
+    QueryDef("q47_dedup_keep_best",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+          shingleSize = 3, threshold = 0.7)
+        val cc = Dedup.connectedComponents(
+          all.select(col("doc_id").as("id")), pairs)
+        val stats = graft.operators.TextProfile.profile(all, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val joined = cc.join(stats, cc("id") === stats("doc_id"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        joined
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("kept_doc_id"),
+            col("n_members"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE
+              |all_docs AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+              |  FROM documents WHERE doc_id % 7 = 0),
+              |stats AS (
+              |  SELECT doc_id, quality FROM (
+              |    ${docStatsSql("all_docs").stripSuffix(" ORDER BY doc_id")
+                     .replace("\n", "\n    ")})),
+              |tok2 AS (SELECT doc_id,
+              |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |      t -> t <> '') AS toks
+              |  FROM all_docs),
+              |sh AS (SELECT doc_id,
+              |    CASE WHEN len(toks) >= 3
+              |         THEN list_distinct(list_transform(range(len(toks) - 2),
+              |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+              |         ELSE [array_to_string(toks, ' ')] END AS shingles
+              |  FROM tok2),
+              |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              |  FROM posts a JOIN posts b
+              |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = id_a
+              |  JOIN sizes sb ON sb.doc_id = id_b
+              |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM all_docs
+              |  UNION
+              |  SELECT reach.id, edges.dst FROM reach
+              |  JOIN edges ON edges.src = reach.r),
+              |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+              |best AS (
+              |  SELECT comp.cluster, stats.doc_id,
+              |    row_number() OVER (PARTITION BY comp.cluster
+              |      ORDER BY stats.quality DESC, stats.doc_id ASC) AS rn,
+              |    count(*) OVER (PARTITION BY comp.cluster) AS n_members
+              |  FROM comp JOIN stats ON stats.doc_id = comp.id)
+              |SELECT cluster, doc_id AS kept_doc_id, n_members
+              |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.
@@ -1283,8 +1359,11 @@ object Queries {
     docStatsOracle.stripSuffix(" ORDER BY doc_id")
 
   /** Oracle twin of q15 — the language-ID / quality formulas restated over
-    * DuckDB list functions. Token model: lower(trim(text)) split on \s+. */
-  private lazy val docStatsOracle: String = {
+    * DuckDB list functions, parameterized by the source relation. Token
+    * model: lower(trim(text)) split on \s+. */
+  private lazy val docStatsOracle: String = docStatsSql("documents")
+
+  private def docStatsSql(src: String): String = {
     def hits(words: Seq[String]): String =
       s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
     val en = hits(Text.LangMarkers.find(_._1 == "en").get._2)
@@ -1297,7 +1376,7 @@ object Queries {
        |  SELECT doc_id, text,
        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |      t -> t <> '') AS toks
-       |  FROM documents),
+       |  FROM $src),
        |scored AS (
        |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
        |    $en AS h_en, $de AS h_de, $fr AS h_fr, $es AS h_es, $zh AS h_zh,
