@@ -34,6 +34,36 @@ class Streaming2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits closed sessions after watermark + gap") {
+    import graft.streaming.SessionEmitter
+    import graft.streaming.SessionEmitter.{ClosedSession, Ev}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[Ev]
+    val q = SessionEmitter.closedSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1L, ts("2024-01-01 10:10:00"), 2.0),
+        Ev(2L, ts("2024-01-01 10:05:00"), 5.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").isEmpty) // nothing closed yet
+      // far-future event advances the watermark past both sessions' gaps
+      input.addData(Ev(3L, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(3L, ts("2024-01-01 14:00:01"), 0.0))
+      q.processAllAvailable() // extra batch lets timeouts fire post-watermark
+      val closed = spark.table("closed_sessions").as[ClosedSession]
+        .collect().map(c => c.user_id -> ((c.n_events, c.total_value))).toMap
+      assert(closed(1L) == ((2L, 3.0)), s"user1: $closed")
+      assert(closed(2L) == ((1L, 5.0)), s"user2: $closed")
+      assert(!closed.contains(3L)) // still open
+    } finally q.stop()
+  }
+
   test("foreachBatch contacts ingest cleans micro-batches like the batch stage") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("ingest-in")
