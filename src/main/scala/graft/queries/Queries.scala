@@ -1262,6 +1262,48 @@ object Queries {
               |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q48: approximate distinct counting (HyperLogLog++) next to the exact
+    // count — the cardinality-sketch surface for 100-TB profiling, where
+    // exact countDistinct's shuffle is the bottleneck. Sketches are
+    // engine-specific -> no SQL oracle; the spec bounds the relative error.
+    QueryDef("q48_approx_distinct",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    // ---------------------------------------------------------------------
+    // q49: range (band) join — pairs of events by the same user within 10
+    // minutes of each other. The scalable plan: equi-join on the user key
+    // carries the shuffle, the time band is a residual predicate (a pure
+    // band join without an equi-key would be a BNLJ — avoided by
+    // construction, same stance as the Fill disjunction).
+    QueryDef("q49_range_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        e.as("a").join(e.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+            col("a.event_id") < col("b.event_id") &&
+            abs(unix_micros(col("a.ts")) - unix_micros(col("b.ts")))
+              <= 600000000L)
+          .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+            (abs(unix_micros(col("a.ts")) - unix_micros(col("b.ts"))) / 1000000L)
+              .cast("long").as("gap_s")) // floor-division, matching DuckDB //
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |  abs(epoch_us(a.ts) - epoch_us(b.ts)) // 1000000 AS gap_s
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.

@@ -155,6 +155,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df(2).getString(1) == "und")
   }
 
+  test("simhashPortable (per-row fold) == simhashAgg (aggregation form)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b c d e f g h i j k l m"),
+      (3L, "word " * 40)).toDF("doc_id", "text")
+    val perRow = docs.select(col("doc_id").as("id"),
+      graft.functions.Text.simhashPortable(col("text"), 32).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = graft.operators.Dedup.simhashAgg(docs, "doc_id", "text",
+      bits = 32, tokenHash = graft.functions.Text.md5Long)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == agg, s"per-row $perRow != agg $agg")
+  }
+
   // ------------------------------------------------------------------- Vec
 
   test("vector math: dot / norm / cosine") {

@@ -124,6 +124,17 @@ class OperatorsSpec extends AnyFunSuite {
         s"missing planted pair for $i in $pairs")
   }
 
+  test("approx_count_distinct stays within its error bound (q48 semantics)") {
+    val df = (1 to 20000).map(i => (i % 7, i % 3000)).toDF("g", "v")
+    val r = df.groupBy("g")
+      .agg(approx_count_distinct(col("v"), 0.02).as("a"),
+        countDistinct(col("v")).as("e")).collect()
+    for (row <- r) {
+      val a = row.getLong(1); val e = row.getLong(2)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("connectedComponents: chains, singletons, and merges resolve to min label") {
     val nodes = (1L to 10L).toDF("id")
     // chain 1-2-3-4, pair 6-7, triangle-merge 8-9 + 9-10 + 8-10; 5 isolated
