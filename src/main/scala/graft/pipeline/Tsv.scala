@@ -22,8 +22,12 @@ object Tsv {
       .option("sep", "\t").option("header", true)
       .option("inferSchema", true)
       // CSV fidelity against reference fixtures (SURVEY.md §7.4.7):
-      // embedded-quote fields like """EXO""" use doubled quotes
+      // embedded-quote fields like """EXO""" use doubled quotes, and
+      // quoted fields span lines (pandas honors both) -> multiLine. Cost:
+      // per-FILE parallelism instead of per-split — fine for many-file
+      // ingest dirs, documented for the single-giant-file case.
       .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", true)
       .csv(path)
 
   /** All-string TSV scan (S2): every cell StringType, nulls -> "". */
@@ -32,6 +36,7 @@ object Tsv {
       .option("sep", "\t").option("header", true)
       .option("inferSchema", false)
       .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", true)
       .csv(path)
     df.na.fill("")
   }

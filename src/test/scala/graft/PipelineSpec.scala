@@ -220,6 +220,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(back(1).getAs[String]("a") == "quote\"d")
   }
 
+  test("CSV fidelity on the real reference fixture (SURVEY §7.4.7)") {
+    val path = "/root/reference/data_files/2.tsv"
+    assume(new java.io.File(path).isFile)
+    val df = Tsv.readAllString(spark, path)
+    // doubled-quote field """EXO""" must parse to the literal "EXO" (quotes kept)
+    val tim = df.filter(col("Email Address") === "timothyadams76@gmail.com").head()
+    assert(tim.getAs[String]("TAGS") == "\"EXO\"", s"got: ${tim.getAs[String]("TAGS")}")
+    // leading-apostrophe numerics stay verbatim strings in all-string mode
+    assert(tim.getAs[String]("LATITUDE") == "'-27.4500000")
+    // 1,240 physical lines but 1,223 logical rows: quoted notes fields span
+    // lines; pandas (the reference reader) honors them -> multiLine parity
+    assert(df.count() == 1223)
+  }
+
   test("latestTsv picks newest file by mtime (S5)") {
     val dir = Files.createTempDirectory("latest").toFile
     val a = new java.io.File(dir, "a.tsv"); val b = new java.io.File(dir, "b.tsv")
