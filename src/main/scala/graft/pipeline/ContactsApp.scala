@@ -126,8 +126,11 @@ object ContactsApp {
     out.foreach { a =>
       Tsv.write(result.cleaned.drop("_name", "_email", "_phone"),
         a.cleanedTsv, singleFile = true)
-      JsonAudit.writeArray(result.changeLog, a.changeLogJson)
-      JsonAudit.writeArray(result.validationErrors, a.validationJson)
+      JsonAudit.writeArray(
+        result.changeLog.withColumnRenamed("row_id", "row"), a.changeLogJson)
+      // artifact parity: the reference's grouped {row, name, errors[]} shape
+      JsonAudit.writeArray(Validate.referenceReport(result.cleaned),
+        a.validationJson)
     }
     result
   }

@@ -321,39 +321,46 @@ object Queries {
              |  FROM customer),
              |flags AS (
              |  SELECT *,
+             |    trim(concat_ws(' ', trim(coalesce(firstname, '')),
+             |      trim(coalesce(lastname, '')))) AS full_name,
              |    (firstname IS NULL OR trim(firstname) = ''
-             |      OR trim(firstname) IN ('nan','None','NaN')) AS miss_first,
+             |      OR lower(trim(firstname)) = 'nan') AS rm_first,
              |    (lastname IS NULL OR trim(lastname) = ''
-             |      OR trim(lastname) IN ('nan','None','NaN')) AS miss_last,
+             |      OR lower(trim(lastname)) = 'nan') AS rm_last,
              |    (email IS NULL OR trim(email) = ''
-             |      OR trim(email) IN ('nan','None','NaN')) AS miss_email,
+             |      OR lower(trim(email)) = 'nan') AS rm_email,
              |    (mobile IS NULL OR trim(mobile) = ''
-             |      OR trim(mobile) IN ('nan','None','NaN')) AS miss_phone
+             |      OR lower(trim(mobile)) = 'nan') AS rm_phone,
+             |    coalesce(trim(mobile) <> '' AND lower(trim(mobile)) <> 'nan',
+             |      false) AS phone_present
              |  FROM contacts),
+             |kept AS (
+             |  SELECT * FROM flags
+             |  WHERE NOT ((rm_first AND rm_last AND rm_email AND rm_phone)
+             |    OR full_name = '' OR lower(full_name) IN ('nan nan', 'nan'))),
              |errs AS (
-             |  SELECT row_id, 'FIRSTNAME' AS field, 'Missing first name' AS error,
-             |    coalesce(firstname, '') AS value FROM flags WHERE miss_first
+             |  SELECT row_id, 'FIRSTNAME' AS field,
+             |    'Missing FIRSTNAME' AS error, coalesce(firstname, '') AS value
+             |  FROM kept WHERE firstname IS NULL OR trim(firstname) = ''
              |  UNION ALL
-             |  SELECT row_id, 'LASTNAME', 'Missing last name', coalesce(lastname, '')
-             |  FROM flags WHERE miss_last
+             |  SELECT row_id, 'LASTNAME', 'Missing LASTNAME', coalesce(lastname, '')
+             |  FROM kept WHERE lastname IS NULL OR trim(lastname) = ''
              |  UNION ALL
-             |  SELECT row_id, 'EMAIL', 'Missing email address', coalesce(email, '')
-             |  FROM flags WHERE miss_email
+             |  SELECT row_id, 'EMAIL', 'Missing EMAIL', coalesce(email, '')
+             |  FROM kept WHERE email IS NULL OR trim(email) = ''
              |  UNION ALL
              |  SELECT row_id, 'EMAIL', 'Invalid email format', coalesce(email, '')
-             |  FROM flags WHERE NOT miss_email
+             |  FROM kept WHERE NOT (email IS NULL OR trim(email) = '')
              |    AND NOT regexp_matches(lower(trim(email)), '^[^@]+@[^@]+\.[^@]+')
              |  UNION ALL
-             |  SELECT row_id, 'MOBILE', 'Missing phone number', coalesce(mobile, '')
-             |  FROM flags WHERE miss_phone
+             |  SELECT row_id, 'MOBILE', 'Invalid phone in MOBILE', coalesce(mobile, '')
+             |  FROM kept WHERE trim(mobile) <> '' AND lower(trim(mobile)) <> 'nan'
+             |    AND length(regexp_replace(mobile, '[^0-9]', '', 'g')) NOT BETWEEN 7 AND 15
              |  UNION ALL
-             |  SELECT row_id, 'MOBILE', 'Invalid phone number', coalesce(mobile, '')
-             |  FROM flags WHERE NOT miss_phone
-             |    AND length(regexp_replace(mobile, '[^0-9]', '', 'g')) NOT BETWEEN 7 AND 15)
+             |  SELECT row_id, 'PHONE',
+             |    'Missing phone number (MOBILE, DIRECTPHONE, or HOMEPHONE)', ''
+             |  FROM kept WHERE NOT phone_present)
              |SELECT row_id, field, error, value FROM errs
-             |WHERE row_id NOT IN (
-             |  SELECT row_id FROM flags
-             |  WHERE miss_first AND miss_last AND miss_email AND miss_phone)
              |ORDER BY row_id, field, error""".stripMargin)),
 
     // ---------------------------------------------------------------------
