@@ -59,6 +59,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(joanna.getAs[String]("MOBILE") == "111") // "" excluded
   }
 
+  test("MostCompleteAgg registers as a SQL UDAF") {
+    spark.udf.register("most_complete", graft.operators.MostCompleteAgg.fn)
+    Seq(("g1", "short", 1L, 1L), ("g1", "the longest", 2L, 2L),
+      ("g1", "nan", 3L, 3L))
+      .toDF("g", "v", "tsu", "id").createOrReplaceTempView("mc_in")
+    val r = spark.sql(
+      "SELECT g, most_complete(v, tsu, id) AS best FROM mc_in GROUP BY g")
+      .head()
+    assert(r.getString(1) == "the longest")
+  }
+
   test("MostCompleteAgg (custom Aggregator) agrees with the max_by fast path") {
     val rnd = new scala.util.Random(11)
     val sentinels = Seq(null, "", "nan", "None", "NaN", " ")
