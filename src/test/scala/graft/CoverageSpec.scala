@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Text, Vec}
+import graft.operators.Dedup
+import graft.pipeline.{GoldenRecord, Validate}
+
+/** Unit coverage for the remaining public kernels not exercised elsewhere. */
+class CoverageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("charShingles: sliding character windows, short-input fallback") {
+    val sh = Seq("ab  cd").toDF("t")
+      .select(Text.charShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("ab ", "b c", " cd")) // whitespace-collapsed "ab cd"
+    val short = Seq("ab").toDF("t")
+      .select(Text.charShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(short == Seq("ab"))
+  }
+
+  test("l2sq: squared euclidean distance") {
+    val d = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f))).toDF("a", "b")
+      .select(Vec.l2sq(col("a"), col("b"))).head().getDouble(0)
+    assert(d == 25.0) // 3^2 + 4^2
+  }
+
+  test("shinglePostings maxDocFreq drops ubiquitous shingles") {
+    // "common x" appears in every doc; unique tails don't
+    val docs = (1L to 5L).map(i => (i, s"common x y tail$i end$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.shinglePostings(docs, "doc_id", "text", 3)
+    val capped = Dedup.shinglePostings(docs, "doc_id", "text", 3,
+      maxDocFreq = Some(3))
+    val droppedShingles = uncapped.select("shingle").distinct().count() -
+      capped.select("shingle").distinct().count()
+    assert(droppedShingles >= 1, "the all-docs shingle should be dropped")
+    assert(capped.count() < uncapped.count())
+  }
+
+  test("resetSeqNumbers assigns dense 1..N in the explicit order") {
+    val df = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("SEQNO", "k")
+    val out = GoldenRecord.resetSeqNumbers(df, "SEQNO", Seq(col("k").asc))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("Validate.summary: error-type rollup top-N with total order") {
+    val errs = Seq(
+      (1L, "EMAIL", "Missing EMAIL", ""), (2L, "EMAIL", "Missing EMAIL", ""),
+      (3L, "PHONE", Validate.MissingPhone, ""),
+      (4L, "FIRSTNAME", "Missing FIRSTNAME", ""))
+      .toDF("row_id", "field", "error", "value")
+    val top = Validate.summary(errs, topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.head == ("Missing EMAIL", 2L))
+    assert(top.size == 2)
+  }
+}
