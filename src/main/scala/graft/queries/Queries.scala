@@ -1311,6 +1311,40 @@ object Queries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q50: incremental ingest dedup — keep only incoming docs whose
+    // normalized content does NOT already exist in the corpus (left-anti on
+    // the content key; the join shuffles key hashes, not documents).
+    QueryDef("q50_incremental_new_docs",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val existing = d.filter(col("doc_id") % 3 =!= 0)
+        // incoming: new ids; every 2nd one duplicates an existing doc's text
+        val incoming = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit(" genuinely new tail")))
+              .otherwise(col("text")).as("text"))
+        val key = Cleaning.normName(col("text"))
+        incoming.withColumn("__k", key)
+          .join(existing.select(key.as("__k")).distinct(), Seq("__k"), "left_anti")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH existing AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+             |incoming AS (
+             |  SELECT doc_id + 50000 AS doc_id,
+             |    CASE WHEN doc_id % 6 = 0 THEN text || ' genuinely new tail'
+             |         ELSE text END AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |ek AS (SELECT DISTINCT
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+             |  FROM existing)
+             |SELECT doc_id FROM incoming
+             |WHERE lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) NOT IN
+             |  (SELECT k FROM ek)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.
