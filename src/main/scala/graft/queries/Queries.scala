@@ -1345,6 +1345,66 @@ object Queries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q51: shipping-priority matrix (TPC-H Q12 shape): join + conditional
+    // counts by line status over a date band.
+    QueryDef("q51_ship_priority",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("high_line_count"),
+            count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+             |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 END) AS high_line_count,
+             |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q52: revenue-share ratio (TPC-H Q14 shape): share of revenue from
+    // small-quantity lines per month. The ratio is derived from the two
+    // ROUNDED sums so both engines divide identical inputs.
+    QueryDef("q52_revenue_share",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        li.filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(
+            round(sum(when(col("l_quantity") < 10, rev).otherwise(lit(0.0))), 2)
+              .as("small_rev"),
+            round(sum(rev), 2).as("total_rev"))
+          .withColumn("small_share",
+            round(col("small_rev") / col("total_rev"), 6))
+          .orderBy(col("month"))
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             |    round(sum(CASE WHEN l_quantity < 10
+             |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+             |      AS small_rev,
+             |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-07-01'
+             |  GROUP BY month)
+             |SELECT month, small_rev, total_rev,
+             |  round(small_rev / total_rev, 6) AS small_share
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.
