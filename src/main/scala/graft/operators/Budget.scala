@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global cumulative sums and token-budget corpus selection.
+  *
+  * The naive plan — `sum(x).over(Window.orderBy(...))` with no partitionBy —
+  * funnels the whole corpus through ONE task. The scale-safe plan is the
+  * classic two-phase distributed prefix sum:
+  *
+  *   1. Range-repartition on the global sort key (equal keys co-located) and
+  *      sort within partitions — a normal parallel sort, no single task.
+  *   2. Per-partition subtotals are METADATA (one row per partition), so the
+  *      cross-partition prefix offsets come from a window over that tiny
+  *      aggregate only.
+  *   3. Offsets broadcast back on partition id; each row's global cumulative
+  *      value = partition offset + its partition-local running sum (a
+  *      partitionBy(pid) window — every task holds one partition, bounded).
+  *
+  * Result is value-identical to the unpartitioned window at any scale.
+  */
+object Budget {
+
+  private val PidCol = "__graft_pid"
+  private val SubCol = "__graft_sub"
+  private val OffCol = "__graft_off"
+
+  /** Global running sum of `value` in `order`, written to `outCol`, without
+    * an unpartitioned window. Ties across partitions are impossible (range
+    * partitioning co-locates equal keys); ties within a partition follow
+    * `order`, exactly like the naive window. */
+  def cumulativeSum(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .withColumn(PidCol, spark_partition_id().cast("long"))
+    // one row per partition — safe for a global window
+    val offsets = sorted.groupBy(col(PidCol)).agg(sum(value).as(SubCol))
+      .withColumn(OffCol,
+        coalesce(
+          sum(col(SubCol)).over(
+            Window.orderBy(col(PidCol))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(PidCol), col(OffCol))
+    val localW = Window.partitionBy(col(PidCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted
+      .join(broadcast(offsets), Seq(PidCol))
+      .withColumn(outCol, col(OffCol) + sum(value).over(localW))
+      .drop(PidCol, OffCol)
+  }
+
+  /** Token-budget corpus selection: order documents by `order` (best
+    * first), keep rows while the running `tokens` total fits `budget`.
+    * The data-mixing primitive of training-corpus construction, built on
+    * [[cumulativeSum]] so it survives a 100-TB corpus. */
+  def tokenBudgetSelect(df: DataFrame, order: Seq[Column], tokens: Column,
+      budget: Long, cumCol: String = "cum_tokens"): DataFrame =
+    cumulativeSum(df, order, tokens, cumCol).filter(col(cumCol) <= budget)
+}

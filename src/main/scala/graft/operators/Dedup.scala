@@ -236,15 +236,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // the convergence flag rides INSIDE the checkpointed result, so the
+      // per-round convergence check is a scan of already-materialized blocks
+      // — not a second join+shuffle job per iteration
       val next = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("label"),
+          (col("nlabel") < col("label")).as("__chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
       i += 1
     }
     edges.unpersist()

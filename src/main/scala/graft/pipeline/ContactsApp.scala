@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cleaning
@@ -23,14 +22,12 @@ object ContactsApp {
   case class Artifacts(cleanedTsv: String, changeLogJson: String,
       validationJson: String)
 
-  /** Stable dense row ids in file order (P7): single-file CSV reads preserve
-    * order within the scan, monotonically_increasing_id preserves partition
-    * order, and the window makes the ids dense. */
+  /** Stable dense row ids in file order (P7): CSV scans enumerate splits in
+    * file-offset order, so partition-order ids ARE file-order ids. Two-phase
+    * partition-offset assignment ([[RowIds.denseInPartitionOrder]]) — no
+    * single-partition window, scale-safe at 100 TB. */
   def withRowIds(df: DataFrame): DataFrame =
-    df.withColumn("__mono", monotonically_increasing_id())
-      .withColumn("row_id",
-        row_number().over(Window.orderBy(col("__mono"))).cast("long"))
-      .drop("__mono")
+    RowIds.denseInPartitionOrder(df, "row_id")
 
   /** Attach `_name/_email/_phone` match keys using case-insensitively
     * resolved roles; missing roles key to "". */
@@ -58,15 +55,11 @@ object ContactsApp {
     }.toMap
   }
 
-  /** Load one source file: all-string TSV + match keys + stable src_order. */
-  def loadSource(spark: SparkSession, path: String): DataFrame = {
-    val raw = Tsv.readAllString(spark, path)
-    withResolvedKeys(raw)
-      .withColumn("__mono", monotonically_increasing_id())
-      .withColumn("src_order",
-        row_number().over(Window.orderBy(col("__mono"))).cast("long"))
-      .drop("__mono")
-  }
+  /** Load one source file: all-string TSV + match keys + stable src_order
+    * (partition-offset ids — file order, no global window). */
+  def loadSource(spark: SparkSession, path: String): DataFrame =
+    RowIds.denseInPartitionOrder(
+      withResolvedKeys(Tsv.readAllString(spark, path)), "src_order")
 
   /** The merge_contacts_kindaworks entry point (SURVEY.md §3.3, J1): fill
     * the master's missing emails from a Mailchimp-style export by exact
@@ -80,10 +73,7 @@ object ContactsApp {
       .map(col).getOrElse(lit(""))
     val srcPhone = Roles.byCandidates(lower, Roles.PhoneCandidates)
       .map(col).getOrElse(lit(""))
-    val mc = keyed
-      .withColumn("__mono", monotonically_increasing_id())
-      .withColumn("src_order",
-        row_number().over(Window.orderBy(col("__mono"))).cast("long"))
+    val mc = RowIds.denseInPartitionOrder(keyed, "src_order")
       .select(col("src_order"), col("_name"), col("_email"), col("_phone"),
         srcEmail.as("email"), srcPhone.as("mobile"))
 

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cleaning
@@ -89,7 +88,9 @@ object GoldenRecord {
 
   /** SEQNO reassignment (P8, clean_contacts.py:62-63): 1..N in an explicit
     * order — pandas relied on implicit "current order", which does not exist
-    * in a distributed plan, so the sort key is a required argument. */
+    * in a distributed plan, so the sort key is a required argument.
+    * Range-partitioned two-phase assignment ([[RowIds.denseByOrder]]): no
+    * unpartitioned window, scale-safe. */
   def resetSeqNumbers(df: DataFrame, seqCol: String, order: Seq[Column]): DataFrame =
-    df.withColumn(seqCol, row_number().over(Window.orderBy(order: _*)).cast("long"))
+    RowIds.denseByOrder(df, seqCol, order)
 }

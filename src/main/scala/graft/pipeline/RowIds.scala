@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe dense row-id assignment (P7, SURVEY.md §2.3).
+  *
+  * The naive plan — `row_number().over(Window.orderBy(...))` with no
+  * `partitionBy` — forces every row through ONE task: the defining
+  * scale-killer at 100 TB. The scale-safe plan is the classic two-phase
+  * partition-offset assignment (the same scheme as `RDD.zipWithIndex`,
+  * kept inside Catalyst):
+  *
+  *   1. `monotonically_increasing_id()` already encodes
+  *      `(partitionId << 33) | localIndex` with `localIndex` dense from 0
+  *      within each partition — so local ranks are free, no sort at all.
+  *   2. Per-partition row counts are METADATA (one row per partition, a few
+  *      thousand rows at cluster scale), so the cumulative prefix offsets
+  *      are computed with a window over that tiny aggregate — the only
+  *      unpartitioned window in the plan runs over #partitions rows, not
+  *      #data rows.
+  *   3. Offsets broadcast-join back on partition id; the final id is
+  *      `offset(pid) + localIndex + 1` — a map-side projection.
+  *
+  * The result is byte-identical to the old single-task plan (ordering by
+  * mono id IS ordering by (pid, local)), with no data-sized shuffle and no
+  * single-partition exchange.
+  */
+object RowIds {
+
+  private val MonoCol = "__graft_mono"
+  private val PidCol = "__graft_pid"
+  private val CntCol = "__graft_cnt"
+  private val OffCol = "__graft_off"
+  private val LocalMask = (1L << 33) - 1
+
+  /** Dense 1..N ids in current partition order (partition index major, row
+    * position within the partition minor). For file scans this is file
+    * order — the P7 contract. No global sort, no single-partition window. */
+  def denseInPartitionOrder(df: DataFrame, idCol: String): DataFrame = {
+    val withMono = df.withColumn(MonoCol, monotonically_increasing_id())
+      .withColumn(PidCol, shiftright(col(MonoCol), 33))
+    // one row per partition — metadata-sized, safe for a global window
+    val counts = withMono.groupBy(col(PidCol)).agg(count(lit(1)).as(CntCol))
+    val offsets = counts.withColumn(OffCol,
+      coalesce(
+        sum(col(CntCol)).over(
+          Window.orderBy(col(PidCol))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(PidCol), col(OffCol))
+    withMono
+      .join(broadcast(offsets), Seq(PidCol))
+      .withColumn(idCol,
+        (col(OffCol) + col(MonoCol).bitwiseAND(lit(LocalMask)) + lit(1L))
+          .cast("long"))
+      .select(df.columns.map(n => col(s"`$n`")).toSeq :+ col(idCol): _*)
+  }
+
+  /** Dense 1..N ids in a caller-specified global order, without a global
+    * single-task sort: range-repartition on the sort key (equal keys land
+    * in one partition), sort within partitions, then partition-offset ids.
+    * Equivalent to `row_number().over(Window.orderBy(order))` — including
+    * its nondeterminism when `order` has ties — at any scale. */
+  def denseByOrder(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    denseInPartitionOrder(sorted, idCol)
+  }
+}

@@ -596,14 +596,21 @@ object Queries {
     // q23: mapPartitions feature extraction over binary media blobs — the
     // batch shape a codec-backed featurizer needs (deterministic fake
     // features; real plumbing). No SQL twin (imperative per-partition code);
-    // spec-tested for determinism.
+    // spec-tested for determinism. The feature vector is flattened to scalar
+    // columns f0..f7 so the driver's rows-only comparator (which sorts every
+    // column) never sees an array-typed cell.
     QueryDef("q23_media_features",
       (s, dir) => {
         import s.implicits._
         val media = Multimodal.withBlob(t(s, dir, "documents"), "text")
           .select(col("doc_id").as("id"), col("content"))
           .as[Multimodal.MediaRow]
-        Multimodal.featurize(media, dim = 8).toDF().orderBy(col("id"))
+        val dim = 8
+        val flat = (0 until dim).map(i =>
+          round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i"))
+        Multimodal.featurize(media, dim).toDF()
+          .select(col("id") +: flat: _*)
+          .orderBy(col("id"))
       },
       None),
 
@@ -1171,16 +1178,15 @@ object Queries {
     // ---------------------------------------------------------------------
     // q46: token-budget selection — order the corpus by quality (best
     // first), keep documents while the cumulative token count fits the
-    // budget. Window cumulative sum over longs (order-exact).
+    // budget. Two-phase distributed prefix sum (Budget.tokenBudgetSelect):
+    // value-identical to the naive global window, no single-task stage.
     QueryDef("q46_token_budget",
       (s, dir) => {
         val d = t(s, dir, "documents")
         val scored = graft.operators.TextProfile.profile(d, "doc_id", "text")
-        val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        scored
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .filter(col("cum_tokens") <= 20000)
+        graft.operators.Budget.tokenBudgetSelect(scored,
+            Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"),
+            budget = 20000)
           .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
           .orderBy(col("doc_id"))
       },
@@ -1199,7 +1205,9 @@ object Queries {
     // cluster. Composes three library operators in one plan.
     QueryDef("q47_dedup_keep_best",
       (s, dir) => {
-        val all = plantedNearDups(s, dir, 7)
+        // consumed 3x (pair generation, CC nodes, quality profile): cache
+        // the planted corpus once instead of re-reading + perturbing per use
+        val all = plantedNearDups(s, dir, 7).cache()
         val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
           shingleSize = 3, threshold = 0.7)
         val cc = Dedup.connectedComponents(
