@@ -8,6 +8,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 /** Thin HTTP control surface (SURVEY.md §2.11 X2-X4) — the Spark
   * re-expression of the reference's Flask API (backend_api.py):
   *
+  *   GET  /                — browser control page (frontend.html parity)
   *   GET  /stages          — list registered pipeline stages (X2 /scripts)
   *   POST /run {"stage"}   — run a stage on the shared SparkSession, return
   *                           {stdout-ish log, seconds, ok} (X3 /run)
@@ -15,15 +16,24 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   GET  /output/<name>   — fetch one artifact (X4)
   *
   * Differences by design: stages run as method calls on ONE SparkSession
-  * (no subprocess per request), and concurrent runs are serialized with a
-  * lock — the reference's racing-writes hazard (SURVEY.md §3.2) is fixed
-  * rather than reproduced. JDK HttpServer: zero extra dependencies.
+  * (no subprocess per request), and concurrent runs are serialized on a
+  * single-thread executor — the reference's racing-writes hazard (SURVEY.md
+  * §3.2) is fixed rather than reproduced. Runs are capped at
+  * `runTimeoutMs` like the reference's `subprocess.run(..., timeout=300)`
+  * (backend_api.py:26); a timed-out run answers `{"timedOut":true}` and the
+  * worker thread is interrupted (a Spark stage checks interruption at task
+  * boundaries). JDK HttpServer: zero extra dependencies.
   */
 class RestServer(port: Int, outputDir: String,
-    stages: Map[String, () => String]) {
+    stages: Map[String, () => String],
+    runTimeoutMs: Long = 300000L) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  private val runLock = new Object
+  // the serializer AND the cancellation point for /run
+  private val runExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-rest-run"); t.setDaemon(true); t
+    })
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       ctype: String = "application/json"): Unit = {
@@ -46,6 +56,13 @@ class RestServer(port: Int, outputDir: String,
     } + "\""
 
   def start(): Unit = {
+    // "/" is also the fallback context for unmatched paths; only the exact
+    // root serves the page (frontend.html parity), the rest 404 as JSON.
+    server.createContext("/", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/")
+        respond(ex, 200, Ui.indexHtml, "text/html; charset=utf-8")
+      else respond(ex, 404, """{"error":"not found"}"""))
+
     server.createContext("/stages", (ex: HttpExchange) =>
       respond(ex, 200, stages.keys.toSeq.sorted
         .map(jsonStr).mkString("[", ",", "]")))
@@ -62,13 +79,25 @@ class RestServer(port: Int, outputDir: String,
           case None => respond(ex, 400, """{"error":"unknown stage"}""")
           case Some((n, f)) =>
             val t0 = System.nanoTime()
-            val (ok, log) = runLock.synchronized {
-              try (true, f())
-              catch { case e: Throwable => (false, String.valueOf(e.getMessage)) }
+            val fut = runExec.submit(
+              new java.util.concurrent.Callable[(Boolean, String)] {
+                def call(): (Boolean, String) =
+                  try (true, f())
+                  catch { case e: Throwable => (false, String.valueOf(e.getMessage)) }
+              })
+            try {
+              val (ok, log) = fut.get(runTimeoutMs,
+                java.util.concurrent.TimeUnit.MILLISECONDS)
+              val sec = (System.nanoTime() - t0) / 1e9
+              respond(ex, if (ok) 200 else 500,
+                s"""{"stage":${jsonStr(n)},"ok":$ok,"timedOut":false,"seconds":$sec,"log":${jsonStr(log)}}""")
+            } catch {
+              case _: java.util.concurrent.TimeoutException =>
+                fut.cancel(true) // interrupt the worker (backend_api.py:26 parity)
+                val sec = (System.nanoTime() - t0) / 1e9
+                respond(ex, 500,
+                  s"""{"stage":${jsonStr(n)},"ok":false,"timedOut":true,"seconds":$sec,"log":${jsonStr(s"timed out after ${runTimeoutMs / 1000.0} s")}}""")
             }
-            val sec = (System.nanoTime() - t0) / 1e9
-            respond(ex, if (ok) 200 else 500,
-              s"""{"stage":${jsonStr(n)},"ok":$ok,"seconds":$sec,"log":${jsonStr(log)}}""")
         }
       }
     })

@@ -31,6 +31,12 @@ class RestServerSpec extends AnyFunSuite {
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
     try {
+      val page = get("/")
+      assert(page.statusCode() == 200 &&
+        page.headers().firstValue("Content-Type").orElse("").startsWith("text/html") &&
+        page.body().contains("graft pipeline console") &&
+        page.body().contains("fetch('run'"))
+      assert(get("/no-such-path").statusCode() == 404)
       assert(get("/stages").body() == """["boom","clean"]""")
       val run = post("/run", """{"stage":"clean"}""")
       assert(run.statusCode() == 200 && run.body().contains("cleaned 42 rows"))
@@ -41,6 +47,35 @@ class RestServerSpec extends AnyFunSuite {
       assert(get("/output-files").body() == """["result.txt"]""")
       assert(get("/output/result.txt").body() == "hello")
       assert(get("/output/../../etc/passwd").statusCode() == 404)
+    } finally srv.stop()
+  }
+
+  test("run timeout cancels the stage (backend_api.py:26 parity)") {
+    val outDir = Files.createTempDirectory("rest").toFile
+    @volatile var interrupted = false
+    val srv = new RestServer(0, outDir.getAbsolutePath, Map(
+      "slow" -> (() =>
+        try { Thread.sleep(10000); "never" }
+        catch { case _: InterruptedException => interrupted = true; throw new RuntimeException("interrupted") }),
+      "fast" -> (() => "quick")), runTimeoutMs = 300L)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    val http = HttpClient.newHttpClient()
+    def post(p: String, body: String) = http.send(
+      HttpRequest.newBuilder(URI.create(base + p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      val run = post("/run", """{"stage":"slow"}""")
+      assert(run.statusCode() == 500 && run.body().contains(""""timedOut":true"""))
+      // the worker thread was interrupted, and the executor is free again
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(
+          org.scalatest.time.Span(5, org.scalatest.time.Seconds))) {
+        assert(interrupted)
+      }
+      val ok = post("/run", """{"stage":"fast"}""")
+      assert(ok.statusCode() == 200 && ok.body().contains("quick"))
     } finally srv.stop()
   }
 }
