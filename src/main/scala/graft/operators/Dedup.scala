@@ -256,11 +256,19 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs (ids with cosine >= threshold,
     * id_a < id_b). Brute-force variant: a self-join that Spark executes as a
-    * (range-partitioned) cartesian product — correct ground truth, only for
-    * modest corpus sizes or as the verifier behind [[embeddingNearDupLsh]]. */
+    * (range-partitioned) cartesian product — O(n²) by construction. This is
+    * the correctness VERIFIER behind [[embeddingNearDupLsh]]; production
+    * corpora must use the LSH form. To keep the quadratic plan from being
+    * launched by accident on a large table, the input is size-guarded: more
+    * than `maxRows` rows throws before any pair is materialized (the probe
+    * is a short-circuiting `limit(n+1).count`, not a full scan). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 100000L): DataFrame = {
     import graft.functions.Vec
+    require(df.limit((maxRows + 1).toInt).count() <= maxRows,
+      s"embeddingNearDup is a quadratic exact verifier; input exceeds " +
+        s"maxRows=$maxRows. Use embeddingNearDupLsh for large corpora " +
+        s"(or raise maxRows explicitly if the O(n^2) cost is intended).")
     // norms once per row (n), dot once per pair (n^2): 3x fewer traversals
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Vec.norm(col(vecCol)).as("nrm"))

@@ -37,7 +37,11 @@ object Similarity {
     * `queries(queryIdCol, vecCol)` is broadcast; the corpus streams past it in
     * one stage (BroadcastNestedLoopJoin — the *intended* plan here: k·|corpus|
     * scored pairs with zero shuffle of the corpus). Ties broken by corpus id
-    * for run-to-run determinism. */
+    * for run-to-run determinism.
+    *
+    * Cost is |queries|·|corpus| scored pairs and the query side must fit in a
+    * broadcast — this is the exact BASELINE/VERIFIER behind [[annLsh]] and
+    * [[annIvf]]; default to those for large query sets or 100-TB corpora. */
   def bruteForceTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int): DataFrame = {

@@ -75,6 +75,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
   }
 
+  test("embeddingNearDup size guard refuses oversized input") {
+    val df = (0L until 10L).map(i => (i, Array(1.0, 0.0))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(df, "id", "vec", 0.9, maxRows = 5L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupLsh"))
+    // at or under the cap, the verifier still runs
+    assert(Dedup.embeddingNearDup(df.limit(3), "id", "vec", -1.0,
+      maxRows = 5L).count() == 3L)
+  }
+
   test("bruteForceTopK returns the true nearest neighbors") {
     // 1-d directions: cosine is 1 for same direction, -1 opposite
     val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
