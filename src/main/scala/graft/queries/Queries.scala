@@ -1413,6 +1413,103 @@ object Queries {
              |FROM m ORDER BY month""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q53: correlated EXISTS as a LEFT SEMI join (TPC-H Q4 shape; the
+    // testdata lacks commit/receipt dates, so "problem line" = returned
+    // flag). The semi join hashes on the join key and short-circuits per
+    // probe row — no row multiplication, one shuffle on orderkey.
+    QueryDef("q53_priority_exists",
+      (s, dir) => {
+        val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+        o.filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+          .join(li.filter(col("l_returnflag") === "R").select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-07-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q54: EXISTS + NOT EXISTS as LEFT SEMI + LEFT ANTI joins (TPC-H Q21
+    // shape): suppliers whose returned line sits in a finished
+    // multi-supplier order where NO other supplier also returned. Both
+    // subqueries become hash joins on l_orderkey with the supplier
+    // inequality as a residual predicate — the scale plan for correlated
+    // subqueries (never a per-row re-scan).
+    QueryDef("q54_sole_blame",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val finished = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        val returned = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = li.select(col("l_orderkey").as("a_orderkey"),
+          col("l_suppkey").as("a_suppkey"))
+        val othersReturned = returned.select(
+          col("l_orderkey").as("r_orderkey"), col("l_suppkey").as("r_suppkey"))
+        returned
+          .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(others, col("l_orderkey") === col("a_orderkey") &&
+            col("l_suppkey") =!= col("a_suppkey"), "left_semi")
+          .join(othersReturned, col("l_orderkey") === col("r_orderkey") &&
+            col("l_suppkey") =!= col("r_suppkey"), "left_anti")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("suppkey"))
+          .limit(20)
+      },
+      Some("""SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+             |FROM lineitem l1
+             |WHERE l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM orders
+             |              WHERE o_orderkey = l1.l_orderkey
+             |                AND o_orderstatus = 'F')
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY suppkey
+             |ORDER BY numwait DESC, suppkey
+             |LIMIT 20""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q55: approximate quantiles (Greenwald-Khanna sketch via
+    // percentile_approx) — the mergeable-sketch path for 100-TB quantiles
+    // (exact interpolated percentile, q36, buffers each group's values;
+    // the GK sketch is bounded-memory and partial-aggregable). Sketch
+    // output is accuracy-dependent -> no SQL oracle; OperatorsSpec bounds
+    // the rank error against the exact quantiles.
+    QueryDef("q55_approx_quantiles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"),
+              array(lit(0.25), lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+              .as("q"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            round(element_at(col("q"), 1), 2).as("p25"),
+            round(element_at(col("q"), 2), 2).as("p50"),
+            round(element_at(col("q"), 3), 2).as("p90"),
+            round(element_at(col("q"), 4), 2).as("p99"),
+            col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.

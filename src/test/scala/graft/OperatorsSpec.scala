@@ -146,6 +146,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx tracks exact quantiles within GK accuracy (q55 semantics)") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20000).map(i => (i % 4, rnd.nextDouble() * 1000)).toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val r = df.groupBy("g").agg(
+        percentile_approx(col("v"),
+          array(qs.map(lit): _*), lit(10000)).as("a"),
+        percentile(col("v"), array(qs.map(lit): _*)).as("e"))
+      .collect()
+    for (row <- r; i <- qs.indices) {
+      val a = row.getSeq[Double](1)(i); val e = row.getSeq[Double](2)(i)
+      // accuracy=10000 -> rank error <= n/10000; on ~5000-row groups the
+      // sketch is near-exact, so 1% value tolerance is generous
+      assert(math.abs(a - e) / math.max(e, 1e-9) < 0.01,
+        s"q=${qs(i)} approx $a vs exact $e")
+    }
+  }
+
   test("connectedComponents: chains, singletons, and merges resolve to min label") {
     val nodes = (1L to 10L).toDF("id")
     // chain 1-2-3-4, pair 6-7, triangle-merge 8-9 + 9-10 + 8-10; 5 isolated
