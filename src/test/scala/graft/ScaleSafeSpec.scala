@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Budget
+import graft.pipeline.RowIds
+
+/** The two round-2 scale-killers (VERDICT r2 #2/#3) stay dead: row-id
+  * assignment and global cumulative sums must be value-identical to the
+  * naive unpartitioned-window plans WITHOUT funneling data rows through a
+  * single task. Value equality is checked against the naive window; the
+  * plan property is checked structurally — any unpartitioned logical
+  * Window in the optimized plan must sit above the per-partition METADATA
+  * aggregate (one row per partition), never above raw data rows. */
+class ScaleSafeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Every Window with an empty partitionSpec must have an Aggregate below
+    * it (the partition-counts/subtotals metadata), i.e. it windows over
+    * #partitions rows, not #data rows. */
+  private def assertGlobalWindowsAreMetadataOnly(df: DataFrame): Unit = {
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "expected the metadata offset window to exist")
+    globals.foreach { w =>
+      val aggBelow = (w.child: LogicalPlan).collectFirst {
+        case a: Aggregate => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window over non-aggregated (data-sized) input:\n$w")
+    }
+  }
+
+  private lazy val docs = {
+    val rnd = new scala.util.Random(3)
+    (1 to 500).map { i =>
+      (i.toLong, rnd.nextDouble(), rnd.nextInt(400) + 20)
+    }.toDF("doc_id", "quality", "n_tokens").repartition(7)
+  }
+
+  test("RowIds.denseInPartitionOrder: dense 1..N, mono-order, no data-sized global window") {
+    val out = RowIds.denseInPartitionOrder(docs, "rid")
+    assertGlobalWindowsAreMetadataOnly(out)
+    val rows = out.select("rid").as[Long].collect().sorted
+    assert(rows.toSeq == (1L to 500L))
+    // id order == monotonically_increasing_id order (the P7 contract)
+    val pairs = RowIds.denseInPartitionOrder(
+        docs.withColumn("__m", monotonically_increasing_id()), "rid")
+      .select("__m", "rid").as[(Long, Long)].collect().sortBy(_._1)
+    assert(pairs.map(_._2).toSeq == pairs.map(_._2).sorted.toSeq)
+  }
+
+  test("RowIds.denseByOrder == row_number over the naive global window") {
+    val naive = docs.withColumn("rid",
+      row_number().over(Window.orderBy(col("quality").desc, col("doc_id")))
+        .cast("long"))
+    val scaled = RowIds.denseByOrder(docs, "rid",
+      Seq(col("quality").desc, col("doc_id")))
+    assertGlobalWindowsAreMetadataOnly(scaled)
+    assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty)
+  }
+
+  test("Budget.cumulativeSum == naive unpartitioned running sum") {
+    val naive = docs.withColumn("cum",
+      sum(col("n_tokens")).over(
+        Window.orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val scaled = Budget.cumulativeSum(docs,
+      Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "cum")
+    assertGlobalWindowsAreMetadataOnly(scaled)
+    assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty)
+  }
+
+  test("Budget.tokenBudgetSelect keeps the best-first prefix under budget") {
+    val out = Budget.tokenBudgetSelect(docs,
+      Seq(col("quality").desc, col("doc_id")), col("n_tokens"), budget = 20000L)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // greedy best-first reference on the driver
+    var acc = 0L
+    val expected = docs.select("doc_id", "quality", "n_tokens")
+      .as[(Long, Double, Int)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+      .takeWhile { case (_, _, n) => { acc += n; acc <= 20000L } }
+      .map(_._1).toSet
+    assert(kept == expected)
+  }
+}
