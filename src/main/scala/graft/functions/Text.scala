@@ -123,6 +123,32 @@ object Text {
     aggregate(tokens(c), lit(0L),
       (acc, t) => pmod(acc * lit(1000003L) + md5Mod(t), lit(P31)))
 
+  // -------------------------------------------------------------- redaction
+
+  /** Email address pattern. RE2-compatible (no backrefs/lookaround) so the
+    * DuckDB oracle twins evaluate the identical regex. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone pattern (optional +1/1 and separators). RE2-compatible. */
+  val PhoneRegex =
+    "(\\+?1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII redaction for training corpora: emails then phones replaced with
+    * typed placeholder tokens. Pure per-row regexp_replace columns — streams
+    * through the scan at codegen speed, no shuffle, trivially 100-TB-safe. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, lit(EmailRegex), lit("<EMAIL>")),
+      lit(PhoneRegex), lit("<PHONE>"))
+
+  /** Count of email matches (redaction audit metric). */
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailRegex), lit(0)))
+
+  /** Count of phone matches (redaction audit metric). */
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PhoneRegex), lit(0)))
+
   // ---------------------------------------------------------------- quality
 
   /** Ratio of punctuation chars to total chars (0 for empty text). */

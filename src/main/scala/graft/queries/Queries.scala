@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, Text, Vec}
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{Boilerplate, Dedup, Multimodal, Sessionize, Similarity}
 import graft.pipeline.{Fill, GoldenRecord, Validate}
 
 /** The driver-graded query registry: every SURVEY.md §2 operator family is
@@ -1508,6 +1508,95 @@ object Queries {
           .orderBy(col("l_returnflag"))
       },
       None),
+
+    // ---------------------------------------------------------------------
+    // q56: PII redaction (emails + NANP phones -> typed placeholders) — the
+    // scrubbing step of a training-data pipeline. The corpus text carries no
+    // PII, so each doc gets a deterministic planted email+phone (same
+    // construction in the oracle); the redactor must find and replace
+    // exactly those. Pure per-row regex columns — no shuffle.
+    QueryDef("q56_pii_redact",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(" or call 555-867-"))
+            .otherwise(lit(" or call +1-555-867-")),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        d.select(col("doc_id"),
+            Text.emailCount(planted).cast("long").as("n_emails"),
+            Text.phoneCount(planted).cast("long").as("n_phones"),
+            md5(Text.redactPii(planted)).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             |    '@example.com' ||
+             |    CASE WHEN doc_id % 2 = 0 THEN ' or call 555-867-'
+             |         ELSE ' or call +1-555-867-' END ||
+             |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(t2,
+             |    '(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+             |    AS BIGINT) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    '(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+             |    '<PHONE>', 'g')) AS redacted_md5
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q57: boilerplate-line removal (CCNet/RefinedWeb line dedup): lines in
+    // >= 100 distinct docs are site furniture and get stripped. Planted:
+    // NAV + COPYRIGHT on every doc, PROMO on half (all >= 100 -> stripped),
+    // a per-doc-group 'ref section' line on ~1/7 (< 100 -> kept).
+    QueryDef("q57_boilerplate",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            lit("NAV home products pricing"),
+            col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("PROMO subscribe to newsletter")),
+            concat(lit("ref section "), pmod(col("doc_id"), lit(7)).cast("string")),
+            lit("COPYRIGHT example corp")).as("text"))
+        Boilerplate.strip(planted, "doc_id", "text", minDocs = 100)
+          .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+            size(split(col("clean_text"), "\n")).cast("long").as("n_lines"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, concat_ws(chr(10),
+             |    'NAV home products pricing',
+             |    text,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'PROMO subscribe to newsletter' END,
+             |    'ref section ' || CAST(doc_id % 7 AS VARCHAR),
+             |    'COPYRIGHT example corp') AS t2
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, len(string_split(t2, chr(10))) + 1)) AS pos,
+             |    unnest(string_split(t2, chr(10))) AS line
+             |  FROM p),
+             |freq AS (
+             |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+             |  GROUP BY line HAVING count(*) >= 100),
+             |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq)),
+             |agg AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT p.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5,
+             |  CAST(len(string_split(coalesce(a.clean_text, ''), chr(10))) AS BIGINT)
+             |    AS n_lines
+             |FROM p LEFT JOIN agg a ON p.doc_id = a.doc_id
+             |ORDER BY p.doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit

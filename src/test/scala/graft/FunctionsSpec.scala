@@ -181,4 +181,22 @@ class FunctionsSpec extends AnyFunSuite {
     val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     assert(z.select(Vec.cosine(col("a"), col("b"))).head().get(0) == null)
   }
+
+  // -------------------------------------------------------------- redactPii
+
+  test("redactPii scrubs emails and NANP phones, leaves prose alone") {
+    def redact(s: String): String =
+      Seq(s).toDF("v").select(Text.redactPii(col("v"))).head().getString(0)
+    assert(redact("mail a.b+c%d@sub.example.co.uk today")
+      == "mail <EMAIL> today")
+    assert(redact("call 555-867-5309 or (555) 867-5309 or +1 555.867.5309")
+      == "call <PHONE> or <PHONE> or <PHONE>")
+    assert(redact("x@y.com and 1-555-867-5309") == "<EMAIL> and <PHONE>")
+    // non-PII digits and words survive
+    assert(redact("order 1234 of 10 items in 2021") ==
+      "order 1234 of 10 items in 2021")
+    val counts = Seq("a@b.io c@d.io 555-867-5309").toDF("v")
+      .select(Text.emailCount(col("v")), Text.phoneCount(col("v"))).head()
+    assert(counts.getInt(0) == 2 && counts.getInt(1) == 1)
+  }
 }

@@ -146,6 +146,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Boilerplate.strip removes frequent lines, keeps content in order") {
+    val docs = (1L to 10L).map { i =>
+      (i, Seq("HEADER", s"unique content $i", s"more $i", "FOOTER")
+        .mkString("\n"))
+    } :+ (11L, "HEADER\nFOOTER") // doc that is ALL boilerplate
+    val out = graft.operators.Boilerplate
+      .strip(docs.toDF("id", "text"), "id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 1L to 10L)
+      assert(out(i) == s"unique content $i\nmore $i", s"doc $i: ${out(i)}")
+    assert(out(11L) == "") // id preserved, text emptied
+    assert(out.size == 11)
+  }
+
   test("percentile_approx tracks exact quantiles within GK accuracy (q55 semantics)") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 20000).map(i => (i % 4, rnd.nextDouble() * 1000)).toDF("g", "v")
