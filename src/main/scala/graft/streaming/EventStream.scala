@@ -65,6 +65,32 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: first event per `keys` wins, duplicates arriving
+    * within the watermark are dropped (`dropDuplicatesWithinWatermark` —
+    * state for a key is freed once the watermark passes it, so state size is
+    * bounded by the dedup horizon, not the stream length; the batch twin
+    * [[graft.operators.Dedup.exact]] is the unbounded-horizon equivalent).
+    * The streaming ingest guard of the dedup family: at-least-once upstream
+    * delivery (Kafka/file redelivery) becomes exactly-once rows downstream. */
+  def dedupEvents(events: DataFrame, keys: Seq[String],
+      horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Drain a directory through [[dedupEvents]] into an in-memory table. */
+  def drainDedupToMemory(spark: SparkSession, dir: String,
+      table: String): StreamingQuery = {
+    val q = dedupEvents(readEvents(spark, dir), Seq("event_id"))
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drain a directory through [[sessionize]] into an in-memory table. */
   def drainSessionsToMemory(spark: SparkSession, dir: String,
       table: String): StreamingQuery = {

@@ -28,6 +28,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops redelivered events (dropDuplicatesWithinWatermark)") {
+    val dir = "/root/testdata/sf0.001"
+    // simulate at-least-once upstream delivery: the same file lands twice
+    val streamDir = java.nio.file.Files.createTempDirectory("events-dedup")
+    for (name <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve(name))
+    EventStream.drainDedupToMemory(spark, streamDir.toString, "stream_dedup")
+    val streamed = spark.table("stream_dedup")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+
+    val batch = graft.queries.Tables(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch) // each event exactly once despite double delivery
+  }
+
   test("streaming session_window sessionization == batch gap sessions") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
