@@ -1510,6 +1510,75 @@ object Queries {
       None),
 
     // ---------------------------------------------------------------------
+    // q58: customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    // join so zero-order customers survive with count 0, then a second
+    // aggregation over the counts. Both aggs partial-combine; the outer
+    // join shuffles once on custkey.
+    QueryDef("q58_cust_distribution",
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        c.join(o.filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q59: ranking/distribution window-function family over one partitioned
+    // sort (rank, dense_rank, percent_rank, cume_dist, ntile, lag/lead,
+    // first/last value) — ONE shuffle on the partition key serves all eight
+    // functions (single Window node; WindowGroupLimit does not apply, the
+    // full frame is the point).
+    QueryDef("q59_window_family",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-02-01")))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wFrame = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        o.select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            round(percent_rank().over(w), 6).as("prank"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            ntile(4).over(w).as("quartile"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            first(col("o_orderkey")).over(wFrame).as("top_key"))
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  rank() OVER w AS rnk,
+             |  dense_rank() OVER w AS drnk,
+             |  round(percent_rank() OVER w, 6) AS prank,
+             |  round(cume_dist() OVER w, 6) AS cdist,
+             |  ntile(4) OVER w AS quartile,
+             |  lag(o_orderkey, 1) OVER w AS prev_key,
+             |  lead(o_orderkey, 1) OVER w AS next_key,
+             |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING) AS top_key
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-02-01'
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_orderpriority, rnk""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q56: PII redaction (emails + NANP phones -> typed placeholders) — the
     // scrubbing step of a training-data pipeline. The corpus text carries no
     // PII, so each doc gets a deterministic planted email+phone (same
