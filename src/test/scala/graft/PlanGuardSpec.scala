@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Queries
+
+/** Physical-plan regression net: the scale properties PLANS.md documents
+  * must survive refactors. Representative registry queries are planned (not
+  * executed) at sf0.001 and their pre-AQE physical plan is string-checked:
+  *
+  *  - no CartesianProduct / BroadcastNestedLoopJoin anywhere except the two
+  *    documented exact verifiers (q21 broadcast-NLJ top-k, q28 quadratic
+  *    near-dup) — every other join must have an equi component;
+  *  - headline scans keep their predicate pushdown (PushedFilters).
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Queries.all.find(_.name == name).get.spark(spark, SfDir)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("no cartesian or nested-loop joins outside the documented verifiers") {
+    assume(new java.io.File(SfDir).isDirectory)
+    val guarded = Seq("q1_pricing_summary", "q2_revenue_filter",
+      "q3_top_orders", "q5_top_orders_per_cust", "q19_jaccard_pairs",
+      "q20_minhash_lsh_pairs", "q24_sessions", "q29_embed_neardup_lsh",
+      "q34_ann_lsh", "q42_local_supplier_volume", "q46_token_budget",
+      "q53_priority_exists", "q54_sole_blame", "q57_boilerplate",
+      "q58_cust_distribution", "q59_window_family")
+    for (name <- guarded) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+  }
+
+  test("headline scans keep predicate pushdown") {
+    assume(new java.io.File(SfDir).isDirectory)
+    for (name <- Seq("q1_pricing_summary", "q2_revenue_filter",
+        "q53_priority_exists"))
+      assert(planOf(name).contains("PushedFilters: [IsNotNull"),
+        s"$name lost its pushed filters")
+  }
+}
