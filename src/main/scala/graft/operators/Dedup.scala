@@ -236,18 +236,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      // the convergence flag rides INSIDE the checkpointed result, so the
-      // per-round convergence check is a scan of already-materialized blocks
-      // — not a second join+shuffle job per iteration
       val next = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           (col("nlabel") < col("label")).as("__chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("__chg")).count()
-      labels = next.drop("__chg")
+      // ONE job per round: the LAZY localCheckpoint materializes on the
+      // convergence count (which scans every partition), truncating lineage
+      // in the same action instead of paying a separate eager-checkpoint job
+      // before the count.
+      val persisted = next.localCheckpoint(false)
+      changed = persisted.filter(col("__chg")).count()
+      val prev = labels
+      labels = persisted.drop("__chg")
+      prev.unpersist()
       i += 1
     }
     edges.unpersist()
