@@ -1,16 +1,21 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.bridge
 
 import graft.expressions.{PyTitleCase, VecDot}
+import graft.functions.Text
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
-  * as SQL functions, so `spark.sql("SELECT py_title(name), vec_dot(a, b)")`
+  * AND its composed text-analysis columns as SQL functions, so
+  * `spark.sql("SELECT py_title(name), redact_pii(text), quality_score(text)")`
   * works on any session created with
   * `spark.sql.extensions=graft.GraftExtensions` (cluster-wide via config,
-  * no code changes at call sites).
+  * no code changes at call sites). The composed functions expand to the
+  * same codegen-friendly Catalyst trees as their Column forms — SQL users
+  * pay nothing over DataFrame users.
   *
   * Custom optimizer rules / strategies are deliberately absent: the survey
   * found none needed (SURVEY.md §4) — expressions are the only custom
@@ -26,10 +31,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "(array<double>, array<double>) - dot product"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    // text-analysis family (Column compositions lowered via the bridge)
+    register(ext, "redact_pii", "str - emails/phones to typed placeholders",
+      a => Text.redactPii(a.head))
+    register(ext, "email_count", "str - number of email matches",
+      a => Text.emailCount(a.head))
+    register(ext, "phone_count", "str - number of phone matches",
+      a => Text.phoneCount(a.head))
+    register(ext, "quality_score", "str - heuristic doc quality in [0,1]",
+      a => Text.qualityScore(a.head))
+    register(ext, "lang_id", "str - n-gram language-ID heuristic",
+      a => Text.langId(a.head))
+    register(ext, "doc_fingerprint", "str - order-sensitive rolling hash",
+      a => Text.fingerprint(a.head))
+    register(ext, "bpe_count", "str - BPE-ish subword token count",
+      a => Text.bpeTokenCount(a.head))
+    register(ext, "simhash64", "str - 64-bit SimHash fingerprint",
+      a => Text.simhash(a.head))
+    register(ext, "hamming64", "(long, long) - Hamming distance",
+      a => Text.hamming(a(0), a(1)))
   }
 }
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
+
+  private def register(ext: SparkSessionExtensions, name: String,
+      usage: String, f: Seq[Column] => Column): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+      (args: Seq[Expression]) => bridge.expression(f(args.map(bridge.column)))))
 }

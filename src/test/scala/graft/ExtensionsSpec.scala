@@ -25,6 +25,29 @@ class ExtensionsSpec extends AnyFunSuite {
           "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
       assert(r.getString(0) == "O'Brien X2Y")
       assert(r.getDouble(1) == 11.0)
+      // composed text-analysis functions lowered through the bridge
+      val t = spark.sql(
+        "SELECT redact_pii('mail a@b.io or 555-867-5309') AS red, " +
+          "email_count('a@b.io c@d.io') AS ne, " +
+          "phone_count('555-867-5309') AS np, " +
+          "lang_id('the cat and the dog are in the house') AS lang, " +
+          "hamming64(7, 1) AS h, " +
+          "bpe_count('hello world') AS bpe").head()
+      assert(t.getString(0) == "mail <EMAIL> or <PHONE>")
+      assert(t.getInt(1) == 2 && t.getInt(2) == 1)
+      assert(t.getString(3) == "en")
+      assert(t.getInt(4) == 2)
+      assert(t.getLong(5) > 0)
+      // quality/fingerprint/simhash: deterministic and equal to Column form
+      val q = spark.sql(
+        "SELECT quality_score('some reasonable english sentence here') AS q, " +
+          "doc_fingerprint('a b c') AS fp, simhash64('a b c') AS sh").head()
+      assert(q.getDouble(0) >= 0.0 && q.getDouble(0) <= 1.0)
+      import org.apache.spark.sql.functions.lit
+      val col = spark.range(1).select(
+        graft.functions.Text.fingerprint(lit("a b c")),
+        graft.functions.Text.simhash(lit("a b c"))).head()
+      assert(q.getLong(1) == col.getLong(0) && q.getLong(2) == col.getLong(1))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
