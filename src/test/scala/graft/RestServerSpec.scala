@@ -50,6 +50,38 @@ class RestServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("concurrent runs serialize (racing-writes hazard fixed, SURVEY 3.2)") {
+    val outDir = Files.createTempDirectory("rest").toFile
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = new RestServer(0, outDir.getAbsolutePath, Map(
+      "stage" -> (() => {
+        val n = inFlight.incrementAndGet()
+        maxInFlight.updateAndGet(m => math.max(m, n))
+        Thread.sleep(150)
+        inFlight.decrementAndGet()
+        "done"
+      })))
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val futs = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            val http = HttpClient.newHttpClient()
+            http.send(HttpRequest.newBuilder(URI.create(base + "/run"))
+              .POST(HttpRequest.BodyPublishers.ofString("""{"stage":"stage"}"""))
+              .build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+          }
+        }))
+      assert(futs.map(_.get()).forall(_ == 200))
+      pool.shutdown()
+      assert(maxInFlight.get() == 1,
+        s"stages overlapped: ${maxInFlight.get()} in flight")
+    } finally srv.stop()
+  }
+
   test("run timeout cancels the stage (backend_api.py:26 parity)") {
     val outDir = Files.createTempDirectory("rest").toFile
     @volatile var interrupted = false

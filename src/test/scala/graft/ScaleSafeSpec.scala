@@ -77,6 +77,21 @@ class ScaleSafeSpec extends AnyFunSuite {
     assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty)
   }
 
+  test("RowIds holds at 1M rows across 64 partitions (dense, unique, ordered)") {
+    val big = spark.range(0, 1000000, 1, 64).toDF("x")
+    val out = RowIds.denseInPartitionOrder(big, "rid")
+    val stats = out.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("rid")).as("d"),
+      min(col("rid")).as("lo"),
+      max(col("rid")).as("hi")).head()
+    assert(stats.getLong(0) == 1000000L && stats.getLong(1) == 1000000L)
+    assert(stats.getLong(2) == 1L && stats.getLong(3) == 1000000L)
+    // range() partitions ascend with partition index, so mono order == x
+    // order: the dense ids must follow x exactly
+    assert(out.filter(col("rid") =!= col("x") + 1).isEmpty)
+  }
+
   test("Budget.tokenBudgetSelect keeps the best-first prefix under budget") {
     val out = Budget.tokenBudgetSelect(docs,
       Seq(col("quality").desc, col("doc_id")), col("n_tokens"), budget = 20000L)
