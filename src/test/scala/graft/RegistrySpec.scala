@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
     // — everything else MUST carry a DuckDB oracle twin
     val expectedNoOracle = Set("q20_minhash_lsh_pairs", "q23_media_features",
       "q29_embed_neardup_lsh", "q30_simhash_pairs", "q34_ann_lsh",
-      "q35_ann_ivf", "q48_approx_distinct", "q55_approx_quantiles")
+      "q35_ann_ivf", "q48_approx_distinct")
     val noOracle = all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == expectedNoOracle,
       s"oracle-less drift: ${noOracle diff expectedNoOracle} / ${expectedNoOracle diff noOracle}")
