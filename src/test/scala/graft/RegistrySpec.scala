@@ -13,7 +13,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(all.map(_.name).distinct.size == all.size, "duplicate query names")
     // LSH/sketch/mapPartitions results are probabilistic or engine-specific
     // — everything else MUST carry a DuckDB oracle twin
-    val expectedNoOracle = Set("q20_minhash_lsh_pairs", "q23_media_features",
+    val expectedNoOracle = Set("q23_media_features",
       "q29_embed_neardup_lsh", "q30_simhash_pairs", "q34_ann_lsh",
       "q35_ann_ivf", "q48_approx_distinct")
     val noOracle = all.filter(_.oracle.isEmpty).map(_.name).toSet
