@@ -192,10 +192,11 @@ object Dedup {
     * whole chunk, so grouping on (chunkIdx, chunkValue) finds all of them with
     * a bucket shuffle instead of a cross join. Exact hamming filter after. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 64): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = bits / nChunks
-    val sims = simhashAgg(df, idCol, textCol, bits)
+    val sims = simhashAgg(df, idCol, textCol, bits, tokenHash)
 
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),

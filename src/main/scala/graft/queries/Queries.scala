@@ -895,11 +895,44 @@ object Queries {
     // cross join). xxhash64 is Spark-only -> no SQL oracle; spec-tested.
     QueryDef("q30_simhash_pairs",
       (s, dir) => {
+        // portable md5 token hash (not xxhash64) so the DuckDB twin computes
+        // bit-identical fingerprints; the pigeonhole candidate generation is
+        // EXACT for hamming <= maxHamming, so the oracle is the full
+        // closure — the bucket shuffle must find every qualifying pair.
         val all = plantedNearDups(s, dir, 7)
-        Dedup.simhashPairs(all, "doc_id", "text", maxHamming = 6, bits = 64)
+        Dedup.simhashPairs(all, "doc_id", "text", maxHamming = 6, bits = 64,
+            tokenHash = Text.md5Long)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM all_docs),
+             |h AS (SELECT doc_id,
+             |    list_transform(toks,
+             |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+             |  FROM tok),
+             |sims AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE
+             |      list_sum(list_transform(range(64), b ->
+             |        CASE WHEN list_sum(list_transform(hs, x ->
+             |               CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+             |    END AS BIGINT) AS s
+             |  FROM h),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+             |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, hamming FROM pairs
+             |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q36: statistics per group — exact interpolated median + sample
