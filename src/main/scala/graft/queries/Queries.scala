@@ -1324,13 +1324,24 @@ object Queries {
     // engine-specific -> no SQL oracle; the spec bounds the relative error.
     QueryDef("q48_approx_distinct",
       (s, dir) => {
+        // tolerance-based oracle (same pattern as q55): emit the EXACT
+        // distinct counts plus a within-5% flag for the HLL++ sketch; the
+        // DuckDB twin emits the exact counts and literal TRUE, so sketch
+        // drift beyond tolerance fails the hash compare.
         val li = t(s, dir, "lineitem")
         li.groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),
             countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("a") - col("exact_parts"))
+              <= col("exact_parts") * 0.05).as("approx_within_5pct"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS approx_within_5pct
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q49: range (band) join — pairs of events by the same user within 10
