@@ -1648,6 +1648,43 @@ object Queries {
              |ORDER BY o_orderpriority, rnk""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q60: data-mixture construction — an INDEPENDENT token budget per
+    // domain (language), the per-source quota step of training-corpus
+    // mixing. The cumulative sum is a PARTITIONED window (one partition
+    // per domain), so unlike the global q46 budget it is scale-safe as
+    // written: no cross-partition prefix needed, one shuffle on lang.
+    QueryDef("q60_domain_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        d.select(col("doc_id"), col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+            col("n_chars"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 8000)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(len(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM tc)
+             |SELECT doc_id, lang, n_tokens,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum_tokens <= 8000 ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q56: PII redaction (emails + NANP phones -> typed placeholders) — the
     // scrubbing step of a training-data pipeline. The corpus text carries no
     // PII, so each doc gets a deterministic planted email+phone (same
