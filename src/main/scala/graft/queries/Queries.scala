@@ -782,18 +782,7 @@ object Queries {
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |allv AS (
-             |  SELECT * FROM e
-             |  UNION ALL
-             |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
-             |  FROM e WHERE vec_id % 5 = 0)
-             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-             |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
-             |WHERE list_cosine_similarity(a.v, b.v) >= 0.98
-             |ORDER BY id_a, id_b""".stripMargin)),
+      Some(embedNearDupOracle)),
 
     // ---------------------------------------------------------------------
     // q29: the same near-dup search through random-hyperplane LSH buckets
@@ -802,13 +791,17 @@ object Queries {
     // ground truth.
     QueryDef("q29_embed_neardup_lsh",
       (s, dir) => {
+        // shares q28's EXACT oracle: rescoring makes precision exact, and
+        // at 12 planes x 8 tables recall is 100% on the planted corpus at
+        // both gate SFs (probed: tables=4 missed 2/100, tables>=6 missed 0)
+        // — a recall regression now fails the hash compare.
         val all = plantedVecs(s, dir)
         Dedup.embeddingNearDupLsh(all, "vec_id", "vec", threshold = 0.98,
-            planes = 12, tables = 4)
+            planes = 12, tables = 8)
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(embedNearDupOracle)),
 
     // ---------------------------------------------------------------------
     // q31: hierarchical ROLLUP totals (subtotal + grand-total rows) — one
@@ -1831,6 +1824,22 @@ object Queries {
         transform(col("vec"), x => x + lit(0.02)).as("vec"))
     e.unionByName(pert)
   }
+
+  /** Oracle twin of q28 AND q29 — exact cosine near-dup closure over the
+    * planted corpus (q29's LSH+rescoring equals it at 100% recall). */
+  private lazy val embedNearDupOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |allv AS (
+      |  SELECT * FROM e
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+      |  FROM e WHERE vec_id % 5 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Oracle twin of q19 — word-3-gram Jaccard restated over DuckDB list
     * functions + an inverted-index join. */

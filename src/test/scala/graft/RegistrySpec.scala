@@ -14,7 +14,7 @@ class RegistrySpec extends AnyFunSuite {
     // LSH/sketch/mapPartitions results are probabilistic or engine-specific
     // — everything else MUST carry a DuckDB oracle twin
     val expectedNoOracle = Set("q23_media_features",
-      "q29_embed_neardup_lsh", "q34_ann_lsh", "q35_ann_ivf")
+      "q34_ann_lsh", "q35_ann_ivf")
     val noOracle = all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == expectedNoOracle,
       s"oracle-less drift: ${noOracle diff expectedNoOracle} / ${expectedNoOracle diff noOracle}")
