@@ -1641,6 +1641,37 @@ object Queries {
              |ORDER BY o_orderpriority, rnk""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q61: global-sales-opportunity (TPC-H Q22 shape): scalar aggregate
+    // subquery as a broadcast 1-row join (never a driver-side collect),
+    // NOT EXISTS as a LEFT ANTI hash join, conditional grouping. The
+    // 1-row broadcast is the one place a nested-loop join is the right
+    // plan (1 x N comparisons, no shuffle).
+    QueryDef("q61_sales_opportunity",
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        val threshold = c.filter(col("c_acctbal") > 0.0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        c.join(broadcast(threshold))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(o.filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy((col("c_nationkey") % 5).as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+             |  round(sum(c_acctbal), 2) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+             |                   WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q60: data-mixture construction — an INDEPENDENT token budget per
     // domain (language), the per-source quota step of training-corpus
     // mixing. The cumulative sum is a PARTITIONED window (one partition
