@@ -1641,6 +1641,50 @@ object Queries {
              |ORDER BY o_orderpriority, rnk""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q62: benchmark decontamination — flag training documents that share
+    // >= 2 distinct word-3-gram shingles with any held-out eval document
+    // (the train/test overlap scrub every LLM corpus pipeline runs).
+    // Inverted-index join between the two sides (shuffle on shingle), never
+    // a doc x doc cross join; same skew-cap story as q19.
+    QueryDef("q62_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val isEval = pmod(col("doc_id"), lit(50)) === 0
+        val trainPosts = Dedup.shinglePostings(
+          d.filter(!isEval), "doc_id", "text", 3)
+          .select(col("id").as("train_id"), col("shingle"))
+        val evalPosts = Dedup.shinglePostings(
+          d.filter(isEval), "doc_id", "text", 3)
+          .select(col("id").as("eval_id"), col("shingle"))
+        trainPosts.join(evalPosts, "shingle")
+          .groupBy(col("train_id"), col("eval_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("train_id"), col("eval_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |         THEN list_distinct(list_transform(range(len(toks) - 2),
+             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+             |         ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM tok),
+             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |train AS (SELECT doc_id AS train_id, shingle FROM posts
+             |          WHERE doc_id % 50 <> 0),
+             |eval AS (SELECT doc_id AS eval_id, shingle FROM posts
+             |         WHERE doc_id % 50 = 0)
+             |SELECT train_id, eval_id, count(*) AS n_shared
+             |FROM train JOIN eval USING (shingle)
+             |GROUP BY train_id, eval_id
+             |HAVING count(*) >= 2
+             |ORDER BY train_id, eval_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q61: global-sales-opportunity (TPC-H Q22 shape): scalar aggregate
     // subquery as a broadcast 1-row join (never a driver-side collect),
     // NOT EXISTS as a LEFT ANTI hash join, conditional grouping. The
