@@ -603,24 +603,53 @@ object Queries {
     // ---------------------------------------------------------------------
     // q23: mapPartitions feature extraction over binary media blobs — the
     // batch shape a codec-backed featurizer needs (deterministic fake
-    // features; real plumbing). No SQL twin (imperative per-partition code);
-    // spec-tested for determinism. The feature vector is flattened to scalar
-    // columns f0..f7 so the driver's rows-only comparator (which sorts every
-    // column) never sees an array-typed cell.
+    // features; real plumbing). Even this imperative path is oracle-held:
+    // the feature vector is un-normalized back to exact integer bucket
+    // COUNTS (count = round(f_i * n_bytes), exact since n < 2^24 at float32
+    // precision), and the DuckDB twin replays the rolling-hash byte loop
+    // with a recursive CTE over HUGEINT (2^64 wrap-around = Java long
+    // overflow semantics). A featurizer change fails the hash compare.
     QueryDef("q23_media_features",
       (s, dir) => {
         import s.implicits._
         val media = Multimodal.withBlob(t(s, dir, "documents"), "text")
           .select(col("doc_id").as("id"), col("content"))
-          .as[Multimodal.MediaRow]
         val dim = 8
-        val flat = (0 until dim).map(i =>
-          round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i"))
-        Multimodal.featurize(media, dim).toDF()
-          .select(col("id") +: flat: _*)
+        val lens = media.select(col("id"),
+          greatest(octet_length(col("content")), lit(1)).as("__n"))
+        Multimodal.featurize(media.as[Multimodal.MediaRow], dim).toDF()
+          .join(lens, "id")
+          .select(col("id") +: (0 until dim).map(i =>
+            round(element_at(col("features"), i + 1) * col("__n"))
+              .cast("long").as(s"f$i")): _*)
           .orderBy(col("id"))
       },
-      None),
+      Some("""WITH RECURSIVE
+             |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |step(doc_id, pos, n, h) AS (
+             |  SELECT doc_id, 0, n, CAST(1125899906842597 AS HUGEINT) FROM b
+             |  UNION ALL
+             |  SELECT s.doc_id, s.pos + 1, s.n,
+             |    (31 * s.h + ascii(substr(b.text, s.pos + 1, 1)))
+             |      % 18446744073709551616
+             |  FROM step s JOIN b USING (doc_id) WHERE s.pos < s.n),
+             |buckets AS (
+             |  SELECT doc_id,
+             |    CAST((((CASE WHEN h >= 9223372036854775808
+             |             THEN h - 18446744073709551616 ELSE h END) % 8) + 8)
+             |         % 8 AS INT) AS bkt
+             |  FROM step WHERE pos > 0)
+             |SELECT b.doc_id AS id,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 0 THEN 1 END), 0) AS BIGINT) AS f0,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 1 THEN 1 END), 0) AS BIGINT) AS f1,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 2 THEN 1 END), 0) AS BIGINT) AS f2,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 3 THEN 1 END), 0) AS BIGINT) AS f3,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 4 THEN 1 END), 0) AS BIGINT) AS f4,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 5 THEN 1 END), 0) AS BIGINT) AS f5,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 6 THEN 1 END), 0) AS BIGINT) AS f6,
+             |  CAST(coalesce(sum(CASE WHEN bkt = 7 THEN 1 END), 0) AS BIGINT) AS f7
+             |FROM b LEFT JOIN buckets USING (doc_id)
+             |GROUP BY b.doc_id ORDER BY id""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q24: gap-based sessionization (30-min inactivity) + per-session

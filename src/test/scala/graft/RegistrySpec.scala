@@ -13,8 +13,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(all.map(_.name).distinct.size == all.size, "duplicate query names")
     // LSH/sketch/mapPartitions results are probabilistic or engine-specific
     // — everything else MUST carry a DuckDB oracle twin
-    val expectedNoOracle = Set("q23_media_features",
-      "q34_ann_lsh", "q35_ann_ivf")
+    val expectedNoOracle = Set("q34_ann_lsh", "q35_ann_ivf")
     val noOracle = all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == expectedNoOracle,
       s"oracle-less drift: ${noOracle diff expectedNoOracle} / ${expectedNoOracle diff noOracle}")
