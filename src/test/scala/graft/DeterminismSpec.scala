@@ -71,4 +71,23 @@ class DeterminismSpec extends AnyFunSuite {
     same(fill(m.repartition(1), src.repartition(1)),
       fill(m.repartition(7), src.repartition(13)))
   }
+
+  test("boilerplate strip is partitioning-invariant") {
+    import graft.operators.Boilerplate
+    val docs = (1L to 40L).map { i =>
+      (i, Seq("HEADER", s"content $i", s"extra ${i % 3}", "FOOTER")
+        .mkString("\n"))
+    }.toDF("id", "text")
+    def strip(df: DataFrame) = Boilerplate.strip(df, "id", "text", minDocs = 10)
+    same(strip(docs.repartition(1)), strip(docs.repartition(13)))
+  }
+
+  test("distributed cumulative sum is partitioning-invariant") {
+    import graft.operators.Budget
+    val rows = (1L to 400L).map(i => (i, (i * 37 % 100).toDouble, i % 50 + 1))
+      .toDF("id", "q", "tok")
+    def cum(df: DataFrame) = Budget.cumulativeSum(df,
+      Seq(col("q").desc, col("id")), col("tok"), "cum")
+    same(cum(rows.repartition(1)), cum(rows.repartition(13)))
+  }
 }
