@@ -196,7 +196,9 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = bits / nChunks
-    val sims = simhashAgg(df, idCol, textCol, bits, tokenHash)
+    // cached: the chunk self-join consumes the fingerprint aggregation on
+    // both sides — without this the bits-sum aggregation runs twice
+    val sims = simhashAgg(df, idCol, textCol, bits, tokenHash).cache()
 
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
