@@ -66,7 +66,8 @@ object Dedup {
     // without it the tokenize+shingle+explode pipeline re-runs per consumer
     val posts = shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq)
       .cache()
-    val sizes = posts.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    // cached: joined back for both the n_a and n_b sides
+    val sizes = posts.groupBy("id").agg(count(lit(1)).as("n_shingles")).cache()
 
     val inter = posts.as("a")
       .join(posts.as("b"),
@@ -125,7 +126,10 @@ object Dedup {
     val rows = numHashes / bands
     val posts = shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq)
       .cache()
-    val sigs = minhashSignatures(posts, numHashes)
+    // cached: the band self-join consumes the signature aggregation on both
+    // sides — |docs| x numHashes longs, small; without it the min-agg runs
+    // twice (exchange reuse only covers the shuffle)
+    val sigs = minhashSignatures(posts, numHashes).cache()
 
     // explode into (band, bucket) — bucket = hash of the band's slice
     val banded = sigs.select(col("id"),
