@@ -44,7 +44,10 @@ object ApiMain {
         s"${errs.count()} validation errors"
       }))
 
-    val srv = new RestServer(port, outDir, stages)
+    // on timeout, cancel the distributed work too — interrupting the REST
+    // worker thread alone would leave the submitted Spark job running
+    val srv = new RestServer(port, outDir, stages,
+      onRunTimeout = () => spark.sparkContext.cancelAllJobs())
     srv.start()
     println(s"[api] listening on :${srv.boundPort} " +
       s"(stages: ${stages.keys.mkString(", ")})")

@@ -20,20 +20,34 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * single-thread executor — the reference's racing-writes hazard (SURVEY.md
   * §3.2) is fixed rather than reproduced. Runs are capped at
   * `runTimeoutMs` like the reference's `subprocess.run(..., timeout=300)`
-  * (backend_api.py:26); a timed-out run answers `{"timedOut":true}` and the
-  * worker thread is interrupted (a Spark stage checks interruption at task
-  * boundaries). JDK HttpServer: zero extra dependencies.
+  * (backend_api.py:26); a timed-out run answers `{"timedOut":true}`, the
+  * worker thread is interrupted, AND `onRunTimeout` fires so the owner can
+  * cancel the distributed work itself (e.g. `sparkContext.cancelAllJobs()`
+  * — interrupting the driver thread alone would leave the submitted Spark
+  * job running and let the next /run overlap with it). HTTP dispatch uses a
+  * small thread pool so /stages and /output stay responsive during a run;
+  * only /run is serialized. JDK HttpServer: zero extra dependencies.
   */
 class RestServer(port: Int, outputDir: String,
     stages: Map[String, () => String],
-    runTimeoutMs: Long = 300000L) {
+    runTimeoutMs: Long = 300000L,
+    onRunTimeout: () => Unit = () => ()) {
+
+  private def daemonFactory(name: String) = new java.util.concurrent.ThreadFactory {
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"$name-${n.incrementAndGet()}")
+      t.setDaemon(true); t
+    }
+  }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // the serializer AND the cancellation point for /run
   private val runExec = java.util.concurrent.Executors.newSingleThreadExecutor(
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-rest-run"); t.setDaemon(true); t
-    })
+    daemonFactory("graft-rest-run"))
+  // HTTP dispatch pool: reads stay responsive while a run executes
+  private val httpExec =
+    java.util.concurrent.Executors.newFixedThreadPool(8, daemonFactory("graft-rest-http"))
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       ctype: String = "application/json"): Unit = {
@@ -94,6 +108,7 @@ class RestServer(port: Int, outputDir: String,
             } catch {
               case _: java.util.concurrent.TimeoutException =>
                 fut.cancel(true) // interrupt the worker (backend_api.py:26 parity)
+                onRunTimeout()   // cancel the distributed job itself
                 val sec = (System.nanoTime() - t0) / 1e9
                 respond(ex, 500,
                   s"""{"stage":${jsonStr(n)},"ok":false,"timedOut":true,"seconds":$sec,"log":${jsonStr(s"timed out after ${runTimeoutMs / 1000.0} s")}}""")
@@ -120,11 +135,15 @@ class RestServer(port: Int, outputDir: String,
           StandardCharsets.UTF_8), "text/plain")
     })
 
-    server.setExecutor(null)
+    server.setExecutor(httpExec)
     server.start()
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    httpExec.shutdownNow()
+    runExec.shutdownNow()
+  }
 
   def boundPort: Int = server.getAddress.getPort
 }

@@ -94,7 +94,8 @@ object Ui {
       |    d.textContent = f;
       |    d.onclick = async () => {
       |      const view = document.getElementById('view');
-      |      view.textContent = await (await fetch('output/' + f)).text();
+      |      view.textContent =
+      |        await (await fetch('output/' + encodeURIComponent(f))).text();
       |      view.style.display = 'block';
       |    };
       |    div.appendChild(d);

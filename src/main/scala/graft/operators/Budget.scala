@@ -23,27 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Budget {
 
-  private val PidCol = "__graft_pid"
+  private val PidCol = graft.pipeline.RowIds.PidCol
   private val SubCol = "__graft_sub"
-  private val OffCol = "__graft_off"
+  private val OffCol = graft.pipeline.RowIds.OffCol
 
   /** Global running sum of `value` in `order`, written to `outCol`, without
     * an unpartitioned window. Ties across partitions are impossible (range
     * partitioning co-locates equal keys); ties within a partition follow
-    * `order`, exactly like the naive window. */
+    * `order`, exactly like the naive window. The metadata prefix-offset
+    * step is shared with [[graft.pipeline.RowIds]]. */
   def cumulativeSum(df: DataFrame, order: Seq[Column], value: Column,
       outCol: String): DataFrame = {
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
       .withColumn(PidCol, spark_partition_id().cast("long"))
     // one row per partition — safe for a global window
-    val offsets = sorted.groupBy(col(PidCol)).agg(sum(value).as(SubCol))
-      .withColumn(OffCol,
-        coalesce(
-          sum(col(SubCol)).over(
-            Window.orderBy(col(PidCol))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(PidCol), col(OffCol))
+    val subtotals = sorted.groupBy(col(PidCol)).agg(sum(value).as(SubCol))
+    val offsets = graft.pipeline.RowIds.prefixOffsets(subtotals, SubCol)
     val localW = Window.partitionBy(col(PidCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     sorted

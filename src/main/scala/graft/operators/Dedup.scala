@@ -275,7 +275,8 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Long = 100000L): DataFrame = {
     import graft.functions.Vec
-    require(df.limit((maxRows + 1).toInt).count() <= maxRows,
+    val probeLimit = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    require(df.limit(probeLimit).count() <= maxRows,
       s"embeddingNearDup is a quadratic exact verifier; input exceeds " +
         s"maxRows=$maxRows. Use embeddingNearDupLsh for large corpora " +
         s"(or raise maxRows explicitly if the O(n^2) cost is intended).")

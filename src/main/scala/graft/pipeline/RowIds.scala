@@ -30,32 +30,42 @@ import org.apache.spark.sql.functions._
 object RowIds {
 
   private val MonoCol = "__graft_mono"
-  private val PidCol = "__graft_pid"
+  private[graft] val PidCol = "__graft_pid"
   private val CntCol = "__graft_cnt"
-  private val OffCol = "__graft_off"
+  private[graft] val OffCol = "__graft_off"
   private val LocalMask = (1L << 33) - 1
+
+  /** Exclusive prefix sum over a METADATA-sized per-partition frame
+    * `(PidCol, valueCol)` -> `(PidCol, OffCol)`. The unpartitioned window is
+    * safe precisely because the input is one row per partition. Shared by
+    * [[denseInPartitionOrder]] and [[graft.operators.Budget.cumulativeSum]]. */
+  private[graft] def prefixOffsets(perPartition: DataFrame,
+      valueCol: String): DataFrame =
+    perPartition.withColumn(OffCol,
+      coalesce(
+        sum(col(valueCol)).over(
+          Window.orderBy(col(PidCol))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(PidCol), col(OffCol))
 
   /** Dense 1..N ids in current partition order (partition index major, row
     * position within the partition minor). For file scans this is file
-    * order — the P7 contract. No global sort, no single-partition window. */
+    * order — the P7 contract. No global sort, no single-partition window.
+    * Re-applying over an existing `idCol` replaces it (withColumn
+    * semantics), never duplicates it. */
   def denseInPartitionOrder(df: DataFrame, idCol: String): DataFrame = {
     val withMono = df.withColumn(MonoCol, monotonically_increasing_id())
       .withColumn(PidCol, shiftright(col(MonoCol), 33))
     // one row per partition — metadata-sized, safe for a global window
     val counts = withMono.groupBy(col(PidCol)).agg(count(lit(1)).as(CntCol))
-    val offsets = counts.withColumn(OffCol,
-      coalesce(
-        sum(col(CntCol)).over(
-          Window.orderBy(col(PidCol))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col(PidCol), col(OffCol))
+    val keep = df.columns.filterNot(_ == idCol)
     withMono
-      .join(broadcast(offsets), Seq(PidCol))
+      .join(broadcast(prefixOffsets(counts, CntCol)), Seq(PidCol))
       .withColumn(idCol,
         (col(OffCol) + col(MonoCol).bitwiseAND(lit(LocalMask)) + lit(1L))
           .cast("long"))
-      .select(df.columns.map(n => col(s"`$n`")).toSeq :+ col(idCol): _*)
+      .select(keep.map(n => col(s"`$n`")).toSeq :+ col(idCol): _*)
   }
 
   /** Dense 1..N ids in a caller-specified global order, without a global

@@ -609,6 +609,10 @@ object Queries {
     // precision), and the DuckDB twin replays the rolling-hash byte loop
     // with a recursive CTE over HUGEINT (2^64 wrap-around = Java long
     // overflow semantics). A featurizer change fails the hash compare.
+    // NOTE: the twin iterates characters (ascii/substr) while the Spark
+    // side iterates UTF-8 bytes — equivalent ONLY because the documents
+    // corpus is pure ASCII (verified; q22's byte_sample relies on the
+    // same property). A non-ASCII corpus needs a byte-level twin.
     QueryDef("q23_media_features",
       (s, dir) => {
         import s.implicits._
@@ -942,13 +946,12 @@ object Queries {
              |  FROM tok),
              |sims AS (
              |  SELECT doc_id,
-             |    CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE
-             |      list_sum(list_transform(range(64), b ->
+             |    CAST(list_sum(list_transform(range(64), b ->
              |        CASE WHEN list_sum(list_transform(hs, x ->
              |               CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
              |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
-             |    END AS BIGINT) AS s
-             |  FROM h),
+             |      AS BIGINT) AS s
+             |  FROM h WHERE len(hs) > 0),
              |pairs AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming

@@ -75,6 +75,18 @@ class RestServerSpec extends AnyFunSuite {
               .build(), HttpResponse.BodyHandlers.ofString()).statusCode()
           }
         }))
+      // HTTP dispatch is a thread pool, so reads stay responsive while the
+      // runs execute — the run serialization below is runExec's doing, not
+      // an artifact of single-threaded HTTP dispatch
+      Thread.sleep(50)
+      val http = HttpClient.newHttpClient()
+      val t0 = System.nanoTime()
+      val stagesList = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/stages")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val readMs = (System.nanoTime() - t0) / 1e6
+      assert(stagesList.statusCode() == 200 && readMs < 300,
+        s"read blocked behind runs (${readMs}ms)")
       assert(futs.map(_.get()).forall(_ == 200))
       pool.shutdown()
       assert(maxInFlight.get() == 1,
@@ -85,11 +97,13 @@ class RestServerSpec extends AnyFunSuite {
   test("run timeout cancels the stage (backend_api.py:26 parity)") {
     val outDir = Files.createTempDirectory("rest").toFile
     @volatile var interrupted = false
+    @volatile var jobsCancelled = false
     val srv = new RestServer(0, outDir.getAbsolutePath, Map(
       "slow" -> (() =>
         try { Thread.sleep(10000); "never" }
         catch { case _: InterruptedException => interrupted = true; throw new RuntimeException("interrupted") }),
-      "fast" -> (() => "quick")), runTimeoutMs = 300L)
+      "fast" -> (() => "quick")), runTimeoutMs = 300L,
+      onRunTimeout = () => jobsCancelled = true)
     srv.start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
     val http = HttpClient.newHttpClient()
@@ -100,6 +114,8 @@ class RestServerSpec extends AnyFunSuite {
     try {
       val run = post("/run", """{"stage":"slow"}""")
       assert(run.statusCode() == 500 && run.body().contains(""""timedOut":true"""))
+      // the distributed-cancel hook fired (ApiMain wires cancelAllJobs here)
+      assert(jobsCancelled)
       // the worker thread was interrupted, and the executor is free again
       org.scalatest.concurrent.Eventually.eventually(
         org.scalatest.concurrent.Eventually.timeout(

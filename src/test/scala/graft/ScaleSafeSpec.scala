@@ -56,6 +56,13 @@ class ScaleSafeSpec extends AnyFunSuite {
     assert(pairs.map(_._2).toSeq == pairs.map(_._2).sorted.toSeq)
   }
 
+  test("RowIds re-application replaces an existing id column, never duplicates") {
+    val once = RowIds.denseInPartitionOrder(docs, "rid")
+    val twice = RowIds.denseInPartitionOrder(once, "rid")
+    assert(twice.columns.count(_ == "rid") == 1)
+    assert(twice.select("rid").as[Long].collect().sorted.toSeq == (1L to 500L))
+  }
+
   test("RowIds.denseByOrder == row_number over the naive global window") {
     val naive = docs.withColumn("rid",
       row_number().over(Window.orderBy(col("quality").desc, col("doc_id")))
