@@ -59,13 +59,18 @@ object RowIds {
       .withColumn(PidCol, shiftright(col(MonoCol), 33))
     // one row per partition — metadata-sized, safe for a global window
     val counts = withMono.groupBy(col(PidCol)).agg(count(lit(1)).as(CntCol))
-    val keep = df.columns.filterNot(_ == idCol)
+    val newId =
+      (col(OffCol) + col(MonoCol).bitwiseAND(lit(LocalMask)) + lit(1L))
+        .cast("long").as(idCol)
+    // replace an existing idCol IN PLACE (withColumn semantics: same
+    // position, no duplicate); append otherwise
+    val projected =
+      if (df.columns.contains(idCol))
+        df.columns.toSeq.map(n => if (n == idCol) newId else col(s"`$n`"))
+      else df.columns.toSeq.map(n => col(s"`$n`")) :+ newId
     withMono
       .join(broadcast(prefixOffsets(counts, CntCol)), Seq(PidCol))
-      .withColumn(idCol,
-        (col(OffCol) + col(MonoCol).bitwiseAND(lit(LocalMask)) + lit(1L))
-          .cast("long"))
-      .select(keep.map(n => col(s"`$n`")).toSeq :+ col(idCol): _*)
+      .select(projected: _*)
   }
 
   /** Dense 1..N ids in a caller-specified global order, without a global
