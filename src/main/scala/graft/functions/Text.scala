@@ -78,11 +78,14 @@ object Text {
     * then take the sign bit. Pure array expressions — no shuffle. */
   def simhash(c: Column, bits: Int = 64): Column = {
     require(bits >= 1 && bits <= 64)
+    // hash each token ONCE (transform), then vote — inlining xxhash64 into
+    // the per-bit lambda would recompute the hash `bits` times per token
+    val hashes = transform(tokens(c), t => xxhash64(t))
     val votes = aggregate(
-      tokens(c),
+      hashes,
       array_repeat(lit(0), bits),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
-        (a, b) => a + when(call_function("shiftright", xxhash64(t), b)
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, b) => a + when(call_function("shiftright", h, b)
           .bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(bits - 1)),

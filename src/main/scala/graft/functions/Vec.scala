@@ -55,8 +55,11 @@ object Vec {
     * deterministically on the driver — see
     * [[graft.operators.Similarity.hyperplanes]]), so the whole thing is one
     * codegen'd expression over the scan: no shuffle to bucket a 100-TB corpus. */
-  def lshBucket(v: Column, planes: Seq[Column]): Column =
+  def lshBucket(v: Column, planes: Seq[Column]): Column = {
+    require(planes.nonEmpty && planes.length <= 63,
+      s"lshBucket packs sign bits into a long: 1..63 planes, got ${planes.length}")
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, p) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 }

@@ -48,15 +48,20 @@ object Clean {
     * validation) treats it as a phone — another intended-vs-observed call,
     * recorded here. */
   def apply(df: DataFrame): DataFrame = {
+    // "_"-prefixed columns are the pipeline's own normalized match keys
+    // (_name/_email/_phone, Fill.withMatchKeys) — the substring role match
+    // must not rewrite them (cleanEmail would null an invalid _email key)
+    def notHelper(cols: Seq[String]): Seq[String] =
+      cols.filterNot(_.startsWith("_"))
     val unused = UnusedFields.flatMap(Roles.exact(df, _)).toSet
     val bools = BoolFields.flatMap(Roles.exact(df, _)).toSet
     val names = NameFields.flatMap(Roles.exact(df, _)).toSet -- unused
-    val emails = Roles.bySubstring(df, "EMAIL").toSet -- unused
-    val phones = Roles.bySubstring(df, "PHONE", "MOBILE").toSet -- unused
+    val emails = notHelper(Roles.bySubstring(df, "EMAIL")).toSet -- unused
+    val phones = notHelper(Roles.bySubstring(df, "PHONE", "MOBILE")).toSet -- unused
     val lastUpdated = Roles.exact(df, "LAST_UPDATED").toSet
 
     val cleaned: Seq[Column] = df.columns.toSeq.map { c =>
-      val v = col(c)
+      val v = col(s"`$c`")
       val expr: Column =
         if (unused(c)) lit(null).cast("string")           // P1
         else if (emails(c)) Cleaning.cleanEmail(v)        // F1 + C1
@@ -94,35 +99,44 @@ object Clean {
       }
     val ids = IdFields.flatMap(Roles.exact(df, _)).toSet
     df.select(df.columns.toSeq.map { c =>
-      if (whole(c) || ids(c)) col(c).cast("long").as(c) else col(c)
+      if (whole(c) || ids(c)) col(s"`$c`").cast("long").as(c)
+      else col(s"`$c`")
     }: _*)
   }
 
   /** SUB-column heuristic sequence reset (P9, clean_contacts.py:66-84): if a
-    * SUB1..26 column is numeric, has more than one distinct value, and its
-    * max is at most 2N, overwrite it with 1..N in `order`. The eligibility
-    * stats for ALL sub columns come from one aggregate pass (A6). The
-    * reference used the implicit pandas row order; a distributed plan needs
-    * the explicit sort key. */
+    * SUB1..26 column IS numeric (every non-null value casts — a pandas
+    * object column with any text is ineligible), has more than one distinct
+    * value, and its max is at most 2N, overwrite it with 1..N in `order`.
+    * The eligibility stats for ALL sub columns come from one aggregate pass
+    * (A6). The reference used the implicit pandas row order; a distributed
+    * plan needs the explicit sort key — assigned once via the scale-safe
+    * [[RowIds.denseByOrder]] (no single-task global window) and copied into
+    * every eligible column. */
   def resetSubSequences(df: DataFrame, order: Seq[Column]): DataFrame = {
     val subs = (1 to 26).map(i => s"SUB$i").flatMap(Roles.exact(df, _))
     if (subs.isEmpty) return df
     val n = df.count()
+    def casted(c: String) = expr(s"try_cast(cast(`$c` as string) as double)")
     val aggCols =
-      subs.map(c => countDistinct(col(c)).as(s"d_$c")) ++
-        subs.map(c => max(expr(s"try_cast(cast(`$c` as string) as double)"))
-          .as(s"m_$c"))
+      subs.map(c => countDistinct(col(s"`$c`")).as(s"d_$c")) ++
+        subs.map(c => max(casted(c)).as(s"m_$c")) ++
+        subs.map(c => count(col(s"`$c`")).as(s"n_$c")) ++
+        subs.map(c => count(casted(c)).as(s"c_$c"))
     val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
     val eligible = subs.filter { c =>
       val d = stats.getAs[Long](s"d_$c")
       val mIdx = stats.fieldIndex(s"m_$c")
-      d > 1 && !stats.isNullAt(mIdx) && stats.getDouble(mIdx) <= 2.0 * n
+      val allNumeric = stats.getAs[Long](s"n_$c") == stats.getAs[Long](s"c_$c")
+      allNumeric && d > 1 && !stats.isNullAt(mIdx) &&
+        stats.getDouble(mIdx) <= 2.0 * n
     }.toSet
     if (eligible.isEmpty) df
     else {
-      val w = Window.orderBy(order: _*)
-      df.select(df.columns.toSeq.map { c =>
-        if (eligible(c)) row_number().over(w).cast("long").as(c) else col(c)
+      val seqCol = "__graft_sub_seq"
+      val withSeq = RowIds.denseByOrder(df, seqCol, order)
+      withSeq.select(df.columns.toSeq.map { c =>
+        if (eligible(c)) col(seqCol).as(c) else col(s"`$c`")
       }: _*)
     }
   }

@@ -174,10 +174,14 @@ object Fill {
       .join(broadcast(byNamePhone), Seq("_name", "_phone"), "left")
       .join(broadcast(byNameEmail), Seq("_name", "_email"), "left")
       .withColumn("email",
-        when(Cleaning.isMissing(col("email")), col("__mc_email"))
+        when(Cleaning.isMissing(col("email")),
+          // no match -> keep the original (possibly ""/sentinel) value
+          // untouched, exactly like fillFromSource — not null
+          coalesce(col("__mc_email"), col("email")))
           .otherwise(col("email")))
       .withColumn("mobile",
-        when(Cleaning.isMissing(col("mobile")), col("__mc_mobile"))
+        when(Cleaning.isMissing(col("mobile")),
+          coalesce(col("__mc_mobile"), col("mobile")))
           .otherwise(col("mobile")))
       .drop("__mc_email", "__mc_mobile")
   }

@@ -59,7 +59,8 @@ object GoldenRecord {
     val keyed = if (df.columns.contains(keyCol)) df else withDedupKey(df, keyCol)
     val ts = lastUpdatedCol.map(col).getOrElse(lit(null).cast("timestamp"))
     val dataCols = keyed.columns.toSeq.filterNot(c => c == keyCol)
-    val aggs = dataCols.map(c => mostComplete(col(c), ts, col(rowIdCol)).as(c))
+    val aggs = dataCols.map(c =>
+      mostComplete(col(s"`$c`"), ts, col(s"`$rowIdCol`")).as(c))
     keyed.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*).drop(keyCol)
   }
 

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential pipeline orchestrator (reference cleaning/run.py; SURVEY.md
@@ -20,7 +19,11 @@ object Pipeline {
   private def timed[T](name: String, out: scala.collection.mutable.Buffer[StageResult])
       (f: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    val df = f
+    // cache the stage boundary BEFORE counting: without it each stage's
+    // count (and every later stage, and the artifact writes) re-executes
+    // the whole upstream DAG, making the per-stage timings cumulative and
+    // the pipeline body run O(stages) times
+    val df = f.cache()
     val n = df.count() // materialize the stage boundary, like run.py does
     out += StageResult(name, (System.nanoTime() - t0) / 1e9, n)
     df
@@ -28,15 +31,19 @@ object Pipeline {
 
   /** Run the full reference pipeline over a master frame + source frames.
     * `master` columns are resolved case-insensitively; a unique, dense
-    * `row_id` is attached here (P7 — windowed row_number for parity with the
-    * reference's stable original index). */
+    * `row_id` is attached here if absent (P7 — scale-safe partition-offset
+    * assignment, [[RowIds]]; an existing `row_id` from
+    * [[ContactsApp.withRowIds]] is kept, not re-derived through a
+    * single-task global window). */
   def run(spark: SparkSession, master: DataFrame,
       sources: Seq[(String, DataFrame, Map[String, String])],
       orderCols: Seq[String]): RunResult = {
     val stages = scala.collection.mutable.Buffer.empty[StageResult]
 
-    val withId = master.withColumn("row_id",
-      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+    val withId =
+      if (master.columns.contains("row_id")) master
+      else RowIds.denseByOrder(master, "row_id",
+        orderCols.map(n => col(s"`$n`")))
 
     val fillRes = Fill.fillFromSources(withId, sources)
     val filled = timed("fill", stages)(fillRes.filled)

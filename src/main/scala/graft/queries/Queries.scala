@@ -422,7 +422,7 @@ object Queries {
              |SELECT m.row_id,
              |  CASE WHEN m.email IS NULL OR trim(m.email) = ''
              |         OR trim(m.email) IN ('nan','None','NaN')
-             |       THEN s.s_email ELSE m.email END AS email,
+             |       THEN coalesce(s.s_email, m.email) ELSE m.email END AS email,
              |  m.mobile
              |FROM mkeys m
              |LEFT JOIN (SELECT * FROM src WHERE rn = 1) s

@@ -115,5 +115,12 @@ class GoldenE2ESpec extends AnyFunSuite {
       .orderBy("id").collect()
     // numeric, 3 distinct, max 6 <= 6 -> renumbered in id order
     assert(out2.map(_.getAs[Long]("SUB3")).toSeq == Seq(1L, 2L, 3L))
+    // mostly-text column with one numeric value: the column is NOT numeric,
+    // so it must NOT be destroyed (P9 requires a numeric column, not a
+    // column containing any number)
+    val df3 = Seq((1L, "alpha"), (2L, "beta"), (3L, "2")).toDF("id", "SUB4")
+    val out3 = Clean.resetSubSequences(df3, Seq(col("id")))
+      .orderBy("id").collect()
+    assert(out3.map(_.getAs[String]("SUB4")).toSeq == Seq("alpha", "beta", "2"))
   }
 }

@@ -197,6 +197,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.head().getAs[String]("email") == "early@mc.com")
   }
 
+  test("mailchimpFill: no match keeps the original sentinel value, not null") {
+    val m = Seq((1L, "no match", "nan", "555"))
+      .toDF("row_id", "_name", "email", "mobile")
+      .withColumn("_email", Cleaning.normEmail(col("email")))
+      .withColumn("_phone", Cleaning.normPhone(col("mobile")))
+    val mc = Seq((1L, "someone else", "x@mc.com", "123"))
+      .toDF("src_order", "_name", "email", "mobile")
+      .withColumn("_email", Cleaning.normEmail(col("email")))
+      .withColumn("_phone", Cleaning.normPhone(col("mobile")))
+    val r = Fill.mailchimpFill(m, mc).head()
+    // the "nan" sentinel survives unchanged (fillFromSource parity) — the
+    // old behavior overwrote it with the null from the unmatched left join
+    assert(r.getAs[String]("email") == "nan")
+  }
+
   // -------------------------------------------------------------- Validate
 
   test("validation rules + skip-all-missing (F4/F5)") {
