@@ -25,7 +25,9 @@ object Budget {
 
   private val PidCol = graft.pipeline.RowIds.PidCol
   private val SubCol = "__graft_sub"
+  private val SubCntCol = "__graft_subcnt"
   private val OffCol = graft.pipeline.RowIds.OffCol
+  private val OffCntCol = "__graft_offcnt"
 
   /** Global running sum of `value` in `order`, written to `outCol`, without
     * an unpartitioned window. Ties across partitions are impossible (range
@@ -34,17 +36,30 @@ object Budget {
     * step is shared with [[graft.pipeline.RowIds]]. */
   def cumulativeSum(df: DataFrame, order: Seq[Column], value: Column,
       outCol: String): DataFrame = {
+    // null semantics must match the naive window exactly: sum(...) OVER
+    // skips nulls, and is null only while NO non-null value has been seen
+    // yet globally. Treat null values as 0 for the arithmetic and carry a
+    // parallel running COUNT of non-null values to restore the
+    // null-until-first-value behavior.
+    val v0 = coalesce(value, lit(0L))
+    val vCnt = when(value.isNotNull, lit(1L)).otherwise(lit(0L))
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
       .withColumn(PidCol, spark_partition_id().cast("long"))
     // one row per partition — safe for a global window
-    val subtotals = sorted.groupBy(col(PidCol)).agg(sum(value).as(SubCol))
+    val subtotals = sorted.groupBy(col(PidCol))
+      .agg(sum(v0).as(SubCol), sum(vCnt).as(SubCntCol))
     val offsets = graft.pipeline.RowIds.prefixOffsets(subtotals, SubCol)
+      .join(graft.pipeline.RowIds.prefixOffsets(
+        subtotals.select(col(PidCol), col(SubCntCol).as(SubCol)), SubCol)
+        .withColumnRenamed(OffCol, OffCntCol), Seq(PidCol))
     val localW = Window.partitionBy(col(PidCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     sorted
       .join(broadcast(offsets), Seq(PidCol))
-      .withColumn(outCol, col(OffCol) + sum(value).over(localW))
-      .drop(PidCol, OffCol)
+      .withColumn(outCol,
+        when(col(OffCntCol) + sum(vCnt).over(localW) > 0,
+          col(OffCol) + sum(v0).over(localW)))
+      .drop(PidCol, OffCol, OffCntCol)
   }
 
   /** Token-budget corpus selection: order documents by `order` (best

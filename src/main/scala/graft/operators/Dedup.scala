@@ -199,7 +199,14 @@ object Dedup {
       maxHamming: Int = 3, bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && nChunks <= bits,
+      s"need 0 <= maxHamming < bits=$bits for the pigeonhole chunking, " +
+        s"got $maxHamming")
     val chunkBits = bits / nChunks
+    // 1L << 64 wraps to 1L in Scala: an all-bits chunk needs an explicit
+    // all-ones mask or every row would collapse into chunk value 0 and the
+    // bucket join would silently become a cross product
+    val chunkMask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     // cached: the chunk self-join consumes the fingerprint aggregation on
     // both sides — without this the bits-sum aggregation runs twice
     val sims = simhashAgg(df, idCol, textCol, bits, tokenHash).cache()
@@ -207,7 +214,7 @@ object Dedup {
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
         i => call_function("shiftrightunsigned", col("simhash"), i * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1))))
+          .bitwiseAND(lit(chunkMask))))
         .as(Seq("chunk", "val")))
 
     chunked.as("a")
@@ -261,6 +268,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // silent truncation would report ONE true component as several clusters
+    // with no signal — refuse instead; deep chain components need a higher
+    // maxIter (rounds ~ component diameter)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter — components " +
+          "deeper than maxIter would be silently mis-clustered")
     labels.withColumnRenamed("label", "cluster")
   }
 

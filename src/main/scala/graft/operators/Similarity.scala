@@ -29,9 +29,14 @@ object Similarity {
     Seq.fill(n)(array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*))
   }
 
-  /** Dimensionality of an array column, probed from the first row. */
-  def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Dimensionality of an array column, probed with one aggregate. Returns 1
+    * for an empty (or all-null) input: any plane dimension works when no
+    * rows flow, and the callers then produce an empty result instead of
+    * crashing on `head()` of an empty frame. */
+  def vecDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(max(size(col(vecCol)))).head()
+    if (r.isNullAt(0)) 1 else math.max(r.getInt(0), 1)
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries(queryIdCol, vecCol)` is broadcast; the corpus streams past it in
@@ -45,14 +50,19 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(corpusIdCol), col(corpusVecCol),
+    // rename both sides up front: queries are routinely a subset of the
+    // corpus with IDENTICAL column names, which would make every post-join
+    // reference ambiguous
+    val c = corpus.select(col(corpusIdCol).as("__cid"),
+      col(corpusVecCol).as("__cvec"),
       Vec.norm(col(corpusVecCol)).as("__cnrm"))
-    val q = queries.select(col(queryIdCol), col(queryVecCol),
+    val q = queries.select(col(queryIdCol).as("__qid"),
+      col(queryVecCol).as("__qvec"),
       Vec.norm(col(queryVecCol)).as("__qnrm"))
     val scored = c
-      .join(broadcast(q), col(corpusIdCol) =!= col(queryIdCol))
-      .select(col(queryIdCol).as("query_id"), col(corpusIdCol).as("neighbor_id"),
-        Vec.cosineFromParts(Vec.dot(col(queryVecCol), col(corpusVecCol)),
+      .join(broadcast(q), col("__cid") =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        Vec.cosineFromParts(Vec.dot(col("__qvec"), col("__cvec")),
           col("__qnrm"), col("__cnrm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -67,8 +77,11 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, planes: Int = 10, tables: Int = 4): DataFrame = {
     val dim = vecDim(corpus, corpusVecCol)
+    // norm computed ONCE per row at bucketize time; candidate scoring then
+    // uses cosineFromParts (one array traversal per pair, not three)
     def bucketize(df: DataFrame, idCol: String, vecCol: String) =
       df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Vec.norm(col(vecCol)).as("nrm"),
         posexplode(array((0 until tables).map { t =>
           Vec.lshBucket(col(vecCol), hyperplanes(dim, planes, seed = 42 + t))
         }: _*)).as(Seq("table", "bucket")))
@@ -81,10 +94,12 @@ object Similarity {
         col("c.table") === col("q.table") && col("c.bucket") === col("q.bucket")
           && col("c.id") =!= col("q.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        col("q.vec").as("qvec"), col("c.vec").as("cvec"))
+        col("q.vec").as("qvec"), col("c.vec").as("cvec"),
+        col("q.nrm").as("qnrm"), col("c.nrm").as("cnrm"))
       .distinct()
       .select(col("query_id"), col("neighbor_id"),
-        Vec.cosine(col("qvec"), col("cvec")).as("cosine"))
+        Vec.cosineFromParts(Vec.dot(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")).as("cosine"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -107,13 +122,14 @@ object Similarity {
 
     def assign(df: DataFrame, idCol: String, vecCol: String, nProbe: Int) = {
       val scored = df.join(broadcast(centroids))
-        .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cent_id"),
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          Vec.norm(col(vecCol)).as("nrm"), col("cent_id"),
           Vec.cosine(col(vecCol), col("cent_vec")).as("cent_sim"))
       val w = Window.partitionBy(col("id"))
         .orderBy(col("cent_sim").desc, col("cent_id").asc)
       scored.withColumn("r", row_number().over(w))
         .filter(col("r") <= nProbe)
-        .select(col("id"), col("vec"), col("cent_id"))
+        .select(col("id"), col("vec"), col("nrm"), col("cent_id"))
     }
 
     val c = assign(corpus, corpusIdCol, corpusVecCol, 1)
@@ -123,7 +139,8 @@ object Similarity {
       .join(q.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.id") =!= col("q.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        Vec.cosine(col("q.vec"), col("c.vec")).as("cosine"))
+        Vec.cosineFromParts(Vec.dot(col("q.vec"), col("c.vec")),
+          col("q.nrm"), col("c.nrm")).as("cosine"))
       .distinct()
 
     val w = Window.partitionBy(col("query_id"))

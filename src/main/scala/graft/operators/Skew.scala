@@ -33,8 +33,15 @@ object Skew {
     * spread over `numSalts` phase-1 groups. */
   def saltedAggregate(df: DataFrame, key: Column, numSalts: Int,
       aggs: Seq[SaltedAgg]): DataFrame = {
+    // salt must be DETERMINISTIC per row content: monotonically_increasing_id
+    // depends on partition layout and row order, so a phase-1 task recomputed
+    // after a fetch failure could re-salt rows differently and corrupt the
+    // merged aggregates. Content-hash salting is retry-stable; rows identical
+    // in every column share a salt (acceptable — exact duplicates of a hot
+    // key are the degenerate case no row-content salt can spread).
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
+      pmod(xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*),
+        lit(numSalts.toLong)))
     val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
       .agg(aggs.head.partial.as(s"__p0"),
         aggs.tail.zipWithIndex.map { case (a, i) =>

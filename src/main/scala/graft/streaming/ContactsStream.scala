@@ -40,8 +40,13 @@ object ContactsStream {
     val q = readContacts(spark, inDir, schema)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Clean(batch).write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent per-batch landing: a batch replayed after a crash
+        // between write and checkpoint commit OVERWRITES its own directory
+        // instead of appending duplicates (batch= is a partition column, so
+        // spark.read.parquet(outDir) still sees one logical table)
+        Clean(batch).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

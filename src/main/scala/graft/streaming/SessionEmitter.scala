@@ -42,18 +42,33 @@ object SessionEmitter {
             Iterator(ClosedSession(uid, new Timestamp(s.startMs),
               new Timestamp(s.endMs), s.n, s.total))
           } else {
+            val gapMs = gapMinutes * 60000L
             val batch = rows.toSeq
             val lo = batch.map(_.ts.getTime).min
             val hi = batch.map(_.ts.getTime).max
             val add = batch.map(_.value).sum
-            val merged = state.getOption match {
-              case Some(s) => SessState(math.min(s.startMs, lo),
-                math.max(s.endMs, hi), s.n + batch.size, s.total + add)
-              case None => SessState(lo, hi, batch.size.toLong, add)
+            state.getOption match {
+              // new data can arrive BEFORE the event-time timeout fires (the
+              // watermark only advances with data); if the inactivity gap is
+              // already exceeded, close the old session now instead of
+              // merging a 2-hour-later event into it
+              case Some(s) if lo > s.endMs + gapMs =>
+                val closed = ClosedSession(uid, new Timestamp(s.startMs),
+                  new Timestamp(s.endMs), s.n, s.total)
+                val fresh = SessState(lo, hi, batch.size.toLong, add)
+                state.update(fresh)
+                state.setTimeoutTimestamp(fresh.endMs + gapMs)
+                Iterator(closed)
+              case other =>
+                val merged = other match {
+                  case Some(s) => SessState(math.min(s.startMs, lo),
+                    math.max(s.endMs, hi), s.n + batch.size, s.total + add)
+                  case None => SessState(lo, hi, batch.size.toLong, add)
+                }
+                state.update(merged)
+                state.setTimeoutTimestamp(merged.endMs + gapMs)
+                Iterator.empty
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.endMs + gapMinutes * 60000L)
-            Iterator.empty
           }
       }
   }
