@@ -75,6 +75,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
   }
 
+  test("simhashPairs maxHamming=0: exact-duplicate buckets, no mask wrap") {
+    val df = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different text here"))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical docs -> identical simhash -> the one expected pair; with the
+    // wrapped mask every doc landed in bucket 0 and 3 pairs came back
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
+  test("connectedComponents refuses to return unconverged labels") {
+    // a 6-node chain needs ~5 propagation rounds; maxIter=2 must throw,
+    // not silently split the component
+    val nodes = (1L to 6L).toDF("id")
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // with enough rounds the same chain resolves to one cluster
+    val ok = Dedup.connectedComponents(nodes, chain, maxIter = 10)
+      .select("cluster").distinct().collect()
+    assert(ok.length == 1 && ok.head.getLong(0) == 1L)
+  }
+
   test("embeddingNearDup size guard refuses oversized input") {
     val df = (0L until 10L).map(i => (i, Array(1.0, 0.0))).toDF("id", "vec")
     val e = intercept[IllegalArgumentException] {
