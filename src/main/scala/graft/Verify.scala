@@ -15,11 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      val target = new java.io.File(s"$outDir/$name")
+      // a failed query must not leave a PRIOR run's output behind — the
+      // driver would grade the stale (possibly passing) result as current
+      deleteRecursively(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(target.getPath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteRecursively(target)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -15,15 +15,21 @@ object Roles {
   /** Substring match, case-insensitive (reference clean_contacts.py:103,113,123):
     * all columns whose name contains any of the fragments. */
   def bySubstring(df: DataFrame, fragments: String*): Seq[String] = {
-    val frags = fragments.map(_.toUpperCase)
-    df.columns.filter(c => frags.exists(c.toUpperCase.contains)).toSeq
+    // Locale.ROOT: default-locale casing breaks 'i'/'I' matching under a
+    // Turkish JVM locale (exact() is already locale-safe via equalsIgnoreCase)
+    val frags = fragments.map(_.toUpperCase(java.util.Locale.ROOT))
+    df.columns.filter(c =>
+      frags.exists(c.toUpperCase(java.util.Locale.ROOT).contains)).toSeq
   }
 
   /** Candidate-list match (fill_missing_contacts.py:188-192): first column
     * whose name equals any candidate, case-insensitive, candidate order wins. */
   def byCandidates(df: DataFrame, candidates: Seq[String]): Option[String] = {
-    val byLower = df.columns.groupBy(_.toLowerCase).view.mapValues(_.head)
-    candidates.iterator.flatMap(c => byLower.get(c.toLowerCase)).nextOption()
+    val byLower = df.columns
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT)).view.mapValues(_.head)
+    candidates.iterator
+      .flatMap(c => byLower.get(c.toLowerCase(java.util.Locale.ROOT)))
+      .nextOption()
   }
 
   /** Exact-name match made case-insensitive (clean_contacts.py:129,150,167). */

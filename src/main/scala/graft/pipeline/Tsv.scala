@@ -78,10 +78,18 @@ object Tsv {
       .csv(target)
     if (singleFile) {
       val dir = new java.io.File(target)
-      val part = dir.listFiles().find(_.getName.startsWith("part-"))
+      // the rename step is java.io — LOCAL filesystem only (the artifact
+      // contract is a small export; distributed outputs use
+      // singleFile=false). Fail with a clear message, not an NPE, on
+      // hdfs://-style paths.
+      val listed = Option(dir.listFiles()).getOrElse(sys.error(
+        s"singleFile=true requires a local filesystem path; " +
+          s"cannot list $target (non-local or unreadable)"))
+      val part = listed.find(_.getName.startsWith("part-"))
         .getOrElse(sys.error(s"no part file written under $target"))
       val dest = new java.io.File(path)
-      if (dest.exists()) dest.delete()
+      if (dest.exists() && !dest.delete())
+        sys.error(s"cannot overwrite $path (existing non-empty directory?)")
       java.nio.file.Files.move(part.toPath, dest.toPath)
       dir.listFiles().foreach(_.delete()); dir.delete()
     }

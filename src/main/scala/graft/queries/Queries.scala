@@ -595,8 +595,9 @@ object Queries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  md5(text) AS text_md5,
              |  upper(array_to_string(list_transform(
-             |    range(1, greatest(length(text), 1) + 1, 97),
-             |    i -> to_hex(ascii(substr(text, CAST(i AS INT), 1)))), ''))
+             |    range(1, length(text) + 1, 97),
+             |    i -> lpad(to_hex(ascii(substr(text, CAST(i AS INT), 1))),
+             |              2, '0')), ''))
              |    AS byte_sample
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -712,9 +713,10 @@ object Queries {
              |  CASE WHEN len(hs) = 0 THEN 0
              |       ELSE list_reduce(hs, (a, b) -> (a * 1000003 + b) % 2147483647)
              |  END AS fp,
-             |  CAST(list_sum(list_transform(
+             |  CAST(coalesce(list_sum(list_transform(
              |    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
-             |    p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe
+             |    p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0) AS BIGINT)
+             |    AS n_bpe
              |FROM h ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
@@ -1151,9 +1153,11 @@ object Queries {
       (s, dir) => {
         val o = t(s, dir, "orders")
         val w = Window.partitionBy(col("o_custkey"))
-        // cust_avg is filtered on but not emitted: engines sum in different
-        // orders, and an average landing on a half-cent would round apart
-        o.withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        // the MEMBERSHIP test must also be rounding-stable: engines sum in
+        // different orders, so an unrounded avg could sit one ulp apart and
+        // flip a boundary row's row-set membership — round the threshold to
+        // cents (input precision) on both sides before comparing
+        o.withColumn("cust_avg", round(avg(col("o_totalprice")).over(w), 2))
           .filter(col("o_totalprice") > col("cust_avg") * 1.5)
           .select(col("o_orderkey"), col("o_custkey"),
             round(col("o_totalprice"), 2).as("price"))
@@ -1163,7 +1167,8 @@ object Queries {
              |  round(o_totalprice, 2) AS price
              |FROM (
              |  SELECT o_orderkey, o_custkey, o_totalprice,
-             |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+             |    round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+             |      AS cust_avg
              |  FROM orders)
              |WHERE o_totalprice > cust_avg * 1.5
              |ORDER BY o_orderkey""".stripMargin)),
@@ -1726,8 +1731,10 @@ object Queries {
     QueryDef("q61_sales_opportunity",
       (s, dir) => {
         val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        // rounded to cents so the membership test is identical across
+        // engines (see q43)
         val threshold = c.filter(col("c_acctbal") > 0.0)
-          .agg(avg(col("c_acctbal")).as("avg_bal"))
+          .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"))
         c.join(broadcast(threshold))
           .filter(col("c_acctbal") > col("avg_bal"))
           .join(o.filter(col("o_orderpriority") === "1-URGENT")
@@ -1741,8 +1748,8 @@ object Queries {
       Some("""SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
              |  round(sum(c_acctbal), 2) AS totacctbal
              |FROM customer
-             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-             |                   WHERE c_acctbal > 0.0)
+             |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+             |                   FROM customer WHERE c_acctbal > 0.0)
              |  AND NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderpriority = '1-URGENT')
@@ -2033,7 +2040,7 @@ object Queries {
        |    + CASE WHEN n_tokens > 0
        |        AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.5 END
        |    + CASE WHEN (CASE WHEN length(text) > 0
-       |        THEN CAST(length(text) - length(regexp_replace(text, '[\\p{Punct}]', '', 'g')) AS DOUBLE) / length(text)
+       |        THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
        |        ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END
        |  ) / 4.0, 4) AS quality
        |FROM scored ORDER BY doc_id""".stripMargin
