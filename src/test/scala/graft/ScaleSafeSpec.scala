@@ -99,6 +99,21 @@ class ScaleSafeSpec extends AnyFunSuite {
     assert(out.filter(col("rid") =!= col("x") + 1).isEmpty)
   }
 
+  test("Budget.cumulativeSum matches the naive window on null values too") {
+    // nulls are skipped by sum(...) OVER and the result stays null until
+    // the first non-null value globally — including a partition whose
+    // local prefix is entirely null
+    val rows = (1 to 200).map { i =>
+      val v: Option[Int] = if (i <= 5 || i % 3 == 0) None else Some(i)
+      (i.toLong, v)
+    }.toDF("id", "v").repartition(7)
+    val naive = rows.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val scaled = Budget.cumulativeSum(rows, Seq(col("id")), col("v"), "cum")
+    assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty)
+  }
+
   test("Budget.tokenBudgetSelect keeps the best-first prefix under budget") {
     val out = Budget.tokenBudgetSelect(docs,
       Seq(col("quality").desc, col("doc_id")), col("n_tokens"), budget = 20000L)
