@@ -202,7 +202,10 @@ object Text {
     * form: pass a materialized `tokens(c)` column to share the tokenization
     * with sibling metrics. */
   def qualityScoreOf(c: Column, t: Column): Column = {
-    val nTok = size(t).cast("double")
+    // coalesce: size(null) is null and least() SKIPS nulls, which would
+    // score null text lenScore 1.0 (and diverge from TextProfile's
+    // aggregated form, which counts 0 tokens)
+    val nTok = coalesce(size(t), lit(0)).cast("double")
     val lenScore = least(nTok / 20.0, lit(1.0))
     val mwl = meanWordLenOf(t)
     val wordScore = when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.5)

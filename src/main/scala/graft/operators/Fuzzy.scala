@@ -24,16 +24,21 @@ object Fuzzy {
       blockKey.as("blk"))
     keyed.as("a").join(keyed.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      // 3-arg levenshtein early-terminates once the distance exceeds the
+      // bound (returns -1): O(maxDist * min(len)) per pair instead of the
+      // full DP table — the dominant cost on a corpus-scale candidate set
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.name"), col("b.name")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("a.name"), col("b.name"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** Multi-pass blocking: union of candidate sets from several block keys
     * (recall grows with each pass; dedup on the pair). */
   def multiBlockedPairs(df: DataFrame, idCol: String, nameCol: String,
-      blockKeys: Seq[Column], maxDist: Int): DataFrame =
+      blockKeys: Seq[Column], maxDist: Int): DataFrame = {
+    require(blockKeys.nonEmpty, "multiBlockedPairs needs at least one block key")
     blockKeys.map(blockedPairs(df, idCol, nameCol, _, maxDist))
       .reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -48,7 +48,11 @@ object MostCompleteAgg {
 
     def reduce(b: Buf, in: In): Buf =
       if (!valid(in.value)) b
-      else better(b, Buf(in.value, in.value.length, in.tsMicros, -in.rowId,
+      // code-point count, not UTF-16 length: Spark's length() counts code
+      // points, and the equivalence with GoldenRecord.mostComplete must
+      // hold for supplementary characters too
+      else better(b, Buf(in.value,
+        in.value.codePointCount(0, in.value.length), in.tsMicros, -in.rowId,
         set = true))
 
     def merge(a: Buf, b: Buf): Buf = better(a, b)

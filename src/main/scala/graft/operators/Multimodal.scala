@@ -59,23 +59,29 @@ object Multimodal {
       pmod(h, lit(600000)).as("durationMs"))
   }
 
-  /** Frame/byte sampling: every `stride`-th byte of the blob as a binary
-    * column (the plan shape of video frame-sampling: a per-row projection,
-    * no shuffle). Pure expression over substring/sequence. */
+  /** Frame/byte sampling: every `stride`-th byte of the blob, HEX-ENCODED
+    * into a string column (the plan shape of video frame-sampling: a per-row
+    * projection, no shuffle). Null blobs stay null. */
   def sampleBytes(content: Column, stride: Int): Column =
-    array_join(transform(
-      sequence(lit(1), greatest(octet_length(content), lit(1)), lit(stride)),
-      i => hex(substring(content, i, lit(1)))), "")
+    when(content.isNull, lit(null).cast("string"))
+      .otherwise(array_join(transform(
+        sequence(lit(1), greatest(octet_length(content), lit(1)), lit(stride)),
+        i => hex(substring(content, i, lit(1)))), ""))
 
   /** Feature extraction over partitions — the genuine `mapPartitions` batch
     * shape a codec-backed featurizer needs. The per-blob featurizer itself is
     * a deterministic fake ([[fakeFeatures]]); real deployments swap in the
     * native call and keep this exact plumbing. */
   def featurize(media: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] = {
+    require(dim > 0, s"feature dim must be positive, got $dim")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would open the native codec ONCE here
-      rows.map(r => FeatureRow(r.id, fakeFeatures(r.content, dim)))
+      // per-partition setup would open the native codec ONCE here; null
+      // blobs featurize like empty ones instead of NPE-ing the task
+      rows.map { r =>
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        FeatureRow(r.id, fakeFeatures(bytes, dim))
+      }
     }
   }
 

@@ -28,7 +28,9 @@ object GoldenRecord {
     when(Cleaning.isPresent(value.cast("string")),
       struct(
         length(value.cast("string")).as("len"),
-        coalesce(lastUpdated.cast("timestamp"),
+        // try_cast: an unparseable string ts (raw, un-Cleaned frames)
+        // degrades to the epoch fallback instead of throwing under ANSI
+        coalesce(lastUpdated.try_cast("timestamp"),
           lit("1970-01-01 00:00:00").cast("timestamp")).as("ts"),
         (-rowId).as("neg_row")))
       .otherwise(lit(null))
@@ -42,8 +44,19 @@ object GoldenRecord {
 
   /** Attach the dedup key (clean_contacts.py:164-179): lower(email), falling
     * back to lower(fullname) + "-" + mobile. Case-insensitive role resolution
-    * (the intended semantics — divergence ledger §1.4). */
+    * (the intended semantics — divergence ledger §1.4).
+    *
+    * Rows with NO identity at all share the key "-" and merge into one
+    * golden record — the reference's groupby does the same; callers that
+    * want to preserve identity-less rows must filter them out first. A frame
+    * where none of the three roles even RESOLVES would silently collapse the
+    * whole table that way, so that case is rejected. */
   def withDedupKey(df: DataFrame, keyCol: String = "dedup_key"): DataFrame = {
+    val resolved = Seq("EMAIL", "FULLNAME", "MOBILE").flatMap(Roles.exact(df, _))
+    require(resolved.nonEmpty,
+      s"none of EMAIL/FULLNAME/MOBILE resolve against columns " +
+        s"[${df.columns.mkString(", ")}] — every row would get the same " +
+        "dedup key and the whole table would merge into one golden record")
     def c(role: String): Column =
       Roles.exact(df, role).map(n => col(n).cast("string"))
         .getOrElse(lit(null).cast("string"))
@@ -70,8 +83,12 @@ object GoldenRecord {
     * appears in the incoming batch are re-merged; untouched golden rows
     * pass through without a shuffle of their data. Incoming batches are
     * small relative to the golden table, so `touchedKeys` broadcasts and
-    * the anti/semi joins stay map-side. Result is identical to
-    * `dedupe(existing ∪ incoming)` (spec-proved). */
+    * the anti/semi joins stay map-side.
+    *
+    * PRECONDITION: `existing` must itself be a prior dedupe output (one row
+    * per key, values already merged/normalized). Untouched rows pass through
+    * unmodified, so only under that precondition is the result identical to
+    * `dedupe(existing ∪ incoming)` (spec-proved for that case). */
   def upsertIncremental(existing: DataFrame, incoming: DataFrame,
       rowIdCol: String, lastUpdatedCol: Option[String] = None,
       keyCol: String = "dedup_key"): DataFrame = {

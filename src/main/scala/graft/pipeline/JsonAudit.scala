@@ -20,9 +20,15 @@ import org.apache.spark.sql.DataFrame
 object JsonAudit {
 
   /** Single pretty-printed JSON array (reference artifact shape).
-    * Values are rendered as JSON strings/numbers/nulls per field type. */
+    * Values are rendered as JSON strings/numbers/nulls per field type —
+    * null fields are EMITTED (`"x": null`), matching the reference's
+    * json.dump, not dropped the way `df.toJSON` does by default. */
   def writeArray(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
-    val rows = df.toJSON.take(maxRows + 1)
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val rows = df
+      .select(to_json(struct(df.columns.map(c => col(s"`$c`")).toSeq: _*),
+        Map("ignoreNullFields" -> "false")))
+      .take(maxRows + 1).map(_.getString(0))
     require(rows.length <= maxRows,
       s"audit dataset exceeds $maxRows rows; use writeDistributed")
     // toJSON yields compact per-row objects; indent them into a pretty array
