@@ -32,6 +32,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally
+        // helper caches (postings, signatures) built during one run would
+        // otherwise satisfy the NEXT run's identical plan fragments via the
+        // cache manager — the warm-up is for JIT/codegen, not data; each
+        // timed run must pay its own materialization cost. Also bounds
+        // executor storage across 62 queries x 3 passes.
+        spark.catalog.clearCache()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       sec
@@ -46,10 +53,14 @@ object Bench {
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal timings: the driver captures only the TAIL of stdout, and
+    // full-precision doubles push the 62-query line past that window — the
+    // truncated head then fails its JSON parse (BENCH_r02/r03 parsed:null).
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
