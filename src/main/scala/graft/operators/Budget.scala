@@ -43,8 +43,16 @@ object Budget {
     // null-until-first-value behavior.
     val v0 = coalesce(value, lit(0L))
     val vCnt = when(value.isNotNull, lit(1L)).otherwise(lit(0L))
+    // `sorted` is consumed TWICE (subtotal agg + data join). Without pinning,
+    // correctness would silently depend on Spark reusing one exchange for
+    // both branches: range partitioning samples its bounds, so two
+    // independent executions could place rows in different partitions and
+    // the offsets would no longer line up with the data. A lazy
+    // localCheckpoint materializes the partitioning exactly once — both
+    // consumers read the same blocks under any exchange-reuse setting.
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
       .withColumn(PidCol, spark_partition_id().cast("long"))
+      .localCheckpoint(eager = false)
     // one row per partition — safe for a global window
     val subtotals = sorted.groupBy(col(PidCol))
       .agg(sum(v0).as(SubCol), sum(vCnt).as(SubCntCol))

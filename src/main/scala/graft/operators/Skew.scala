@@ -33,14 +33,17 @@ object Skew {
     * spread over `numSalts` phase-1 groups. */
   def saltedAggregate(df: DataFrame, key: Column, numSalts: Int,
       aggs: Seq[SaltedAgg]): DataFrame = {
-    // salt must be DETERMINISTIC per row content: monotonically_increasing_id
-    // depends on partition layout and row order, so a phase-1 task recomputed
+    // salt must be DETERMINISTIC under task retry: monotonically_increasing_id
+    // depends on row order within a task attempt, so a phase-1 task recomputed
     // after a fetch failure could re-salt rows differently and corrupt the
-    // merged aggregates. Content-hash salting is retry-stable; rows identical
-    // in every column share a salt (acceptable — exact duplicates of a hot
-    // key are the degenerate case no row-content salt can spread).
+    // merged aggregates. Hash(row content, partition id) is retry-stable —
+    // a retried task recomputes the same partition, so every row re-hashes to
+    // the same salt — while byte-identical duplicates of a hot key (the most
+    // common real skew shape) still spread: copies living in different input
+    // partitions land in different salt groups.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*),
+      pmod(xxhash64(
+        (df.columns.map(c => col(s"`$c`")) :+ spark_partition_id()).toSeq: _*),
         lit(numSalts.toLong)))
     val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
       .agg(aggs.head.partial.as(s"__p0"),

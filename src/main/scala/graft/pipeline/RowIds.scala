@@ -53,7 +53,13 @@ object RowIds {
     * position within the partition minor). For file scans this is file
     * order — the P7 contract. No global sort, no single-partition window.
     * Re-applying over an existing `idCol` replaces it (withColumn
-    * semantics), never duplicates it. */
+    * semantics), never duplicates it.
+    *
+    * Contract: `df`'s partition layout must be DETERMINISTIC across the two
+    * executions this plan performs (the per-partition count branch and the
+    * data branch both re-derive from `df`). File scans satisfy this; a
+    * sampled exchange (repartitionByRange) does not — [[denseByOrder]] pins
+    * one with a lazy localCheckpoint before calling here. */
   def denseInPartitionOrder(df: DataFrame, idCol: String): DataFrame = {
     val withMono = df.withColumn(MonoCol, monotonically_increasing_id())
       .withColumn(PidCol, shiftright(col(MonoCol), 33))
@@ -79,7 +85,12 @@ object RowIds {
     * Equivalent to `row_number().over(Window.orderBy(order))` — including
     * its nondeterminism when `order` has ties — at any scale. */
   def denseByOrder(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
+    // Range partitioning samples its bounds; pin the layout so the count
+    // branch and the data branch inside denseInPartitionOrder cannot see
+    // two different partitionings when exchange reuse is off (see the
+    // [[denseInPartitionOrder]] determinism contract).
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .localCheckpoint(eager = false)
     denseInPartitionOrder(sorted, idCol)
   }
 }
