@@ -31,13 +31,19 @@ object ApiMain {
       s"$outDir/fill_missing_log.json",
       s"$outDir/validation_errors.json")
 
+    // helper caches built inside operators (postings, signatures, exploded
+    // lines) are scoped to one run; without this they would accumulate in
+    // executor storage for the lifetime of the served session
+    def cleanedUp(f: () => String): () => String =
+      () => try f() finally spark.catalog.clearCache()
+
     val stages: Map[String, () => String] = Map(
-      "pipeline" -> (() => {
+      "pipeline" -> cleanedUp(() => {
         val r = ContactsApp.run(spark, masterPath, sourcesDir, Some(artifacts))
         r.stages.map(s => f"${s.name}: ${s.seconds}%.2fs ${s.rows} rows")
           .mkString("; ") + s"; passed=${r.passed}"
       }),
-      "validate" -> (() => {
+      "validate" -> cleanedUp(() => {
         val master = ContactsApp.withResolvedKeys(ContactsApp.withRowIds(
           graft.pipeline.Tsv.readAllString(spark, masterPath)))
         val errs = graft.pipeline.Validate.errors(master)
@@ -45,9 +51,15 @@ object ApiMain {
       }))
 
     // on timeout, cancel the distributed work too — interrupting the REST
-    // worker thread alone would leave the submitted Spark job running
+    // worker thread alone would leave the submitted Spark job running. Each
+    // run's jobs are scoped to its run-id job group (set on the worker
+    // thread), so the timeout cancels exactly that run: a run that timed out
+    // while still queued has an empty group and the cancel is a no-op,
+    // never touching a later run's jobs.
     val srv = new RestServer(port, outDir, stages,
-      onRunTimeout = () => spark.sparkContext.cancelAllJobs())
+      onRunStart = id => spark.sparkContext.setJobGroup(id,
+        s"REST run $id", interruptOnCancel = true),
+      onRunTimeout = id => spark.sparkContext.cancelJobGroup(id))
     srv.start()
     println(s"[api] listening on :${srv.boundPort} " +
       s"(stages: ${stages.keys.mkString(", ")})")

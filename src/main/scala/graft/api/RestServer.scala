@@ -20,18 +20,27 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * single-thread executor — the reference's racing-writes hazard (SURVEY.md
   * §3.2) is fixed rather than reproduced. Runs are capped at
   * `runTimeoutMs` like the reference's `subprocess.run(..., timeout=300)`
-  * (backend_api.py:26); a timed-out run answers `{"timedOut":true}`, the
-  * worker thread is interrupted, AND `onRunTimeout` fires so the owner can
-  * cancel the distributed work itself (e.g. `sparkContext.cancelAllJobs()`
-  * — interrupting the driver thread alone would leave the submitted Spark
-  * job running and let the next /run overlap with it). HTTP dispatch uses a
-  * small thread pool so /stages and /output stay responsive during a run;
-  * only /run is serialized. JDK HttpServer: zero extra dependencies.
+  * (backend_api.py:26); a timed-out run answers `{"timedOut":true}` and the
+  * worker thread is interrupted — but interrupting the driver thread alone
+  * would leave an already-submitted Spark job running, so each run gets a
+  * unique id: `onRunStart(id)` fires ON THE WORKER THREAD as the run begins
+  * (wire it to `sparkContext.setJobGroup(id, ...)`) and `onRunTimeout(id)`
+  * fires when that run times out (wire it to `cancelJobGroup(id)`). A run
+  * that times out while still QUEUED never started, so its group holds no
+  * jobs and the cancel is a no-op — a blanket `cancelAllJobs` here would
+  * race: with a stage that ignores interruption, each queued request times
+  * out in line and the blanket cancel could kill a LATER run's jobs just as
+  * the queue drains. HTTP dispatch uses a small thread pool so /stages and
+  * /output stay responsive during a run; only /run is serialized. JDK
+  * HttpServer: zero extra dependencies.
   */
 class RestServer(port: Int, outputDir: String,
     stages: Map[String, () => String],
     runTimeoutMs: Long = 300000L,
-    onRunTimeout: () => Unit = () => ()) {
+    onRunStart: String => Unit = _ => (),
+    onRunTimeout: String => Unit = _ => ()) {
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def daemonFactory(name: String) = new java.util.concurrent.ThreadFactory {
     private val n = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -93,11 +102,16 @@ class RestServer(port: Int, outputDir: String,
           case None => respond(ex, 400, """{"error":"unknown stage"}""")
           case Some((n, f)) =>
             val t0 = System.nanoTime()
+            val runId = s"graft-rest-run-${runSeq.incrementAndGet()}"
             val fut = runExec.submit(
               new java.util.concurrent.Callable[(Boolean, String)] {
-                def call(): (Boolean, String) =
+                def call(): (Boolean, String) = {
+                  // on the worker thread, so a setJobGroup here scopes every
+                  // Spark job this stage submits to `runId`
+                  onRunStart(runId)
                   try (true, f())
                   catch { case e: Throwable => (false, String.valueOf(e.getMessage)) }
+                }
               })
             try {
               val (ok, log) = fut.get(runTimeoutMs,
@@ -107,8 +121,9 @@ class RestServer(port: Int, outputDir: String,
                 s"""{"stage":${jsonStr(n)},"ok":$ok,"timedOut":false,"seconds":$sec,"log":${jsonStr(log)}}""")
             } catch {
               case _: java.util.concurrent.TimeoutException =>
-                fut.cancel(true) // interrupt the worker (backend_api.py:26 parity)
-                onRunTimeout()   // cancel the distributed job itself
+                fut.cancel(true)    // interrupt the worker (backend_api.py:26 parity)
+                onRunTimeout(runId) // cancel THIS run's distributed jobs only;
+                                    // a no-op if the run was still queued
                 val sec = (System.nanoTime() - t0) / 1e9
                 respond(ex, 500,
                   s"""{"stage":${jsonStr(n)},"ok":false,"timedOut":true,"seconds":$sec,"log":${jsonStr(s"timed out after ${runTimeoutMs / 1000.0} s")}}""")

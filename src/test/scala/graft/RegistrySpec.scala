@@ -25,4 +25,30 @@ class RegistrySpec extends AnyFunSuite {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // RECALL-vs-SF ASSUMPTION (recorded deliberately): q20 (MinHash-LSH) and
+  // q29 (hyperplane-LSH near-dup) are PROBABILISTIC stages graded against
+  // EXACT oracles. That only works because, at the gate SFs (sf0.001,
+  // sf0.01) with Spark's fixed hash seeds and the configured
+  // signature/band/table counts, measured recall is 1.0 — every planted
+  // pair survives bucketing, and exact rescoring makes precision 1.0 by
+  // construction. The expected per-pair recall is ~0.9998, so a FUTURE
+  // gate SF (more planted pairs) or a change to Spark's hash functions can
+  // produce an expected statistical miss — a failed hash compare there is
+  // NOT automatically a code regression. If a new SF joins the gate:
+  // re-verify this identity at that SF (tools/check_oracle.py does it for
+  // the DuckDB side) before raising band/table counts.
+  test("q20/q29 LSH == exact-oracle identity holds at the gate SF (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    def rows(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rows("q20_minhash_lsh_pairs") == rows("q19_jaccard_pairs"),
+      "MinHash-LSH no longer reproduces the exact Jaccard closure at sf0.001 " +
+        "— if the corpus or Spark's hashing changed, this may be an expected " +
+        "statistical miss (see comment above), not a code bug")
+    assert(rows("q29_embed_neardup_lsh") == rows("q28_embed_neardup"),
+      "vector-LSH no longer reproduces the exact near-dup closure at sf0.001")
+  }
 }

@@ -97,13 +97,15 @@ class RestServerSpec extends AnyFunSuite {
   test("run timeout cancels the stage (backend_api.py:26 parity)") {
     val outDir = Files.createTempDirectory("rest").toFile
     @volatile var interrupted = false
-    @volatile var jobsCancelled = false
+    val started = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val timedOut = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val srv = new RestServer(0, outDir.getAbsolutePath, Map(
       "slow" -> (() =>
         try { Thread.sleep(10000); "never" }
         catch { case _: InterruptedException => interrupted = true; throw new RuntimeException("interrupted") }),
       "fast" -> (() => "quick")), runTimeoutMs = 300L,
-      onRunTimeout = () => jobsCancelled = true)
+      onRunStart = id => started.add(id),
+      onRunTimeout = id => timedOut.add(id))
     srv.start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
     val http = HttpClient.newHttpClient()
@@ -114,8 +116,9 @@ class RestServerSpec extends AnyFunSuite {
     try {
       val run = post("/run", """{"stage":"slow"}""")
       assert(run.statusCode() == 500 && run.body().contains(""""timedOut":true"""))
-      // the distributed-cancel hook fired (ApiMain wires cancelAllJobs here)
-      assert(jobsCancelled)
+      // the distributed-cancel hook fired for the run that actually started
+      // (ApiMain wires setJobGroup/cancelJobGroup to these ids)
+      assert(timedOut.size == 1 && started.contains(timedOut.peek()))
       // the worker thread was interrupted, and the executor is free again
       org.scalatest.concurrent.Eventually.eventually(
         org.scalatest.concurrent.Eventually.timeout(
@@ -124,6 +127,46 @@ class RestServerSpec extends AnyFunSuite {
       }
       val ok = post("/run", """{"stage":"fast"}""")
       assert(ok.statusCode() == 200 && ok.body().contains("quick"))
+    } finally srv.stop()
+  }
+
+  test("queued run that times out never cancels a later run's job group") {
+    val outDir = Files.createTempDirectory("rest").toFile
+    val started = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val timedOut = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // ignores interruption for ~1.2s — the shape that used to poison the
+    // queue: every queued request timed out in line and a blanket
+    // cancelAllJobs could kill whatever run was executing by then
+    val srv = new RestServer(0, outDir.getAbsolutePath, Map(
+      "stubborn" -> (() => {
+        val end = System.nanoTime() + 1200L * 1000 * 1000
+        while (System.nanoTime() < end)
+          try Thread.sleep(50) catch { case _: InterruptedException => () }
+        "survived"
+      })), runTimeoutMs = 300L,
+      onRunStart = id => started.add(id),
+      onRunTimeout = id => timedOut.add(id))
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val futs = (1 to 2).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            val http = HttpClient.newHttpClient()
+            http.send(HttpRequest.newBuilder(URI.create(base + "/run"))
+              .POST(HttpRequest.BodyPublishers.ofString("""{"stage":"stubborn"}"""))
+              .build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+          }
+        }))
+      assert(futs.map(_.get()).forall(_ == 500)) // both time out
+      // both runs got distinct timeout cancels, but only ONE ever started:
+      // the queued run's cancel targets an empty job group (a no-op), so it
+      // cannot hit jobs submitted by the run that is still executing
+      assert(timedOut.size == 2)
+      assert(timedOut.toArray.toSet.size == 2)
+      assert(started.size == 1)
+      pool.shutdown()
     } finally srv.stop()
   }
 }
