@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.bridge
 
-import graft.expressions.{PyTitleCase, VecDot}
+import graft.expressions.{PyTitleCase, VecDot, WordShingles}
 import graft.functions.Text
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "(array<double>, array<double>) - dot product"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "(str, n) - word n-gram shingle array"),
+      (args: Seq[Expression]) => WordShingles(args(0), args(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"word_shingles size must be an integer literal, got $other")
+      })))
     // text-analysis family (Column compositions lowered via the bridge)
     register(ext, "redact_pii", "str - emails/phones to typed placeholders",
       a => Text.redactPii(a.head))

@@ -41,8 +41,17 @@ object Text {
   }
 
   /** Word n-gram shingles: array of space-joined n-token windows. Documents
-    * shorter than n tokens yield one shingle (the whole document). */
-  def wordShingles(c: Column, n: Int): Column = {
+    * shorter than n tokens yield one shingle (the whole document). Backed by
+    * the native [[graft.expressions.WordShingles]] expression — the HOF
+    * composition ([[wordShinglesHof]]) interprets a lambda per shingle and
+    * dominated every shingle-based pair query at sf0.1. */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.expressions.WordShingles.column(c, n)
+
+  /** The original higher-order-function formulation of [[wordShingles]],
+    * kept as the executable spec the native expression is property-tested
+    * against (FunctionsSpec). */
+  private[graft] def wordShinglesHof(c: Column, n: Int): Column = {
     val t = tokens(c)
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),

@@ -1683,6 +1683,74 @@ object Queries {
     // (the train/test overlap scrub every LLM corpus pipeline runs).
     // Inverted-index join between the two sides (shuffle on shingle), never
     // a doc x doc cross join; same skew-cap story as q19.
+    // ---------------------------------------------------------------------
+    // q63: Gopher-style repetition/quality rules (QualityRules.signals) —
+    // duplicate-token fraction, top-2-gram character fraction, and
+    // symbol-to-word ratio, each thresholded into a keep flag. Symbol noise
+    // ('## ####' + an ellipsis) is planted deterministically on every 7th
+    // doc (same device as q56's planted PII) so the symbol rule actually
+    // fires. Thresholds sit at this corpus's observed medians so keep
+    // varies. Plan: two explode->count aggs on (doc, token) / (doc, 2gram)
+    // composite keys, partial agg on both, order-free struct-max for the
+    // top gram — no window, no per-doc sort.
+    QueryDef("q63_quality_rules",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val planted = d.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" ## #### and then ...")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.QualityRules.signals(planted, "doc_id", "text",
+            maxDupTokFrac = 0.5, maxTop2gramCharFrac = 0.08,
+            maxSymbolWordRatio = 0.1)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' ## #### and then ...'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks,
+             |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+             |      + CAST((len(text) - len(replace(text, '...', ''))) / 3
+             |             AS BIGINT) AS n_symbols
+             |  FROM d),
+             |tok AS (SELECT doc_id, unnest(toks) AS tok FROM b),
+             |ts AS (SELECT doc_id, count(*) AS n_tokens,
+             |         count(DISTINCT tok) AS n_distinct
+             |       FROM tok GROUP BY doc_id),
+             |gr AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 2
+             |         THEN list_transform(range(len(toks) - 1),
+             |                i -> toks[i + 1] || ' ' || toks[i + 2])
+             |         ELSE [array_to_string(toks, ' ')] END AS grams
+             |  FROM b),
+             |g AS (SELECT doc_id, unnest(grams) AS gram FROM gr),
+             |gc AS (SELECT doc_id, gram, count(*) AS cnt
+             |       FROM g GROUP BY doc_id, gram),
+             |top AS (SELECT doc_id, gram, cnt FROM (
+             |    SELECT doc_id, gram, cnt, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+             |    FROM gc) WHERE rn = 1),
+             |m AS (
+             |  SELECT b.doc_id, ts.n_tokens,
+             |    round((ts.n_tokens - ts.n_distinct) * 1.0 / ts.n_tokens, 6)
+             |      AS dup_tok_frac,
+             |    top.gram AS top_2gram, top.cnt AS top_2gram_cnt,
+             |    round(top.cnt * len(top.gram) * 1.0 / b.n_chars, 6)
+             |      AS top2gram_char_frac,
+             |    round(b.n_symbols * 1.0 / ts.n_tokens, 6) AS symbol_word_ratio
+             |  FROM b JOIN ts USING (doc_id) JOIN top USING (doc_id))
+             |SELECT doc_id, n_tokens, dup_tok_frac, top_2gram, top_2gram_cnt,
+             |  top2gram_char_frac, symbol_word_ratio,
+             |  (dup_tok_frac <= 0.5 AND top2gram_char_frac <= 0.08
+             |    AND symbol_word_ratio <= 0.1) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     QueryDef("q62_decontaminate",
       (s, dir) => {
         // shingle ONCE for the whole corpus, cache, split train/eval by

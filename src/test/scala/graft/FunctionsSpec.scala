@@ -119,6 +119,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short == Seq("one two"))
   }
 
+  test("native WordShingles == HOF composition (incl. null/empty/unicode)") {
+    // the HOF form is the executable spec the native expression replaced on
+    // the hot path — outputs must stay byte-identical, including the [""]
+    // fallback for null/empty/short docs
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("the", "Quick", "brown", "FOX", "straße", "早", "a1", "-")
+    val generated = (1 to 60).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4)))
+    }
+    val edge = Seq(null, "", " ", "\t\n", "one", "one two", "  pad  ")
+    val df = (generated ++ edge).toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(
+        Text.wordShingles(col("t"), n).as("native"),
+        Text.wordShinglesHof(col("t"), n).as("hof")).collect()
+      for (r <- rows)
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n diverged: native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+  }
+
   test("fingerprint: portable rolling hash, order-sensitive") {
     def fp(s: String) = Seq(s).toDF("t").select(Text.fingerprint(col("t")))
       .head().getLong(0)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{Dedup, Multimodal, QualityRules, Sessionize, Similarity}
 
 /** Operator-level tests: dedup family (exact / Jaccard / MinHash-LSH /
   * SimHash / embedding), ANN search, sessionization, multimodal plumbing. */
@@ -46,6 +46,37 @@ class OperatorsSpec extends AnyFunSuite {
       numHashes = 64, bands = 16, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("QualityRules.signals: repetition, top-2gram, symbols, edge docs") {
+    val df = docs(
+      (1L, "spam spam spam spam spam spam"), // one token repeated
+      (2L, "the quick brown fox jumps over lazy dogs while birds sing loudly"),
+      (3L, "x ## #### ..."),                  // symbol noise
+      (4L, ""),                               // empty
+      (5L, "   "))                            // whitespace only
+    val out = QualityRules.signals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5, "every input id is preserved")
+    // doc 1: 6 tokens, 1 distinct -> dup frac 5/6; top 2-gram "spam spam" x5
+    assert(out(1L).getAs[Double]("dup_tok_frac") == math.rint(5.0 / 6 * 1e6) / 1e6)
+    assert(out(1L).getAs[String]("top_2gram") == "spam spam")
+    assert(out(1L).getAs[Long]("top_2gram_cnt") == 5L)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    // doc 2: no repeats, every 2-gram unique -> keeps
+    assert(out(2L).getAs[Double]("dup_tok_frac") == 0.0)
+    assert(out(2L).getAs[Long]("top_2gram_cnt") == 1L)
+    assert(out(2L).getAs[Boolean]("keep"))
+    // doc 3: 6 '#' chars + one '...' = 7 symbols over 4 tokens -> fails
+    assert(out(3L).getAs[Double]("symbol_word_ratio") == 1.75)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    // empty / whitespace docs: zero tokens, all ratios 0, keep = true
+    for (id <- Seq(4L, 5L)) {
+      assert(out(id).getAs[Long]("n_tokens") == 0L)
+      assert(out(id).getAs[Double]("dup_tok_frac") == 0.0)
+      assert(out(id).getAs[Double]("top2gram_char_frac") == 0.0)
+      assert(out(id).getAs[Boolean]("keep"))
+    }
   }
 
   test("simhashPairs: pigeonhole candidates + hamming filter") {
