@@ -33,8 +33,14 @@ object Text {
   val BpeishRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
   /** Approximate BPE token count: matches of [[BpeishRegex]], with long letter
-    * runs counted as ceil(len / 4) subword pieces. */
-  def bpeTokenCount(c: Column): Column = {
+    * runs counted as ceil(len / 4) subword pieces. Backed by the native
+    * [[graft.expressions.BpeCount]] expression (one regex scan per row). */
+  def bpeTokenCount(c: Column): Column =
+    graft.expressions.BpeCount.column(c)
+
+  /** The original extract-then-fold formulation of [[bpeTokenCount]], kept
+    * as the executable spec the native expression is tested against. */
+  private[graft] def bpeTokenCountHof(c: Column): Column = {
     val pieces = regexp_extract_all(c, lit(BpeishRegex), lit(0))
     aggregate(pieces, lit(0L),
       (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
@@ -130,8 +136,17 @@ object Text {
   /** Rolling polynomial document fingerprint over token hashes, mod 2^31-1:
     * fp = fold(tokens, acc -> (acc * 1000003 + h(tok)) mod P). Order-sensitive
     * (unlike a bag-of-words hash) and engine-portable via [[md5Mod]].
-    * acc < 2^31 and h < 2^31 keep every step below 2^52 — no ANSI overflow. */
+    * Backed by the native [[graft.expressions.DocFingerprint]] expression;
+    * the HOF fold ([[fingerprintHof]]) interpreted one lambda + one Catalyst
+    * md5 chain per token on the q25 hot path. */
   def fingerprint(c: Column): Column =
+    graft.expressions.DocFingerprint.column(c)
+
+  /** The original fold formulation of [[fingerprint]], kept as the
+    * executable spec the native expression is property-tested against.
+    * acc < 2^31 and h < 2^31 keep every step below 2^52 — no ANSI
+    * overflow. */
+  private[graft] def fingerprintHof(c: Column): Column =
     aggregate(tokens(c), lit(0L),
       (acc, t) => pmod(acc * lit(1000003L) + md5Mod(t), lit(P31)))
 

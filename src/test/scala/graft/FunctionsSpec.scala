@@ -141,6 +141,34 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native DocFingerprint == HOF md5 fold (incl. null/empty/unicode)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "BETA", "straße", "早口", "x9", "#", "a-b")
+    val generated = (1 to 60).map { _ =>
+      (0 until rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(Seq(" ", "  ", "\t")(rnd.nextInt(3)))
+    }
+    val df = (generated ++ Seq(null, "", " ", "solo")).toDF("t")
+    val rows = df.select(Text.fingerprint(col("t")).as("native"),
+      Text.fingerprintHof(col("t")).as("hof")).collect()
+    for (r <- rows)
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"diverged: native=${r.get(0)} hof=${r.get(1)}")
+  }
+
+  test("native BpeCount == HOF extract-then-fold (incl. null/digits/punct)") {
+    val cases = Seq(null, "", "abc", "abcdefgh", "a1b2", "hello, world!!",
+      "x".repeat(13), "...", "tab\tsep 42", "早口言葉 mixed ascii")
+    val df = cases.toDF("t")
+    val rows = df.select(Text.bpeTokenCount(col("t")).as("native"),
+      Text.bpeTokenCountHof(col("t")).as("hof")).collect()
+    for (r <- rows)
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"diverged: native=${r.get(0)} hof=${r.get(1)}")
+  }
+
   test("fingerprint: portable rolling hash, order-sensitive") {
     def fp(s: String) = Seq(s).toDF("t").select(Text.fingerprint(col("t")))
       .head().getLong(0)
