@@ -32,13 +32,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      finally
+      finally {
         // helper caches (postings, signatures) built during one run would
         // otherwise satisfy the NEXT run's identical plan fragments via the
         // cache manager — the warm-up is for JIT/codegen, not data; each
         // timed run must pay its own materialization cost. Also bounds
-        // executor storage across 62 queries x 3 passes.
+        // executor storage across 62 queries x 3 passes. localCheckpoint'd
+        // frames (Budget/RowIds/CC) bypass the CacheManager and need their
+        // own unpersist.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       sec

@@ -30,6 +30,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         deleteRecursively(target)
       }
+      finally {
+        // bound storage across the 61-query run: operator helper caches and
+        // localCheckpoint'd frames are per-query scratch, not shared state
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -33,9 +33,18 @@ object ApiMain {
 
     // helper caches built inside operators (postings, signatures, exploded
     // lines) are scoped to one run; without this they would accumulate in
-    // executor storage for the lifetime of the served session
+    // executor storage for the lifetime of the served session. clearCache
+    // only covers CacheManager entries — localCheckpoint'd frames (Fill's
+    // per-source checkpoints, Budget/RowIds pinned partitionings, the CC
+    // label frame) live as persistent RDDs and need their own unpersist.
+    // Safe mid-flight: runs are serialized, and unpersisting a live RDD
+    // only forces recompute, never wrong results.
     def cleanedUp(f: () => String): () => String =
-      () => try f() finally spark.catalog.clearCache()
+      () => try f() finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
 
     val stages: Map[String, () => String] = Map(
       "pipeline" -> cleanedUp(() => {
