@@ -1950,6 +1950,42 @@ object Queries {
              |ORDER BY p.doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q64: backward as-of join (AsOf.joinBackward) — for every purchase,
+    // the user's most recent click at or before it. Union-merge plan: ONE
+    // hash shuffle on user_id + per-partition sort, never the range-join
+    // row explosion. Oracle restates the same semantics as a LATERAL
+    // top-1 lookup with the identical (ts DESC, id DESC) tie order.
+    QueryDef("q64_asof_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val probe = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val build = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("cts"), col("value").as("click_value"))
+        graft.operators.AsOf.joinBackward(probe, build, Seq("user_id"),
+            "ts", "cts", "click_id", Seq("click_id", "cts", "click_value"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("pts_us"),
+            col("asof_click_id").as("click_id"),
+            col("asof_click_value").as("click_value"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_cts")))
+              .as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pts_us,
+             |  m.click_id, m.click_value, epoch_us(p.ts) - m.cts_us AS gap_us
+             |FROM events p LEFT JOIN LATERAL (
+             |  SELECT b.event_id AS click_id, b.value AS click_value,
+             |    epoch_us(b.ts) AS cts_us
+             |  FROM events b
+             |  WHERE b.event_type = 'click' AND b.user_id = p.user_id
+             |    AND b.ts <= p.ts
+             |  ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) m ON true
+             |WHERE p.event_type = 'purchase'
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.

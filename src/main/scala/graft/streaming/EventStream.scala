@@ -78,6 +78,47 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join: each purchase joined to the
+    * same user's clicks from the `lookback` window ending at the purchase
+    * (click-attribution shape). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so the state store retains only
+    * `lookback + watermark` of history per side — the condition IS the
+    * state-cleanup contract (an unbounded-time stream-stream join would
+    * grow state forever and Spark rejects it in append mode). Works on
+    * batch frames too (watermarks no-op), which is how the spec proves
+    * stream == batch. */
+  def purchaseAttribution(events: DataFrame,
+      lookback: String = "10 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"), col("value").as("purchase_value"))
+      .withWatermark("pts", "2 hours")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "2 hours")
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        ((unix_micros(col("pts")) - unix_micros(col("cts"))) / 1000000L)
+          .cast("long").as("gap_s"),
+        col("purchase_value"))
+  }
+
+  /** Drain a directory through [[purchaseAttribution]] into memory. */
+  def drainAttributionToMemory(spark: SparkSession, dir: String,
+      table: String): StreamingQuery = {
+    val q = purchaseAttribution(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drain a directory through [[dedupEvents]] into an in-memory table. */
   def drainDedupToMemory(spark: SparkSession, dir: String,
       table: String): StreamingQuery = {

@@ -356,4 +356,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getInt(2) >= 1 && r.getInt(2) <= 1080)
     assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
   }
+
+  test("asOf joinBackward: latest at-or-before, ties, misses, key isolation") {
+    import graft.operators.AsOf
+    val probe = Seq(
+      (101L, "u1", 50L),  // before any build row for u1 -> null
+      (102L, "u1", 100L), // exactly at build ts=100 -> same-instant visible
+      (103L, "u1", 250L), // between 200 and 300 -> picks ts=200
+      (104L, "u2", 999L), // u2 has its own history -> picks u2's ts=500
+      (105L, "u3", 10L))  // key with no build rows at all -> null
+      .toDF("pid", "user", "pts")
+    val build = Seq(
+      (1L, "u1", 100L, "a"),
+      (2L, "u1", 200L, "b"),
+      (3L, "u1", 200L, "b2"), // equal-ts tie: greatest tie (id=3) wins
+      (4L, "u1", 300L, "c"),
+      (5L, "u2", 500L, "z"))
+      .toDF("bid", "user", "bts", "tag")
+    val out = AsOf.joinBackward(probe, build, Seq("user"),
+        "pts", "bts", "bid", Seq("bid", "tag"))
+      .orderBy("pid")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString).orNull,
+        r.getString(4))).toSeq
+    assert(out == Seq(
+      (101L, null, null),
+      (102L, "1", "a"),
+      (103L, "3", "b2"),
+      (104L, "5", "z"),
+      (105L, null, null)))
+  }
+
+  test("asOf joinBackward preserves every probe row and its columns") {
+    import graft.operators.AsOf
+    val probe = Seq((1L, "k", 10L, "keepme")).toDF("pid", "k", "pts", "extra")
+    val build = Seq((9L, "k", 5L)).toDF("bid", "k", "bts")
+    val out = AsOf.joinBackward(probe, build, Seq("k"), "pts", "bts",
+      "bid", Seq("bid"))
+    assert(out.columns.toSeq == Seq("pid", "k", "pts", "extra", "asof_bid"))
+    val r = out.head()
+    assert(r.getString(3) == "keepme" && r.getLong(4) == 9L)
+  }
 }

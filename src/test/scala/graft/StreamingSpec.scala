@@ -71,4 +71,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("stream-stream interval join == batch join (purchase attribution)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("events-attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    EventStream.drainAttributionToMemory(spark, streamDir.toString,
+      "stream_attr")
+    val streamed = spark.table("stream_attr")
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+
+    val batch = EventStream.purchaseAttribution(
+      graft.queries.Tables(spark, dir, "events"))
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
