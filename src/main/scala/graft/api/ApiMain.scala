@@ -37,8 +37,13 @@ object ApiMain {
     // only covers CacheManager entries — localCheckpoint'd frames (Fill's
     // per-source checkpoints, Budget/RowIds pinned partitionings, the CC
     // label frame) live as persistent RDDs and need their own unpersist.
-    // Safe mid-flight: runs are serialized, and unpersisting a live RDD
-    // only forces recompute, never wrong results.
+    // CONSTRAINT: this cleanup is correct only because runs are fully
+    // serialized (single-thread run executor) and each stage materializes
+    // its results before returning — a localCheckpoint'd frame has
+    // truncated lineage, so accessing it AFTER unpersist throws
+    // ("checkpoint block not found") rather than recomputing. Keep the
+    // cleanup at run end on the serialized executor; do not widen the pool
+    // or return lazily-consumed frames from stages without revisiting it.
     def cleanedUp(f: () => String): () => String =
       () => try f() finally {
         spark.catalog.clearCache()

@@ -85,8 +85,6 @@ object Text {
   /** Portable hash reduced mod 2^31-1 (always in [0, P31)). */
   def md5Mod(c: Column): Column = pmod(md5Long(c), lit(P31))
 
-  /** Fast non-portable 64-bit hash (xxhash64) reduced to [0, P31). */
-  def fastMod(c: Column): Column = pmod(xxhash64(c), lit(P31))
 
   /** SimHash over whitespace tokens using `bits` bits of xxhash64 (max 64).
     * Per-row fold: for each bit position, sum +1/-1 votes across token hashes,

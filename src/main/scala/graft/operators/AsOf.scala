@@ -53,10 +53,24 @@ object AsOf {
       probeTs: String, buildTs: String, buildTie: String,
       buildPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val tieType = build.schema(buildTie).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(tieType),
+        s"buildTie '$buildTie' must be an integral column (found " +
+          s"${tieType.simpleString}): a silent cast would null it out and " +
+          "make equal-ts tie resolution nondeterministic")
+    }
     val payload = struct(buildPayload.map(build(_)): _*)
     val probeCols = probe.columns
 
-    val buildSide = build.select(
+    val buildSide = build
+      // a null build ts satisfies no `buildTs <= probeTs` predicate, but an
+      // ASC sort would put it FIRST and leak its payload to every probe in
+      // the key — drop such rows up front (probe-side null ts needs no
+      // guard: it sorts before all builds and correctly sees none)
+      .filter(build(buildTs).isNotNull)
+      .select(
       keys.map(build(_)) ++ Seq(
         build(buildTs).as("__ts"),
         lit(0).as("__side"),

@@ -387,6 +387,26 @@ class OperatorsSpec extends AnyFunSuite {
       (105L, null, null)))
   }
 
+  test("asOf joinBackward: null build ts never matches; string tie rejected") {
+    import graft.operators.AsOf
+    val probe = Seq((1L, "k", 50L)).toDF("pid", "k", "pts")
+    val build = Seq((java.lang.Long.valueOf(9L), "k", null.asInstanceOf[java.lang.Long]),
+        (java.lang.Long.valueOf(8L), "k", java.lang.Long.valueOf(100L)))
+      .toDF("bid", "k", "bts")
+    // the null-ts build row must NOT leak its payload to the probe
+    // (b.ts <= p.ts is never satisfied by null), and ts=100 > 50 is later
+    val r = AsOf.joinBackward(probe, build, Seq("k"), "pts", "bts",
+      "bid", Seq("bid")).head()
+    assert(r.isNullAt(3), s"null-ts build row leaked: $r")
+
+    val badTie = build.withColumn("bid", col("bid").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(probe, badTie, Seq("k"), "pts", "bts",
+        "bid", Seq("bid"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("asOf joinBackward preserves every probe row and its columns") {
     import graft.operators.AsOf
     val probe = Seq((1L, "k", 10L, "keepme")).toDF("pid", "k", "pts", "extra")

@@ -29,7 +29,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "q20_minhash_lsh_pairs", "q24_sessions", "q29_embed_neardup_lsh",
       "q34_ann_lsh", "q42_local_supplier_volume", "q46_token_budget",
       "q53_priority_exists", "q54_sole_blame", "q57_boilerplate",
-      "q58_cust_distribution", "q59_window_family")
+      "q58_cust_distribution", "q59_window_family", "q64_asof_join")
     for (name <- guarded) {
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
@@ -45,5 +45,21 @@ class PlanGuardSpec extends AnyFunSuite {
         "q53_priority_exists"))
       assert(planOf(name).contains("PushedFilters: [IsNotNull"),
         s"$name lost its pushed filters")
+  }
+
+  test("as-of join is the union-merge plan: no join node, one key shuffle") {
+    assume(new java.io.File(SfDir).isDirectory)
+    val plan = planOf("q64_asof_join")
+    // the operator's whole point: a range/theta JOIN never appears — the
+    // lookup is a union + window, so the only wide node on user_id is the
+    // window's single hash exchange (plus the final presentation sort)
+    assert(!plan.contains("Join"), "as-of should plan as union+window, not a join")
+    // exchanges only exist post-EnsureRequirements -> inspect executedPlan
+    val executed = Queries.all.find(_.name == "q64_asof_join").get
+      .spark(spark, SfDir).queryExecution.executedPlan.toString
+    val keyExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllMatchIn(executed).size
+    assert(keyExchanges == 1,
+      s"expected exactly one user_id hash exchange, got $keyExchanges:\n$plan")
   }
 }
