@@ -1986,6 +1986,68 @@ object Queries {
              |ORDER BY p.event_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q65: hopping (sliding) window rollup — 1-hour windows every 30
+    // minutes, so each event lands in exactly two windows. Spark's window()
+    // generator expands rows BEFORE the partial aggregate, so the shuffle
+    // carries |windows x types| partial rows, not events. Epoch-aligned in
+    // both engines (window() and time_bucket), making the oracle exact.
+    QueryDef("q65_hopping_windows",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("total_value"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+              .as("win_start"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""WITH ws AS (
+             |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+             |                 time_bucket(INTERVAL '30 minutes', ts)
+             |                   - INTERVAL '30 minutes']) AS win,
+             |    event_type, value
+             |  FROM events)
+             |SELECT strftime(win, '%Y-%m-%d %H:%M') AS win_start,
+             |  event_type, count(*) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM ws GROUP BY win, event_type
+             |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q66: numeric-profile aggregate family (corr / covar_samp / stddev /
+    // variance) — the statistical-profiling surface for corpus QA. All are
+    // single-pass mergeable co-moment aggregates: partial aggregation on
+    // every mapper, |groups| rows shuffled, identical plan shape at 100 TB.
+    // Rounding absorbs engine-order float summation differences (file
+    // header convention).
+    QueryDef("q66_numeric_profile",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+              .as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+              .as("covar_qty_price"),
+            round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+            round(var_samp(col("l_discount")), 6).as("var_disc"),
+            round(avg(col("l_tax")), 6).as("avg_tax"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+             |  round(stddev_samp(l_extendedprice), 4) AS std_price,
+             |  round(var_samp(l_discount), 6) AS var_disc,
+             |  round(avg(l_tax), 6) AS avg_tax,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.
