@@ -72,10 +72,14 @@ object Ui {
       |      headers: { 'Content-Type': 'application/json' },
       |      body: JSON.stringify({ stage }) });
       |    const d = await res.json();
+      |    // error answers (400 unknown stage, 405) carry no seconds field —
+      |    // suppress the duration clause instead of rendering "after NaN s"
+      |    const secs = Number.isFinite(Number(d.seconds))
+      |      ? ' after ' + Number(d.seconds).toFixed(2) + ' s' : '';
       |    status.innerHTML = d.ok
       |      ? '<span class="ok">ok</span> in ' + Number(d.seconds).toFixed(2) + ' s'
       |      : '<span class="err">' + (d.timedOut ? 'timed out' : 'failed')
-      |        + '</span> after ' + Number(d.seconds).toFixed(2) + ' s';
+      |        + '</span>' + secs;
       |    log.textContent = d.log || d.error || '';
       |    log.style.display = 'block';
       |  } catch (e) {
@@ -101,7 +105,11 @@ object Ui {
       |    div.appendChild(d);
       |  }
       |}
-      |loadStages().then(loadFiles);
+      |loadStages().then(loadFiles).catch(e => {
+      |  const status = document.getElementById('status');
+      |  status.innerHTML = '<span class="err">load failed: ' + e.message
+      |    + ' — reload to retry</span>';
+      |});
       |</script>
       |</body>
       |</html>

@@ -27,6 +27,13 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # an empty oracle map means the SparkEntry wiring broke, not that there
+    # is nothing to check — "0 ok, 0 fail" exit 0 would green-light a gate
+    # that verified nothing
+    if len(oracle) < 10:
+        print(f"FAIL gate: only {len(oracle)} oracle queries found "
+              f"(expected ~62) — oracle_sql.json wiring is broken")
+        return 1
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -42,25 +49,39 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: spark result missing: {e}")
             fail += 1
             continue
+        try:
+            compare(name, exp, got)
+            ok += 1
+        except CompareFail:
+            fail += 1
+        except Exception as e:
+            # e.g. duplicate column labels from a query under development —
+            # one pathological result must not abort the remaining checks
+            print(f"FAIL {name}: compare error: {e}")
+            fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+class CompareFail(Exception):
+    pass
+
+def compare(name, exp, got):
         ce, cg = canon(exp), canon(got)
         if list(ce.columns) != list(cg.columns):
             print(f"FAIL {name}: columns {list(cg.columns)} != {list(ce.columns)}")
-            fail += 1
+            raise CompareFail()
         elif len(ce) != len(cg):
             print(f"FAIL {name}: rows {len(cg)} != {len(ce)}")
-            fail += 1
+            raise CompareFail()
         elif h(ce) != h(cg):
             diff = (ce != cg)
             bad = diff.any(axis=1)
             print(f"FAIL {name}: hash mismatch ({bad.sum()}/{len(ce)} rows differ)")
             i = bad.idxmax()
             print(f"  first diff row {i}:\n  oracle: {ce.loc[i].to_dict()}\n  spark:  {cg.loc[i].to_dict()}")
-            fail += 1
+            raise CompareFail()
         else:
-            ok += 1
             print(f"ok   {name} ({len(ce)} rows)")
-    print(f"\n{ok} ok, {fail} fail")
-    return 1 if fail else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
