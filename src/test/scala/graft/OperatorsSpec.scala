@@ -407,6 +407,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("asOf joinForward: earliest at-or-after, smallest-tie, null-ts probe") {
+    import graft.operators.AsOf
+    val probe = Seq(
+      (101L, "u1", 150L), // next build is ts=200 -> tie: smallest bid wins
+      (102L, "u1", 301L), // after the last build -> null
+      (103L, "u1", 300L), // exactly at 300 -> same-instant visible
+      (104L, "u2", 0L))   // u2's own earliest
+      .toDF("pid", "user", "pts")
+      .unionByName(Seq(("u1", 105L)).toDF("user", "pts")
+        .select(lit(null).cast("long").as("pid"), col("user"),
+          lit(null).cast("long").as("pts"))) // null probe ts -> no match
+    val build = Seq(
+      (2L, "u1", 200L, "b"),
+      (3L, "u1", 200L, "b2"),
+      (4L, "u1", 300L, "c"),
+      (5L, "u2", 500L, "z"))
+      .toDF("bid", "user", "bts", "tag")
+    val out = AsOf.joinForward(probe, build, Seq("user"),
+        "pts", "bts", "bid", Seq("bid", "tag"))
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.toString).orNull,
+        Option(r.get(3)).map(_.toString).orNull)).toMap
+    assert(out == Map("101" -> "2", "102" -> null, "103" -> "4",
+      "104" -> "5", (null: String) -> null))
+  }
+
+  test("asOf tolerance bounds the match distance (backward + forward)") {
+    import graft.operators.AsOf
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val probe = Seq((1L, "k", ts(30))).toDF("pid", "k", "pts")
+    val build = Seq((7L, "k", ts(5), "far"), (8L, "k", ts(50), "fwd-far"))
+      .toDF("bid", "k", "bts", "tag")
+    // backward: nearest earlier build is 25 min away -> inside 30m, outside 10m
+    def back(tol: String) = AsOf.joinBackward(probe, build, Seq("k"),
+      "pts", "bts", "bid", Seq("tag"), tolerance = Some(tol)).head()
+    assert(back("30 minutes").getString(3) == "far")
+    assert(back("10 minutes").isNullAt(3))
+    // forward: nearest later build is 20 min away -> inside 25m, outside 5m
+    def fwd(tol: String) = AsOf.joinForward(probe, build, Seq("k"),
+      "pts", "bts", "bid", Seq("tag"), tolerance = Some(tol)).head()
+    assert(fwd("25 minutes").getString(3) == "fwd-far")
+    assert(fwd("5 minutes").isNullAt(3))
+  }
+
   test("asOf joinBackward preserves every probe row and its columns") {
     import graft.operators.AsOf
     val probe = Seq((1L, "k", 10L, "keepme")).toDF("pid", "k", "pts", "extra")
