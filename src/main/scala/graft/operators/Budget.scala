@@ -47,12 +47,17 @@ object Budget {
     // correctness would silently depend on Spark reusing one exchange for
     // both branches: range partitioning samples its bounds, so two
     // independent executions could place rows in different partitions and
-    // the offsets would no longer line up with the data. A lazy
-    // localCheckpoint materializes the partitioning exactly once — both
-    // consumers read the same blocks under any exchange-reuse setting.
+    // the offsets would no longer line up with the data. persist() pins it:
+    // both consumers read through ONE InMemoryRelation under any
+    // exchange-reuse setting. persist over localCheckpoint deliberately —
+    // localCheckpoint(eager=false) is NOT lazy under AQE (the adaptive plan
+    // materializes at construction), truncates lineage (executor loss =
+    // unrecoverable job), and hides the subtree from explain(); the cache
+    // is recoverable (lost blocks recompute through the already-bound
+    // partitioner) and is cleared by the per-run cleanup paths.
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
       .withColumn(PidCol, spark_partition_id().cast("long"))
-      .localCheckpoint(eager = false)
+      .persist()
     // one row per partition — safe for a global window
     val subtotals = sorted.groupBy(col(PidCol))
       .agg(sum(v0).as(SubCol), sum(vCnt).as(SubCntCol))

@@ -42,9 +42,17 @@ object QualityRules {
 
   /** Repetition/quality signals per document; keeps EVERY input id (a doc
     * with no tokens scores 0.0 on every ratio and keep = true — filtering
-    * empty docs is a separate policy). Output: (doc_id, n_tokens,
-    * dup_tok_frac, top_2gram, top_2gram_cnt, top2gram_char_frac,
-    * symbol_word_ratio, keep), one row per input row. */
+    * empty docs is a separate policy; a doc with < 2 tokens likewise has
+    * no 2-gram signal). Output: (doc_id, n_tokens, dup_tok_frac,
+    * top_2gram, top_2gram_cnt, top2gram_char_frac, symbol_word_ratio,
+    * keep), one row per input row.
+    *
+    * Contract: `df` must be deterministic across re-execution — the plan
+    * derives three branches from it (per-doc base, token stats, gram
+    * stats) joined back on doc_id, the same multi-consumer contract as
+    * [[graft.pipeline.RowIds.denseInPartitionOrder]]. File/table scans
+    * satisfy this; pin a sampled or nondeterministic frame (persist) before
+    * calling. */
   def signals(df: DataFrame, idCol: String, textCol: String,
       maxDupTokFrac: Double = MaxDupTokFrac,
       maxTop2gramCharFrac: Double = MaxTop2gramCharFrac,
@@ -78,16 +86,25 @@ object QualityRules {
 
     val nTokens = coalesce(col("n_tokens"), lit(0L))
     val dupTokFrac = ratio(nTokens - coalesce(col("n_distinct"), lit(0L)), nTokens)
-    val topFrac = ratio(coalesce(col("top_2gram_cnt"), lit(0L)) *
-      length(coalesce(col("top_2gram"), lit(""))), col("n_chars"))
+    // a doc with < 2 tokens HAS no 2-gram — wordShingles' whole-document
+    // fallback shingle must not masquerade as one (it would score
+    // top2gram_char_frac ~1.0 and wrongly drop every short doc as
+    // "repetitive")
+    val has2gram = nTokens >= 2
+    val topFrac = when(has2gram,
+      ratio(coalesce(col("top_2gram_cnt"), lit(0L)) *
+        length(coalesce(col("top_2gram"), lit(""))), col("n_chars")))
+      .otherwise(lit(0.0))
     val symRatio = ratio(col("n_symbols"), nTokens)
     base
       .join(tokStats, Seq("doc_id"), "left")
       .join(topGram, Seq("doc_id"), "left")
       .select(col("doc_id"), nTokens.as("n_tokens"),
         dupTokFrac.as("dup_tok_frac"),
-        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
-        coalesce(col("top_2gram_cnt"), lit(0L)).as("top_2gram_cnt"),
+        when(has2gram, coalesce(col("top_2gram"), lit("")))
+          .otherwise(lit("")).as("top_2gram"),
+        when(has2gram, coalesce(col("top_2gram_cnt"), lit(0L)))
+          .otherwise(lit(0L)).as("top_2gram_cnt"),
         topFrac.as("top2gram_char_frac"),
         symRatio.as("symbol_word_ratio"),
         (dupTokFrac <= maxDupTokFrac &&

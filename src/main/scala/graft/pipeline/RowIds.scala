@@ -59,7 +59,7 @@ object RowIds {
     * executions this plan performs (the per-partition count branch and the
     * data branch both re-derive from `df`). File scans satisfy this; a
     * sampled exchange (repartitionByRange) does not — [[denseByOrder]] pins
-    * one with a lazy localCheckpoint before calling here. */
+    * one with persist() before calling here. */
   def denseInPartitionOrder(df: DataFrame, idCol: String): DataFrame = {
     val withMono = df.withColumn(MonoCol, monotonically_increasing_id())
       .withColumn(PidCol, shiftright(col(MonoCol), 33))
@@ -88,9 +88,13 @@ object RowIds {
     // Range partitioning samples its bounds; pin the layout so the count
     // branch and the data branch inside denseInPartitionOrder cannot see
     // two different partitionings when exchange reuse is off (see the
-    // [[denseInPartitionOrder]] determinism contract).
+    // [[denseInPartitionOrder]] determinism contract). persist, not
+    // localCheckpoint: lazy under AQE (no construction-time jobs), lineage
+    // kept (executor loss recomputes through the already-bound partitioner
+    // instead of failing on a missing checkpoint block), subtree still
+    // visible to explain(); cleared by the per-run cleanup paths.
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-      .localCheckpoint(eager = false)
+      .persist()
     denseInPartitionOrder(sorted, idCol)
   }
 }

@@ -1736,14 +1736,25 @@ object Queries {
              |      PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
              |    FROM gc) WHERE rn = 1),
              |m AS (
-             |  SELECT b.doc_id, ts.n_tokens,
-             |    round((ts.n_tokens - ts.n_distinct) * 1.0 / ts.n_tokens, 6)
-             |      AS dup_tok_frac,
-             |    top.gram AS top_2gram, top.cnt AS top_2gram_cnt,
-             |    round(top.cnt * len(top.gram) * 1.0 / b.n_chars, 6)
-             |      AS top2gram_char_frac,
-             |    round(b.n_symbols * 1.0 / ts.n_tokens, 6) AS symbol_word_ratio
-             |  FROM b JOIN ts USING (doc_id) JOIN top USING (doc_id))
+             |  -- LEFT joins + coalesce: a tokenless doc keeps its row with
+             |  -- all-zero ratios (the operator contract); a doc with < 2
+             |  -- tokens has NO 2-gram, so the fallback shingle is gated out
+             |  SELECT b.doc_id, coalesce(ts.n_tokens, 0) AS n_tokens,
+             |    round(CASE WHEN coalesce(ts.n_tokens, 0) > 0
+             |      THEN (ts.n_tokens - ts.n_distinct) * 1.0 / ts.n_tokens
+             |      ELSE 0.0 END, 6) AS dup_tok_frac,
+             |    CASE WHEN coalesce(ts.n_tokens, 0) >= 2
+             |      THEN coalesce(top.gram, '') ELSE '' END AS top_2gram,
+             |    CASE WHEN coalesce(ts.n_tokens, 0) >= 2
+             |      THEN coalesce(top.cnt, 0) ELSE 0 END AS top_2gram_cnt,
+             |    round(CASE WHEN coalesce(ts.n_tokens, 0) >= 2 AND b.n_chars > 0
+             |      THEN coalesce(top.cnt, 0) * len(coalesce(top.gram, '')) * 1.0
+             |           / b.n_chars
+             |      ELSE 0.0 END, 6) AS top2gram_char_frac,
+             |    round(CASE WHEN coalesce(ts.n_tokens, 0) > 0
+             |      THEN b.n_symbols * 1.0 / ts.n_tokens
+             |      ELSE 0.0 END, 6) AS symbol_word_ratio
+             |  FROM b LEFT JOIN ts USING (doc_id) LEFT JOIN top USING (doc_id))
              |SELECT doc_id, n_tokens, dup_tok_frac, top_2gram, top_2gram_cnt,
              |  top2gram_char_frac, symbol_word_ratio,
              |  (dup_tok_frac <= 0.5 AND top2gram_char_frac <= 0.08

@@ -79,6 +79,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("QualityRules: a 1-token doc has no 2-gram and is not dropped") {
+    val out = QualityRules.signals(docs((1L, "hello")), "doc_id", "text")
+      .head()
+    // the whole-document fallback shingle must NOT masquerade as a
+    // dominant 2-gram (it would score char_frac 1.0 and drop the doc)
+    assert(out.getAs[Long]("n_tokens") == 1L)
+    assert(out.getAs[String]("top_2gram") == "")
+    assert(out.getAs[Long]("top_2gram_cnt") == 0L)
+    assert(out.getAs[Double]("top2gram_char_frac") == 0.0)
+    assert(out.getAs[Boolean]("keep"))
+  }
+
   test("simhashPairs: pigeonhole candidates + hamming filter") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (2 to 60).map(i => s"tok$i").mkString(" ")
