@@ -2059,6 +2059,81 @@ object Queries {
              |ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q67: cohort retention — users grouped by first-activity day, activity
+    // counted per day-offset since that first event. Two shuffles, both on
+    // user_id (the min-ts aggregate and the join back), so AQE reuses one
+    // exchange; the final rollup is metadata-sized (cohorts x offsets).
+    // The classic product-analytics operator, absent from the reference.
+    QueryDef("q67_cohort_retention",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val first = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        e.join(first, "user_id")
+          .groupBy(
+            date_format(date_trunc("DAY", col("first_ts")), "yyyy-MM-dd")
+              .as("cohort_day"),
+            floor((unix_micros(col("ts")) - unix_micros(col("first_ts")))
+              / lit(86400000000.0)).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH first AS (
+             |  SELECT user_id, min(ts) AS first_ts FROM events
+             |  GROUP BY user_id)
+             |SELECT strftime(date_trunc('day', f.first_ts), '%Y-%m-%d')
+             |    AS cohort_day,
+             |  CAST(floor(epoch(e.ts - f.first_ts) / 86400) AS BIGINT)
+             |    AS day_offset,
+             |  count(DISTINCT e.user_id) AS active_users,
+             |  count(*) AS n_events
+             |FROM events e JOIN first f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q68: ordered funnel conversion — users who viewed, then clicked
+    // AFTER their first view, then purchased AFTER that first click. Each
+    // stage is a min-ts aggregate + equi-join on user_id (partial agg +
+    // hash join, no windows over event history, no per-user sequence
+    // materialization) — the plan a 100-TB event log needs.
+    QueryDef("q68_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("view_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("click_ts"))
+          .select("user_id").distinct()
+        v.agg(count(lit(1)).as("users"))
+          .select(lit("1_view").as("stage"), col("users"))
+          .unionByName(c.agg(count(lit(1)).as("users"))
+            .select(lit("2_click").as("stage"), col("users")))
+          .unionByName(p.agg(count(lit(1)).as("users"))
+            .select(lit("3_purchase").as("stage"), col("users")))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS view_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS click_ts
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT DISTINCT e.user_id
+             |  FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts)
+             |SELECT '1_view' AS stage, count(*) AS users FROM v
+             |UNION ALL SELECT '2_click', count(*) FROM c
+             |UNION ALL SELECT '3_purchase', count(*) FROM p
+             |ORDER BY stage""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
     // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
     // oracle; OperatorsSpec checks recall against the brute-force truth.
