@@ -464,6 +464,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fwd("5 minutes").isNullAt(3))
   }
 
+  test("asOf joins match a driver-side reference on randomized inputs") {
+    import graft.operators.AsOf
+    val rnd = new scala.util.Random(7) // fixed seed: deterministic run-to-run
+    val keys = Seq("a", "b", "c")
+    for (_ <- 1 to 3) {
+      // small ts domain on purpose: plenty of equal-ts ties, same-instant
+      // probe/build collisions, and keys with empty build histories
+      val probe = (1 to 40).map(i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(20).toLong))
+      val build = (1 to 30).map(i =>
+        (100L + i, keys(rnd.nextInt(3)), rnd.nextInt(20).toLong))
+      def refBack(k: String, ts: Long): Option[Long] = build
+        .filter(b => b._2 == k && b._3 <= ts)
+        .sortBy(b => (b._3, b._1)).lastOption.map(_._1)
+      def refFwd(k: String, ts: Long): Option[Long] = build
+        .filter(b => b._2 == k && b._3 >= ts)
+        .sortBy(b => (b._3, b._1)).headOption.map(_._1)
+      val pDf = probe.toDF("pid", "k", "pts").repartition(7)
+      val bDf = build.toDF("bid", "k", "bts").repartition(5)
+      def run(f: => org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        f.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val outB = run(AsOf.joinBackward(pDf, bDf, Seq("k"), "pts", "bts",
+        "bid", Seq("bid")))
+      val outF = run(AsOf.joinForward(pDf, bDf, Seq("k"), "pts", "bts",
+        "bid", Seq("bid")))
+      for ((pid, k, ts) <- probe) {
+        assert(outB(pid) == refBack(k, ts), s"backward pid=$pid k=$k ts=$ts")
+        assert(outF(pid) == refFwd(k, ts), s"forward pid=$pid k=$k ts=$ts")
+      }
+    }
+  }
+
   test("asOf joinBackward preserves every probe row and its columns") {
     import graft.operators.AsOf
     val probe = Seq((1L, "k", 10L, "keepme")).toDF("pid", "k", "pts", "extra")
