@@ -10,11 +10,25 @@ import org.apache.spark.sql.SparkSession
   * computed columns of pure-projection queries and understate the work).
   * One warm-up pass (untimed) absorbs JIT + codegen compilation so the
   * timings reflect steady-state execution.
+  *
+  * Timings are the MINIMUM of `SPARK_GRAFT_RUNS` (default 3) timed passes:
+  * host noise on this box is one-sided (+25% GC/scheduler outliers are
+  * common, negative ones impossible), so the minimum is the stable
+  * steady-state estimate — single-pass numbers have mis-signaled regressions
+  * three rounds running (q31/q21 r2, q45 r3, q44 r4). The per-pass raw
+  * samples are written to BENCH_RUNS.json in the working directory so a
+  * surprising minimum can be audited against its own distribution; the
+  * stdout JSON stays compact because the driver captures only the final
+  * ~2000 chars of output and a longer line fails its parse (BENCH_r02/r03).
+  *
+  * SPARK_GRAFT_ONLY=q44_dup_clusters,q47_dedup_keep_best restricts the run
+  * (local iteration only — the driver always runs the full registry).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,7 +51,7 @@ object Bench {
         // otherwise satisfy the NEXT run's identical plan fragments via the
         // cache manager — the warm-up is for JIT/codegen, not data; each
         // timed run must pay its own materialization cost. Also bounds
-        // executor storage across 62 queries x 3 passes. localCheckpoint'd
+        // executor storage across the queries x passes. localCheckpoint'd
         // frames (Budget/RowIds/CC) bypass the CacheManager and need their
         // own unpersist.
         spark.catalog.clearCache()
@@ -49,23 +63,36 @@ object Bench {
       sec
     }
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce) // warm-up: JIT, codegen cache, file listing
-    // min of two timed runs: GC/JIT noise is one-sided, the minimum is the
-    // stable steady-state estimate
-    val results = names.map { n =>
-      val a = runOnce(n); val b = runOnce(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+
+    val samples = names.map(n => n -> Seq.fill(nRuns)(runOnce(n)))
+    val results = samples.map { case (n, ss) =>
+      n -> (if (ss.exists(_ < 0)) -1.0 else ss.min)
     }
 
-    // 3-decimal timings: the driver captures only the TAIL of stdout, and
-    // full-precision doubles push the 62-query line past that window — the
-    // truncated head then fails its JSON parse (BENCH_r02/r03 parsed:null).
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // 2-decimal minima on the stdout line: with 70+ queries, 3 decimals plus
+    // the nruns field would push the line against the driver's 2000-char
+    // tail window (1,820 chars at r4 with 68 queries x 3 decimals).
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+    // full-precision per-pass samples -> audit file (committed by the driver)
+    val runsJson = samples.map { case (k, ss) =>
+      "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fw = new java.io.FileWriter("BENCH_RUNS.json")
+    try fw.write(
+      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min of nruns timed passes after one warm-up","runs":$runsJson}\n""")
+    finally fw.close()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -245,14 +245,22 @@ object Dedup {
 
   /** Duplicate-CLUSTER formation: connected components over a near-dup pair
     * set (pairs alone don't dedup a corpus — transitive groups do). Min-label
-    * propagation: every node starts as its own label; each iteration takes
-    * the min over neighbors; converges in O(component diameter) rounds.
-    * Near-dup components are shallow (dups of dups of one source), so the
-    * iteration count is small; each round is one join + one aggregate, and
-    * localCheckpoint keeps lineage bounded. GraphX/GraphFrames would do the
-    * same thing with the same shuffles — plain DataFrames avoid the
-    * dependency. Returns (id, cluster) where cluster = min id in the
-    * component. */
+    * propagation with pointer jumping: every node starts as its own label;
+    * each round takes the min over neighbors' labels, then SHORT-CIRCUITS one
+    * indirection (label <- label-of-label under the round-start mapping, the
+    * path-halving step of classic union-find / Kiveris et al.'s star
+    * contractions). Neighbor-min alone needs O(component diameter) rounds; the
+    * jump halves remaining chain depth each round, so deep chain components
+    * converge in O(log diameter) — each round is still ONE Spark job (the lazy
+    * localCheckpoint materializes on the convergence count). Labels only ever
+    * decrease and always name a node inside the same component, so the fixed
+    * point is identical to plain propagation: cluster = min id in the
+    * component. Jump-join caveat at scale: late rounds concentrate lookups on
+    * the component-min keys (per-key multiplicity = component size), the same
+    * bounded hot-key shape as the per-key as-of merge — AQE skew splitting
+    * applies. GraphX/GraphFrames would do the same thing with the same
+    * shuffles — plain DataFrames avoid the dependency. Returns (id, cluster)
+    * where cluster = min id in the component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -266,12 +274,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("__l1"))
+      // pointer jump: __l1 is a node id in this component, so looking up ITS
+      // round-start label stays inside the component and only decreases
+      val next = stepped
+        .join(labels.select(col("id").as("__jid"), col("label").as("__jlabel")),
+          col("__l1") === col("__jid"), "left")
+        .select(col("id"),
+          least(col("__l1"), coalesce(col("__jlabel"), col("__l1")))
             .as("label"),
-          (col("nlabel") < col("label")).as("__chg"))
+          (least(col("__l1"), coalesce(col("__jlabel"), col("__l1")))
+            < col("__old")).as("__chg"))
       // ONE job per round: the LAZY localCheckpoint materializes on the
       // convergence count (which scans every partition), truncating lineage
       // in the same action instead of paying a separate eager-checkpoint job

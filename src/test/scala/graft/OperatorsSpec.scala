@@ -262,6 +262,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Seq(8L, 9L, 10L).forall(cc(_) == 8L))
   }
 
+  test("connectedComponents: pointer jumping converges deep chains in O(log d) jobs") {
+    // a 256-node path has diameter 255: plain neighbor-min propagation would
+    // need ~255 rounds (and would THROW at the default maxIter=20); with the
+    // path-halving jump the label offset grows as 2^t - 1, so ~9 rounds (one
+    // Spark job each: the convergence count) resolve the whole chain
+    val n = 256L
+    val nodes = (1L to n).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cc = Dedup.connectedComponents(nodes, chain, maxIter = 20)
+      assert(cc.filter(col("cluster") =!= 1L).count() == 0,
+        "every chain node must resolve to the component min")
+      // listener delivery is async: wait until the job count stops moving
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val cur = jobs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(50)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one ACTION per round (the convergence count), but AQE materializes
+    // each shuffle stage of the round's plan as its own Spark job (~7/round
+    // observed), so ~9 rounds land near 75 jobs; plain O(diameter)
+    // propagation would take ~256 rounds = ~1,800 jobs. The bound below
+    // separates the two regimes with generous slack.
+    assert(jobs.get() <= 150,
+      s"expected O(log diameter) rounds, saw ${jobs.get()} jobs")
+  }
+
   test("multi-pass fuzzy blocking raises recall over any single pass") {
     // typo in the SUFFIX defeats suffix-blocking but not prefix-blocking
     val base = (1L to 30L).map(i => (i, f"name$i%03d")).toDF("id", "name")
