@@ -2166,7 +2166,158 @@ object Queries {
             round(col("cosine"), 6).as("cosine"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None)
+      None),
+
+    // ---------------------------------------------------------------------
+    // q69: the reference's CENTERPIECE fill, oracle-backed end to end (J2 +
+    // F7 + J4 + X6; fill_missing_contacts.py:47-138, first-match :134-136):
+    // three per-field hash indexes -> union of three equi-joins, >=2-of-3
+    // exact-match verification, first-match-wins by source order, coalesce
+    // into missing cells only, change-log provenance folded into the graded
+    // output (filled_fields + matched_on columns). Synthetic master/source
+    // both derive from customer: master misses emails (key%3=0) and phones
+    // (key%5=0); missing emails fill via name+phone sources (two eligible
+    // sources for key%4=0 rows must resolve to the EARLIER src_order);
+    // missing phones fill via a name+email source (key%7=0); a name-only
+    // decoy source carries the globally earliest src_order, so it wins
+    // whenever the >=2-of-3 threshold fails to reject it — the oracle makes
+    // the verification rule load-bearing, not decorative.
+    QueryDef("q69_fill_threekey",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("k"), col("c_name"))
+        def pad(prefix: String) =
+          concat(lit(prefix), lpad(col("k").cast("string"), 7, "0"))
+        val master = Fill.withMatchKeys(
+          c.select(col("k").as("row_id"), col("c_name").as("name"),
+            when(col("k") % 3 === 0, lit(""))
+              .otherwise(concat(lit("u"), col("k"), lit("@ex.com")))
+              .as("email"),
+            when(col("k") % 5 === 0, lit("")).otherwise(pad("555"))
+              .as("mobile")),
+          col("name"), col("email"), col("mobile"))
+        def src(mod: Int, order: Column, email: Column, mobile: Column) =
+          Fill.withMatchKeys(
+            c.filter(col("k") % mod === 0)
+              .select(order.as("src_order"), col("c_name").as("name"),
+                email.as("email"), mobile.as("mobile")),
+            col("name"), col("email"), col("mobile"))
+        // src_order lanes are disjoint mod 10, so every source row has a
+        // globally unique order and first-match-wins is deterministic
+        val source =
+          src(2, col("k") * 10 + 2,
+              concat(lit("filla"), col("k"), lit("@s.com")), pad("555"))
+            .unionByName(src(4, col("k") * 10 + 1,
+              concat(lit("fillb"), col("k"), lit("@s.com")), pad("555")))
+            .unionByName(src(7, col("k") * 10 + 5,
+              concat(lit("u"), col("k"), lit("@ex.com")), pad("777")))
+            .unionByName(src(6, col("k") * 10,
+              concat(lit("zz"), col("k"), lit("@bad.com")), pad("999")))
+        val r = Fill.fillFromSource(master, source,
+          Map("email" -> "email", "mobile" -> "mobile"), "threekey_src")
+        val prov = r.changeLog.groupBy(col("row_id"))
+          .agg(array_join(array_sort(collect_list(col("field"))), ",")
+              .as("filled_fields"),
+            max(col("matched_on")).as("matched_on"))
+        r.filled.select("row_id", "email", "mobile")
+          .join(prov, Seq("row_id"), "left")
+          .orderBy(col("row_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS k,
+             |    lower(trim(regexp_replace(c_name, '\s+', ' ', 'g'))) AS _name
+             |  FROM customer),
+             |mk AS (
+             |  SELECT k AS row_id, _name,
+             |    CASE WHEN k % 3 = 0 THEN '' ELSE 'u' || k || '@ex.com' END AS email,
+             |    CASE WHEN k % 5 = 0 THEN ''
+             |         ELSE '555' || lpad(CAST(k AS VARCHAR), 7, '0') END AS mobile
+             |  FROM c),
+             |mkk AS (
+             |  SELECT row_id, _name, email, mobile,
+             |    lower(trim(email)) AS _email,
+             |    CASE WHEN length(regexp_replace(mobile, '[^0-9]', '', 'g')) >= 10
+             |      THEN right(regexp_replace(mobile, '[^0-9]', '', 'g'), 10)
+             |      ELSE regexp_replace(mobile, '[^0-9]', '', 'g') END AS _phone,
+             |    (trim(email) = '') AS no_email,
+             |    (trim(mobile) = '') AS no_mobile
+             |  FROM mk),
+             |rawsrc AS (
+             |  SELECT k * 10 + 2 AS src_order, _name,
+             |    'filla' || k || '@s.com' AS email,
+             |    '555' || lpad(CAST(k AS VARCHAR), 7, '0') AS mobile
+             |  FROM c WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT k * 10 + 1, _name, 'fillb' || k || '@s.com',
+             |    '555' || lpad(CAST(k AS VARCHAR), 7, '0') FROM c WHERE k % 4 = 0
+             |  UNION ALL
+             |  SELECT k * 10 + 5, _name, 'u' || k || '@ex.com',
+             |    '777' || lpad(CAST(k AS VARCHAR), 7, '0') FROM c WHERE k % 7 = 0
+             |  UNION ALL
+             |  SELECT k * 10, _name, 'zz' || k || '@bad.com',
+             |    '999' || lpad(CAST(k AS VARCHAR), 7, '0') FROM c WHERE k % 6 = 0),
+             |sk AS (
+             |  SELECT src_order, _name, email, mobile,
+             |    lower(trim(email)) AS _email,
+             |    CASE WHEN length(regexp_replace(mobile, '[^0-9]', '', 'g')) >= 10
+             |      THEN right(regexp_replace(mobile, '[^0-9]', '', 'g'), 10)
+             |      ELSE regexp_replace(mobile, '[^0-9]', '', 'g') END AS _phone
+             |  FROM rawsrc),
+             |probe AS (SELECT * FROM mkk WHERE no_email OR no_mobile),
+             |cand AS (
+             |  SELECT m.row_id, s.src_order FROM probe m JOIN sk s
+             |    ON m._name <> '' AND m._name = s._name
+             |  UNION
+             |  SELECT m.row_id, s.src_order FROM probe m JOIN sk s
+             |    ON m._email <> '' AND m._email = s._email
+             |  UNION
+             |  SELECT m.row_id, s.src_order FROM probe m JOIN sk s
+             |    ON m._phone <> '' AND m._phone = s._phone),
+             |ver AS (
+             |  SELECT cd.row_id, cd.src_order,
+             |    (CASE WHEN m._name <> '' AND s._name <> ''
+             |            AND m._name = s._name THEN 1 ELSE 0 END
+             |     + CASE WHEN m._email <> '' AND s._email <> ''
+             |            AND m._email = s._email THEN 1 ELSE 0 END
+             |     + CASE WHEN m._phone <> '' AND s._phone <> ''
+             |            AND m._phone = s._phone THEN 1 ELSE 0 END) AS nmatch,
+             |    concat_ws('+',
+             |      CASE WHEN m._name <> '' AND m._name = s._name THEN 'name' END,
+             |      CASE WHEN m._email <> '' AND m._email = s._email THEN 'email' END,
+             |      CASE WHEN m._phone <> '' AND m._phone = s._phone THEN 'phone' END)
+             |      AS matched_on,
+             |    m.no_email, m.no_mobile, s.email AS s_email, s.mobile AS s_mobile
+             |  FROM cand cd JOIN mkk m ON m.row_id = cd.row_id
+             |    JOIN sk s ON s.src_order = cd.src_order),
+             |win AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY row_id ORDER BY src_order ASC) AS rn
+             |  FROM ver WHERE nmatch >= 2),
+             |fills AS (
+             |  SELECT row_id, matched_on,
+             |    CASE WHEN no_email AND trim(s_email) <> '' THEN s_email END
+             |      AS new_email,
+             |    CASE WHEN no_mobile AND trim(s_mobile) <> '' THEN s_mobile END
+             |      AS new_mobile
+             |  FROM win WHERE rn = 1),
+             |prov AS (
+             |  SELECT row_id,
+             |    concat_ws(',',
+             |      CASE WHEN new_email IS NOT NULL THEN 'email' END,
+             |      CASE WHEN new_mobile IS NOT NULL THEN 'mobile' END)
+             |      AS filled_fields,
+             |    matched_on
+             |  FROM fills WHERE new_email IS NOT NULL OR new_mobile IS NOT NULL)
+             |SELECT m.row_id,
+             |  CASE WHEN m.no_email THEN coalesce(f.new_email, m.email)
+             |       ELSE m.email END AS email,
+             |  CASE WHEN m.no_mobile THEN coalesce(f.new_mobile, m.mobile)
+             |       ELSE m.mobile END AS mobile,
+             |  p.filled_fields, p.matched_on
+             |FROM mkk m
+             |LEFT JOIN fills f ON f.row_id = m.row_id
+             |LEFT JOIN prov p ON p.row_id = m.row_id
+             |ORDER BY m.row_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
