@@ -39,6 +39,22 @@ import org.apache.spark.sql.functions._
   * `buildTie` wins, matching `ORDER BY ts DESC, tie DESC LIMIT 1`;
   * forward: smallest wins, matching `ORDER BY ts ASC, tie ASC LIMIT 1`).
   *
+  * HOT-KEY BOUND (inherent, documented not hidden): the window partitions
+  * by the equi-key, so ONE key's entire merged history (its build + probe
+  * rows) sorts and scans inside ONE task — per-key work is sequential no
+  * matter how many executors exist. This is the standard Spark limitation
+  * of any per-key ordered operator (window, mapGroups, session assembly):
+  * a "monster key" holding 1% of a 100 TB table makes a ~1 TB task.
+  * Mitigations preserve semantics only when applied per use-case: split a
+  * monster key by coarse time-bucket and run the join per bucket carrying
+  * the previous bucket's last state forward (the streaming variant of this
+  * operator does exactly that with watermarked state), or pre-aggregate
+  * build rows to the per-(key, ts) winner before joining — the tie rule
+  * makes that reduction exact. AQE cannot split a window partition. The
+  * OperatorsSpec monster-key case pins correctness (not speed) under a key
+  * holding ~50x every other key's history, so skew changes surface as spec
+  * diffs, not silent plan drift.
+  *
   * Reference anchor: the reference has no temporal operator (SURVEY.md
   * §2.4 "No sort-merge, range, as-of ... joins exist") — this is part of
   * the §2.10-style extension surface for event/state data, alongside

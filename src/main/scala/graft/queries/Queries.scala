@@ -2134,39 +2134,76 @@ object Queries {
              |ORDER BY stage""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // q34: LSH-bucketed ANN top-k (corpus + queries hashed to sign-bit
-    // buckets, candidates rescored exactly). Probabilistic recall -> no SQL
-    // oracle; OperatorsSpec checks recall against the brute-force truth.
+    // q34: LSH-bucketed ANN top-k, tolerance-oracled (q48/q55 pattern). The
+    // raw synthetic embeddings are near-uniform noise — a random vector's
+    // "top-10 neighbors" sit at cosine ~0.5 with nothing to separate them,
+    // and measured LSH recall against that noise floor is ~0.1 at every SF,
+    // so grading it would grade the corpus, not the operator. Instead the
+    // query set is the planted-near-duplicate corpus (q28/q29's): each query
+    // has a KNOWN true nearest neighbor (its +0.02-shifted twin, cosine
+    // ~0.999 vs <=0.52 for any unrelated pair). The DuckDB twin brute-forces
+    // the exact top-1 over the same planted corpus — so the hash grades (a)
+    // that the planted twin really is the global exact top-1 with the exact
+    // pair cosine, and (b) via the folded flag, that the LSH index finds it
+    // in its top-10 (the ANN contract: recall of true near-neighbors, not of
+    // noise). Hyperplane collision for the twin pair is (1 - θ/π)^planes ≈
+    // 0.89 per table, miss ≈ 1.8e-8 across 8 tables — deterministic under
+    // the fixed plane seed, re-verify if a new SF joins the gate
+    // (RegistrySpec recall-vs-SF note).
     QueryDef("q34_ann_lsh",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val e = plantedVecs(s, dir)
+        val q = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-        Similarity.lshTopK(e, "vec_id", "vec", q, "qid", "qvec",
-            k = 10, planes = 8, tables = 8)
-          .select(col("query_id"), col("neighbor_id"),
-            round(col("cosine"), 6).as("cosine"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
+        val ann = Similarity.lshTopK(e, "vec_id", "vec", q, "qid", "qvec",
+          k = 10, planes = 8, tables = 8)
+        val hits = ann
+          .filter(col("neighbor_id") === col("query_id") + 100000)
+          .select(col("query_id"), lit(true).as("hit"))
+        val twins = q
+          .join(e.filter(col("vec_id") >= 100000)
+            .select((col("vec_id") - 100000).as("qid"), col("vec").as("tvec")),
+            "qid")
+          .select(col("qid").as("query_id"),
+            (col("qid") + 100000).as("twin_id"),
+            round(Vec.cosine(col("qvec"), col("tvec")), 6).as("twin_cosine"))
+        twins.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("twin_id"), col("twin_cosine"),
+            coalesce(col("hit"), lit(false)).as("twin_in_top10"))
+          .orderBy(col("query_id"))
       },
-      None),
+      Some(annPlantedOracle)),
 
     // ---------------------------------------------------------------------
-    // q35: IVF-style ANN top-k (coarse centroid lists, nprobe probing) —
-    // the FAISS IVF-Flat layout as a relational plan.
+    // q35: IVF-style ANN top-k (coarse centroid lists, nprobe probing — the
+    // FAISS IVF-Flat layout as a relational plan), tolerance-oracled the
+    // same way as q34: the DuckDB twin brute-forces the exact top-1 over the
+    // planted corpus; the folded flag asserts the IVF probe finds the
+    // planted twin (query and twin quantize to the same coarse list, and the
+    // query probes its nprobe nearest lists).
     QueryDef("q35_ann_ivf",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val e = plantedVecs(s, dir)
+        val q = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-        Similarity.ivfTopK(e, "vec_id", "vec", q, "qid", "qvec",
-            k = 10, nlist = 16, nprobe = 4)
-          .select(col("query_id"), col("neighbor_id"),
-            round(col("cosine"), 6).as("cosine"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
+        val ann = Similarity.ivfTopK(e, "vec_id", "vec", q, "qid", "qvec",
+          k = 10, nlist = 16, nprobe = 4)
+        val hits = ann
+          .filter(col("neighbor_id") === col("query_id") + 100000)
+          .select(col("query_id"), lit(true).as("hit"))
+        val twins = q
+          .join(e.filter(col("vec_id") >= 100000)
+            .select((col("vec_id") - 100000).as("qid"), col("vec").as("tvec")),
+            "qid")
+          .select(col("qid").as("query_id"),
+            (col("qid") + 100000).as("twin_id"),
+            round(Vec.cosine(col("qvec"), col("tvec")), 6).as("twin_cosine"))
+        twins.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("twin_id"), col("twin_cosine"),
+            coalesce(col("hit"), lit(false)).as("twin_in_top10"))
+          .orderBy(col("query_id"))
       },
-      None),
+      Some(annPlantedOracle)),
 
     // ---------------------------------------------------------------------
     // q69: the reference's CENTERPIECE fill, oracle-backed end to end (J2 +
@@ -2342,6 +2379,34 @@ object Queries {
         transform(col("vec"), x => x + lit(0.02)).as("vec"))
     e.unionByName(pert)
   }
+
+  /** Oracle twin of q34 AND q35 — exact brute-force top-1 per planted query
+    * over the planted corpus: the winner must be the +100000 twin at the
+    * exact pair cosine (graded values), and TRUE asserts the ANN index found
+    * it in its top-10 (the tolerance flag — FALSE on the Spark side fails
+    * the hash). */
+  private lazy val annPlantedOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |allv AS (
+      |  SELECT * FROM e
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+      |  FROM e WHERE vec_id % 5 = 0),
+      |q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM allv
+      |  WHERE vec_id % 5 = 0 AND vec_id < 100000),
+      |scored AS (
+      |  SELECT query_id, p.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(qv, p.v), 6) AS cosine
+      |  FROM q, allv p WHERE p.vec_id <> query_id),
+      |top1 AS (
+      |  SELECT query_id, neighbor_id, cosine, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, neighbor_id AS twin_id, cosine AS twin_cosine,
+      |  TRUE AS twin_in_top10
+      |FROM top1 WHERE rn = 1 ORDER BY query_id""".stripMargin
 
   /** Oracle twin of q28 AND q29 — exact cosine near-dup closure over the
     * planted corpus (q29's LSH+rescoring equals it at 100% recall). */

@@ -438,6 +438,35 @@ class OperatorsSpec extends AnyFunSuite {
       (105L, null, null)))
   }
 
+  test("asOf joinBackward: monster key (one key = ~50x all others) stays exact") {
+    // the documented hot-key bound: one key's whole history sorts in ONE
+    // task. This pins CORRECTNESS under that skew — 10k build rows + 2k
+    // probes on key "hot" alongside 40 small keys; closed-form expected
+    // matches make any ordering/frame drift under a skewed sort visible
+    import graft.operators.AsOf
+    val hotBuild = (1L to 10000L).map(i => (i, "hot", i * 10L, s"v$i"))
+    val smallBuild = (1L to 40L).map(k => (100000L + k, s"k$k", 100L, "s"))
+    val build = (hotBuild ++ smallBuild).toDF("bid", "user", "bts", "tag")
+    // probe ts = 15, 65, 115 ... -> expected match bts = floor(ts/10)*10
+    val hotProbe = (0L until 2000L).map(i => (200000L + i, "hot", i * 50L + 15L))
+    val smallProbe = (1L to 40L).map(k => (300000L + k, s"k$k", 99L)) // miss
+    val probe = (hotProbe ++ smallProbe).toDF("pid", "user", "pts")
+    val out = AsOf.joinBackward(probe, build, Seq("user"),
+      "pts", "bts", "bid", Seq("bid"))
+    val hot = out.filter(col("user") === "hot")
+      .select(col("pid"), col("asof_bid")).collect()
+    assert(hot.length == 2000)
+    hot.foreach { r =>
+      val i = r.getLong(0) - 200000L
+      val expected = (i * 50L + 15L) / 10L // floor((i*50+15)/10) = bid of bts<=ts
+      assert(r.getLong(1) == expected,
+        s"probe $i matched bid ${r.getLong(1)}, expected $expected")
+    }
+    // the 40 small keys all probe at ts=99 < their only build ts=100 -> null
+    assert(out.filter(col("user") =!= "hot" && col("asof_bid").isNotNull)
+      .count() == 0)
+  }
+
   test("asOf joinBackward: null build ts never matches; string tie rejected") {
     import graft.operators.AsOf
     val probe = Seq((1L, "k", 50L)).toDF("pid", "k", "pts")

@@ -11,12 +11,10 @@ class RegistrySpec extends AnyFunSuite {
   test("registry: unique names, oracle coverage is exactly the declared set") {
     val all = Queries.all
     assert(all.map(_.name).distinct.size == all.size, "duplicate query names")
-    // LSH/sketch/mapPartitions results are probabilistic or engine-specific
-    // — everything else MUST carry a DuckDB oracle twin
-    val expectedNoOracle = Set("q34_ann_lsh", "q35_ann_ivf")
+    // since r5, EVERY query carries a DuckDB oracle twin (q34/q35, the last
+    // probabilistic holdouts, are tolerance-oracled via planted-twin truth)
     val noOracle = all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == expectedNoOracle,
-      s"oracle-less drift: ${noOracle diff expectedNoOracle} / ${expectedNoOracle diff noOracle}")
+    assert(noOracle.isEmpty, s"oracle-less queries crept in: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size == all.size)
   }
@@ -24,6 +22,28 @@ class RegistrySpec extends AnyFunSuite {
   test("entry() smoke: flagship query yields rows on sf0.001 (driver t1)") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("run-path cleanup leaves executor storage empty after cache-heavy queries") {
+    // Verify, Bench, and ApiMain.cleanedUp all run the same two-step
+    // cleanup after each query/stage (clearCache for CacheManager entries +
+    // unpersist for localCheckpoint'd RDDs that bypass it). This pins the
+    // contract for the heaviest cachers: if an operator ever persists
+    // through a mechanism this cleanup misses, the long-lived REST session
+    // would leak storage across runs — fail here instead.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val sc = spark.sparkContext
+    val heavyCachers = Seq("q47_dedup_keep_best", "q57_boilerplate",
+      "q44_dup_clusters", "q46_token_budget", "q69_fill_threekey")
+    heavyCachers.foreach { n =>
+      SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      assert(sc.getPersistentRDDs.isEmpty, s"persistent RDDs left after $n")
+      assert(spark.sharedState.cacheManager.isEmpty, s"cached plans left after $n")
+    }
   }
 
   // RECALL-vs-SF ASSUMPTION (recorded deliberately): q20 (MinHash-LSH) and
