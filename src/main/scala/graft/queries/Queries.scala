@@ -2354,7 +2354,35 @@ object Queries {
              |FROM mkk m
              |LEFT JOIN fills f ON f.row_id = m.row_id
              |LEFT JOIN prov p ON p.row_id = m.row_id
-             |ORDER BY m.row_id""".stripMargin))
+             |ORDER BY m.row_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q70: CUBE / grouping-sets aggregate — all 2^2 grouping combinations in
+    // ONE pass (Spark expands the grouping sets BEFORE the shuffle, so this
+    // stays a single partial-aggregated exchange, not four scans).
+    // grouping_id() disambiguates a cube-generated null from a null in the
+    // data, and both engines emit the same bitmask for the same column
+    // order.
+    QueryDef("q70_cube_pricing",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  GROUPING(l_returnflag, l_linestatus) AS gid,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_price,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is

@@ -88,7 +88,23 @@ object EventStream {
     * batch frames too (watermarks no-op), which is how the spec proves
     * stream == batch. */
   def purchaseAttribution(events: DataFrame,
-      lookback: String = "10 minutes"): DataFrame = {
+      lookback: String = "10 minutes"): DataFrame =
+    attributionJoin(events, lookback, "inner")
+
+  /** LEFT OUTER variant of [[purchaseAttribution]]: every purchase emits
+    * exactly once — attributed when a qualifying click exists, else with
+    * null click columns once the watermark proves no qualifying click can
+    * still arrive. The unmatched purchase is HELD IN STATE until the click
+    * watermark passes its lookback horizon, so the null-row emission is the
+    * observable state-eviction event (the Streaming2Spec outer-join case
+    * pins exactly that ordering); state stays bounded by lookback +
+    * watermark per side exactly like the inner form. */
+  def purchaseAttributionOuter(events: DataFrame,
+      lookback: String = "10 minutes"): DataFrame =
+    attributionJoin(events, lookback, "left_outer")
+
+  private def attributionJoin(events: DataFrame, lookback: String,
+      joinType: String): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("pts"), col("value").as("purchase_value"))
@@ -100,8 +116,10 @@ object EventStream {
     p.join(c,
         col("user_id") === col("c_user") &&
         col("cts") <= col("pts") &&
-        col("cts") >= col("pts") - expr(s"INTERVAL $lookback"))
+        col("cts") >= col("pts") - expr(s"INTERVAL $lookback"),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("click_id"),
+        // null cts (unmatched outer row) propagates to a null gap
         ((unix_micros(col("pts")) - unix_micros(col("cts"))) / 1000000L)
           .cast("long").as("gap_s"),
         col("purchase_value"))

@@ -6,6 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StatefulTotals
 import graft.streaming.StatefulTotals.{Event, UserTotal}
 
+object Streaming2Spec {
+  /** events-shaped row for MemoryStream-driven join tests. */
+  case class PE(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+}
+
 /** mapGroupsWithState custom state: totals must accumulate ACROSS
   * micro-batches (state survives), driven by a MemoryStream. */
 class Streaming2Spec extends AnyFunSuite {
@@ -61,6 +67,51 @@ class Streaming2Spec extends AnyFunSuite {
       assert(closed(1L) == ((2L, 3.0)), s"user1: $closed")
       assert(closed(2L) == ((1L, 5.0)), s"user2: $closed")
       assert(!closed.contains(3L)) // still open
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER attribution: null row only after watermark eviction") {
+    import graft.streaming.EventStream
+    import Streaming2Spec.PE
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[PE]
+    val q = EventStream.purchaseAttributionOuter(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // P1: purchase with NO qualifying click; P2: purchase with a click
+      // 5 minutes before it (inside the 10-minute lookback)
+      input.addData(
+        PE(1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 9.0),
+        PE(2L, ts("2024-01-01 10:00:00"), 2L, "purchase", 5.0),
+        PE(3L, ts("2024-01-01 09:55:00"), 2L, "click", 0.0))
+      q.processAllAvailable()
+      val matched = spark.table("attr_outer").collect()
+      assert(matched.map(_.getLong(0)).toSeq == Seq(2L),
+        s"only the matched purchase may emit before the watermark: ${matched.toSeq}")
+      assert(matched.head.getLong(2) == 3L && matched.head.getLong(3) == 300L)
+
+      // far-future rows on BOTH sides advance the global watermark (each
+      // side's watermark is computed after its event_type filter, so both
+      // a purchase and a click are needed) past P1's lookback horizon:
+      // only then may the state store evict P1 and emit its null-click row
+      input.addData(
+        PE(100L, ts("2024-01-01 14:00:00"), 50L, "purchase", 1.0),
+        PE(101L, ts("2024-01-01 14:00:00"), 60L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        PE(102L, ts("2024-01-01 14:00:01"), 70L, "purchase", 1.0),
+        PE(103L, ts("2024-01-01 14:00:01"), 80L, "click", 0.0))
+      q.processAllAvailable() // extra batch lets the eviction fire
+
+      val rows = spark.table("attr_outer").collect()
+        .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+      assert(rows(1L).isEmpty, s"P1 must emit with a null click after eviction: $rows")
+      assert(rows(2L).contains(3L))
+      // the far-future purchases are still inside the watermark -> held
+      assert(!rows.contains(100L) && !rows.contains(102L), s"$rows")
     } finally q.stop()
   }
 
