@@ -148,6 +148,16 @@ object Text {
     aggregate(tokens(c), lit(0L),
       (acc, t) => pmod(acc * lit(1000003L) + md5Mod(t), lit(P31)))
 
+  /** Misra–Gries heavy-hitter candidate keys (sorted `array<string>`): a
+    * guaranteed superset of every value with frequency > n/(k+1), held in
+    * O(k) state per partial aggregate — the scale path when the key stream's
+    * cardinality (URLs, shingles) makes an exact `groupBy` shuffle
+    * impractical. Native [[graft.expressions.MisraGries]] aggregate; pair
+    * with a candidate-only exact count pass (q72's plan) for exact final
+    * frequencies. */
+  def heavyHitterCandidates(c: Column, k: Int): Column =
+    graft.expressions.MisraGries.column(c, k)
+
   // -------------------------------------------------------------- redaction
 
   /** Email address pattern. RE2-compatible (no backrefs/lookaround) so the

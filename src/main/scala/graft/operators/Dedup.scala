@@ -280,15 +280,22 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("__l1"))
       // pointer jump: __l1 is a node id in this component, so looking up ITS
-      // round-start label stays inside the component and only decreases
-      val next = stepped
-        .join(labels.select(col("id").as("__jid"), col("label").as("__jlabel")),
-          col("__l1") === col("__jid"), "left")
-        .select(col("id"),
-          least(col("__l1"), coalesce(col("__jlabel"), col("__l1")))
-            .as("label"),
-          (least(col("__l1"), coalesce(col("__jlabel"), col("__l1")))
-            < col("__old")).as("__chg"))
+      // round-start label stays inside the component and only decreases.
+      // Round 0 skips the jump join entirely — labels are still the identity
+      // mapping there, so label-of-label == label and the join is a no-op
+      // that would only add a shuffle to the tightest loop in the operator.
+      val next =
+        if (i == 0)
+          stepped.select(col("id"), col("__l1").as("label"),
+            (col("__l1") < col("__old")).as("__chg"))
+        else stepped
+          .join(labels.select(col("id").as("__jid"), col("label").as("__jlabel")),
+            col("__l1") === col("__jid"), "left")
+          .select(col("id"),
+            least(col("__l1"), coalesce(col("__jlabel"), col("__l1")))
+              .as("label"),
+            (least(col("__l1"), coalesce(col("__jlabel"), col("__l1")))
+              < col("__old")).as("__chg"))
       // ONE job per round: the LAZY localCheckpoint materializes on the
       // convergence count (which scans every partition), truncating lineage
       // in the same action instead of paying a separate eager-checkpoint job

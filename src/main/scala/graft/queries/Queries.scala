@@ -2382,7 +2382,133 @@ object Queries {
              |FROM lineitem
              |GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q71: TF-IDF distinctive terms per source — explode -> two partial-agg
+    // shuffles (term-freq per source, doc-freq over the tf frame) -> join ->
+    // per-source top-5. Ranking and the graded score use round(score, 6):
+    // ln() can differ across engines in the last ulp (and mathematically
+    // equal products like 2*ln(4) = 4*ln(2) land on different doubles), so
+    // ranking the raw double would be engine-dependent on ties.
+    QueryDef("q71_tfidf_sources",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+        val tf = words.groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        // tf rows are distinct (source, word), so doc-freq is a count over
+        // tf — no second pass over the token stream
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val ns = tf.select(col("source")).distinct()
+          .agg(count(lit(1)).as("n_sources"))
+        val scored = tf.join(dfreq, "word").crossJoin(broadcast(ns))
+          .withColumn("score",
+            round(col("tf") * log(col("n_sources") / col("df")), 6))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("word").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("word"), col("tf"), col("df"),
+            col("score"), col("rank"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH w AS (
+             |  SELECT source, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY 1, 2),
+             |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+             |ns AS (SELECT count(DISTINCT source) AS n_sources FROM tf),
+             |scored AS (
+             |  SELECT source, word, tf, df,
+             |    round(tf * ln(n_sources / df), 6) AS score
+             |  FROM tf JOIN df USING (word) CROSS JOIN ns),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY source ORDER BY score DESC, word) AS rank
+             |  FROM scored)
+             |SELECT source, word, tf, df, score, rank FROM r WHERE rank <= 5
+             |ORDER BY source, rank""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q72: heavy hitters via the native Misra-Gries sketch (two-pass plan):
+    // pass 1 folds the token stream into one 64-counter summary per map
+    // task (merged associatively — O(k) shuffle instead of a
+    // vocabulary-sized exchange); pass 2 exact-counts ONLY the <=64
+    // candidate keys (broadcast semi-join filters the shuffle to candidate
+    // rows). The sketch is load-bearing for the compare: its n/(k+1)
+    // guarantee must retain every word above total/33 or the row is missing
+    // from the hashed result. The DuckDB twin states the exact semantics.
+    QueryDef("q72_heavy_hitters",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("word"))
+        val sketch = words.agg(
+          Text.heavyHitterCandidates(col("word"), 64).as("cands"),
+          count(lit(1)).as("total"))
+        val cands = sketch.select(explode(col("cands")).as("word"),
+          col("total"))
+        words.join(broadcast(cands), "word")
+          .groupBy(col("word"), col("total"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") * 33 > col("total"))
+          .select(col("word"), col("n"))
+          .orderBy(col("n").desc, col("word").asc)
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS word
+             |  FROM documents),
+             |c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+             |tot AS (SELECT count(*) AS total FROM w)
+             |SELECT word, n FROM c, tot WHERE n * 33 > total
+             |ORDER BY n DESC, word""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q73: int8 embedding quantization fidelity — the memory/shuffle scale
+    // path for ANN (4x smaller vectors). Per-vector max-abs scale, floor(x/
+    // scale + 0.5) quantization (floor is bit-identical across engines;
+    // round() half-rule is not), dequantize, cosine against the original.
+    // min() is order-independent (round 6); avg is rounded to 4 to absorb
+    // summation-order ulps.
+    QueryDef("q73_quantized_cosine",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            Vec.asDouble(col("embedding")).as("vec"))
+        val amax = array_max(transform(col("vec"), x => abs(x)))
+        val scaled = e.withColumn("scale", amax / lit(127.0))
+        val dq = transform(col("vec"),
+          x => floor(x / col("scale") + lit(0.5)) * col("scale"))
+        val withCos = scaled.withColumn("cos",
+          when(col("scale") > 0.0, Vec.cosine(col("vec"), dq))
+            .otherwise(lit(null).cast("double")))
+        withCos.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(min(col("cos")), 6).as("min_fidelity"),
+            round(avg(col("cos")), 4).as("avg_fidelity"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT label, v,
+             |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+             |      AS scale
+             |  FROM e),
+             |c AS (
+             |  SELECT label,
+             |    CASE WHEN scale > 0 THEN list_cosine_similarity(v,
+             |      list_transform(v, x -> floor(x / scale + 0.5) * scale))
+             |    END AS cos
+             |  FROM s)
+             |SELECT label, count(*) AS n_vecs,
+             |  round(min(cos), 6) AS min_fidelity,
+             |  round(avg(cos), 4) AS avg_fidelity
+             |FROM c GROUP BY label ORDER BY label""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is

@@ -249,4 +249,45 @@ class FunctionsSpec extends AnyFunSuite {
       .select(Text.emailCount(col("v")), Text.phoneCount(col("v"))).head()
     assert(counts.getInt(0) == 2 && counts.getInt(1) == 1)
   }
+
+  // ------------------------------------------------------------ MisraGries
+
+  private def mgCandidates(values: Seq[String], k: Int,
+      partitions: Int = 7): Set[String] =
+    values.toDF("v").repartition(partitions)
+      .agg(Text.heavyHitterCandidates(col("v"), k))
+      .head().getSeq[String](0).toSet
+
+  test("MisraGries retains every value above n/(k+1) (guarantee)") {
+    // adversarial for small sketches: a majority item drip-fed between
+    // bursts of distinct one-off keys that keep forcing shrinks
+    val stream = (0 until 600).flatMap(i => Seq("major", s"noise$i"))
+    val got = mgCandidates(stream, k = 8)
+    assert(got.contains("major"))
+    assert(got.size <= 8)
+
+    // randomized Zipf-ish streams across several seeds; partial aggregation
+    // across 7 partitions exercises serialize/deserialize + merge
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vals = (0 until 4000).map(_ =>
+        s"w${math.min(99, math.abs(rnd.nextGaussian() * 12).toInt)}")
+      val k = 16
+      val exact = vals.groupBy(identity).view.mapValues(_.size)
+      val heavy = exact.filter(_._2 * (k + 1) > vals.size).keySet
+      val got2 = mgCandidates(vals, k)
+      assert(got2.size <= k)
+      assert(heavy.subsetOf(got2),
+        s"seed $seed: missed ${heavy -- got2} (guaranteed heavy)")
+    }
+  }
+
+  test("MisraGries candidate order is sorted and deterministic") {
+    val vals = Seq.fill(50)("b") ++ Seq.fill(50)("a") ++ Seq.fill(5)("z")
+    val arr = vals.toDF("v").repartition(3)
+      .agg(Text.heavyHitterCandidates(col("v"), 4))
+      .head().getSeq[String](0)
+    assert(arr == arr.sorted)
+    assert(arr.containsSlice(Seq("a", "b")))
+  }
 }
