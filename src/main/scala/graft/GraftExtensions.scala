@@ -58,6 +58,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       a => Text.simhash(a.head))
     register(ext, "hamming64", "(long, long) - Hamming distance",
       a => Text.hamming(a(0), a(1)))
+    // aggregate: the registry builder returns the bare AggregateFunction and
+    // the analyzer wraps it in an AggregateExpression, same as built-ins
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "(str, k) - Misra-Gries heavy-hitter candidates (array<string>)"),
+      (args: Seq[Expression]) =>
+        graft.expressions.MisraGries(args(0), args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"misra_gries k must be an integer literal, got $other")
+        })))
   }
 }
 

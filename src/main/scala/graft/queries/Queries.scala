@@ -2508,7 +2508,56 @@ object Queries {
              |SELECT label, count(*) AS n_vecs,
              |  round(min(cos), 6) AS min_fidelity,
              |  round(avg(cos), 4) AS avg_fidelity
-             |FROM c GROUP BY label ORDER BY label""".stripMargin))
+             |FROM c GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q74: sliding-window document chunking (context-window packing for
+    // training): 32-token chunks every 24 tokens (8-token overlap), chunk
+    // identity graded via md5 of the joined tokens. Pure per-row compute —
+    // tokenize once, explode computed chunk indices, slice — no shuffle at
+    // all until the output sort, so the operator streams at scan speed on
+    // any corpus size. Integer chunk math uses floor() on small-int doubles
+    // (exact below 2^53, portable across engines).
+    QueryDef("q74_doc_chunks",
+      (s, dir) => {
+        val C = 32; val S = 24
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .withColumn("len", size(col("toks")))
+          .filter(col("len") > 0)
+          .withColumn("nch",
+            floor((col("len") - 1) / lit(S)).cast("long") + 1)
+        d.select(col("doc_id"), col("toks"), col("len"),
+            explode(sequence(lit(0L), col("nch") - 1)).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(C))
+              .as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tok"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM documents),
+             |sized AS (
+             |  SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+             |idx AS (
+             |  SELECT doc_id, toks,
+             |    unnest(range(0, CAST(floor((n - 1) / 24) AS BIGINT) + 1))
+             |      AS chunk_idx
+             |  FROM sized),
+             |ch AS (
+             |  SELECT doc_id, chunk_idx,
+             |    list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)
+             |      AS chunk
+             |  FROM idx)
+             |SELECT doc_id, chunk_idx,
+             |  CAST(len(chunk) AS BIGINT) AS n_tok,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is

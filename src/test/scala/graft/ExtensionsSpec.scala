@@ -48,6 +48,13 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.functions.Text.fingerprint(lit("a b c")),
         graft.functions.Text.simhash(lit("a b c"))).head()
       assert(q.getLong(1) == col.getLong(0) && q.getLong(2) == col.getLong(1))
+      // aggregate registration: the analyzer must wrap the bare
+      // AggregateFunction (GROUP BY path + sorted deterministic output)
+      spark.range(100).selectExpr("CASE WHEN id % 3 = 0 THEN 'fizz' " +
+        "ELSE concat('x', id) END AS w").createOrReplaceTempView("mg_words")
+      val hh = spark.sql("SELECT misra_gries(w, 4) AS c FROM mg_words")
+        .head().getSeq[String](0)
+      assert(hh.contains("fizz") && hh.size <= 4 && hh == hh.sorted)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
