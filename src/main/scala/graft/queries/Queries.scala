@@ -2385,24 +2385,28 @@ object Queries {
         .stripMargin)),
 
     // ---------------------------------------------------------------------
-    // q71: TF-IDF distinctive terms per source — explode -> two partial-agg
-    // shuffles (term-freq per source, doc-freq over the tf frame) -> join ->
-    // per-source top-5. Ranking and the graded score use round(score, 6):
-    // ln() can differ across engines in the last ulp (and mathematically
-    // equal products like 2*ln(4) = 4*ln(2) land on different doubles), so
-    // ranking the raw double would be engine-dependent on ties.
+    // q71: TF-IDF distinctive terms per source — ONE pass over the token
+    // stream: explode -> (source, word) partial-agg shuffle, then doc-freq
+    // as a PARTITIONED window over the tf frame (tf rows are distinct
+    // (source, word), so count-over-word == sources containing the word —
+    // no second aggregation lineage re-scanning the corpus, which is what
+    // a separate groupBy(word) frame would cost without exchange reuse).
+    // n_sources comes from a one-column pruned scan (dimension-sized).
+    // Ranking and the graded score use round(score, 6): ln() can differ
+    // across engines in the last ulp (and mathematically equal products
+    // like 2*ln(4) = 4*ln(2) land on different doubles), so ranking the
+    // raw double would be engine-dependent on ties.
     QueryDef("q71_tfidf_sources",
       (s, dir) => {
         val words = t(s, dir, "documents")
           .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
         val tf = words.groupBy(col("source"), col("word"))
           .agg(count(lit(1)).as("tf"))
-        // tf rows are distinct (source, word), so doc-freq is a count over
-        // tf — no second pass over the token stream
-        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val ns = tf.select(col("source")).distinct()
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("word"))))
+        val ns = t(s, dir, "documents").select(col("source")).distinct()
           .agg(count(lit(1)).as("n_sources"))
-        val scored = tf.join(dfreq, "word").crossJoin(broadcast(ns))
+        val scored = withDf.crossJoin(broadcast(ns))
           .withColumn("score",
             round(col("tf") * log(col("n_sources") / col("df")), 6))
         val w = Window.partitionBy(col("source"))
@@ -2557,7 +2561,66 @@ object Queries {
              |SELECT doc_id, chunk_idx,
              |  CAST(len(chunk) AS BIGINT) AS n_tok,
              |  md5(array_to_string(chunk, ' ')) AS chunk_md5
-             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q75: intra-document repetition — duplicate bigram/trigram fractions
+    // (the Gopher repetition signals, Rae et al. 2021 §A1.1: high
+    // duplicate-n-gram mass marks boilerplate/spam). Planted repetitive
+    // docs (constant 3-token loop) make the keep-rule load-bearing: they
+    // must classify keep=false or the hash diverges. Per-row
+    // tokenize/shingle/distinct only — no shuffle before the output sort.
+    // The keep threshold compares the RAW ratio (small-int division is
+    // exact in doubles, identical across engines); only the emitted
+    // ratios are rounded.
+    QueryDef("q75_repetition",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("start marker "), repeat(lit("spam ham eggs "), 20))
+              .as("text"))
+        base.unionByName(planted)
+          .withColumn("len", size(Text.tokens(col("text"))))
+          .filter(col("len") >= 3)
+          .withColumn("d2",
+            lit(1) - size(array_distinct(Text.wordShingles(col("text"), 2)))
+              / (col("len") - 1))
+          .withColumn("d3",
+            lit(1) - size(array_distinct(Text.wordShingles(col("text"), 3)))
+              / (col("len") - 2))
+          .select(col("doc_id"), col("len").cast("long").as("n_tok"),
+            round(col("d2"), 6).as("dup2"),
+            round(col("d3"), 6).as("dup3"),
+            (col("d3") <= 0.15).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |planted AS (
+             |  SELECT doc_id + 20000 AS doc_id,
+             |    'start marker ' || repeat('spam ham eggs ', 20) AS text
+             |  FROM base WHERE doc_id % 37 = 0),
+             |ad AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+             |tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM ad),
+             |s AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+             |      WHERE len(toks) >= 3),
+             |g AS (
+             |  SELECT doc_id, n,
+             |    1 - len(list_distinct(list_transform(range(n - 1),
+             |      i -> array_to_string(toks[i + 1:i + 2], ' ')))) / (n - 1)
+             |      AS d2,
+             |    1 - len(list_distinct(list_transform(range(n - 2),
+             |      i -> array_to_string(toks[i + 1:i + 3], ' ')))) / (n - 2)
+             |      AS d3
+             |  FROM s)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+             |  round(d2, 6) AS dup2, round(d3, 6) AS dup3,
+             |  (d3 <= 0.15) AS keep
+             |FROM g ORDER BY doc_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
