@@ -89,7 +89,13 @@ object Bench {
       s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min of nruns timed passes after one warm-up","runs":$runsJson}\n""")
     finally fw.close()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+    // Short keys (q44, not q44_dup_clusters) on the stdout line: at 75
+    // queries the full-name map alone is ~1,900 chars and the driver keeps
+    // only the final ~2000 chars of output — a truncated head loses the
+    // line's opening brace and fails the parse. The qNN prefix is unique
+    // per query; BENCH_RUNS.json carries the full names and raw samples.
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"queries":$qs,"sf":"$sfDir"}""")

@@ -42,4 +42,34 @@ class BucketingSpec extends AnyFunSuite {
 
     assert(joined.count() == 100)
   }
+
+  test("hive-partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val docs = Seq(
+      (1L, "en", "hello world"), (2L, "en", "more text"),
+      (3L, "de", "hallo welt"), (4L, "fr", "bonjour")).toDF(
+      "doc_id", "lang", "text")
+    // lang is low-cardinality and the dominant filter axis -> directory
+    // partitioning; at 100 TB a lang='en' scan must never touch the other
+    // languages' files
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    val exec = back.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning), not as
+    // a post-scan Filter over all partitions
+    assert(exec.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter should prune at the partition level:\n$exec")
+    assert(back.count() == 2)
+
+    // dynamic partition overwrite replaces ONLY the touched partition:
+    // rewriting 'de' must leave 'en'/'fr' data intact (the incremental
+    // re-ingest contract; static overwrite mode would drop them)
+    Seq((30L, "de", "neu")).toDF("doc_id", "lang", "text")
+      .write.partitionBy("lang").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 4)
+    assert(after.filter(col("lang") === "de").head().getLong(0) == 30L)
+  }
 }

@@ -49,12 +49,18 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.functions.Text.simhash(lit("a b c"))).head()
       assert(q.getLong(1) == col.getLong(0) && q.getLong(2) == col.getLong(1))
       // aggregate registration: the analyzer must wrap the bare
-      // AggregateFunction (GROUP BY path + sorted deterministic output)
-      spark.range(100).selectExpr("CASE WHEN id % 3 = 0 THEN 'fizz' " +
-        "ELSE concat('x', id) END AS w").createOrReplaceTempView("mg_words")
-      val hh = spark.sql("SELECT misra_gries(w, 4) AS c FROM mg_words")
-        .head().getSeq[String](0)
-      assert(hh.contains("fizz") && hh.size <= 4 && hh == hh.sorted)
+      // AggregateFunction; exercised through GROUP BY (per-group buffers)
+      spark.range(100).selectExpr("id % 2 AS grp",
+        "CASE WHEN id % 3 = 0 THEN 'fizz' " +
+          "ELSE concat('x', id) END AS w").createOrReplaceTempView("mg_words")
+      val rows = spark.sql(
+        "SELECT grp, misra_gries(w, 4) AS c FROM mg_words GROUP BY grp")
+        .collect()
+      assert(rows.length == 2)
+      for (r <- rows) {
+        val hh = r.getSeq[String](1)
+        assert(hh.contains("fizz") && hh.size <= 4 && hh == hh.sorted)
+      }
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
