@@ -62,4 +62,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(keyExchanges == 1,
       s"expected exactly one user_id hash exchange, got $keyExchanges:\n$plan")
   }
+
+  test("q72 heavy hitters: O(k) sketch aggregate + broadcast candidate join") {
+    assume(new java.io.File(SfDir).isDirectory)
+    val plan = planOf("q72_heavy_hitters")
+    // the sketch must run as an object-buffer aggregate (partial+final, so
+    // each map task ships one k-entry summary, never the raw key stream)...
+    assert(plan.contains("ObjectHashAggregate"),
+      s"MisraGries should plan as ObjectHashAggregate:\n$plan")
+    // ...and the exact-count pass must filter through a broadcast of the
+    // <=k candidates — a shuffle join here would defeat the sketch
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate filter should be a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate filter must not shuffle the token stream:\n$plan")
+  }
 }
