@@ -174,4 +174,36 @@ object EventStream {
     q.awaitTermination()
     q
   }
+
+  /** Stream-static enrichment: join the event stream against a static (or
+    * slowly-changing, re-read per batch) dimension frame and aggregate per
+    * dimension attribute. The static side is broadcast — stream-static joins
+    * need no watermark and hold NO join state (each micro-batch probes the
+    * dimension like a batch job would), which is why this is the right plan
+    * for dimension enrichment and the stream-stream interval join
+    * ([[purchaseAttribution]]) is reserved for two genuinely unbounded
+    * sides. Rows with no dimension match keep a null attribute (left join)
+    * rather than silently dropping. */
+  def enrichedRollup(events: DataFrame, dim: DataFrame,
+      dimKey: String = "user_id", attr: String = "segment"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), Seq(dimKey), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(attr))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col(attr), col("n_events"), col("total_value"))
+
+  /** Drain a directory through [[enrichedRollup]] into memory. */
+  def drainEnrichedToMemory(spark: SparkSession, dir: String, dim: DataFrame,
+      table: String): StreamingQuery = {
+    val q = enrichedRollup(readEvents(spark, dir), dim)
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

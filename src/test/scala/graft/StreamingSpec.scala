@@ -28,6 +28,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static dimension enrichment == batch join (broadcast, no state)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("events-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // static user->segment dimension that misses some users (the left join
+    // must keep their events under a null segment, not drop them)
+    val dim = spark.range(0, 1000, 3)
+      .select(col("id").as("user_id"),
+        concat(lit("seg"), col("id") % 4).as("segment"))
+    EventStream.drainEnrichedToMemory(spark, streamDir.toString, dim,
+      "stream_enriched")
+    val streamed = spark.table("stream_enriched")
+      .orderBy("hour", "segment").collect().map(_.toSeq).toSeq
+
+    val batch = EventStream.enrichedRollup(
+      graft.queries.Tables(spark, dir, "events"), dim)
+      .orderBy("hour", "segment").collect().map(_.toSeq).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_(1) == null), "unmatched users must survive")
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops redelivered events (dropDuplicatesWithinWatermark)") {
     val dir = "/root/testdata/sf0.001"
     // simulate at-least-once upstream delivery: the same file lands twice
