@@ -2620,7 +2620,34 @@ object Queries {
              |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
              |  round(d2, 6) AS dup2, round(d3, 6) AS dup3,
              |  (d3 <= 0.15) AS keep
-             |FROM g ORDER BY doc_id""".stripMargin))
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q76: quality-weighted corpus sampling — accept each document with
+    // probability proportional to its quality score (importance sampling
+    // for data mixing), but DETERMINISTICALLY: the uniform draw is the
+    // portable md5-derived hash of the doc id mapped to [0,1), so the
+    // sample is reproducible across runs, engines, and partitionings (and
+    // hash-gradable — rand() would be none of those). Per-row filter over
+    // one scan; the acceptance compare uses raw doubles (identical md5 ->
+    // identical u; identical quality arithmetic on both sides).
+    QueryDef("q76_quality_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = graft.operators.TextProfile.profile(d, "doc_id", "text")
+        scored
+          .withColumn("u",
+            Text.md5Mod(col("doc_id")) / lit(Text.P31.toDouble))
+          .filter(col("u") < col("quality") * 0.9)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("quality"), 6).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_tokens, round(quality, 6) AS quality
+              |FROM (${docStatsNoOrder.replace("\n", "\n")})
+              |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              |        % 2147483647) / 2147483647.0 < quality * 0.9
+              |ORDER BY doc_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
