@@ -90,4 +90,27 @@ class DeterminismSpec extends AnyFunSuite {
       Seq(col("q").desc, col("id")), col("tok"), "cum")
     same(cum(rows.repartition(1)), cum(rows.repartition(13)))
   }
+
+  test("sketch-verified heavy hitters are partitioning-invariant") {
+    // the raw Misra-Gries CANDIDATE array legitimately varies with merge
+    // order (non-heavy survivors differ) — what must be invariant is the
+    // q72-shaped output: candidates verified against exact counts. Every
+    // guaranteed-heavy key survives any merge order, and the exact filter
+    // strips the partitioning-dependent tail.
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 3000).map(_ =>
+      Tuple1(s"w${math.min(60, math.abs(rnd.nextGaussian() * 9).toInt)}"))
+      .toDF("word")
+    def heavy(df: DataFrame): DataFrame = {
+      val sketch = df.agg(
+        graft.functions.Text.heavyHitterCandidates(col("word"), 16).as("c"),
+        count(lit(1)).as("total"))
+      val cands = sketch.select(explode(col("c")).as("word"), col("total"))
+      df.join(broadcast(cands), "word")
+        .groupBy(col("word"), col("total")).agg(count(lit(1)).as("n"))
+        .filter(col("n") * 17 > col("total"))
+        .select("word", "n")
+    }
+    same(heavy(words.repartition(1)), heavy(words.repartition(13)))
+  }
 }
