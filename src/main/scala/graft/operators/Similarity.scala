@@ -106,19 +106,73 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF-Flat ANN: `nlist` coarse centroids (here: a deterministic sample of
-    * corpus vectors — real deployments would k-means, the plan shape is the
-    * same); every corpus row is assigned to its nearest centroid (broadcast
-    * join, no corpus shuffle beyond the final group), queries probe their
-    * `nprobe` nearest lists. */
+  /** Spherical k-means (Lloyd) training for IVF coarse centroids,
+    * deterministic end to end:
+    *  - seeds are `nlist` corpus vectors in md5-of-id order (reproducible
+    *    pseudo-random spread, no `rand()`);
+    *  - assignment is max-cosine against BROADCAST centroids with a
+    *    (similarity desc, cent_id asc) total order — ties can't flip;
+    *  - the update step is a per-(centroid, dimension) mean via posexplode +
+    *    partial aggregation: the shuffle carries nlist x dim partial sums,
+    *    NOT the corpus. Components are rounded to 9 decimals so summation
+    *    order can't leak into the result (same stance as the oracle
+    *    rounding; a value landing within 1 ulp of a rounding boundary is
+    *    the accepted residual risk).
+    * Clusters that lose all members simply drop out (FAISS reassigns;
+    * relationally the empty list just never matches a probe). Returns
+    * (cent_id, cent_vec) like the sampling path. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): DataFrame = {
+    // seed selection is orderBy+limit (TakeOrderedAndProject — top-nlist per
+    // partition then merge, never a global sort); the unpartitioned
+    // numbering window below runs on the nlist-row result, metadata-sized
+    // like q46's subtotal window
+    val seeds = corpus
+      .select(col(idCol).as("sid"), Vec.asDouble(col(vecCol)).as("cent_vec"))
+      .orderBy(md5(col("sid").cast("string")).asc, col("sid").asc)
+      .limit(nlist)
+    val seedW = Window.orderBy(
+      md5(col("sid").cast("string")).asc, col("sid").asc)
+    var cents = seeds
+      .withColumn("__r", row_number().over(seedW))
+      .select((col("__r") - 1).cast("long").as("cent_id"), col("cent_vec"))
+    for (_ <- 0 until iters) {
+      val scored = corpus
+        .select(col(idCol).as("id"), Vec.asDouble(col(vecCol)).as("vec"))
+        .join(broadcast(cents))
+        .select(col("id"), col("vec"), col("cent_id"),
+          Vec.cosine(col("vec"), col("cent_vec")).as("sim"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("sim").desc, col("cent_id").asc)
+      val assigned = scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => round(s.getField("m"), 9)).as("cent_vec"))
+    }
+    cents
+  }
+
+  /** IVF-Flat ANN: `nlist` coarse centroids — a deterministic md5-ordered
+    * sample by default, or [[trainCentroids]] k-means refinement with
+    * `trainIters > 0` (same layout either way); every corpus row is
+    * assigned to its nearest centroid (broadcast join, no corpus shuffle
+    * beyond the final group), queries probe their `nprobe` nearest lists. */
   def ivfTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     // deterministic coarse centroids: the nlist corpus vectors with the
     // smallest ids (stand-in for trained centroids; layout identical)
-    val centroids = corpus
-      .select(col(corpusIdCol).as("cent_id"), col(corpusVecCol).as("cent_vec"))
-      .orderBy(col("cent_id").asc).limit(nlist)
+    val centroids =
+      if (trainIters > 0)
+        trainCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
+      else corpus
+        .select(col(corpusIdCol).as("cent_id"), col(corpusVecCol).as("cent_vec"))
+        .orderBy(col("cent_id").asc).limit(nlist)
 
     def assign(df: DataFrame, idCol: String, vecCol: String, nProbe: Int) = {
       val scored = df.join(broadcast(centroids))

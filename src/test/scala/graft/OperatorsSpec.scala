@@ -191,6 +191,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(truth.size == 40)
     assert((lsh & truth).size >= 30, s"LSH recall ${(lsh & truth).size}/40")
     assert((ivf & truth).size >= 24, s"IVF recall ${(ivf & truth).size}/40")
+
+    // k-means-trained coarse quantizer: centroids converge onto the 4 real
+    // clusters, so trained IVF must recall at least as much as the sampled
+    // quantizer here (and stay within nlist centroids)
+    val trained = pairs(Similarity.ivfTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 4, trainIters = 2))
+    assert((trained & truth).size >= (ivf & truth).size,
+      s"trained IVF recall ${(trained & truth).size} < sampled ${(ivf & truth).size}")
+  }
+
+  test("trainCentroids: spherical k-means objective is non-decreasing") {
+    val rnd = new scala.util.Random(9)
+    val centers = Array.fill(3)(Array.fill(8)(rnd.nextGaussian() * 2))
+    val corpus = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.2).toFloat))
+    }.toDF("id", "vec")
+    // objective = mean best-cosine to the centroid set
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      corpus.select(col("id"), graft.functions.Vec.asDouble(col("vec")).as("v"))
+        .join(broadcast(cents))
+        .select(col("id"),
+          graft.functions.Vec.cosine(col("v"), col("cent_vec")).as("sim"))
+        .groupBy("id").agg(max(col("sim")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    val objs = (0 to 2).map { it =>
+      val cents =
+        if (it == 0)
+          corpus.select(col("id").as("sid"),
+              graft.functions.Vec.asDouble(col("vec")).as("cent_vec"))
+            .orderBy(md5(col("sid").cast("string")).asc).limit(6)
+            .select(col("cent_vec"), lit(0L).as("cent_id"))
+        else Similarity.trainCentroids(corpus, "id", "vec", nlist = 6,
+          iters = it)
+      assert(cents.count() <= 6)
+      objective(cents)
+    }
+    // Lloyd improves (or holds) the objective each iteration; the 1e-6
+    // epsilon absorbs the 9-decimal centroid rounding
+    assert(objs(1) >= objs(0) - 1e-6, s"iter1 ${objs(1)} < seed ${objs(0)}")
+    assert(objs(2) >= objs(1) - 1e-6, s"iter2 ${objs(2)} < iter1 ${objs(1)}")
   }
 
   test("fuzzy blocked pairs find planted typos, never cross-join") {
