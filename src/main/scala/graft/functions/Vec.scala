@@ -45,6 +45,13 @@ object Vec {
     when(denom > 0.0, dotAB / denom).otherwise(lit(null).cast("double"))
   }
 
+  /** Element-wise vector sum AGGREGATE (native
+    * [[graft.expressions.VecSum]]): one double[dim] buffer per group with
+    * associative merges — the centroid/embedding averaging kernel. Divide by
+    * `count` for a mean. */
+  def sumAgg(v: Column): Column =
+    graft.expressions.VecSum.column(asDouble(v))
+
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),

@@ -108,52 +108,58 @@ object Similarity {
 
   /** Spherical k-means (Lloyd) training for IVF coarse centroids,
     * deterministic end to end:
-    *  - seeds are `nlist` corpus vectors in md5-of-id order (reproducible
-    *    pseudo-random spread, no `rand()`);
-    *  - assignment is max-cosine against BROADCAST centroids with a
-    *    (similarity desc, cent_id asc) total order — ties can't flip;
-    *  - the update step is a per-(centroid, dimension) mean via posexplode +
-    *    partial aggregation: the shuffle carries nlist x dim partial sums,
-    *    NOT the corpus. Components are rounded to 9 decimals so summation
-    *    order can't leak into the result (same stance as the oracle
-    *    rounding; a value landing within 1 ulp of a rounding boundary is
-    *    the accepted residual risk).
-    * Clusters that lose all members simply drop out (FAISS reassigns;
-    * relationally the empty list just never matches a probe). Returns
-    * (cent_id, cent_vec) like the sampling path. */
+    *  - seeds are the `nlist` corpus vectors first in md5-of-id order
+    *    (reproducible pseudo-random spread, no `rand()`; orderBy+limit =
+    *    TakeOrderedAndProject, never a global sort);
+    *  - between iterations the centroids live on the DRIVER as literal
+    *    array columns (nlist x dim doubles — metadata-sized, the same
+    *    stance as [[hyperplanes]] and exactly what MLlib's k-means
+    *    broadcasts): assignment is then a PURE PROJECTION over one corpus
+    *    scan — `array_max` over (cosine, -cent_id) structs, so ties break
+    *    to the smallest cent_id — with no join, no window, and no
+    *    corpus x nlist row blow-up;
+    *  - the update step is the native elementwise [[Vec.sumAgg]] aggregate:
+    *    one dim-length partial buffer per (map task, centroid) through a
+    *    single nlist-row exchange. Components are rounded to 9 decimals so
+    *    summation order can't leak into the result (same stance as the
+    *    oracle rounding).
+    * Per iteration: one corpus scan, one nlist-row shuffle, one nlist-row
+    * driver collect. Clusters that lose all members drop out (FAISS
+    * reassigns; relationally the empty list never matches a probe).
+    * Returns (cent_id, cent_vec) like the sampling path. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): DataFrame = {
-    // seed selection is orderBy+limit (TakeOrderedAndProject — top-nlist per
-    // partition then merge, never a global sort); the unpartitioned
-    // numbering window below runs on the nlist-row result, metadata-sized
-    // like q46's subtotal window
-    val seeds = corpus
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] = corpus
       .select(col(idCol).as("sid"), Vec.asDouble(col(vecCol)).as("cent_vec"))
       .orderBy(md5(col("sid").cast("string")).asc, col("sid").asc)
       .limit(nlist)
-    val seedW = Window.orderBy(
-      md5(col("sid").cast("string")).asc, col("sid").asc)
-    var cents = seeds
-      .withColumn("__r", row_number().over(seedW))
-      .select((col("__r") - 1).cast("long").as("cent_id"), col("cent_vec"))
-    for (_ <- 0 until iters) {
-      val scored = corpus
-        .select(col(idCol).as("id"), Vec.asDouble(col(vecCol)).as("vec"))
-        .join(broadcast(cents))
-        .select(col("id"), col("vec"), col("cent_id"),
-          Vec.cosine(col("vec"), col("cent_vec")).as("sim"))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("sim").desc, col("cent_id").asc)
-      val assigned = scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
+      .select(col("cent_vec")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (_ <- 0 until iters if cents.nonEmpty) {
+      // (cosine, -cent_id, cent_id) structs; array_max's lexicographic
+      // struct order = best similarity, smallest cent_id on ties
+      val candidates = array(cents.map { case (cid, v) =>
+        val centCol = array(v.map(lit): _*)
+        struct(Vec.cosine(col("__v"), centCol).as("sim"),
+          lit(-cid).as("neg"), lit(cid).as("cent_id"))
+      }: _*)
+      val assigned = corpus
+        .select(Vec.asDouble(col(vecCol)).as("__v"))
+        .select(col("__v"),
+          array_max(candidates).getField("cent_id").as("cent_id"))
       cents = assigned
-        .select(col("cent_id"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy(col("cent_id"), col("pos")).agg(avg(col("v")).as("m"))
         .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => round(s.getField("m"), 9)).as("cent_vec"))
+        .agg(Vec.sumAgg(col("__v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cent_id"),
+          transform(col("s"), x => round(x / col("n"), 9)).as("cent_vec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        .sortBy(_._1)
     }
-    cents
+    cents.toDF("cent_id", "cent_vec")
   }
 
   /** IVF-Flat ANN: `nlist` coarse centroids — a deterministic md5-ordered

@@ -2186,8 +2186,10 @@ object Queries {
         val e = plantedVecs(s, dir)
         val q = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        // trainIters=1: the graded query exercises the k-means-trained
+        // quantizer (the production IVF path), not the seed sample
         val ann = Similarity.ivfTopK(e, "vec_id", "vec", q, "qid", "qvec",
-          k = 10, nlist = 16, nprobe = 4)
+          k = 10, nlist = 16, nprobe = 4, trainIters = 1)
         val hits = ann
           .filter(col("neighbor_id") === col("query_id") + 100000)
           .select(col("query_id"), lit(true).as("hit"))

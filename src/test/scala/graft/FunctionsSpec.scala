@@ -282,6 +282,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("VecSum == posexplode sum (multi-partition, multi-group)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i % 5, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("g", "vec").repartition(9)
+    val native = rows.groupBy("g")
+      .agg(Vec.sumAgg(col("vec")).as("s"))
+      .select(col("g"), explode(col("s")).as("v"))
+      .groupBy("g").agg(round(sum(col("v")), 6).as("t"))
+      .orderBy("g").collect().map(_.getDouble(1)).toSeq
+    val exploded = rows
+      .select(col("g"), posexplode(Vec.asDouble(col("vec"))).as(Seq("p", "v")))
+      .groupBy("g").agg(round(sum(col("v")), 6).as("t"))
+      .orderBy("g").collect().map(_.getDouble(1)).toSeq
+    assert(native == exploded)
+    // empty-input group: all-null vectors sum to an empty array
+    val empty = Seq((1, null: Array[Float])).toDF("g", "vec")
+      .groupBy("g").agg(Vec.sumAgg(col("vec")).as("s"))
+      .head().getSeq[Double](1)
+    assert(empty.isEmpty)
+  }
+
   test("MisraGries candidate order is sorted and deterministic") {
     val vals = Seq.fill(50)("b") ++ Seq.fill(50)("a") ++ Seq.fill(5)("z")
     val arr = vals.toDF("v").repartition(3)
