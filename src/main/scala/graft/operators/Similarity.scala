@@ -120,9 +120,13 @@ object Similarity {
     *    corpus x nlist row blow-up;
     *  - the update step is the native elementwise [[Vec.sumAgg]] aggregate:
     *    one dim-length partial buffer per (map task, centroid) through a
-    *    single nlist-row exchange. Components are rounded to 9 decimals so
-    *    summation order can't leak into the result (same stance as the
-    *    oracle rounding).
+    *    single nlist-row exchange. Components are rounded to 6 decimals so
+    *    summation order can't leak into the result — and coarsely enough
+    *    that a ~1e-14 cross-engine/cross-partitioning sum difference has
+    *    ~1e-8 probability of straddling a rounding boundary, which keeps
+    *    the q77 oracle (an independent DuckDB restatement of this exact
+    *    algorithm) deterministic. K-means is insensitive to centroid
+    *    precision at 1e-6.
     * Per iteration: one corpus scan, one nlist-row shuffle, one nlist-row
     * driver collect. Clusters that lose all members drop out (FAISS
     * reassigns; relationally the empty list never matches a probe).
@@ -154,7 +158,7 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(Vec.sumAgg(col("__v")).as("s"), count(lit(1)).as("n"))
         .select(col("cent_id"),
-          transform(col("s"), x => round(x / col("n"), 9)).as("cent_vec"))
+          transform(col("s"), x => round(x / col("n"), 6)).as("cent_vec"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         .sortBy(_._1)

@@ -2649,7 +2649,71 @@ object Queries {
               |FROM (${docStatsNoOrder.replace("\n", "\n")})
               |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
               |        % 2147483647) / 2147483647.0 < quality * 0.9
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q77: embedding clustering — ONE spherical Lloyd iteration from the
+    // md5-ordered seed sample, then per-cluster membership stats. The
+    // DuckDB twin restates the SAME deterministic algorithm independently
+    // (seed order, max-cosine/smallest-id assignment, per-component mean
+    // rounded to 6), so the trainer is graded end to end, not just
+    // spec-checked. min is order-independent (round 6); avg absorbs
+    // summation order at round 4; the 6-decimal centroid rounding is what
+    // makes the intermediate state engine-portable (see trainCentroids).
+    QueryDef("q77_kmeans_clusters",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val cents = graft.operators.Similarity.trainCentroids(
+          e, "vec_id", "vec", nlist = 8, iters = 1)
+        val scored = e.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            Vec.cosine(col("vec"), col("cent_vec")).as("sim"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cent_id").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_members"),
+            round(min(col("sim")), 6).as("min_sim"),
+            round(avg(col("sim")), 4).as("avg_sim"))
+          .orderBy(col("cent_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             |      AS cent_id, v
+             |  FROM (SELECT vec_id, v FROM e
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+             |assign0 AS (
+             |  SELECT vec_id, e.v AS v, cent_id, row_number() OVER (
+             |      PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, s.v) DESC, cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN seeds s),
+             |comp AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM assign0 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp GROUP BY cent_id),
+             |fin AS (
+             |  SELECT vec_id, c.cent_id,
+             |    list_cosine_similarity(e.v, c.cv) AS sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN cents c)
+             |SELECT cent_id, count(*) AS n_members,
+             |  round(min(sim), 6) AS min_sim, round(avg(sim), 4) AS avg_sim
+             |FROM fin WHERE rk = 1 GROUP BY cent_id ORDER BY cent_id"""
+        .stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
