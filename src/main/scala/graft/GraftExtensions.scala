@@ -58,8 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       a => Text.simhash(a.head))
     register(ext, "hamming64", "(long, long) - Hamming distance",
       a => Text.hamming(a(0), a(1)))
-    // aggregate: the registry builder returns the bare AggregateFunction and
-    // the analyzer wraps it in an AggregateExpression, same as built-ins
+    // aggregates: the registry builder returns the bare AggregateFunction
+    // and the analyzer wraps it in an AggregateExpression, same as built-ins
+    ext.injectFunction((FunctionIdentifier("vec_sum"),
+      info("vec_sum", "(array<double>) - elementwise vector sum aggregate"),
+      (args: Seq[Expression]) => graft.expressions.VecSum(args.head)))
     ext.injectFunction((FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "(str, k) - Misra-Gries heavy-hitter candidates (array<string>)"),

@@ -61,6 +61,10 @@ class ExtensionsSpec extends AnyFunSuite {
         val hh = r.getSeq[String](1)
         assert(hh.contains("fizz") && hh.size <= 4 && hh == hh.sorted)
       }
+      val vs = spark.sql(
+        "SELECT vec_sum(v) FROM VALUES (array(1.0d, 2.0d)), " +
+          "(array(3.0d, 4.0d)) AS t(v)").head().getSeq[Double](0)
+      assert(vs == Seq(4.0, 6.0))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
