@@ -2713,7 +2713,49 @@ object Queries {
              |SELECT cent_id, count(*) AS n_members,
              |  round(min(sim), 6) AS min_sim, round(avg(sim), 4) AS avg_sim
              |FROM fin WHERE rk = 1 GROUP BY cent_id ORDER BY cent_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q78: per-label prototype embeddings — the class-centroid kernel
+    // (few-shot prototypes, label-drift monitoring) via the native VecSum
+    // aggregate: ONE dim-length partial buffer per (map task, label)
+    // through a |labels|-sized exchange; a posexplode formulation would
+    // shuffle corpus x dim rows. Graded on scalar projections of the mean
+    // vector (first component, L2 norm) — array-typed outputs are avoided
+    // in the registry because the hash canonicalizer stringifies cells.
+    // Components round to 6 before the norm so summation order can't leak
+    // (same stance as q77's centroids).
+    QueryDef("q78_label_prototypes",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("label"), Vec.asDouble(col("embedding")).as("vec"))
+        e.groupBy(col("label"))
+          .agg(Vec.sumAgg(col("vec")).as("sum"), count(lit(1)).as("n_vecs"))
+          .select(col("label"), col("n_vecs"),
+            transform(col("sum"), x => round(x / col("n_vecs"), 6)).as("m"))
+          .select(col("label"), col("n_vecs"),
+            element_at(col("m"), 1).as("m0"),
+            round(sqrt(aggregate(col("m"), lit(0.0),
+              (acc, x) => acc + x * x)), 6).as("mean_norm"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |comp AS (
+             |  SELECT label, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT label, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos FROM e)
+             |  GROUP BY label, pos),
+             |protos AS (
+             |  SELECT label, list(m ORDER BY pos) AS mv FROM comp
+             |  GROUP BY label),
+             |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+             |SELECT n.label, n_vecs, mv[1] AS m0,
+             |  round(sqrt(list_reduce(list_transform(mv, x -> x * x),
+             |    (a, b) -> a + b)), 6) AS mean_norm
+             |FROM protos JOIN n ON protos.label = n.label
+             |ORDER BY n.label""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
