@@ -140,4 +140,40 @@ class Streaming2Spec extends AnyFunSuite {
     assert(staged(0).getAs[String]("EMAIL") == null) // invalid -> null
     assert(staged(0).getAs[String]("ISACTIVE") == "N")
   }
+
+  test("incremental landings across restarts == one-shot batch clean") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("land-in")
+    val out = Files.createTempDirectory("land-out").toString + "/staged"
+    val ckpt = Files.createTempDirectory("land-ckpt").toString
+    val header = "FIRSTNAME\tEMAIL\tISACTIVE\n"
+    Files.writeString(in.resolve("day1.tsv"),
+      header + "ann\tann@x.com\tyes\nbob\tbob@x.com\t0\n")
+
+    val schema = graft.streaming.ContactsStream.schemaOf(
+      spark, in.resolve("day1.tsv").toString)
+    graft.streaming.ContactsStream.cleanIngest(
+      spark, in.toString, schema, out, ckpt)
+
+    // a later drop + a RESTARTED ingest with the same checkpoint: the file
+    // source must process ONLY the new file (no day1 reprocessing, no dupes)
+    Files.writeString(in.resolve("day2.tsv"),
+      header + "ann maria\tann@x.com\tyes\ncid\t\t1\n")
+    graft.streaming.ContactsStream.cleanIngest(
+      spark, in.toString, schema, out, ckpt)
+
+    val staged = spark.read.parquet(out)
+      .select("FIRSTNAME", "EMAIL", "ISACTIVE")
+    assert(staged.count() == 4, "each row lands exactly once across restarts")
+
+    // the landed table equals the one-shot batch clean over both files —
+    // the compaction input is identical, so every downstream golden merge
+    // (PipelineSpec's upsert==full-re-dedupe) carries over unchanged
+    val batch = Seq("day1.tsv", "day2.tsv")
+      .map(f => graft.pipeline.Clean(
+        graft.pipeline.Tsv.readAllString(spark, in.resolve(f).toString)))
+      .reduce(_ unionByName _)
+      .select("FIRSTNAME", "EMAIL", "ISACTIVE")
+    assert(staged.exceptAll(batch).isEmpty && batch.exceptAll(staged).isEmpty)
+  }
 }
