@@ -2755,7 +2755,52 @@ object Queries {
              |  round(sqrt(list_reduce(list_transform(mv, x -> x * x),
              |    (a, b) -> a + b)), 6) AS mean_norm
              |FROM protos JOIN n ON protos.label = n.label
-             |ORDER BY n.label""".stripMargin))
+             |ORDER BY n.label""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q79: SCD type-2 interval construction — collapse each user's event
+    // stream into effective-dated state rows (valid_from / valid_to, null =
+    // currently open): lag() drops consecutive duplicates, lead() closes
+    // each surviving interval. The point-in-time dimension shape training
+    // snapshots join against (with the q64 as-of family). One shuffle on
+    // the user key serves both window passes; (ts, event_id) gives a total
+    // order so simultaneous events can't flip rows.
+    QueryDef("q79_scd2_intervals",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val changes = t(s, dir, "events")
+          .filter(col("user_id") % 25 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("state"))
+          .withColumn("prev", lag(col("state"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("state"))
+        changes
+          .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("state"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_to"),
+            col("event_id"))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type AS state
+             |  FROM events WHERE user_id % 25 = 0),
+             |ch AS (
+             |  SELECT *, lag(state) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM e),
+             |keep AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> state),
+             |iv AS (
+             |  SELECT *, lead(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+             |  FROM keep)
+             |SELECT user_id, state,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             |  event_id
+             |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
