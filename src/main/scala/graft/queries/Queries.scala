@@ -2800,7 +2800,67 @@ object Queries {
              |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
              |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
              |  event_id
-             |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin))
+             |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q80: ANN over the int8-QUANTIZED corpus — the end-to-end form of
+    // q73's fidelity claim: after per-vector int8 quantization (4x smaller
+    // index), full-precision queries against the dequantized corpus must
+    // still resolve every planted near-duplicate twin as the exact top-1.
+    // Quantization uses the floor-based portable rounding (q73); ranking
+    // margins are huge (twin cosine ~0.999 vs ~0.5 background), so the
+    // graded twin_is_top1 flag is robust, and the graded cosine itself is
+    // deterministic because both engines dequantize to identical doubles.
+    QueryDef("q80_quantized_ann",
+      (s, dir) => {
+        val e = plantedVecs(s, dir)
+        val amax = array_max(transform(col("vec"), x => abs(x)))
+        val qz = e.withColumn("scale", amax / lit(127.0))
+          .select(col("vec_id"),
+            when(col("scale") > 0.0,
+              transform(col("vec"),
+                x => floor(x / col("scale") + lit(0.5)) * col("scale")))
+              .otherwise(col("vec")).as("dvec"))
+        val q = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        graft.operators.Similarity.bruteForceTopK(
+            qz, "vec_id", "dvec", q, "qid", "qvec", k = 1)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("nn_cosine"),
+            (col("neighbor_id") === col("query_id") + 100000)
+              .as("twin_is_top1"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |allv AS (
+             |  SELECT * FROM e
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+             |  FROM e WHERE vec_id % 5 = 0),
+             |qz AS (
+             |  SELECT vec_id,
+             |    CASE WHEN s > 0 THEN list_transform(v,
+             |           x -> floor(x / s + 0.5) * s)
+             |         ELSE v END AS dv
+             |  FROM (SELECT vec_id, v,
+             |          list_aggregate(list_transform(v, x -> abs(x)), 'max')
+             |            / 127.0 AS s
+             |        FROM allv)),
+             |q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM allv
+             |  WHERE vec_id % 5 = 0 AND vec_id < 100000),
+             |scored AS (
+             |  SELECT query_id, p.vec_id AS neighbor_id,
+             |    list_cosine_similarity(qv, p.dv) AS c
+             |  FROM q, qz p WHERE p.vec_id <> query_id),
+             |top AS (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, round(c, 6) AS nn_cosine,
+             |  (neighbor_id = query_id + 100000) AS twin_is_top1
+             |FROM top WHERE rn = 1 ORDER BY query_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
