@@ -127,4 +127,41 @@ class ScaleSafeSpec extends AnyFunSuite {
       .map(_._1).toSet
     assert(kept == expected)
   }
+
+  test("AQE splits a skewed shuffle join at runtime (the salting fallback)") {
+    // saltedAggregate handles aggregation skew BEFORE the shuffle; for
+    // JOIN skew the engine leans on AQE's runtime split — this pins that
+    // the joins it plans are actually eligible (equi sort-merge, no
+    // manual partitioning that would disable OptimizeSkewedJoin).
+    val conf = spark.conf
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one monster key (~90% of rows) with a fat payload vs 99 tiny keys
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 10 === 0, col("id") % 99 + 1)
+          .otherwise(lit(0L)).as("k"),
+          lpad(col("id").cast("string"), 96, "x").as("payload"))
+      val right = spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("name"))
+      val joined = left.join(right, "k")
+      // materialize through THIS queryExecution (count() would build its
+      // own) so the AdaptiveSparkPlan below is the final, executed one
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
