@@ -2860,7 +2860,61 @@ object Queries {
              |  FROM scored)
              |SELECT query_id, neighbor_id, round(c, 6) AS nn_cosine,
              |  (neighbor_id = query_id + 100000) AS twin_is_top1
-             |FROM top WHERE rn = 1 ORDER BY query_id""".stripMargin))
+             |FROM top WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q81: event-type co-occurrence with PMI — association statistics over
+    // per-user baskets (the market-basket/feature-co-occurrence shape).
+    // distinct (user, type) -> within-user self-join (per-user type sets
+    // are tiny, so the join fans out |types|^2 per user, not |events|^2) ->
+    // pair counts vs marginals. Output is ordered by the pair key, not the
+    // score, so the ln() engine-ulp caveat only touches the rounded score
+    // column, never row membership.
+    QueryDef("q81_cooccurrence_pmi",
+      (s, dir) => {
+        val u = t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = u.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val singles = u.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("c_single"))
+        val pairs = u.as("a")
+          .join(u.as("b"), col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("c_pair"))
+        pairs
+          .join(broadcast(singles)
+            .select(col("event_type").as("type_a"), col("c_single").as("c_a")),
+            "type_a")
+          .join(broadcast(singles)
+            .select(col("event_type").as("type_b"), col("c_single").as("c_b")),
+            "type_b")
+          .crossJoin(broadcast(nUsers))
+          .select(col("type_a"), col("type_b"), col("c_pair"),
+            round(log(col("c_pair") * col("n_users") /
+              (col("c_a") * col("c_b"))), 6).as("pmi"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT user_id, event_type FROM events),
+             |n AS (SELECT count(DISTINCT user_id) AS n_users FROM u),
+             |s AS (SELECT event_type, count(*) AS c_single FROM u GROUP BY 1),
+             |p AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS c_pair
+             |  FROM u a JOIN u b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, c_pair,
+             |  round(ln(c_pair * n_users / (sa.c_single * sb.c_single)), 6)
+             |    AS pmi
+             |FROM p
+             |JOIN s sa ON sa.event_type = type_a
+             |JOIN s sb ON sb.event_type = type_b
+             |CROSS JOIN n
+             |ORDER BY type_a, type_b""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
