@@ -95,7 +95,12 @@ object Bench {
     // line's opening brace and fails the parse. The qNN prefix is unique
     // per query; BENCH_RUNS.json carries the full names and raw samples.
     def shortKey(n: String): String = n.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }
+    // a qNN prefix collision would emit duplicate JSON keys and silently
+    // drop a query from the parsed artifact — fall back to full names
+    val collide = results.map(r => shortKey(r._1)).groupBy(identity)
+      .exists(_._2.size > 1)
+    val keyOf: String => String = if (collide) identity else shortKey
+    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"queries":$qs,"sf":"$sfDir"}""")
