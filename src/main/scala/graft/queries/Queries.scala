@@ -2914,7 +2914,45 @@ object Queries {
              |JOIN s sa ON sa.event_type = type_a
              |JOIN s sb ON sb.event_type = type_b
              |CROSS JOIN n
-             |ORDER BY type_a, type_b""".stripMargin))
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q82: daily + rolling-7-day distinct users (DAU/WAU) — the windowed
+    // COUNT DISTINCT shape, which no window frame computes scalably
+    // (distinct doesn't decompose over sliding frames). The scale form:
+    // distinct (day, user) once, then EXPLODE each activity day into the
+    // <=7 window-end days it contributes to and re-aggregate — a bounded
+    // 7x fan-out of the distinct frame with partial aggregation, instead
+    // of a per-day range self-join over raw events.
+    QueryDef("q82_rolling_actives",
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val daily = du.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val rolling = du
+          .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("wday"), col("user_id"))
+          .groupBy(col("wday"))
+          .agg(countDistinct(col("user_id")).as("wau7"))
+        daily.join(rolling, col("day") === col("wday"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau7"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |daily AS (
+             |  SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+             |contrib AS (
+             |  SELECT day + CAST(i AS INTEGER) AS wday, user_id
+             |  FROM du CROSS JOIN (SELECT unnest(range(7)) AS i) t),
+             |rolling AS (
+             |  SELECT wday, count(DISTINCT user_id) AS wau7
+             |  FROM contrib GROUP BY 1)
+             |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, wau7
+             |FROM daily d JOIN rolling r ON r.wday = d.day
+             |ORDER BY day""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
