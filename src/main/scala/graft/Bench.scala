@@ -28,7 +28,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,8 +70,12 @@ object Bench {
     names.foreach(runOnce) // warm-up: JIT, codegen cache, file listing
 
     val samples = names.map(n => n -> Seq.fill(nRuns)(runOnce(n)))
+    // min over the SUCCESSFUL passes: a single transient failure must not
+    // discard surviving samples (the query would drop out of `total` and
+    // read as a round-over-round speedup); -1 only when every pass failed
     val results = samples.map { case (n, ss) =>
-      n -> (if (ss.exists(_ < 0)) -1.0 else ss.min)
+      val ok = ss.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

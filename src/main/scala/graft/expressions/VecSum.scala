@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * vector per map task per group instead of a `posexplode` row per vector
   * component (corpus x dim rows through the exchange).
   *
-  * All input vectors in a group must share one dimensionality; mismatches
-  * throw rather than silently truncate. Null vectors are skipped; a group
+  * All input vectors in a group must share one dimensionality; mismatches,
+  * zero-length vectors (indistinguishable from the uninitialized buffer),
+  * and null COMPONENTS (which would otherwise unbox to 0.0) all throw
+  * rather than silently corrupt the sum. Null vectors are skipped; a group
   * with no non-null vector sums to an empty array.
   */
 case class VecSum(
@@ -45,11 +47,18 @@ case class VecSum(
     if (arr == null) buf
     else {
       val n = arr.numElements()
+      if (n == 0) throw new IllegalArgumentException(
+        "VecSum: zero-length vector (empty arrays are not summable)")
       val b = if (buf.isEmpty) new Array[Double](n) else buf
       if (b.length != n) throw new IllegalArgumentException(
         s"VecSum: mixed vector dimensions (${b.length} vs $n)")
       var i = 0
-      while (i < n) { b(i) += arr.getDouble(i); i += 1 }
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"VecSum: null component at index $i (would unbox to 0.0)")
+        b(i) += arr.getDouble(i)
+        i += 1
+      }
       b
     }
   }

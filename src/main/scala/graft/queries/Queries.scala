@@ -2157,20 +2157,7 @@ object Queries {
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
         val ann = Similarity.lshTopK(e, "vec_id", "vec", q, "qid", "qvec",
           k = 10, planes = 8, tables = 8)
-        val hits = ann
-          .filter(col("neighbor_id") === col("query_id") + 100000)
-          .select(col("query_id"), lit(true).as("hit"))
-        val twins = q
-          .join(e.filter(col("vec_id") >= 100000)
-            .select((col("vec_id") - 100000).as("qid"), col("vec").as("tvec")),
-            "qid")
-          .select(col("qid").as("query_id"),
-            (col("qid") + 100000).as("twin_id"),
-            round(Vec.cosine(col("qvec"), col("tvec")), 6).as("twin_cosine"))
-        twins.join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), col("twin_id"), col("twin_cosine"),
-            coalesce(col("hit"), lit(false)).as("twin_in_top10"))
-          .orderBy(col("query_id"))
+        gradePlantedTwins(ann, q, e)
       },
       Some(annPlantedOracle)),
 
@@ -2190,20 +2177,7 @@ object Queries {
         // quantizer (the production IVF path), not the seed sample
         val ann = Similarity.ivfTopK(e, "vec_id", "vec", q, "qid", "qvec",
           k = 10, nlist = 16, nprobe = 4, trainIters = 1)
-        val hits = ann
-          .filter(col("neighbor_id") === col("query_id") + 100000)
-          .select(col("query_id"), lit(true).as("hit"))
-        val twins = q
-          .join(e.filter(col("vec_id") >= 100000)
-            .select((col("vec_id") - 100000).as("qid"), col("vec").as("tvec")),
-            "qid")
-          .select(col("qid").as("query_id"),
-            (col("qid") + 100000).as("twin_id"),
-            round(Vec.cosine(col("qvec"), col("tvec")), 6).as("twin_cosine"))
-        twins.join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), col("twin_id"), col("twin_cosine"),
-            coalesce(col("hit"), lit(false)).as("twin_in_top10"))
-          .orderBy(col("query_id"))
+        gradePlantedTwins(ann, q, e)
       },
       Some(annPlantedOracle)),
 
@@ -2406,8 +2380,11 @@ object Queries {
           .agg(count(lit(1)).as("tf"))
         val withDf = tf.withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("word"))))
-        val ns = t(s, dir, "documents").select(col("source")).distinct()
-          .agg(count(lit(1)).as("n_sources"))
+        // non-null distinct sources over documents — countDistinct, so the
+        // null-handling matches the twin's count(DISTINCT source) even for
+        // corpora with a null or all-empty-text source
+        val ns = t(s, dir, "documents")
+          .agg(countDistinct(col("source")).as("n_sources"))
         val scored = withDf.crossJoin(broadcast(ns))
           .withColumn("score",
             round(col("tf") * log(col("n_sources") / col("df")), 6))
@@ -2426,7 +2403,7 @@ object Queries {
              |  FROM documents),
              |tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY 1, 2),
              |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-             |ns AS (SELECT count(DISTINCT source) AS n_sources FROM tf),
+             |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
              |scored AS (
              |  SELECT source, word, tf, df,
              |    round(tf * ln(n_sources / df), 6) AS score
@@ -2646,7 +2623,7 @@ object Queries {
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id, n_tokens, round(quality, 6) AS quality
-              |FROM (${docStatsNoOrder.replace("\n", "\n")})
+              |FROM ($docStatsNoOrder)
               |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
               |        % 2147483647) / 2147483647.0 < quality * 0.9
               |ORDER BY doc_id""".stripMargin)),
@@ -2727,7 +2704,10 @@ object Queries {
     // (same stance as q77's centroids).
     QueryDef("q78_label_prototypes",
       (s, dir) => {
+        // null labels excluded EXPLICITLY: Spark's groupBy would keep a
+        // null-label group that the twin's inner join on label drops
         val e = t(s, dir, "embeddings")
+          .filter(col("label").isNotNull)
           .select(col("label"), Vec.asDouble(col("embedding")).as("vec"))
         e.groupBy(col("label"))
           .agg(Vec.sumAgg(col("vec")).as("sum"), count(lit(1)).as("n_vecs"))
@@ -2741,7 +2721,7 @@ object Queries {
       },
       Some("""WITH e AS (
              |  SELECT label, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
+             |  FROM embeddings WHERE label IS NOT NULL),
              |comp AS (
              |  SELECT label, pos, round(avg(val), 6) AS m
              |  FROM (SELECT label, unnest(v) AS val,
@@ -2872,10 +2852,12 @@ object Queries {
     // column, never row membership.
     QueryDef("q81_cooccurrence_pmi",
       (s, dir) => {
+        // null keys excluded EXPLICITLY: Spark's distinct would keep a null
+        // user/type row that count(DISTINCT ...) in the twin ignores
         val u = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
           .select(col("user_id"), col("event_type")).distinct()
-        val nUsers = u.select(col("user_id")).distinct()
-          .agg(count(lit(1)).as("n_users"))
+        val nUsers = u.agg(countDistinct(col("user_id")).as("n_users"))
         val singles = u.groupBy(col("event_type"))
           .agg(count(lit(1)).as("c_single"))
         val pairs = u.as("a")
@@ -2898,7 +2880,8 @@ object Queries {
           .orderBy(col("type_a"), col("type_b"))
       },
       Some("""WITH u AS (
-             |  SELECT DISTINCT user_id, event_type FROM events),
+             |  SELECT DISTINCT user_id, event_type FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
              |n AS (SELECT count(DISTINCT user_id) AS n_users FROM u),
              |s AS (SELECT event_type, count(*) AS c_single FROM u GROUP BY 1),
              |p AS (
@@ -2976,6 +2959,29 @@ object Queries {
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("vec"), x => x + lit(0.02)).as("vec"))
     e.unionByName(pert)
+  }
+
+  /** Shared grading tail of q34/q35 (the Spark half of [[annPlantedOracle]]):
+    * per planted query, the exact twin cosine plus the folded flag saying
+    * the ANN index surfaced the twin in its top-k. Factored out so the
+    * planted offset (+100000) and grading columns cannot drift between the
+    * two queries. */
+  private def gradePlantedTwins(ann: DataFrame, q: DataFrame,
+      e: DataFrame): DataFrame = {
+    val hits = ann
+      .filter(col("neighbor_id") === col("query_id") + 100000)
+      .select(col("query_id"), lit(true).as("hit"))
+    val twins = q
+      .join(e.filter(col("vec_id") >= 100000)
+        .select((col("vec_id") - 100000).as("qid"), col("vec").as("tvec")),
+        "qid")
+      .select(col("qid").as("query_id"),
+        (col("qid") + 100000).as("twin_id"),
+        round(Vec.cosine(col("qvec"), col("tvec")), 6).as("twin_cosine"))
+    twins.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("twin_id"), col("twin_cosine"),
+        coalesce(col("hit"), lit(false)).as("twin_in_top10"))
+      .orderBy(col("query_id"))
   }
 
   /** Oracle twin of q34 AND q35 — exact brute-force top-1 per planted query

@@ -229,7 +229,8 @@ class OperatorsSpec extends AnyFunSuite {
       objective(cents)
     }
     // Lloyd improves (or holds) the objective each iteration; the 1e-6
-    // epsilon absorbs the 9-decimal centroid rounding
+    // epsilon absorbs the 6-decimal centroid rounding (<= 5e-7 per
+    // component, diluted across dims in the cosine)
     assert(objs(1) >= objs(0) - 1e-6, s"iter1 ${objs(1)} < seed ${objs(0)}")
     assert(objs(2) >= objs(1) - 1e-6, s"iter2 ${objs(2)} < iter1 ${objs(1)}")
   }
