@@ -304,6 +304,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("VecSum rejects corrupt inputs instead of summing them wrong") {
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.agg(Vec.sumAgg(col("vec"))).collect()
+    // mixed dimensions: silent truncation would corrupt every mean built
+    // on top (k-means centroids, label prototypes)
+    val mixed = intercept[Exception] {
+      run(Seq(Array(1.0f, 2.0f), Array(1.0f)).toDF("vec"))
+    }
+    assert(mixed.getMessage.contains("mixed vector dimensions"), mixed)
+    // zero-length vectors are indistinguishable from the uninit buffer
+    val zero = intercept[Exception] {
+      run(Seq(Array.empty[Float], Array(1.0f)).toDF("vec"))
+    }
+    assert(zero.getMessage.contains("zero-length"), zero)
+    // null COMPONENT (not a null vector) would unbox to 0.0
+    val nullComp = intercept[Exception] {
+      run(Seq(Seq[Option[Double]](Some(1.0), None)).toDF("vec"))
+    }
+    assert(nullComp.getMessage.contains("null component"), nullComp)
+  }
+
   test("MisraGries candidate order is sorted and deterministic") {
     val vals = Seq.fill(50)("b") ++ Seq.fill(50)("a") ++ Seq.fill(5)("z")
     val arr = vals.toDF("v").repartition(3)
