@@ -2935,7 +2935,46 @@ object Queries {
              |  FROM contrib GROUP BY 1)
              |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, wau7
              |FROM daily d JOIN rolling r ON r.wday = d.day
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q83: time-weighted average value per user — each event's value holds
+    // until the user's next event; the mean weights by exact holding
+    // microseconds (unix_micros/epoch_us, the q32-proven portable pair)
+    // rather than event count. The metrics/finance aggregation shape where
+    // a plain avg() over irregular samples is simply wrong. One user-key
+    // shuffle serves the lead() and the final aggregate.
+    QueryDef("q83_time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        val iv = t(s, dir, "events")
+          .filter(col("user_id") % 3 === 0)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+        iv.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            // twa rounds to 4: the numerator sums ~1e13-magnitude doubles
+            // (value x holding-micros), so order-dependent ulps reach ~1e0;
+            // the ratio error ~1e-11 must sit far from a rounding boundary
+            round(sum(col("value") * (col("next_us") - col("us"))) /
+              sum(col("next_us") - col("us")), 4).as("twa"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+             |  FROM events WHERE user_id % 3 = 0),
+             |x AS (
+             |  SELECT *, lead(us) OVER (
+             |      PARTITION BY user_id ORDER BY us, event_id) AS next_us
+             |  FROM e)
+             |SELECT user_id, count(*) AS n_intervals,
+             |  round(sum(value * (next_us - us)) / sum(next_us - us), 4)
+             |    AS twa
+             |FROM x WHERE next_us IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
