@@ -2974,7 +2974,39 @@ object Queries {
              |  round(sum(value * (next_us - us)) / sum(next_us - us), 4)
              |    AS twa
              |FROM x WHERE next_us IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q84: fixed-width value histogram — the distribution-profiling binning
+    // shape (equi-width buckets with pinned under/overflow sentinels).
+    // floor(value / width) is a pure projection, so at any scale this is a
+    // single partial-aggregated pass whose exchange carries |buckets| rows;
+    // floor on identical doubles is bit-identical across engines, making
+    // bucket membership (not just counts) hash-gradable.
+    QueryDef("q84_value_histogram",
+      (s, dir) => {
+        val bucket = when(col("value") < 0, lit(-1L))
+          .when(col("value") >= 500, lit(10L))
+          .otherwise(floor(col("value") / 50).cast("long"))
+        t(s, dir, "events")
+          .select(bucket.as("bucket"), col("value"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 2).as("lo"),
+            round(max(col("value")), 2).as("hi"),
+            round(sum(col("value")), 2).as("total"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT bucket, count(*) AS n,
+             |  round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+             |  round(sum(value), 2) AS total
+             |FROM (
+             |  SELECT CASE WHEN value < 0 THEN -1
+             |              WHEN value >= 500 THEN 10
+             |              ELSE CAST(floor(value / 50) AS BIGINT) END
+             |           AS bucket, value
+             |  FROM events)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
