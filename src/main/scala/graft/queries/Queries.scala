@@ -3006,7 +3006,42 @@ object Queries {
              |              ELSE CAST(floor(value / 50) AS BIGINT) END
              |           AS bucket, value
              |  FROM events)
-             |GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q85: weighted sampling WITHOUT replacement, exact size k=50 — the
+    // Efraimidis-Spirakis race: each doc draws u in (0,1] and the k largest
+    // u^(1/weight) win (heavier docs race with flatter curves). Complements
+    // q76's Bernoulli acceptance (random size): this one is exact-k, the
+    // form data-mixing recipes ask for. The draw is md5-derived (portable,
+    // partitioning-independent); the race key is rounded to 9 before
+    // ranking so a pow() last-ulp difference across engines cannot flip
+    // the cutoff; top-k runs as orderBy+limit (TakeOrderedAndProject),
+    // never a global window.
+    QueryDef("q85_weighted_sample_k",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = graft.operators.TextProfile.profile(d, "doc_id", "text")
+          .filter(col("quality") > 0)
+          .withColumn("u",
+            (Text.md5Mod(col("doc_id")) + 1) / lit(Text.P31.toDouble + 1))
+          .withColumn("race",
+            round(pow(col("u"), lit(1.0) / col("quality")), 9))
+        scored.orderBy(col("race").desc, col("doc_id").asc).limit(50)
+          .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+            col("race"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, round(quality, 6) AS quality, race FROM (
+              |  SELECT doc_id, quality,
+              |    round(pow(
+              |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              |          ::BIGINT % 2147483647) + 1) / 2147483648.0,
+              |      1.0 / quality), 9) AS race
+              |  FROM ($docStatsNoOrder)
+              |  WHERE quality > 0
+              |  ORDER BY race DESC, doc_id LIMIT 50)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
