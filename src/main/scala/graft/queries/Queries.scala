@@ -3041,7 +3041,63 @@ object Queries {
               |  FROM ($docStatsNoOrder)
               |  WHERE quality > 0
               |  ORDER BY race DESC, doc_id LIMIT 50)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q86: chi-squared contingency test — market segment x order priority
+    // independence: observed vs expected cell counts and the summed
+    // statistic (the categorical-association screen for feature/label
+    // leakage checks). One join + one contingency aggregate; marginals are
+    // tiny re-aggregations of the cell frame joined back by key, and the
+    // grand chi2 is a 1-row broadcast folded into every cell row. Expected
+    // counts are exact integer products in double division (deterministic);
+    // the summed chi2 rounds to 4 against summation-order ulps.
+    QueryDef("q86_chi_squared",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val cells = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("obs"))
+        val rowT = cells.groupBy(col("seg")).agg(sum(col("obs")).as("row_t"))
+        val colT = cells.groupBy(col("prio")).agg(sum(col("obs")).as("col_t"))
+        val n = cells.agg(sum(col("obs")).as("n_total"))
+        val withExp = cells
+          .join(broadcast(rowT), "seg").join(broadcast(colT), "prio")
+          .crossJoin(broadcast(n))
+          .withColumn("exp",
+            col("row_t") * col("col_t") / col("n_total"))
+          .withColumn("cell_chi2",
+            (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+        val chi2 = withExp.agg(round(sum(col("cell_chi2")), 4).as("chi2"))
+        withExp.crossJoin(broadcast(chi2))
+          .select(col("seg"), col("prio"), col("obs"),
+            round(col("exp"), 4).as("expected"),
+            round(col("cell_chi2"), 6).as("cell_chi2"), col("chi2"))
+          .orderBy(col("seg"), col("prio"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+             |    count(*) AS obs
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |rt AS (SELECT seg, sum(obs) AS row_t FROM cells GROUP BY 1),
+             |ct AS (SELECT prio, sum(obs) AS col_t FROM cells GROUP BY 1),
+             |n AS (SELECT sum(obs) AS n_total FROM cells),
+             |wexp AS (
+             |  SELECT seg, prio, obs,
+             |    row_t * col_t / n_total AS exp,
+             |    (obs - row_t * col_t / n_total)
+             |      * (obs - row_t * col_t / n_total)
+             |      / (row_t * col_t / n_total) AS cell_chi2
+             |  FROM cells JOIN rt USING (seg) JOIN ct USING (prio)
+             |  CROSS JOIN n),
+             |tot AS (SELECT round(sum(cell_chi2), 4) AS chi2 FROM wexp)
+             |SELECT seg, prio, obs, round(exp, 4) AS expected,
+             |  round(cell_chi2, 6) AS cell_chi2, chi2
+             |FROM wexp CROSS JOIN tot
+             |ORDER BY seg, prio""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
