@@ -15,11 +15,19 @@ import org.apache.spark.sql.SparkSession
   * host noise on this box is one-sided (+25% GC/scheduler outliers are
   * common, negative ones impossible), so the minimum is the stable
   * steady-state estimate — single-pass numbers have mis-signaled regressions
-  * three rounds running (q31/q21 r2, q45 r3, q44 r4). The per-pass raw
-  * samples are written to BENCH_RUNS.json in the working directory so a
-  * surprising minimum can be audited against its own distribution; the
-  * stdout JSON stays compact because the driver captures only the final
-  * ~2000 chars of output and a longer line fails its parse (BENCH_r02/r03).
+  * three rounds running (q31/q21 r2, q45 r3, q44 r4). The passes are
+  * INTERLEAVED as full-registry sweeps (pass 1 of every query, then pass 2,
+  * ...) rather than back-to-back per query: r5's driver read q31 at 1.46 s
+  * min-of-3 while identical code replays at 0.36 s, because a ~15 s host
+  * stall covered ALL THREE consecutive passes of the alphabetically-adjacent
+  * q30–q32 window (driver per-pass 2.08/1.46/1.76 for q31; q32 shows the
+  * stall ending mid-query at 2.93/2.91/0.75). With sweeps ~1 registry-length
+  * apart, a transient stall can taint at most one sample per query and the
+  * minimum recovers. The per-pass raw samples are written to BENCH_RUNS.json
+  * in the working directory so a surprising minimum can be audited against
+  * its own distribution; the stdout JSON stays compact because the driver
+  * captures only the final ~2000 chars of output and a longer line fails its
+  * parse (BENCH_r02/r03).
   *
   * SPARK_GRAFT_ONLY=q44_dup_clusters,q47_dedup_keep_best restricts the run
   * (local iteration only — the driver always runs the full registry).
@@ -40,26 +48,27 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      finally {
-        // helper caches (postings, signatures) built during one run would
-        // otherwise satisfy the NEXT run's identical plan fragments via the
-        // cache manager — the warm-up is for JIT/codegen, not data; each
-        // timed run must pay its own materialization cost. Also bounds
-        // executor storage across the queries x passes. localCheckpoint'd
-        // frames (Budget/RowIds/CC) bypass the CacheManager and need their
-        // own unpersist.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 // stop the clock BEFORE cleanup
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // helper caches (postings, signatures) built during one run would
+      // otherwise satisfy the NEXT run's identical plan fragments via the
+      // cache manager — the warm-up is for JIT/codegen, not data; each
+      // timed run must pay its own materialization cost. Also bounds
+      // executor storage across the queries x passes. localCheckpoint'd
+      // frames (Budget/RowIds/CC) bypass the CacheManager and need their
+      // own unpersist. Untimed: cleanup cost is harness bookkeeping, not
+      // query work.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (sec >= 0) System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       sec
     }
 
@@ -69,7 +78,10 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce) // warm-up: JIT, codegen cache, file listing
 
-    val samples = names.map(n => n -> Seq.fill(nRuns)(runOnce(n)))
+    // interleaved sweeps (see scaladoc): pass p runs every query once, so
+    // consecutive samples of one query sit a full registry-length apart
+    val sweeps = (1 to nRuns).map(_ => names.map(n => n -> runOnce(n)).toMap)
+    val samples = names.map(n => n -> sweeps.map(_(n)))
     // min over the SUCCESSFUL passes: a single transient failure must not
     // discard surviving samples (the query would drop out of `total` and
     // read as a round-over-round speedup); -1 only when every pass failed
@@ -90,7 +102,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min of nruns timed passes after one warm-up","runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep","runs":$runsJson}\n""")
     finally fw.close()
 
     // Short keys (q44, not q44_dup_clusters) on the stdout line: at 75
@@ -107,7 +119,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"queries":$qs,"sf":"$sfDir"}""")
+    // "policy" names the aggregation so the artifact is self-describing
+    // (r5's driver header said n=5 while parsed.nruns was 3 — ambiguous);
+    // kept terse to protect the driver's ~2000-char tail window.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"policy":"min of $nRuns interleaved sweeps","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

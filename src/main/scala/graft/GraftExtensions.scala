@@ -33,12 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "(str, n) - word n-gram shingle array"),
-      (args: Seq[Expression]) => WordShingles(args(0), args(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"word_shingles size must be an integer literal, got $other")
-      })))
+      (args: Seq[Expression]) =>
+        WordShingles(args(0), intLiteral("word_shingles size", args(1)))))
     // text-analysis family (Column compositions lowered via the bridge)
     register(ext, "redact_pii", "str - emails/phones to typed placeholders",
       a => Text.redactPii(a.head))
@@ -67,12 +63,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("misra_gries",
         "(str, k) - Misra-Gries heavy-hitter candidates (array<string>)"),
       (args: Seq[Expression]) =>
-        graft.expressions.MisraGries(args(0), args(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"misra_gries k must be an integer literal, got $other")
-        })))
+        graft.expressions.MisraGries(args(0),
+          intLiteral("misra_gries k", args(1)))))
+  }
+
+  /** Fold a SQL argument that must be a compile-time integer. Checked for
+    * foldability BEFORE eval(): a non-foldable arg (e.g. a column reference)
+    * would otherwise surface as an opaque analyzer/eval exception instead
+    * of this message (round-6 ADVICE). */
+  private def intLiteral(what: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-foldable expression $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 }
 

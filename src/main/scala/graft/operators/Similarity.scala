@@ -130,7 +130,15 @@ object Similarity {
     * Per iteration: one corpus scan, one nlist-row shuffle, one nlist-row
     * driver collect. Clusters that lose all members drop out (FAISS
     * reassigns; relationally the empty list never matches a probe).
-    * Returns (cent_id, cent_vec) like the sampling path. */
+    * Returns (cent_id, cent_vec) like the sampling path.
+    *
+    * DIMENSION LIMIT: the assignment projection embeds nlist x dim literal
+    * doubles into the plan (one `array(lit...)` per centroid). Fine at the
+    * tested sizes, but at production embedding dims (e.g. 768 x 64 lists =
+    * ~50k literals) this bloats analysis/codegen past comfortable limits —
+    * past roughly nlist*dim > 10k switch to broadcasting the centroid
+    * matrix and scoring via a typed map (the MLlib stance), trading the
+    * pure-projection plan for a broadcast variable. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession

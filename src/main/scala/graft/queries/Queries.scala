@@ -2468,11 +2468,14 @@ object Queries {
         val withCos = scaled.withColumn("cos",
           when(col("scale") > 0.0, Vec.cosine(col("vec"), dq))
             .otherwise(lit(null).cast("double")))
+        // asc_nulls_last: Spark ASC is NULLS FIRST, DuckDB's is NULLS LAST —
+        // a null label (q78 filters for exactly this hazard) would reorder
+        // rows between engines and break the hash grade (round 6)
         withCos.groupBy(col("label"))
           .agg(count(lit(1)).as("n_vecs"),
             round(min(col("cos")), 6).as("min_fidelity"),
             round(avg(col("cos")), 4).as("avg_fidelity"))
-          .orderBy(col("label"))
+          .orderBy(col("label").asc_nulls_last)
       },
       Some("""WITH e AS (
              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -2491,7 +2494,7 @@ object Queries {
              |SELECT label, count(*) AS n_vecs,
              |  round(min(cos), 6) AS min_fidelity,
              |  round(avg(cos), 4) AS avg_fidelity
-             |FROM c GROUP BY label ORDER BY label""".stripMargin)),
+             |FROM c GROUP BY label ORDER BY label NULLS LAST""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q74: sliding-window document chunking (context-window packing for
@@ -3070,8 +3073,15 @@ object Queries {
             col("row_t") * col("col_t") / col("n_total"))
           .withColumn("cell_chi2",
             (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
-        val chi2 = withExp.agg(round(sum(col("cell_chi2")), 4).as("chi2"))
-        withExp.crossJoin(broadcast(chi2))
+        // grand chi2 as an unpartitioned window over withExp, NOT a separate
+        // scalar aggregate cross-joined back: the latter evaluates the whole
+        // join tree twice (no exchange reuse). The single-task window is
+        // safe here because its input is the post-aggregate cell frame —
+        // |segments| x |priorities| ~ 25 rows at any corpus scale (round 6).
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        withExp
+          .withColumn("chi2", round(sum(col("cell_chi2")).over(wAll), 4))
           .select(col("seg"), col("prio"), col("obs"),
             round(col("exp"), 4).as("expected"),
             round(col("cell_chi2"), 6).as("cell_chi2"), col("chi2"))
