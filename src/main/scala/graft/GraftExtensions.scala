@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "(array<double>, array<double>) - dot product"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot_i8"),
+      info("vec_dot_i8",
+        "(array<double>, array<tinyint>) - dot against int8 codes"),
+      (args: Seq[Expression]) => graft.expressions.VecDotI8(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "(str, n) - word n-gram shingle array"),
       (args: Seq[Expression]) =>

@@ -25,6 +25,13 @@ object Vec {
   def dot(a: Column, b: Column): Column =
     graft.expressions.VecDot.column(asDouble(a), asDouble(b))
 
+  /** Dot product against int8 codes ([[graft.expressions.VecDotI8]]): the
+    * quantized-ANN scoring kernel — reads the 1-byte codes in place, no
+    * dequantized array is materialized. Multiply by the per-vector scale
+    * to recover the dequantized dot. */
+  def dotI8(a: Column, codes: Column): Column =
+    graft.expressions.VecDotI8.column(asDouble(a), codes)
+
   /** Squared L2 norm. */
   def norm2(a: Column): Column = dot(a, a)
 

@@ -140,7 +140,19 @@ object Similarity {
     * matrix and scoring via a typed map (the MLlib stance), trading the
     * pure-projection plan for a broadcast variable. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 2): DataFrame = {
+      nlist: Int, iters: Int = 2): DataFrame =
+    centroidHistory(corpus, idCol, vecCol, nlist, iters).last
+
+  /** Centroid set at EVERY Lloyd step: element 0 = the md5-ordered seed
+    * sample, element i = centroids after i iterations (so `.last` is what
+    * [[trainCentroids]] returns). Costs nothing beyond the final-state
+    * train — the centroids live on the driver between iterations anyway,
+    * so recording the intermediates is free, while re-calling
+    * trainCentroids per depth would re-run every earlier iteration's
+    * corpus scan. Callers that grade per-iteration objectives (q77's
+    * monotonicity columns) need the intermediate sets. */
+  def centroidHistory(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Seq[DataFrame] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     var cents: Seq[(Long, Seq[Double])] = corpus
@@ -150,6 +162,8 @@ object Similarity {
       .select(col("cent_vec")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val history = Seq.newBuilder[DataFrame]
+    history += cents.toDF("cent_id", "cent_vec")
     for (_ <- 0 until iters if cents.nonEmpty) {
       // (cosine, -cent_id, cent_id) structs; array_max's lexicographic
       // struct order = best similarity, smallest cent_id on ties
@@ -170,8 +184,9 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         .sortBy(_._1)
+      history += cents.toDF("cent_id", "cent_vec")
     }
-    cents.toDF("cent_id", "cent_vec")
+    history.result()
   }
 
   /** IVF-Flat ANN: `nlist` coarse centroids — a deterministic md5-ordered
@@ -213,7 +228,87 @@ object Similarity {
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
         Vec.cosineFromParts(Vec.dot(col("q.vec"), col("c.vec")),
           col("q.nrm"), col("c.nrm")).as("cosine"))
-      .distinct()
+    // no distinct(): each corpus vector lives in exactly ONE list, so the
+    // cent_id join cannot produce duplicate (query, neighbor) pairs — a
+    // dedup here would be a wasted full exchange (contrast lshTopK, where
+    // multi-table bucketing does duplicate candidates)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF over an int8-QUANTIZED corpus — the production ANN layout at
+    * 100 TB: the inverted lists store 1-byte codes plus one per-vector
+    * scale instead of float64 components, so the candidate exchange ships
+    * ~dim+8 bytes per vector instead of 8*dim (~8x smaller; FAISS
+    * IVF-SQ8's trade expressed relationally). Layout choices:
+    *  - training and list assignment run on the FULL-PRECISION vectors
+    *    (quantize the storage, not the quantizer — centroid quality and
+    *    list routing are unaffected by code width);
+    *  - codes use the portable floor(x/scale + 0.5) rounding shared with
+    *    q73/q80 (bit-identical across engines; scale = max|x|/127, the
+    *    symmetric per-vector max-abs scheme) and are materialized as
+    *    array<tinyint> BEFORE the candidate join, so the 1-byte width is
+    *    what actually crosses the wire;
+    *  - queries stay full precision; scoring dequantizes candidates on
+    *    the fly (code * scale), so the only approximation vs [[ivfTopK]]
+    *    is quantization error itself — which the q73/q80/q87 oracles
+    *    grade directly (planted twins must stay exact top-1).
+    * All-zero vectors (scale = 0) quantize to all-zero codes; their
+    * cosine is NaN either way, matching the float path. */
+  def ivfTopKQuantized(corpus: DataFrame, corpusIdCol: String,
+      corpusVecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
+    val centroids =
+      if (trainIters > 0)
+        trainCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
+      else corpus
+        .select(col(corpusIdCol).as("cent_id"), col(corpusVecCol).as("cent_vec"))
+        .orderBy(col("cent_id").asc).limit(nlist)
+
+    // full-precision routing (shared with ivfTopK): nearest-centroid ranks
+    def route(df: DataFrame, idCol: String, vecCol: String, nProbe: Int) = {
+      val scored = df.join(broadcast(centroids))
+        .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cent_id"),
+          Vec.cosine(col(vecCol), col("cent_vec")).as("cent_sim"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= nProbe)
+        .select(col("id"), col("vec"), col("cent_id"))
+    }
+
+    // corpus lists: int8 codes + per-vector scale + dequantized norm (norm
+    // precomputed here so candidate scoring is one array traversal)
+    val scale = array_max(transform(col("vec"), x => abs(x))) / lit(127.0)
+    val c = route(corpus, corpusIdCol, corpusVecCol, 1)
+      .withColumn("scale", scale)
+      .select(col("id"), col("cent_id"), col("scale"),
+        transform(col("vec"), x =>
+          when(col("scale") > 0.0, floor(x / col("scale") + lit(0.5)))
+            .otherwise(lit(0.0)).cast("tinyint")).as("code"))
+      .withColumn("nrm",
+        Vec.norm(transform(col("code"), b => b.cast("double") * col("scale"))))
+
+    val q = route(queries, queryIdCol, queryVecCol, nprobe)
+      .select(col("id"), col("vec"), Vec.norm(col("vec")).as("nrm"),
+        col("cent_id"))
+
+    val cand = c.as("c")
+      .join(q.as("q"),
+        col("c.cent_id") === col("q.cent_id") && col("c.id") =!= col("q.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        // dot(q, dequant(c)) = scale * dotI8(q, code): the native int8
+        // kernel reads byte codes in place — no per-pair dequantized array
+        // is ever materialized (a transform() here is an interpreted lambda
+        // + an allocation per scored candidate; it benched at ~2x the whole
+        // float path)
+        Vec.cosineFromParts(
+          Vec.dotI8(col("q.vec"), col("c.code")) * col("c.scale"),
+          col("q.nrm"), col("c.nrm")).as("cosine"))
+    // no distinct(): single-list corpus rows, same reasoning as ivfTopK
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

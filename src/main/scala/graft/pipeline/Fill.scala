@@ -52,14 +52,22 @@ object Fill {
     val targetCols = fieldMap.keys.toSeq
 
     // F3: predicate pushdown — only master rows missing something can change.
+    // Both projections are PERSIST-PINNED: each feeds all three key-join
+    // branches below, and without the pin Spark recomputes the upstream
+    // master/source plan once per branch (the r5 bench showed q69 paying
+    // three master scans). MEMORY_AND_DISK because the probe is data-sized;
+    // the pin is a helper cache in the same class as Dedup's postings —
+    // per-query scratch that Bench/Verify cleanup (clearCache) releases.
     val needsFill = targetCols.map(c => Cleaning.isMissing(col(c))).reduce(_ || _)
     val probe = master.filter(needsFill)
       .select((Seq("row_id", "_name", "_email", "_phone") ++ targetCols)
         .map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val build = source
       .select((Seq("src_order", "_name", "_email", "_phone") ++
         fieldMap.values.toSeq.distinct).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Union of three equi-joins = the reference's three hash indexes (J2).
     // Spark plans each as a shuffled/broadcast hash join; the union is the

@@ -2173,10 +2173,11 @@ object Queries {
         val e = plantedVecs(s, dir)
         val q = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-        // trainIters=1: the graded query exercises the k-means-trained
-        // quantizer (the production IVF path), not the seed sample
+        // trainIters=2: the graded query exercises the k-means-trained
+        // quantizer (the production IVF path) at the same depth q77 grades,
+        // not the seed sample
         val ann = Similarity.ivfTopK(e, "vec_id", "vec", q, "qid", "qvec",
-          k = 10, nlist = 16, nprobe = 4, trainIters = 1)
+          k = 10, nlist = 16, nprobe = 4, trainIters = 2)
         gradePlantedTwins(ann, q, e)
       },
       Some(annPlantedOracle)),
@@ -2632,31 +2633,56 @@ object Queries {
               |ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // q77: embedding clustering — ONE spherical Lloyd iteration from the
+    // q77: embedding clustering — TWO spherical Lloyd iterations from the
     // md5-ordered seed sample, then per-cluster membership stats. The
     // DuckDB twin restates the SAME deterministic algorithm independently
     // (seed order, max-cosine/smallest-id assignment, per-component mean
-    // rounded to 6), so the trainer is graded end to end, not just
-    // spec-checked. min is order-independent (round 6); avg absorbs
-    // summation order at round 4; the 6-decimal centroid rounding is what
-    // makes the intermediate state engine-portable (see trainCentroids).
+    // rounded to 6, then the second assign/update pass unrolled), so the
+    // trainer is graded end to end at depth, not just spec-checked.
+    // The graded output also carries the per-iteration OBJECTIVE (mean
+    // best-cosine after iteration 1 and 2) and a monotone flag — the Lloyd
+    // improvement property the spec proves is now oracle-proved too: both
+    // engines must derive the same objectives from their own intermediate
+    // centroid states. obj_iter1 costs one broadcast-assignment scan (the
+    // same linear shape as the final stats pass); obj_iter2 folds out of
+    // the final per-cluster sums via an unpartitioned window over the
+    // 8-row cluster frame — no extra scan. min is order-independent (round 6);
+    // avg/objectives absorb summation order at round 4; the 6-decimal
+    // centroid rounding is what makes the intermediate state
+    // engine-portable (see trainCentroids).
     QueryDef("q77_kmeans_clusters",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
-        val cents = graft.operators.Similarity.trainCentroids(
-          e, "vec_id", "vec", nlist = 8, iters = 1)
-        val scored = e.join(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            Vec.cosine(col("vec"), col("cent_vec")).as("sim"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cent_id").asc)
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+        val hist = graft.operators.Similarity.centroidHistory(
+          e, "vec_id", "vec", nlist = 8, iters = 2)
+        def best(cents: DataFrame) = {
+          val scored = e.join(broadcast(cents))
+            .select(col("vec_id"), col("cent_id"),
+              Vec.cosine(col("vec"), col("cent_vec")).as("sim"))
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("cent_id").asc)
+          scored.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+        }
+        val obj1 = best(hist(1))
+          .agg(round(avg(col("sim")), 4).as("obj_iter1"))
+        val stats = best(hist(2))
           .groupBy(col("cent_id"))
           .agg(count(lit(1)).as("n_members"),
             round(min(col("sim")), 6).as("min_sim"),
-            round(avg(col("sim")), 4).as("avg_sim"))
+            round(avg(col("sim")), 4).as("avg_sim"),
+            sum(col("sim")).as("ssim"))
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        stats
+          .withColumn("obj_iter2",
+            round(sum(col("ssim")).over(wAll)
+              / sum(col("n_members")).over(wAll), 4))
+          .crossJoin(broadcast(obj1))
+          .select(col("cent_id"), col("n_members"), col("min_sim"),
+            col("avg_sim"), col("obj_iter1"), col("obj_iter2"),
+            (col("obj_iter2") >= col("obj_iter1")).as("monotone"))
           .orderBy(col("cent_id"))
       },
       Some("""WITH e AS (
@@ -2674,25 +2700,48 @@ object Queries {
              |      ORDER BY list_cosine_similarity(e.v, s.v) DESC, cent_id)
              |      AS rk
              |  FROM e CROSS JOIN seeds s),
-             |comp AS (
+             |comp1 AS (
              |  SELECT cent_id, pos, round(avg(val), 6) AS m
              |  FROM (SELECT cent_id, unnest(v) AS val,
              |          generate_subscripts(v, 1) AS pos
              |        FROM assign0 WHERE rk = 1)
              |  GROUP BY cent_id, pos),
-             |cents AS (
+             |cents1 AS (
              |  SELECT cent_id, list(m ORDER BY pos) AS cv
-             |  FROM comp GROUP BY cent_id),
+             |  FROM comp1 GROUP BY cent_id),
+             |assign1 AS (
+             |  SELECT vec_id, e.v AS v, c.cent_id,
+             |    list_cosine_similarity(e.v, c.cv) AS sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN cents1 c),
+             |obj1 AS (
+             |  SELECT round(avg(sim), 4) AS obj_iter1
+             |  FROM assign1 WHERE rk = 1),
+             |comp2 AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM assign1 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents2 AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp2 GROUP BY cent_id),
              |fin AS (
              |  SELECT vec_id, c.cent_id,
              |    list_cosine_similarity(e.v, c.cv) AS sim,
              |    row_number() OVER (PARTITION BY vec_id
              |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
              |      AS rk
-             |  FROM e CROSS JOIN cents c)
+             |  FROM e CROSS JOIN cents2 c),
+             |kept AS (SELECT * FROM fin WHERE rk = 1),
+             |obj2 AS (SELECT round(avg(sim), 4) AS obj_iter2 FROM kept)
              |SELECT cent_id, count(*) AS n_members,
-             |  round(min(sim), 6) AS min_sim, round(avg(sim), 4) AS avg_sim
-             |FROM fin WHERE rk = 1 GROUP BY cent_id ORDER BY cent_id"""
+             |  round(min(sim), 6) AS min_sim, round(avg(sim), 4) AS avg_sim,
+             |  obj_iter1, obj_iter2, (obj_iter2 >= obj_iter1) AS monotone
+             |FROM kept CROSS JOIN obj1 CROSS JOIN obj2
+             |GROUP BY cent_id, obj_iter1, obj_iter2 ORDER BY cent_id"""
         .stripMargin)),
 
     // ---------------------------------------------------------------------
@@ -3107,7 +3156,231 @@ object Queries {
              |SELECT seg, prio, obs, round(exp, 4) AS expected,
              |  round(cell_chi2, 6) AS cell_chi2, chi2
              |FROM wexp CROSS JOIN tot
-             |ORDER BY seg, prio""".stripMargin))
+             |ORDER BY seg, prio""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q87: int8-quantized IVF ANN — the COMPOSITION of q73/q80's
+    // quantization scheme with q35's trained-IVF layout, i.e. the actual
+    // production ANN path at 100 TB (inverted lists storing 1-byte codes +
+    // a per-vector scale, ~8x smaller candidate shuffle than float64
+    // lists). Graded like q34/q35 on the planted-twin corpus, against the
+    // QUANTIZED ground truth: the DuckDB twin brute-forces the exact top-1
+    // over the dequantized int8 corpus (q80's qz), so the graded cosine
+    // proves the quantized scoring arithmetic and the folded flag proves
+    // the trained quantizer still routes each query to its twin's list and
+    // surfaces it through int8 rescoring.
+    QueryDef("q87_quantized_ivf",
+      (s, dir) => {
+        val e = plantedVecs(s, dir)
+        val q = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val ann = Similarity.ivfTopKQuantized(e, "vec_id", "vec",
+          q, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, trainIters = 1)
+        val hits = ann
+          .filter(col("neighbor_id") === col("query_id") + 100000)
+          .select(col("query_id"), lit(true).as("hit"))
+        // graded cosine vs the DEQUANTIZED twin (what the index stores)
+        val dqTwin = e.filter(col("vec_id") >= 100000)
+          .withColumn("scale",
+            array_max(transform(col("vec"), x => abs(x))) / lit(127.0))
+          .select((col("vec_id") - 100000).as("qid"),
+            when(col("scale") > 0.0,
+              transform(col("vec"),
+                x => floor(x / col("scale") + lit(0.5)) * col("scale")))
+              .otherwise(col("vec")).as("tvec"))
+        val twins = q.join(dqTwin, "qid")
+          .select(col("qid").as("query_id"),
+            (col("qid") + 100000).as("twin_id"),
+            round(Vec.cosine(col("qvec"), col("tvec")), 6).as("twin_cosine"))
+        twins.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("twin_id"), col("twin_cosine"),
+            coalesce(col("hit"), lit(false)).as("twin_in_top10"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |allv AS (
+             |  SELECT * FROM e
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+             |  FROM e WHERE vec_id % 5 = 0),
+             |qz AS (
+             |  SELECT vec_id,
+             |    CASE WHEN s > 0 THEN list_transform(v,
+             |           x -> floor(x / s + 0.5) * s)
+             |         ELSE v END AS dv
+             |  FROM (SELECT vec_id, v,
+             |          list_aggregate(list_transform(v, x -> abs(x)), 'max')
+             |            / 127.0 AS s
+             |        FROM allv)),
+             |q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM allv
+             |  WHERE vec_id % 5 = 0 AND vec_id < 100000),
+             |scored AS (
+             |  SELECT query_id, p.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(qv, p.dv), 6) AS cosine
+             |  FROM q, qz p WHERE p.vec_id <> query_id),
+             |top1 AS (
+             |  SELECT query_id, neighbor_id, cosine, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+             |  FROM scored)
+             |SELECT query_id, neighbor_id AS twin_id, cosine AS twin_cosine,
+             |  TRUE AS twin_in_top10
+             |FROM top1 WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q88: BM25 keyword retrieval (Robertson k1=1.2 b=0.75, Lucene's
+    // ln(1 + (N-df+0.5)/(df+0.5)) positive IDF) — the classic sparse
+    // retrieval kernel the corpus-construction family was missing (TF-IDF
+    // q71 ranks terms per source; this ranks DOCS per query). Plan shape:
+    // ONE token-stream scan; the broadcast query-term set prunes the
+    // stream BEFORE the (term, doc) partial agg, so the aggregate is
+    // candidate-sized, not vocabulary-sized; df folds out of the candidate
+    // frame; dl rides along from the same scan (no second corpus scan for
+    // lengths); N/avgdl is a 1-row broadcast. Per-term scores round to 6
+    // before the per-doc sum and the summed score rounds again — ln() and
+    // 2-3-term summation order both differ across engines in the last ulp
+    // (q71 stance).
+    QueryDef("q88_bm25_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val k1 = 1.2
+        val b = 0.75
+        val q = Seq((1L, "vector"), (1L, "join"),
+          (2L, "customer"), (2L, "batch"), (2L, "window"),
+          (3L, "slow"), (3L, "scan")).toDF("query_id", "term")
+        val d = t(s, dir, "documents")
+        val words = d
+          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+            explode(col("tk")).as("term"))
+        val dtf = words
+          .join(broadcast(q.select("term").distinct()), "term")
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        val dfF = dtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val stats = d.agg(count(lit(1)).as("n_docs"),
+          avg(Text.tokenCount(col("text"))).as("avgdl"))
+        val scored = dtf
+          .join(broadcast(dfF), "term")
+          .join(broadcast(q), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+              / (col("df") + 0.5)))
+          .withColumn("tscore",
+            round(col("idf") * (col("tf") * lit(k1 + 1))
+              / (col("tf")
+                + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+              6))
+        val byDoc = scored.groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(col("tscore")), 6).as("score"),
+            count(lit(1)).as("n_terms_hit"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        byDoc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("score"), col("n_terms_hit"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |    (1, 'vector'), (1, 'join'),
+             |    (2, 'customer'), (2, 'batch'), (2, 'window'),
+             |    (3, 'slow'), (3, 'scan')),
+             |toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> x <> '') AS tk
+             |  FROM documents),
+             |words AS (
+             |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+             |  FROM toks),
+             |dtf AS (
+             |  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl
+             |  FROM words WHERE term IN (SELECT term FROM q)
+             |  GROUP BY 1, 2),
+             |dfx AS (SELECT term, count(*) AS df FROM dtf GROUP BY 1),
+             |st AS (
+             |  SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks),
+             |sc AS (
+             |  SELECT q.query_id, dtf.doc_id,
+             |    round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             |      * (tf * 2.2)
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS ts
+             |  FROM dtf JOIN dfx USING (term) JOIN q USING (term)
+             |  CROSS JOIN st),
+             |agg AS (
+             |  SELECT query_id, doc_id, round(sum(ts), 6) AS score,
+             |    count(*) AS n_terms_hit
+             |  FROM sc GROUP BY 1, 2),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             |  FROM agg)
+             |SELECT query_id, rank, doc_id, score, n_terms_hit
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q89: exact-substring containment dedup (token-level) — the
+    // suffix-array-style complement to shingle Jaccard (q19): doc A is a
+    // duplicate-by-containment of doc B when A's token sequence appears
+    // contiguously inside B's. Plant: q19's corpus — every 7th doc re-added
+    // (+10000) minus its first token, i.e. a TRUE SUFFIX of the original,
+    // so each planted doc must surface as contained. Plan shape (never a
+    // doc x doc product): if A's tokens appear inside B, then A's FIRST
+    // 8-token gram is one of B's 8-grams — so probe = one hashed gram per
+    // doc, postings = every doc's hashed 8-grams (distinct), and the
+    // equi-join yields candidates that a token-boundary-safe contains()
+    // (space-padded normalized text) verifies. Texts join back by id AFTER
+    // the slim hash-join, so the wide columns never ride the postings
+    // shuffle. Gram df is naturally tiny here (30-word vocab, 30^8 gram
+    // space); corpora with hot grams would cap postings like q19's
+    // maxDocFreq. Min doc length is 10 tokens at every SF — above the
+    // 8-gram floor, so the first-gram probe cannot under-generate
+    // (WordShingles' whole-text fallback for <8-token docs would).
+    QueryDef("q89_substring_dedup",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val norm = all.select(col("doc_id"),
+            concat_ws(" ", Text.tokens(col("text"))).as("ntext"))
+          .filter(length(col("ntext")) > 0)
+        val postings = norm.select(col("doc_id").as("b_id"),
+            explode(Text.wordShingles(col("ntext"), 8)).as("gram"))
+          .select(col("b_id"), xxhash64(col("gram")).as("gh"))
+          .distinct()
+        val probes = norm.select(col("doc_id").as("a_id"),
+          xxhash64(element_at(Text.wordShingles(col("ntext"), 8), 1))
+            .as("gh"))
+        val cand = probes.join(postings, "gh")
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        cand
+          .join(norm.select(col("doc_id").as("a_id"),
+            col("ntext").as("a_text")), "a_id")
+          .join(norm.select(col("doc_id").as("b_id"),
+            col("ntext").as("b_text")), "b_id")
+          .filter(instr(concat(lit(" "), col("b_text"), lit(" ")),
+            concat(lit(" "), col("a_text"), lit(" "))) > 0)
+          .select(col("a_id").as("contained_id"),
+            col("b_id").as("container_id"))
+          .orderBy(col("contained_id"), col("container_id"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |norm AS (
+             |  SELECT doc_id, array_to_string(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> x <> ''), ' ') AS ntext
+             |  FROM all_docs WHERE length(trim(text)) > 0)
+             |SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+             |FROM norm a JOIN norm b ON a.doc_id <> b.doc_id
+             |WHERE position((' ' || a.ntext || ' ')
+             |               IN (' ' || b.ntext || ' ')) > 0
+             |ORDER BY contained_id, container_id""".stripMargin))
   )
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is

@@ -22,9 +22,12 @@ class ExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val r = spark.sql(
         "SELECT py_title(\"o'brien x2y\") AS t, " +
-          "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+          "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "vec_dot_i8(array(0.5d, 2.0d), " +
+          "array(CAST(3 AS TINYINT), CAST(-4 AS TINYINT))) AS d8").head()
       assert(r.getString(0) == "O'Brien X2Y")
       assert(r.getDouble(1) == 11.0)
+      assert(r.getDouble(2) == 0.5 * 3 + 2.0 * -4)
       // composed text-analysis functions lowered through the bridge
       val t = spark.sql(
         "SELECT redact_pii('mail a@b.io or 555-867-5309') AS red, " +

@@ -119,6 +119,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short == Seq("one two"))
   }
 
+  test("native VecDotI8 == HOF dequantized dot (randomized)") {
+    // executable spec: widen the codes with transform() and fold with
+    // aggregate() — the interpreted form VecDotI8 replaced on the hot path
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 50).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      (Array.fill(n)(rnd.nextGaussian()),
+        Array.fill(n)(rnd.nextInt(255) - 127)) // Array[Byte] encodes BINARY
+    }
+    val df = rows.toDF("q", "code_i")
+      .withColumn("code", transform(col("code_i"), x => x.cast("tinyint")))
+    val out = df.select(
+      graft.expressions.VecDotI8.column(col("q"), col("code")).as("native"),
+      aggregate(zip_with(col("q"),
+          transform(col("code"), b => b.cast("double")), _ * _),
+        lit(0.0), _ + _).as("hof")).collect()
+    for (r <- out)
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"diverged: native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+  }
+
   test("native WordShingles == HOF composition (incl. null/empty/unicode)") {
     // the HOF form is the executable spec the native expression replaced on
     // the hot path — outputs must stay byte-identical, including the [""]

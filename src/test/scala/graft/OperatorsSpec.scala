@@ -199,6 +199,38 @@ class OperatorsSpec extends AnyFunSuite {
       queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 4, trainIters = 2))
     assert((trained & truth).size >= (ivf & truth).size,
       s"trained IVF recall ${(trained & truth).size} < sampled ${(ivf & truth).size}")
+
+    // int8-quantized lists: same routing, 1-byte codes — the ~0.4%
+    // quantization error cannot reorder clustered neighbors, so quantized
+    // IVF must match the float IVF candidate set here
+    val qivf = pairs(Similarity.ivfTopKQuantized(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 4))
+    assert(qivf == ivf,
+      s"quantized IVF diverged from float IVF: ${qivf.size} vs ${ivf.size}")
+  }
+
+  test("ivfTopKQuantized ships tinyint codes, scores within quantization error") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.fill(8)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = Similarity.ivfTopKQuantized(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 3, nlist = 4, nprobe = 4)
+    // quantized cosine within max-abs-int8 error of the exact cosine
+    val exact = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "qid", "qvec", k = 39)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c0"))
+    val joined = out.join(exact, Seq("query_id", "neighbor_id"))
+      .select(abs(col("cosine") - col("c0"))).collect().map(_.getDouble(0))
+    assert(joined.nonEmpty && joined.forall(_ < 0.02),
+      s"quantized cosine drifted: max ${joined.max}")
+    // the representation that crosses the candidate exchange must be the
+    // 1-byte codes (the 8x shuffle claim), not pre-dequantized doubles —
+    // the tinyint cast has to survive into the optimized plan
+    assert(out.queryExecution.optimizedPlan.toString.contains("tinyint"),
+      "int8 codes missing from the optimized plan")
   }
 
   test("trainCentroids: spherical k-means objective is non-decreasing") {

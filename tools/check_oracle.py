@@ -6,7 +6,7 @@ stringified before hashing — mirroring the driver contract).
 
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, sys, hashlib
+import json, os, sys, hashlib
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -29,8 +29,10 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # an empty oracle map means the SparkEntry wiring broke, not that there
     # is nothing to check — "0 ok, 0 fail" exit 0 would green-light a gate
-    # that verified nothing
-    if len(oracle) < 10:
+    # that verified nothing. GRAFT_ALLOW_SUBSET=1 lifts the guard for local
+    # iteration on a SPARK_GRAFT_ONLY-restricted Verify dump; the driver's
+    # gate never sets either.
+    if len(oracle) < 10 and os.environ.get("GRAFT_ALLOW_SUBSET") != "1":
         print(f"FAIL gate: only {len(oracle)} oracle queries found "
               f"(expected ~62) — oracle_sql.json wiring is broken")
         return 1
