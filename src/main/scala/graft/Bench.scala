@@ -43,6 +43,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // sized for interleaved sweeps: the default generated-class cache
+      // (100 entries) holds ~15 queries' codegen units, so with ~90
+      // queries per sweep every class is evicted before the SAME query's
+      // next sample and each timed pass re-pays Janino compilation + JIT
+      // — the cost the warm-up sweep exists to absorb (measured: +32%
+      // on the registry total when this was left at default)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -150,7 +150,12 @@ object Similarity {
     * so recording the intermediates is free, while re-calling
     * trainCentroids per depth would re-run every earlier iteration's
     * corpus scan. Callers that grade per-iteration objectives (q77's
-    * monotonicity columns) need the intermediate sets. */
+    * monotonicity columns) need the intermediate sets.
+    *
+    * ALWAYS `iters + 1` elements: on an empty corpus (empty seed sample)
+    * the skipped iterations are padded with the empty centroid frame, so
+    * positional callers like `hist(2)` degrade to empty results instead
+    * of an IndexOutOfBoundsException. */
   def centroidHistory(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Seq[DataFrame] = {
     val spark = corpus.sparkSession
@@ -186,10 +191,38 @@ object Similarity {
         .sortBy(_._1)
       history += cents.toDF("cent_id", "cent_vec")
     }
-    history.result()
+    val out = history.result()
+    out ++ Seq.fill(iters + 1 - out.length)(out.last)
   }
 
-  /** IVF-Flat ANN: `nlist` coarse centroids — a deterministic md5-ordered
+  /** Deterministic coarse centroids shared by BOTH IVF variants: trained
+    * ([[trainCentroids]]) when `trainIters > 0`, else the nlist corpus
+    * vectors with the smallest ids (stand-in with an identical layout).
+    * One definition so the float and quantized paths can never diverge on
+    * seeding (the OperatorsSpec float==quantized equivalence rests on it). */
+  private def coarseCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, trainIters: Int): DataFrame =
+    if (trainIters > 0) trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    else corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(col("cent_id").asc).limit(nlist)
+
+  /** Nearest-list routing shared by BOTH IVF variants: rank the broadcast
+    * centroid set by full-precision cosine per row, keep the `nProbe`
+    * best. Returns `(id, vec, cent_id)`. */
+  private def routeToLists(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cent_id"),
+        Vec.cosine(col(vecCol), col("cent_vec")).as("cent_sim"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= nProbe)
+      .select(col("id"), col("vec"), col("cent_id"))
+  }
+
+  /** IVF-Flat ANN: `nlist` coarse centroids — a deterministic id-ordered
     * sample by default, or [[trainCentroids]] k-means refinement with
     * `trainIters > 0` (same layout either way); every corpus row is
     * assigned to its nearest centroid (broadcast join, no corpus shuffle
@@ -198,29 +231,14 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       trainIters: Int = 0): DataFrame = {
-    // deterministic coarse centroids: the nlist corpus vectors with the
-    // smallest ids (stand-in for trained centroids; layout identical)
     val centroids =
-      if (trainIters > 0)
-        trainCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
-      else corpus
-        .select(col(corpusIdCol).as("cent_id"), col(corpusVecCol).as("cent_vec"))
-        .orderBy(col("cent_id").asc).limit(nlist)
-
-    def assign(df: DataFrame, idCol: String, vecCol: String, nProbe: Int) = {
-      val scored = df.join(broadcast(centroids))
-        .select(col(idCol).as("id"), col(vecCol).as("vec"),
-          Vec.norm(col(vecCol)).as("nrm"), col("cent_id"),
-          Vec.cosine(col(vecCol), col("cent_vec")).as("cent_sim"))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("cent_sim").desc, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w))
-        .filter(col("r") <= nProbe)
-        .select(col("id"), col("vec"), col("nrm"), col("cent_id"))
-    }
-
-    val c = assign(corpus, corpusIdCol, corpusVecCol, 1)
-    val q = assign(queries, queryIdCol, queryVecCol, nprobe)
+      coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
+    // norms computed AFTER routing (once per surviving row), so candidate
+    // scoring is one array traversal per pair
+    val c = routeToLists(corpus, corpusIdCol, corpusVecCol, centroids, 1)
+      .withColumn("nrm", Vec.norm(col("vec")))
+    val q = routeToLists(queries, queryIdCol, queryVecCol, centroids, nprobe)
+      .withColumn("nrm", Vec.norm(col("vec")))
 
     val cand = c.as("c")
       .join(q.as("q"),
@@ -262,28 +280,12 @@ object Similarity {
       queryVecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       trainIters: Int = 0): DataFrame = {
     val centroids =
-      if (trainIters > 0)
-        trainCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
-      else corpus
-        .select(col(corpusIdCol).as("cent_id"), col(corpusVecCol).as("cent_vec"))
-        .orderBy(col("cent_id").asc).limit(nlist)
-
-    // full-precision routing (shared with ivfTopK): nearest-centroid ranks
-    def route(df: DataFrame, idCol: String, vecCol: String, nProbe: Int) = {
-      val scored = df.join(broadcast(centroids))
-        .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cent_id"),
-          Vec.cosine(col(vecCol), col("cent_vec")).as("cent_sim"))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("cent_sim").desc, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w))
-        .filter(col("r") <= nProbe)
-        .select(col("id"), col("vec"), col("cent_id"))
-    }
+      coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
 
     // corpus lists: int8 codes + per-vector scale + dequantized norm (norm
     // precomputed here so candidate scoring is one array traversal)
     val scale = array_max(transform(col("vec"), x => abs(x))) / lit(127.0)
-    val c = route(corpus, corpusIdCol, corpusVecCol, 1)
+    val c = routeToLists(corpus, corpusIdCol, corpusVecCol, centroids, 1)
       .withColumn("scale", scale)
       .select(col("id"), col("cent_id"), col("scale"),
         transform(col("vec"), x =>
@@ -292,9 +294,8 @@ object Similarity {
       .withColumn("nrm",
         Vec.norm(transform(col("code"), b => b.cast("double") * col("scale"))))
 
-    val q = route(queries, queryIdCol, queryVecCol, nprobe)
-      .select(col("id"), col("vec"), Vec.norm(col("vec")).as("nrm"),
-        col("cent_id"))
+    val q = routeToLists(queries, queryIdCol, queryVecCol, centroids, nprobe)
+      .withColumn("nrm", Vec.norm(col("vec")))
 
     val cand = c.as("c")
       .join(q.as("q"),

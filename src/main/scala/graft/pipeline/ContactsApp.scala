@@ -121,6 +121,8 @@ object ContactsApp {
       // artifact parity: the reference's grouped {row, name, errors[]} shape
       JsonAudit.writeArray(Validate.referenceReport(result.cleaned),
         a.validationJson)
+      // every output consumed -> drop Fill's internal persist pins
+      result.release()
     }
     result
   }

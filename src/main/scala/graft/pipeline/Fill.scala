@@ -27,7 +27,16 @@ object Fill {
   case class ChangeLogEntry(row_id: Long, field: String, old_value: String,
       new_value: String, source_file: String, matched_on: String)
 
-  case class FillResult(filled: DataFrame, changeLog: DataFrame)
+  /** @param pinned the operator's internal persist pins (probe/build
+    *        projections). Call [[unpersist]] once BOTH output frames have
+    *        been consumed — the change log is lazy and still reads through
+    *        the pins. Harness runs (Bench/Verify) release them via
+    *        clearCache instead; long-lived sessions composing many fills
+    *        should release explicitly or the pins accumulate. */
+  case class FillResult(filled: DataFrame, changeLog: DataFrame,
+      pinned: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = pinned.foreach(_.unpersist(false))
+  }
 
   /** Normalized match keys (P5): _name/_email/_phone shadow columns. */
   def withMatchKeys(df: DataFrame, name: Column, email: Column,
@@ -141,7 +150,7 @@ object Fill {
         col("__c.old_value").as("old_value"), col("__c.new_value").as("new_value"),
         lit(sourceFile).as("source_file"), col("__matched_on").as("matched_on"))
 
-    FillResult(filled, changeLog)
+    FillResult(filled, changeLog, Seq(probe, build))
   }
 
   /** Sequential multi-source fill (SURVEY.md §7.4.5): fills from file k are
@@ -153,14 +162,18 @@ object Fill {
       minMatches: Int = 2): FillResult = {
     var current = master
     var logs = Vector.empty[DataFrame]
+    var pins = Vector.empty[DataFrame]
     for ((name, src, fieldMap) <- sources) {
       val r = fillFromSource(current, src, fieldMap, name, minMatches)
       current = r.filled.localCheckpoint(eager = true)
       logs :+= r.changeLog
+      // pins stay live until the CALLER consumes the change logs (they
+      // are still lazy here); the aggregate result carries every pin
+      pins ++= r.pinned
     }
     val log = logs.reduceOption(_ unionByName _)
       .getOrElse(master.sparkSession.emptyDataFrame)
-    FillResult(current, log)
+    FillResult(current, log, pins)
   }
 
   /** J1 — the Mailchimp correlated-lookup special case

@@ -13,8 +13,14 @@ object Pipeline {
 
   case class StageResult(name: String, seconds: Double, rows: Long)
 
+  /** @param pinned internal persist pins (Fill's probe/build projections);
+    *        [[release]] them once the output frames have been written —
+    *        the change log reads through them lazily until then. */
   case class RunResult(cleaned: DataFrame, changeLog: DataFrame,
-      validationErrors: DataFrame, stages: Seq[StageResult], passed: Boolean)
+      validationErrors: DataFrame, stages: Seq[StageResult], passed: Boolean,
+      pinned: Seq[DataFrame] = Nil) {
+    def release(): Unit = pinned.foreach(_.unpersist(false))
+  }
 
   private def timed[T](name: String, out: scala.collection.mutable.Buffer[StageResult])
       (f: => DataFrame): DataFrame = {
@@ -57,6 +63,6 @@ object Pipeline {
     val errors = timed("validate", stages)(Validate.errors(deduped))
 
     RunResult(deduped, fillRes.changeLog, errors, stages.toSeq,
-      Validate.passes(errors))
+      Validate.passes(errors), fillRes.pinned)
   }
 }

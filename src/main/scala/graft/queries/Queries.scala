@@ -3352,9 +3352,12 @@ object Queries {
         val probes = norm.select(col("doc_id").as("a_id"),
           xxhash64(element_at(Text.wordShingles(col("ntext"), 8), 1))
             .as("gh"))
+        // no distinct(): each doc emits exactly ONE probe row and postings
+        // are distinct on (b_id, gh), so the join cannot duplicate an
+        // (a_id, b_id) pair — same reasoning as ivfTopK's single-list rows
         val cand = probes.join(postings, "gh")
           .filter(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id")).distinct()
+          .select(col("a_id"), col("b_id"))
         cand
           .join(norm.select(col("doc_id").as("a_id"),
             col("ntext").as("a_text")), "a_id")
