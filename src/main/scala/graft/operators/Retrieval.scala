@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Sparse keyword retrieval over a document corpus — the query-side
+  * complement to the corpus-side text operators (TF-IDF q71 ranks terms
+  * per source; these rank DOCS per keyword query).
+  *
+  * Shared plan shape (the 100-TB posture): ONE token-stream scan; the
+  * broadcast query-term set prunes the stream BEFORE the (term, doc)
+  * partial aggregate, so the aggregate is candidate-sized (docs matching
+  * at least one query term), never vocabulary- or corpus-sized; document
+  * lengths ride the same scan; corpus-level stats (N, avgdl) are a 1-row
+  * broadcast. Scores round to 6 before ranking — ln() differs across
+  * engines in the last ulp (q71 stance).
+  *
+  * Reference: Robertson & Zaragoza, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond" (2009); IDF is Lucene's positive variant
+  * ln(1 + (N - df + 0.5)/(df + 0.5)).
+  */
+object Retrieval {
+
+  /** Per-(query, candidate-doc) BM25 scores.
+    *
+    * @param terms (query_id, term) — one row per query keyword; must be
+    *              small enough to broadcast (it is the user's query set)
+    * @return (query_id, doc_id, score, n_terms_hit) — score is the
+    *         round-6 sum of round-6 per-term BM25 contributions
+    */
+  def bm25Scores(docs: DataFrame, docIdCol: String, textCol: String,
+      terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dtf = docTermFreq(docs, docIdCol, textCol, terms)
+    val dfF = dtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(Text.tokenCount(col(textCol))).as("avgdl"))
+    dtf
+      .join(broadcast(dfF), "term")
+      .join(broadcast(terms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("tscore",
+        round(col("idf") * (col("tf") * lit(k1 + 1))
+          / (col("tf")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("tscore")), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Per-(query, candidate-doc) TF-IDF scores (the classic
+    * sum-of-tf-times-log-idf, no length normalization) — a deliberately
+    * DIFFERENT ranker from [[bm25Scores]] over the SAME candidate set, so
+    * the two can be rank-fused. Same scan/broadcast shape. */
+  def tfidfScores(docs: DataFrame, docIdCol: String, textCol: String,
+      terms: DataFrame): DataFrame = {
+    val dtf = docTermFreq(docs, docIdCol, textCol, terms)
+    val dfF = dtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    dtf
+      .join(broadcast(dfF), "term")
+      .join(broadcast(terms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("tscore")), 6).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * rankings over the same (query_id, doc_id) candidates:
+    * rrf = 1/(c + rank_a) + 1/(c + rank_b). Ranks are integers, so the
+    * two-term sum is commutative-exact and the fused score is portable
+    * across engines before any rounding (rounded to 6 anyway for the
+    * grading canon). Both inputs must carry (query_id, doc_id, score);
+    * ranks are dense per query by (score desc, doc_id asc). */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, rankCol: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      df.select(col("query_id"), col("doc_id"),
+        row_number().over(w).as(rankCol))
+    }
+    ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq("query_id", "doc_id"))
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(c) + col("rank_a"))
+          + lit(1.0) / (lit(c) + col("rank_b")), 6))
+  }
+
+  /** One token-stream scan shared by both scorers: candidate (term,
+    * doc, tf, dl) rows — the broadcast term set prunes before the
+    * aggregate, dl rides along from the same scan. */
+  private def docTermFreq(docs: DataFrame, docIdCol: String,
+      textCol: String, terms: DataFrame): DataFrame =
+    docs
+      .select(col(docIdCol).as("doc_id"), Text.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .join(broadcast(terms.select("term").distinct()), "term")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+}

@@ -3243,39 +3243,8 @@ object Queries {
     // (q71 stance).
     QueryDef("q88_bm25_retrieval",
       (s, dir) => {
-        import s.implicits._
-        val k1 = 1.2
-        val b = 0.75
-        val q = Seq((1L, "vector"), (1L, "join"),
-          (2L, "customer"), (2L, "batch"), (2L, "window"),
-          (3L, "slow"), (3L, "scan")).toDF("query_id", "term")
-        val d = t(s, dir, "documents")
-        val words = d
-          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-          .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
-            explode(col("tk")).as("term"))
-        val dtf = words
-          .join(broadcast(q.select("term").distinct()), "term")
-          .groupBy(col("term"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-        val dfF = dtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val stats = d.agg(count(lit(1)).as("n_docs"),
-          avg(Text.tokenCount(col("text"))).as("avgdl"))
-        val scored = dtf
-          .join(broadcast(dfF), "term")
-          .join(broadcast(q), "term")
-          .crossJoin(broadcast(stats))
-          .withColumn("idf",
-            log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
-              / (col("df") + 0.5)))
-          .withColumn("tscore",
-            round(col("idf") * (col("tf") * lit(k1 + 1))
-              / (col("tf")
-                + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
-              6))
-        val byDoc = scored.groupBy(col("query_id"), col("doc_id"))
-          .agg(round(sum(col("tscore")), 6).as("score"),
-            count(lit(1)).as("n_terms_hit"))
+        val byDoc = graft.operators.Retrieval.bm25Scores(
+          t(s, dir, "documents"), "doc_id", "text", retrievalQueries(s))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id").asc)
         byDoc.withColumn("rank", row_number().over(w).cast("long"))
@@ -3383,8 +3352,152 @@ object Queries {
              |FROM norm a JOIN norm b ON a.doc_id <> b.doc_id
              |WHERE position((' ' || a.ntext || ' ')
              |               IN (' ' || b.ntext || ' ')) > 0
-             |ORDER BY contained_id, container_id""".stripMargin))
+             |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q90: cross-document repeated spans — every 16-token run that occurs
+    // in >=2 DISTINCT documents, with doc and occurrence counts (the
+    // repeated-substring primitive behind suffix-array train-data dedup,
+    // Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    // Better": boilerplate/license spans repeat verbatim across docs and
+    // should be counted, located, and stripped). Plan: stride-1 16-gram
+    // shingles per doc (codegen'd WordShingles — pure per-row compute),
+    // md5 at the map side so the ONLY shuffle key is a 32-char digest,
+    // never the raw span text; one partial-agg exchange; the >=2-docs
+    // filter runs post-aggregate. Docs under 16 tokens are excluded on
+    // BOTH sides (WordShingles' whole-text fallback would otherwise emit
+    // a <16-token pseudo-span the twin's window generator never produces).
+    // The q19 planted corpus guarantees hits: each +10000 suffix twin
+    // shares all but one of its original's 16-gram windows.
+    QueryDef("q90_repeated_spans",
+      (s, dir) => {
+        val L = 16
+        val all = plantedNearDups(s, dir, 7)
+          .filter(Text.tokenCount(col("text")) >= L)
+        val spans = all.select(col("doc_id"),
+          md5(explode(Text.wordShingles(col("text"), L))).as("span_md5"))
+        spans.groupBy(col("span_md5"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("span_md5"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |d AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> x <> '') AS toks
+             |  FROM all_docs),
+             |ok AS (
+             |  SELECT doc_id, toks, len(toks) AS n FROM d
+             |  WHERE len(toks) >= 16),
+             |w AS (
+             |  SELECT doc_id, md5(array_to_string(
+             |      list_slice(toks, i + 1, i + 16), ' ')) AS span_md5
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(range(0, n - 15)) AS i
+             |        FROM ok))
+             |SELECT span_md5, count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_occ
+             |FROM w GROUP BY span_md5 HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY span_md5""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q91: hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    // 2009, c=60) — BM25 (q88's ranker) fused with a plain TF-IDF ranker
+    // over the SAME candidate set and query set (retrievalQueries; both
+    // scorers share Retrieval.docTermFreq's one-scan broadcast-pruned
+    // shape). Ranks are integers, so 1/(60+ra) + 1/(60+rb) is a
+    // commutative-exact two-term double sum — portable across engines
+    // before the round-6 canon. The fused top-5 per query is graded with
+    // both source ranks visible, so a regression in EITHER ranker (or in
+    // the fusion) moves the hash.
+    QueryDef("q91_rank_fusion",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val q = retrievalQueries(s)
+        val bm = graft.operators.Retrieval.bm25Scores(d, "doc_id", "text", q)
+        val ti = graft.operators.Retrieval.tfidfScores(d, "doc_id", "text", q)
+        val fused = graft.operators.Retrieval.rrfFuse(bm, ti, c = 60)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        fused.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+            col("rank_a").cast("long").as("bm25_rank"),
+            col("rank_b").cast("long").as("tfidf_rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |    (1, 'vector'), (1, 'join'),
+             |    (2, 'customer'), (2, 'batch'), (2, 'window'),
+             |    (3, 'slow'), (3, 'scan')),
+             |toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> x <> '') AS tk
+             |  FROM documents),
+             |words AS (
+             |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+             |  FROM toks),
+             |dtf AS (
+             |  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl
+             |  FROM words WHERE term IN (SELECT term FROM q)
+             |  GROUP BY 1, 2),
+             |dfx AS (SELECT term, count(*) AS df FROM dtf GROUP BY 1),
+             |st AS (
+             |  SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks),
+             |bm AS (
+             |  SELECT query_id, doc_id, round(sum(round(
+             |      ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             |      * (tf * 2.2)
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)), 6)
+             |    AS score
+             |  FROM dtf JOIN dfx USING (term) JOIN q USING (term)
+             |  CROSS JOIN st GROUP BY 1, 2),
+             |ti AS (
+             |  SELECT query_id, doc_id, round(sum(round(
+             |      tf * ln(CAST(n_docs AS DOUBLE) / df), 6)), 6) AS score
+             |  FROM dtf JOIN dfx USING (term) JOIN q USING (term)
+             |  CROSS JOIN st GROUP BY 1, 2),
+             |ra AS (
+             |  SELECT query_id, doc_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+             |    AS rank_a
+             |  FROM bm),
+             |rb AS (
+             |  SELECT query_id, doc_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+             |    AS rank_b
+             |  FROM ti),
+             |fused AS (
+             |  SELECT query_id, doc_id, rank_a, rank_b,
+             |    round(CAST(1.0 AS DOUBLE) / (60 + rank_a)
+             |        + CAST(1.0 AS DOUBLE) / (60 + rank_b), 6) AS rrf
+             |  FROM ra JOIN rb USING (query_id, doc_id)),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+             |  FROM fused)
+             |SELECT query_id, rank, doc_id, rrf,
+             |  rank_a AS bm25_rank, rank_b AS tfidf_rank
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
+
+  /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF
+    * fusion) — one definition so the two rankings grade the same
+    * retrieval input. All terms exist in the synthetic vocabulary at
+    * every shipped SF. */
+  private def retrievalQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "vector"), (1L, "join"),
+      (2L, "customer"), (2L, "batch"), (2L, "window"),
+      (3L, "slow"), (3L, "scan")).toDF("query_id", "term")
+  }
 
   /** Documents with planted near-duplicates: every `modulo`-th doc is
     * re-added (id + 10000) with its first token dropped — deterministic,
