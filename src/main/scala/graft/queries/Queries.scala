@@ -3374,8 +3374,12 @@ object Queries {
         val L = 16
         val all = plantedNearDups(s, dir, 7)
           .filter(Text.tokenCount(col("text")) >= L)
-        val spans = all.select(col("doc_id"),
-          md5(explode(Text.wordShingles(col("text"), L))).as("span_md5"))
+        // Generators can't nest inside expressions: explode in its own
+        // projection, then hash the exploded column.
+        val spans = all
+          .select(col("doc_id"),
+            explode(Text.wordShingles(col("text"), L)).as("span"))
+          .select(col("doc_id"), md5(col("span")).as("span_md5"))
         spans.groupBy(col("span_md5"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"))
