@@ -27,6 +27,7 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     queries.foreach { case (name, fn) =>
       val target = new java.io.File(s"$outDir/$name")
       // a failed query must not leave a PRIOR run's output behind — the
@@ -36,6 +37,7 @@ object Verify {
         .parquet(target.getPath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
         deleteRecursively(target)
       }
       finally {
@@ -62,6 +64,14 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Registry manifest for the gate: every attempted query plus the ones
+    // that threw. check_oracle.py fails the gate on any `failed` entry and
+    // on any registry name with no dump — so a query with no SQL twin
+    // (rows-only check driver-side) still cannot ship unexecuted.
+    val manifest = s"""{"queries": [${queries.keys.toSeq.sorted
+        .map(q).mkString(", ")}], "failed": [${failed.sorted
+        .map(q).mkString(", ")}]}"""
+    Files.writeString(Paths.get(s"$outDir/registry.json"), manifest)
     spark.stop()
   }
 }

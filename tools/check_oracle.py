@@ -37,6 +37,22 @@ def main(sf_dir, out_dir):
               f"(expected ~62) — oracle_sql.json wiring is broken")
         return 1
     ok = fail = 0
+    # Registry manifest (written by graft.Verify): every declared query must
+    # have executed. A query that threw during the Spark run, or one with no
+    # oracle SQL and no parquet dump, fails the gate even though it has no
+    # row in the oracle loop below (this is how q90 shipped broken in r6).
+    reg_path = f"{out_dir}/registry.json"
+    if os.path.exists(reg_path):
+        reg = json.load(open(reg_path))
+        for name in reg.get("failed", []):
+            print(f"FAIL {name}: query threw during graft.Verify run")
+            fail += 1
+        for name in reg.get("queries", []):
+            if name in reg.get("failed", []) or name in oracle:
+                continue
+            if not os.path.isdir(f"{out_dir}/{name}"):
+                print(f"FAIL {name}: registered but no result dump (never executed)")
+                fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql).df()
