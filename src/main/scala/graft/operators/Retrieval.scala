@@ -25,17 +25,29 @@ object Retrieval {
 
   /** Per-(query, candidate-doc) BM25 scores.
     *
+    * Convenience wrapper: derives [[docTermFreq]] and [[corpusStats]]
+    * itself. The dtf subtree is referenced twice (the per-term df
+    * aggregate and the scoring join), so an unpersisted call re-scans the
+    * token stream; callers fusing multiple scorers — or running on a
+    * large corpus — should compute `docTermFreq(...).persist()` +
+    * `corpusStats(...).persist()` once and use [[bm25ScoresOf]] /
+    * [[tfidfScoresOf]] (the q91 shape).
+    *
     * @param terms (query_id, term) — one row per query keyword; must be
     *              small enough to broadcast (it is the user's query set)
     * @return (query_id, doc_id, score, n_terms_hit) — score is the
     *         round-6 sum of round-6 per-term BM25 contributions
     */
   def bm25Scores(docs: DataFrame, docIdCol: String, textCol: String,
-      terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dtf = docTermFreq(docs, docIdCol, textCol, terms)
+      terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresOf(docTermFreq(docs, docIdCol, textCol, terms),
+      corpusStats(docs, textCol), terms, k1, b)
+
+  /** BM25 from a precomputed candidate [[docTermFreq]] frame and a 1-row
+    * [[corpusStats]] frame — the shared-scan entry point. */
+  def bm25ScoresOf(dtf: DataFrame, stats: DataFrame, terms: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dfF = dtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(Text.tokenCount(col(textCol))).as("avgdl"))
     dtf
       .join(broadcast(dfF), "term")
       .join(broadcast(terms), "term")
@@ -55,16 +67,23 @@ object Retrieval {
   /** Per-(query, candidate-doc) TF-IDF scores (the classic
     * sum-of-tf-times-log-idf, no length normalization) — a deliberately
     * DIFFERENT ranker from [[bm25Scores]] over the SAME candidate set, so
-    * the two can be rank-fused. Same scan/broadcast shape. */
+    * the two can be rank-fused. Same scan/broadcast shape; same
+    * persist-before-fusing guidance as [[bm25Scores]]. */
   def tfidfScores(docs: DataFrame, docIdCol: String, textCol: String,
+      terms: DataFrame): DataFrame =
+    tfidfScoresOf(docTermFreq(docs, docIdCol, textCol, terms),
+      corpusStats(docs, textCol), terms)
+
+  /** TF-IDF from precomputed [[docTermFreq]] + [[corpusStats]] frames
+    * (only `n_docs` is read; `avgdl` rides along so one stats frame
+    * serves both scorers). */
+  def tfidfScoresOf(dtf: DataFrame, stats: DataFrame,
       terms: DataFrame): DataFrame = {
-    val dtf = docTermFreq(docs, docIdCol, textCol, terms)
     val dfF = dtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
     dtf
       .join(broadcast(dfF), "term")
       .join(broadcast(terms), "term")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats.select("n_docs")))
       .withColumn("tscore",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .groupBy(col("query_id"), col("doc_id"))
@@ -92,10 +111,16 @@ object Retrieval {
           + lit(1.0) / (lit(c) + col("rank_b")), 6))
   }
 
+  /** Corpus-level stats both scorers need, from ONE scan:
+    * (n_docs, avgdl) as a single broadcastable row. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      avg(Text.tokenCount(col(textCol))).as("avgdl"))
+
   /** One token-stream scan shared by both scorers: candidate (term,
     * doc, tf, dl) rows — the broadcast term set prunes before the
     * aggregate, dl rides along from the same scan. */
-  private def docTermFreq(docs: DataFrame, docIdCol: String,
+  def docTermFreq(docs: DataFrame, docIdCol: String,
       textCol: String, terms: DataFrame): DataFrame =
     docs
       .select(col(docIdCol).as("doc_id"), Text.tokens(col(textCol)).as("tk"))

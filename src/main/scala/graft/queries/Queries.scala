@@ -3243,8 +3243,16 @@ object Queries {
     // (q71 stance).
     QueryDef("q88_bm25_retrieval",
       (s, dir) => {
-        val byDoc = graft.operators.Retrieval.bm25Scores(
-          t(s, dir, "documents"), "doc_id", "text", retrievalQueries(s))
+        val d = t(s, dir, "documents")
+        val q = retrievalQueries(s)
+        // dtf feeds both the df aggregate and the scoring join; the two
+        // consumers hang off ONE definition, so the identical aggregate
+        // exchange is deduped at runtime (ReusedExchange — cheaper than a
+        // persist pin, which the r7 A/B measured ~0.3 s slower here)
+        val dtf = graft.operators.Retrieval
+          .docTermFreq(d, "doc_id", "text", q)
+        val byDoc = graft.operators.Retrieval.bm25ScoresOf(
+          dtf, graft.operators.Retrieval.corpusStats(d, "text"), q)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id").asc)
         byDoc.withColumn("rank", row_number().over(w).cast("long"))
@@ -3424,9 +3432,16 @@ object Queries {
       (s, dir) => {
         val d = t(s, dir, "documents")
         val q = retrievalQueries(s)
-        val bm = graft.operators.Retrieval.bm25Scores(d, "doc_id", "text", q)
-        val ti = graft.operators.Retrieval.tfidfScores(d, "doc_id", "text", q)
-        val fused = graft.operators.Retrieval.rrfFuse(bm, ti, c = 60)
+        // one token-stream scan + one stats scan feed BOTH rankers: dtf
+        // and stats are single definitions shared by the *Of scorers, so
+        // the identical exchanges/subqueries dedupe at runtime
+        // (ReusedExchange; a persist pin benched ~0.3 s slower in r7)
+        val R = graft.operators.Retrieval
+        val dtf = R.docTermFreq(d, "doc_id", "text", q)
+        val stats = R.corpusStats(d, "text")
+        val bm = R.bm25ScoresOf(dtf, stats, q)
+        val ti = R.tfidfScoresOf(dtf, stats, q)
+        val fused = R.rrfFuse(bm, ti, c = 60)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("rrf").desc, col("doc_id").asc)
         fused.withColumn("rank", row_number().over(w).cast("long"))

@@ -63,6 +63,28 @@ class PlanGuardSpec extends AnyFunSuite {
       s"expected exactly one user_id hash exchange, got $keyExchanges:\n$plan")
   }
 
+  test("q88/q91 compute the shared dtf once (runtime exchange reuse)") {
+    assume(new java.io.File(SfDir).isDirectory)
+    // the token-stream dtf aggregate feeds the per-term df aggregate AND
+    // the scoring join in each ranker; because all consumers hang off one
+    // definition, the identical exchanges must dedupe at runtime (a
+    // persist pin benched slower, so reuse — not caching — is the
+    // guarded property). Counted on the post-execution adaptive plan.
+    def reusedAfterRun(name: String): Int = {
+      val df = Queries.all.find(_.name == name).get.spark(spark, SfDir)
+      df.collect()
+      "ReusedExchange".r.findAllMatchIn(
+        df.queryExecution.executedPlan.toString).size
+    }
+    // q91: dtf has 4 consumers (2 rankers x [df agg, scoring join]) ->
+    // >=3 reuses; stats broadcast reuse adds a 4th
+    assert(reusedAfterRun("q91_rank_fusion") >= 3,
+      "q91 recomputes the shared dtf per consumer instead of reusing it")
+    // q88: one ranker, 2 dtf consumers -> >=1 reuse
+    assert(reusedAfterRun("q88_bm25_retrieval") >= 1,
+      "q88's dtf is no longer shared between the df agg and the scoring join")
+  }
+
   test("q72 heavy hitters: O(k) sketch aggregate + broadcast candidate join") {
     assume(new java.io.File(SfDir).isDirectory)
     val plan = planOf("q72_heavy_hitters")
