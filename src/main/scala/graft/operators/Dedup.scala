@@ -371,4 +371,90 @@ object Dedup {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** Exact-substring containment pairs (token-level): (contained_id,
+    * container_id) where the contained doc's token sequence appears
+    * contiguously inside the container's. The suffix-array-style complement
+    * to shingle Jaccard (ref: cleaning/dedupe.py drops only exact-equal
+    * rows; Lee et al. 2022 motivates substring-level dedup).
+    *
+    * Plan (never a doc x doc product): if A ⊆ B then EVERY `gram`-token
+    * window of A is also a window of B — so probe = ONE hashed gram per
+    * doc joined against distinct per-doc gram postings, then a
+    * token-boundary-safe contains() verifies the candidates. Texts join
+    * back by id AFTER the slim hash-join so wide columns never ride the
+    * postings shuffle.
+    *
+    * Guards for real corpora (both no-ops on gram-sparse data):
+    *  - `maxGramDf`: grams appearing in more than this many docs are
+    *    dropped from the postings (boilerplate/license shingles are the
+    *    skew risk — a ubiquitous gram would fan the candidate join out
+    *    quadratically). The probe then picks each doc's RAREST kept gram
+    *    (min doc-freq, gram hash as tie-break) instead of its first, so a
+    *    hot leading gram costs nothing; recall is lost only for a doc
+    *    whose every gram is hotter than the cap, which the caller accepts
+    *    exactly as with [[shinglePostings]]' maxDocFreq.
+    *  - docs shorter than `gram` tokens cannot meet an 8-token posting:
+    *    they probe their WHOLE text via a broadcast containment join
+    *    against all docs (short docs are a bounded sliver of a corpus;
+    *    the broadcast side carries only (id, ntext)).
+    */
+  def substringContainment(df: DataFrame, idCol: String, textCol: String,
+      gram: Int = 8, maxGramDf: Option[Long] = None): DataFrame = {
+    val norm = df.select(col(idCol).as("id"),
+        concat_ws(" ", Text.tokens(col(textCol))).as("ntext"))
+      .filter(length(col("ntext")) > 0)
+    val nTok = size(split(col("ntext"), " "))
+    val longDocs = norm.filter(nTok >= gram)
+    val shortDocs = norm.filter(nTok < gram)
+
+    // distinct per-doc hashed grams — the postings AND the probe universe
+    val grams = longDocs.select(col("id"),
+        explode(Text.wordShingles(col("ntext"), gram)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+
+    val (postings, probes) = maxGramDf match {
+      case None =>
+        // no distinct() on probes: each doc emits exactly ONE probe row
+        // and postings are distinct on (id, gh), so the join cannot
+        // duplicate an (a, b) pair
+        (grams, longDocs.select(col("id").as("a_id"),
+          xxhash64(element_at(Text.wordShingles(col("ntext"), gram), 1))
+            .as("gh")))
+      case Some(cap) =>
+        val gdf = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
+        val keptGrams = grams.join(gdf.filter(col("gdf") <= cap)
+          .select("gh"), "gh")
+        // rarest kept gram per doc; a doc with no kept gram emits no
+        // probe (documented recall cap)
+        val probe = keptGrams.join(gdf, "gh")
+          .groupBy(col("id").as("a_id"))
+          .agg(min(struct(col("gdf"), col("gh"))).as("m"))
+          .select(col("a_id"), col("m.gh").as("gh"))
+        (keptGrams, probe)
+    }
+
+    val cand = probes
+      .join(postings.withColumnRenamed("id", "b_id"), "gh")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+    val padded = (c: Column) => concat(lit(" "), c, lit(" "))
+    val main = cand
+      .join(norm.select(col("id").as("a_id"), col("ntext").as("a_text")),
+        "a_id")
+      .join(norm.select(col("id").as("b_id"), col("ntext").as("b_text")),
+        "b_id")
+      .filter(instr(padded(col("b_text")), padded(col("a_text"))) > 0)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"))
+
+    val short = broadcast(
+        shortDocs.select(col("id").as("a_id"), col("ntext").as("a_text")))
+      .join(norm.select(col("id").as("b_id"), col("ntext").as("b_text")),
+        col("a_id") =!= col("b_id")
+          && instr(padded(col("b_text")), padded(col("a_text"))) > 0)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"))
+
+    main.union(short)
+  }
 }

@@ -3312,38 +3312,20 @@ object Queries {
     // (space-padded normalized text) verifies. Texts join back by id AFTER
     // the slim hash-join, so the wide columns never ride the postings
     // shuffle. Gram df is naturally tiny here (30-word vocab, 30^8 gram
-    // space); corpora with hot grams would cap postings like q19's
-    // maxDocFreq. Min doc length is 10 tokens at every SF — above the
-    // 8-gram floor, so the first-gram probe cannot under-generate
-    // (WordShingles' whole-text fallback for <8-token docs would).
+    // space) and min doc length is 10 tokens at every SF, but the
+    // operator now CODES the real-corpus guards (r7): a maxGramDf
+    // postings cap with rarest-gram probing, and a broadcast whole-text
+    // fallback for docs under the gram floor (both spec'd in
+    // OperatorsSpec with planted hot-gram / short-doc fixtures).
     QueryDef("q89_substring_dedup",
       (s, dir) => {
-        val all = plantedNearDups(s, dir, 7)
-        val norm = all.select(col("doc_id"),
-            concat_ws(" ", Text.tokens(col("text"))).as("ntext"))
-          .filter(length(col("ntext")) > 0)
-        val postings = norm.select(col("doc_id").as("b_id"),
-            explode(Text.wordShingles(col("ntext"), 8)).as("gram"))
-          .select(col("b_id"), xxhash64(col("gram")).as("gh"))
-          .distinct()
-        val probes = norm.select(col("doc_id").as("a_id"),
-          xxhash64(element_at(Text.wordShingles(col("ntext"), 8), 1))
-            .as("gh"))
-        // no distinct(): each doc emits exactly ONE probe row and postings
-        // are distinct on (b_id, gh), so the join cannot duplicate an
-        // (a_id, b_id) pair — same reasoning as ivfTopK's single-list rows
-        val cand = probes.join(postings, "gh")
-          .filter(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"))
-        cand
-          .join(norm.select(col("doc_id").as("a_id"),
-            col("ntext").as("a_text")), "a_id")
-          .join(norm.select(col("doc_id").as("b_id"),
-            col("ntext").as("b_text")), "b_id")
-          .filter(instr(concat(lit(" "), col("b_text"), lit(" ")),
-            concat(lit(" "), col("a_text"), lit(" "))) > 0)
-          .select(col("a_id").as("contained_id"),
-            col("b_id").as("container_id"))
+        // operator call (Dedup.substringContainment) — the inline r6 plan
+        // plus the coded guards: rarest-gram probing under a maxGramDf
+        // postings cap and the short-doc whole-text fallback, both no-ops
+        // on this corpus (min doc length 10 tokens, 30-word vocab) and
+        // spec'd with planted hot-gram / short-doc fixtures
+        graft.operators.Dedup.substringContainment(
+            plantedNearDups(s, dir, 7), "doc_id", "text", gram = 8)
           .orderBy(col("contained_id"), col("container_id"))
       },
       Some("""WITH all_docs AS (

@@ -649,4 +649,45 @@ class OperatorsSpec extends AnyFunSuite {
     val r = out.head()
     assert(r.getString(3) == "keepme" && r.getLong(4) == 9L)
   }
+
+  private def containedPairs(df: org.apache.spark.sql.DataFrame,
+      maxGramDf: Option[Long] = None) =
+    Dedup.substringContainment(df, "doc_id", "text", gram = 8,
+        maxGramDf = maxGramDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("substringContainment finds token-suffix containment, no false hits") {
+    val df = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "b c d e f g h i j"),   // true suffix of doc 1 (9 tokens)
+      (3L, "k l m n o p q r s t")) // unrelated
+    assert(containedPairs(df) == Set((2L, 1L)))
+    // token-boundary safety: "ab" is not contained in "a ab-x" style text
+    val tricky = docs((4L, "aa bb cc dd ee ff gg hh ii"),
+      (5L, "a bb cc dd ee ff gg hh ii"))
+    assert(containedPairs(tricky).isEmpty)
+  }
+
+  test("substringContainment short-doc fallback probes whole text") {
+    val df = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "b c d e f g h i j"),
+      (4L, "c d e")) // 3 tokens < gram floor: gram probe can't see it
+    assert(containedPairs(df) == Set((2L, 1L), (4L, 1L), (4L, 2L)))
+  }
+
+  test("substringContainment survives a hot gram via the df cap + rarest-gram probe") {
+    val hot = "h1 h2 h3 h4 h5 h6 h7 h8" // shared leading 8-gram, df = 8
+    val noise = (10L to 15L).map(i =>
+      (i, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"))
+    val container = (20L, s"$hot r1 r2 r3 r4 r5 r6 r7 r8 r9")
+    val contained = (21L, s"$hot r1 r2 r3 r4 r5 r6 r7 r8") // prefix of 20
+    val df = docs((noise :+ container :+ contained): _*)
+    // cap 3 drops the hot gram from the postings; doc 21's FIRST gram is
+    // exactly that hot gram, so first-gram probing would miss the pair —
+    // the rarest-gram probe must find it through an r-token window (df 2)
+    assert(containedPairs(df, maxGramDf = Some(3L)) == Set((21L, 20L)))
+    // and the uncapped path agrees on the same corpus
+    assert(containedPairs(df) == Set((21L, 20L)))
+  }
 }
