@@ -109,7 +109,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep","runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6","runs":$runsJson}\n""")
     finally fw.close()
 
     // Short keys (q44, not q44_dup_clusters) on the stdout line: at 75
@@ -129,7 +129,10 @@ object Bench {
     // "policy" names the aggregation so the artifact is self-describing
     // (r5's driver header said n=5 while parsed.nruns was 3 — ambiguous);
     // kept terse to protect the driver's ~2000-char tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"policy":"min of $nRuns interleaved sweeps","queries":$qs,"sf":"$sfDir"}""")
+    // "cleanup untimed since r6": the timing window stops before
+    // clearCache/unpersist, so r1-r5 totals (which timed cleanup) are not
+    // directly comparable — treat r6 as the baseline for cross-round deltas
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"policy":"min of $nRuns interleaved sweeps; cleanup untimed since r6","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

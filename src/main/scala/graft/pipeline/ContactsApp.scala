@@ -96,7 +96,14 @@ object ContactsApp {
 
   /** Full run. `sourcesDir` is scanned for *.tsv in sorted order (S4 with
     * the explicit-determinism fix). Returns the pipeline result; artifacts
-    * are written only when `out` is provided. */
+    * are written only when `out` is provided.
+    *
+    * Persist lifecycle: with `out` set, every artifact is materialized
+    * here and Fill's internal persist pins are dropped before returning.
+    * With `out = None` the returned frames stay LAZY and their pins stay
+    * live so the caller's actions don't recompute the fill — the caller
+    * owns the release: call `result.release()` (idempotent) when done, or
+    * the pins hold executor storage for the session. */
   def run(spark: SparkSession, masterPath: String, sourcesDir: String,
       out: Option[Artifacts] = None): Pipeline.RunResult = {
     val master = withResolvedKeys(withRowIds(Tsv.readAllString(spark, masterPath)))

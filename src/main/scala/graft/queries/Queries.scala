@@ -2644,9 +2644,13 @@ object Queries {
     // improvement property the spec proves is now oracle-proved too: both
     // engines must derive the same objectives from their own intermediate
     // centroid states. obj_iter1 costs one broadcast-assignment scan (the
-    // same linear shape as the final stats pass); obj_iter2 folds out of
-    // the final per-cluster sums via an unpartitioned window over the
-    // 8-row cluster frame — no extra scan. min is order-independent (round 6);
+    // same linear shape as the final stats pass); obj_iter2 is a global
+    // round(avg) over the SAME kept-assignment rows as the twin's obj2 CTE
+    // — grouping mirrored exactly so no cross-engine rounding seam exists
+    // (r7: previously derived as sum-of-cluster-sums / total members,
+    // which could round differently within ~1 ulp of a 0.00005 boundary).
+    // The identical kept-rows subtree feeds stats and obj2; its exchanges
+    // dedupe at runtime. min is order-independent (round 6);
     // avg/objectives absorb summation order at round 4; the 6-decimal
     // centroid rounding is what makes the intermediate state
     // engine-portable (see trainCentroids).
@@ -2667,19 +2671,16 @@ object Queries {
         }
         val obj1 = best(hist(1))
           .agg(round(avg(col("sim")), 4).as("obj_iter1"))
-        val stats = best(hist(2))
+        val kept2 = best(hist(2))
+        val obj2 = kept2.agg(round(avg(col("sim")), 4).as("obj_iter2"))
+        val stats = kept2
           .groupBy(col("cent_id"))
           .agg(count(lit(1)).as("n_members"),
             round(min(col("sim")), 6).as("min_sim"),
-            round(avg(col("sim")), 4).as("avg_sim"),
-            sum(col("sim")).as("ssim"))
-        val wAll = Window.partitionBy()
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            round(avg(col("sim")), 4).as("avg_sim"))
         stats
-          .withColumn("obj_iter2",
-            round(sum(col("ssim")).over(wAll)
-              / sum(col("n_members")).over(wAll), 4))
           .crossJoin(broadcast(obj1))
+          .crossJoin(broadcast(obj2))
           .select(col("cent_id"), col("n_members"), col("min_sim"),
             col("avg_sim"), col("obj_iter1"), col("obj_iter2"),
             (col("obj_iter2") >= col("obj_iter1")).as("monotone"))
