@@ -157,7 +157,40 @@ object Similarity {
     * positional callers like `hist(2)` degrade to empty results instead
     * of an IndexOutOfBoundsException. */
   def centroidHistory(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int): Seq[DataFrame] = {
+      nlist: Int, iters: Int): Seq[DataFrame] =
+    trainLloyd(corpus, idCol, vecCol, nlist, iters, epsilon = None).centroids
+
+  /** Lloyd training outcome: centroid frames per step ([[centroidHistory]]
+    * semantics: element 0 = seeds, padded to maxIters+1 on early stop or
+    * empty corpus), the per-iteration OBJECTIVE (mean best-cosine of the
+    * assignment that OPENED iteration i, i.e. J(centroids i-1), rounded
+    * to 4 like every graded average), how many iterations actually ran,
+    * and whether the epsilon rule stopped them before maxIters. */
+  case class LloydResult(centroids: Seq[DataFrame], objectives: Seq[Double],
+      itersRun: Int, converged: Boolean)
+
+  /** Lloyd training with an optional convergence stop: run up to
+    * `maxIters` assignment/update rounds, recording the objective of each
+    * round's opening assignment; with `epsilon = Some(e)`, stop after
+    * round i >= 2 when `objective(i) - objective(i-1) < e` — the
+    * improvement has flattened, so later rounds buy (at most) noise-sized
+    * gains for a full corpus scan each. The objective is NEAR-monotone:
+    * the mean update tracks but does not exactly optimize the cosine
+    * objective (the true maximizer is the normalized-vector-sum
+    * direction), so small terminal decreases are possible — and a
+    * decrease is also a flattened improvement, so it correctly trips the
+    * stop. The round-4 canon on objectives keeps the rule
+    * engine-portable: a twin
+    * restating the unrolled iterations derives the SAME stop point as
+    * long as epsilon sits strictly between two multiples of 1e-4 (never
+    * use a multiple of 1e-4 itself — a delta landing exactly on the
+    * boundary would compare differently within one ulp across engines).
+    *
+    * The objective is FREE: it rides the update step's existing
+    * per-centroid aggregate (sum(best_sim) alongside the vector sums), so
+    * convergence costs zero extra scans over fixed-iters training. */
+  def trainLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, maxIters: Int, epsilon: Option[Double]): LloydResult = {
     val spark = corpus.sparkSession
     import spark.implicits._
     var cents: Seq[(Long, Seq[Double])] = corpus
@@ -169,7 +202,11 @@ object Similarity {
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
     val history = Seq.newBuilder[DataFrame]
     history += cents.toDF("cent_id", "cent_vec")
-    for (_ <- 0 until iters if cents.nonEmpty) {
+    val objectives = Seq.newBuilder[Double]
+    var itersRun = 0
+    var converged = false
+    var lastObj = Double.NaN
+    for (_ <- 0 until maxIters if cents.nonEmpty && !converged) {
       // (cosine, -cent_id, cent_id) structs; array_max's lexicographic
       // struct order = best similarity, smallest cent_id on ties
       val candidates = array(cents.map { case (cid, v) =>
@@ -179,20 +216,35 @@ object Similarity {
       }: _*)
       val assigned = corpus
         .select(Vec.asDouble(col(vecCol)).as("__v"))
-        .select(col("__v"),
-          array_max(candidates).getField("cent_id").as("cent_id"))
-      cents = assigned
+        .select(col("__v"), array_max(candidates).as("best"))
+        .select(col("__v"), col("best.cent_id").as("cent_id"),
+          col("best.sim").as("sim"))
+      // sorted BEFORE the driver-side folds: collect order is partition
+      // order, and a double sum in nondeterministic order could flip the
+      // round-4 objective within one ulp of a boundary
+      val updated = assigned
         .groupBy(col("cent_id"))
-        .agg(Vec.sumAgg(col("__v")).as("s"), count(lit(1)).as("n"))
+        .agg(Vec.sumAgg(col("__v")).as("s"), count(lit(1)).as("n"),
+          sum(col("sim")).as("ssim"))
         .select(col("cent_id"),
-          transform(col("s"), x => round(x / col("n"), 6)).as("cent_vec"))
+          transform(col("s"), x => round(x / col("n"), 6)).as("cent_vec"),
+          col("n"), col("ssim"))
         .collect()
+        .sortBy(_.getLong(0))
+      cents = updated
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-        .sortBy(_._1)
       history += cents.toDF("cent_id", "cent_vec")
+      val obj = BigDecimal(updated.map(_.getDouble(3)).sum
+          / math.max(updated.map(_.getLong(2)).sum, 1L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      objectives += obj
+      itersRun += 1
+      converged = epsilon.exists(e => itersRun >= 2 && obj - lastObj < e)
+      lastObj = obj
     }
     val out = history.result()
-    out ++ Seq.fill(iters + 1 - out.length)(out.last)
+    LloydResult(out ++ Seq.fill(maxIters + 1 - out.length)(out.last),
+      objectives.result(), itersRun, converged)
   }
 
   /** Deterministic coarse centroids shared by BOTH IVF variants: trained
@@ -309,6 +361,159 @@ object Similarity {
         Vec.cosineFromParts(
           Vec.dotI8(col("q.vec"), col("c.code")) * col("c.scale"),
           col("q.nrm"), col("c.nrm")).as("cosine"))
+    // no distinct(): single-list corpus rows, same reasoning as ivfTopK
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization model: `m` disjoint coordinate subspaces of
+    * `ds = dim / m` components each, a `codebooks(mi)` list of
+    * (code, sub-centroid) per subspace. Driver-side literals, exactly the
+    * [[trainCentroids]] stance: a codebook is metadata-sized
+    * (m * k * ds doubles), never a distributed dataset. */
+  case class PqModel(m: Int, ds: Int, codebooks: Seq[Seq[(Int, Seq[Double])]])
+
+  /** Train (or sample) PQ codebooks.
+    *
+    * `trainIters = 0` (default, and the oracle-graded path): codebook mi =
+    * the mi-th slices of the `k` smallest-id corpus vectors, code = rank in
+    * that id order — fully deterministic and independently restatable by a
+    * SQL twin, the [[coarseCentroids]] stance. `trainIters > 0` refines
+    * each subspace codebook with the shared spherical Lloyd trainer
+    * ([[trainCentroids]] on the sliced corpus — m small trainings, m * iters
+    * corpus scans; offline cost by design). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, trainIters: Int = 0): PqModel = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    val v = Vec.asDouble(col(vecCol))
+    val codebooks: Seq[Seq[(Int, Seq[Double])]] =
+      if (trainIters == 0) {
+        val sample = corpus
+          .select(col(idCol).as("sid"), v.as("__v"))
+          .orderBy(col("sid").asc).limit(k)
+          .select(col("__v")).collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
+        (0 until m).map(mi =>
+          sample.zipWithIndex.map { case (vec, code) =>
+            (code, vec.slice(mi * ds, (mi + 1) * ds))
+          })
+      } else
+        (0 until m).map { mi =>
+          trainCentroids(
+              corpus.select(col(idCol), slice(v, mi * ds + 1, ds).as("__sub")),
+              idCol, "__sub", k, trainIters)
+            .collect()
+            .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+            .sortBy(_._1)
+        }
+    PqModel(m, ds, codebooks)
+  }
+
+  /** Encode a vector column against a [[PqModel]]: per subspace, the code
+    * minimizing squared L2 to the sub-centroid (the reconstruction-error
+    * objective — what makes the ADC dot a good dot estimate), computed as
+    * `||c||^2 - 2 s.c` (the `||s||^2` term is constant across codes and
+    * drops out of the argmin) and ROUNDED to 6 before the argmin so both
+    * engines pick the same code when two keys agree to 1e-6 (the q77
+    * portability stance; ties then break to the smallest code via
+    * lexicographic struct min).
+    *
+    * Returns (id, codes array<tinyint>, rnorm double) where `rnorm` is the
+    * reconstruction's norm — free at encode time because subspaces are
+    * disjoint coordinate blocks: ||recon||^2 = sum_mi ||cb_mi[code]||^2,
+    * a literal lookup per subspace. This is the 100-TB index row: m bytes
+    * + one double per vector (vs 8*dim for float64 — 64x smaller lists at
+    * m=8, dim=64), and the scoring side never touches the raw vector. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val v = Vec.asDouble(col(vecCol))
+    val codeCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(v, mi * model.ds + 1, model.ds)
+      val cands = array(cb.map { case (code, cv) =>
+        val c2 = cv.map(x => x * x).sum
+        struct(
+          round(lit(c2) - lit(2.0) * Vec.dot(sub, array(cv.map(lit): _*)), 6)
+            .as("key"),
+          lit(code).as("code"))
+      }: _*)
+      array_min(cands).getField("code").cast("tinyint").as(s"__c$mi")
+    }
+    val norm2Of = (mi: Int) =>
+      element_at(
+        array(model.codebooks(mi).map { case (_, cv) =>
+          lit(cv.map(x => x * x).sum)
+        }: _*),
+        col(s"__c$mi").cast("int") + 1)
+    df.select(col(idCol).as("id") +: codeCols: _*)
+      .select(col("id"),
+        array((0 until model.m).map(mi => col(s"__c$mi")): _*).as("codes"),
+        sqrt((0 until model.m).map(norm2Of).reduce(_ + _)).as("rnorm"))
+  }
+
+  /** Dot of a full-precision vector against the PQ RECONSTRUCTION of
+    * `codes`: sum over subspaces of dot(sub, cb_mi[code]) — the
+    * sub-centroid is looked up from a literal array-of-arrays, so this is
+    * m sub-dots per row with no k-wide table build (contrast the ADC path
+    * in [[pqTopK]], which amortizes a k-wide LUT across many candidates
+    * per query). Used for reconstruction-fidelity diagnostics (q92). */
+  def pqReconDot(vec: Column, codes: Column, model: PqModel): Column =
+    model.codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(vec, mi * model.ds + 1, model.ds)
+      val cvArr = element_at(
+        array(cb.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
+        codes.getItem(mi).cast("int") + 1)
+      Vec.dot(sub, cvArr)
+    }.reduce(_ + _)
+
+  /** IVF-PQ ANN: coarse routing as in [[ivfTopK]], inverted lists storing
+    * PQ codes, scoring via asymmetric distance computation (ADC): each
+    * query precomputes per-subspace lookup tables
+    * `lut_mi[code] = dot(q_sub_mi, cb_mi[code])` (m * k doubles, computed
+    * once per query row), and a candidate's dot estimate is
+    * `sum_mi lut_mi[codes[mi]]` — a pure per-pair expression over the
+    * byte codes, no per-pair array materialization (the [[ivfTopKQuantized]]
+    * lesson). Queries stay full precision; the only approximation vs
+    * [[ivfTopK]] is PQ reconstruction error plus IVF recall.
+    *
+    * Ranking is on the ROUNDED cosine (6, then neighbor id): PQ code
+    * collisions make exact score ties COMMON (any two corpus vectors with
+    * identical codes score identically), and rounding before ranking is
+    * what keeps the order restatable by an independent engine. */
+  def pqTopK(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, model: PqModel, nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
+    val centroids =
+      coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
+    val c = routeToLists(corpus, corpusIdCol, corpusVecCol, centroids, 1)
+      .select(col("id"), col("cent_id"))
+      .join(pqEncode(corpus, corpusIdCol, corpusVecCol, model), "id")
+
+    val lutCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
+      val qsub = slice(Vec.asDouble(col("vec")), mi * model.ds + 1, model.ds)
+      array(cb.map { case (_, cv) =>
+        Vec.dot(qsub, array(cv.map(lit): _*))
+      }: _*).as(s"__lut$mi")
+    }
+    val q = routeToLists(queries, queryIdCol, queryVecCol, centroids, nprobe)
+      .select(Seq(col("id"), col("cent_id"),
+        Vec.norm(col("vec")).as("qnrm")) ++ lutCols: _*)
+
+    val adcDot = (0 until model.m).map(mi =>
+      element_at(col(s"__lut$mi"), col("codes").getItem(mi).cast("int") + 1))
+      .reduce(_ + _)
+    val cand = c.as("c")
+      .join(q.as("q"),
+        col("c.cent_id") === col("q.cent_id") && col("c.id") =!= col("q.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(Vec.cosineFromParts(adcDot, col("q.qnrm"), col("c.rnorm")), 6)
+          .as("cosine"))
     // no distinct(): single-list corpus rows, same reasoning as ivfTopK
 
     val w = Window.partitionBy(col("query_id"))

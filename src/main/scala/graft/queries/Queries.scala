@@ -3487,7 +3487,237 @@ object Queries {
              |  FROM fused)
              |SELECT query_id, rank, doc_id, rrf,
              |  rank_a AS bm25_rank, rank_b AS tfidf_rank
-             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q92: product-quantization encoding + reconstruction fidelity — the
+    // next ANN compression tier beyond q87's int8 (FAISS IVF-PQ's storage:
+    // m=8 one-byte codes per 64-dim vector vs 64 bytes for SQ8, 64x
+    // smaller lists than float64). Codebooks are the SAMPLED path
+    // (slices of the 16 smallest-id vectors — deterministic and
+    // independently restatable, the coarseCentroids stance; k-means
+    // refinement exists behind pqTrain(trainIters>0) and is spec'd).
+    // Graded at full strength: the code ASSIGNMENT is exact-match (both
+    // engines must pick identical argmin-L2 codes for every doc — keys
+    // rounded to 6 before the argmin, ties to the smallest code), and the
+    // reconstruction cosine proves decode + the disjoint-subspace norm
+    // identity. Grading the whole corpus (500 rows/SF) keeps every code
+    // path load-bearing.
+    QueryDef("q92_pq_codes",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val model = Similarity.pqTrain(e, "vec_id", "vec", m = 8, k = 16)
+        val enc = Similarity.pqEncode(e, "vec_id", "vec", model)
+        enc.join(e.select(col("vec_id").as("id"), col("vec")), "id")
+          .select(col("id").as("vec_id"),
+            concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+            round(Vec.cosineFromParts(
+              Similarity.pqReconDot(col("vec"), col("codes"), model),
+              Vec.norm(col("vec")), col("rnorm")), 6).as("recon_cosine"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cbsrc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |cb AS (
+             |  SELECT m, code, cv, list_inner_product(cv, cv) AS c2
+             |  FROM (SELECT ms.m, code, v[ms.m*8+1 : ms.m*8+8] AS cv
+             |        FROM cbsrc CROSS JOIN
+             |          (SELECT unnest(range(0, 8)) AS m) ms)),
+             |keys AS (
+             |  SELECT d.vec_id, cb.m, cb.code, cb.cv,
+             |    round(cb.c2
+             |      - 2 * list_inner_product(d.v[cb.m*8+1 : cb.m*8+8], cb.cv),
+             |      6) AS key
+             |  FROM e d CROSS JOIN cb),
+             |pick AS (
+             |  SELECT vec_id, m, code, cv FROM (
+             |    SELECT vec_id, m, code, cv, row_number() OVER (
+             |      PARTITION BY vec_id, m ORDER BY key, code) AS rn
+             |    FROM keys)
+             |  WHERE rn = 1),
+             |enc AS (
+             |  SELECT vec_id,
+             |    array_to_string(list(code ORDER BY m), ',') AS codes,
+             |    flatten(list(cv ORDER BY m)) AS rv
+             |  FROM pick GROUP BY vec_id)
+             |SELECT e.vec_id, codes,
+             |  round(list_cosine_similarity(e.v, rv), 6) AS recon_cosine
+             |FROM e JOIN enc USING (vec_id)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q93: IVF-PQ ANN with ADC scoring, graded EXACTLY: nprobe = nlist
+    // probes every list, so IVF recall is out of the picture and the twin
+    // can brute-force the identical PQ space (rank on the ROUND-6 cosine
+    // then neighbor id — PQ code collisions make exact ties common, which
+    // is WHY pqTopK rounds before ranking; an unrounded rank would be
+    // engine-divergent by an ulp). What this grades end to end: coarse
+    // routing arithmetic, code assignment, the per-query ADC lookup
+    // tables, and the reconstruction-norm denominator. The recall-bearing
+    // nprobe < nlist configuration is spec'd against the exhaustive path
+    // in OperatorsSpec (planted twins).
+    QueryDef("q93_pq_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val model = Similarity.pqTrain(e, "vec_id", "vec", m = 8, k = 16)
+        Similarity.pqTopK(e, "vec_id", "vec", q, "qid", "qvec",
+            k = 3, model, nlist = 8, nprobe = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("cosine").as("pq_cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cbsrc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |cb AS (
+             |  SELECT m, code, cv
+             |  FROM (SELECT ms.m, code, v[ms.m*8+1 : ms.m*8+8] AS cv
+             |        FROM cbsrc CROSS JOIN
+             |          (SELECT unnest(range(0, 8)) AS m) ms)),
+             |keys AS (
+             |  SELECT d.vec_id, cb.m, cb.code, cb.cv,
+             |    round(list_inner_product(cb.cv, cb.cv)
+             |      - 2 * list_inner_product(d.v[cb.m*8+1 : cb.m*8+8], cb.cv),
+             |      6) AS key
+             |  FROM e d CROSS JOIN cb),
+             |recon AS (
+             |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS rv
+             |  FROM (SELECT vec_id, m, code, cv, row_number() OVER (
+             |          PARTITION BY vec_id, m ORDER BY key, code) AS rn
+             |        FROM keys)
+             |  WHERE rn = 1 GROUP BY vec_id),
+             |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |       WHERE vec_id % 25 = 0),
+             |scored AS (
+             |  SELECT query_id, r.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(qv, r.rv), 6) AS pq_cosine
+             |  FROM qs JOIN recon r ON r.vec_id <> query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, pq_cosine, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY pq_cosine DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, pq_cosine
+             |FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q94: k-means CONVERGENCE stop — trainLloyd with an objective-delta
+    // rule (stop when the round-4 mean best-cosine improves by less than
+    // epsilon), graded end to end: the twin restates three unrolled Lloyd
+    // iterations (the q77 structure plus the seed-assignment objective),
+    // derives the SAME deltas and the SAME stop point, and emits exactly
+    // the rows Spark's early exit produced — so failing to stop (5 rows
+    // vs 3) or stopping at the wrong iteration moves the hash, not just a
+    // value. epsilon = 0.0155 sits strictly between round-4 delta
+    // multiples and >= 0.002 away from the observed deltas at both graded
+    // SFs (iter-3 delta ~0.0133 < eps < iter-2 delta ~0.05), so the rule
+    // is ulp-robust. The twin mirrors trainLloyd's two-level objective
+    // grouping (per-cluster sums, then sum/sum) to avoid the q77
+    // avg-structure seam the round-6 advice flagged.
+    QueryDef("q94_kmeans_converged",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val r = Similarity.trainLloyd(e, "vec_id", "vec", nlist = 8,
+          maxIters = 5, epsilon = Some(0.0155))
+        val rows = r.objectives.zipWithIndex.map { case (o, i) =>
+          val delta = if (i == 0) None
+            else Some(BigDecimal(o - r.objectives(i - 1))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          (i + 1, o, delta, r.converged && (i + 1) == r.itersRun)
+        }
+        rows.toDF("iter", "objective", "delta", "stopped_early")
+          .orderBy(col("iter"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             |      AS cent_id, v
+             |  FROM (SELECT vec_id, v FROM e
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+             |a0 AS (
+             |  SELECT vec_id, e.v AS v, cent_id,
+             |    list_cosine_similarity(e.v, s.v) AS sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, s.v) DESC, cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN seeds s),
+             |o1v AS (
+             |  SELECT round(sum(s) / sum(n), 4) AS o FROM (
+             |    SELECT cent_id, sum(sim) AS s, count(*) AS n
+             |    FROM a0 WHERE rk = 1 GROUP BY 1)),
+             |comp1 AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM a0 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents1 AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp1 GROUP BY cent_id),
+             |a1 AS (
+             |  SELECT vec_id, e.v AS v, c.cent_id,
+             |    list_cosine_similarity(e.v, c.cv) AS sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN cents1 c),
+             |o2v AS (
+             |  SELECT round(sum(s) / sum(n), 4) AS o FROM (
+             |    SELECT cent_id, sum(sim) AS s, count(*) AS n
+             |    FROM a1 WHERE rk = 1 GROUP BY 1)),
+             |comp2 AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM a1 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents2 AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp2 GROUP BY cent_id),
+             |a2 AS (
+             |  SELECT vec_id, c.cent_id,
+             |    list_cosine_similarity(e.v, c.cv) AS sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN cents2 c),
+             |o3v AS (
+             |  SELECT round(sum(s) / sum(n), 4) AS o FROM (
+             |    SELECT cent_id, sum(sim) AS s, count(*) AS n
+             |    FROM a2 WHERE rk = 1 GROUP BY 1)),
+             |objs AS (
+             |  SELECT 1 AS iter, o AS objective FROM o1v
+             |  UNION ALL SELECT 2, o FROM o2v
+             |  UNION ALL SELECT 3, o FROM o3v),
+             |d AS (
+             |  SELECT iter, objective,
+             |    round(objective - lag(objective) OVER (ORDER BY iter), 4)
+             |      AS delta
+             |  FROM objs),
+             |sp AS (
+             |  SELECT coalesce(min(iter), 3) AS s FROM d
+             |  WHERE iter >= 2 AND delta < 0.0155)
+             |SELECT iter, objective, delta,
+             |  (iter = s AND delta < 0.0155) AS stopped_early
+             |FROM d CROSS JOIN sp WHERE iter <= s
+             |ORDER BY iter""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF
