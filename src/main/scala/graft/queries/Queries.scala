@@ -3613,6 +3613,93 @@ object Queries {
              |ORDER BY query_id, rank""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q95: RESIDUAL IVF-PQ (FAISS IVFPQ proper) — q93 quantized raw
+    // vectors; here the codebooks quantize the residual x - c(x), the
+    // distribution that actually sits in an inverted list. The encode
+    // FOLDS the residual algebra into per-(list, code) literals (see
+    // pqEncode scaladoc) so no residual array is ever materialized, and
+    // scoring decomposes as dot(q, c_list) + residual ADC. Same exact
+    // grading stance as q93: nprobe = nlist removes IVF recall from the
+    // contract, the twin computes assignments/residuals/codes/
+    // reconstructions from scratch (list arithmetic in SQL) and must land
+    // the identical round-6 ranking. Coarse set = 8 smallest-id vectors
+    // dense-reindexed; codebook sample = the NEXT 16 ids (the centroid
+    // rows' own residuals are identically zero and would waste half the
+    // codebook).
+    QueryDef("q95_pq_residual",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val model = Similarity.pqTrainResidual(e, "vec_id", "vec",
+          m = 8, k = 16, nlist = 8)
+        Similarity.pqTopK(e, "vec_id", "vec", q, "qid", "qvec",
+            k = 3, model, nlist = 8, nprobe = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("cosine").as("pq_cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+             |    v AS cv
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+             |asg AS (
+             |  SELECT vec_id, v, cidx, cv FROM (
+             |    SELECT e.vec_id, e.v, cc.cidx, cc.cv, row_number() OVER (
+             |      PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cidx)
+             |      AS rn
+             |    FROM e CROSS JOIN cc) WHERE rn = 1),
+             |res AS (
+             |  SELECT vec_id, cidx, cv,
+             |    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
+             |  FROM asg),
+             |cbsrc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+             |  FROM (SELECT vec_id, r FROM res
+             |        ORDER BY vec_id LIMIT 16 OFFSET 8)),
+             |cb AS (
+             |  SELECT ms.m, code, r[ms.m*8+1 : ms.m*8+8] AS cbv
+             |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+             |keys AS (
+             |  SELECT d.vec_id, cb.m, cb.code, cb.cbv,
+             |    round(list_inner_product(cb.cbv, cb.cbv)
+             |      - 2 * list_inner_product(d.r[cb.m*8+1 : cb.m*8+8], cb.cbv),
+             |      6) AS key
+             |  FROM res d CROSS JOIN cb),
+             |pick AS (
+             |  SELECT vec_id, m, code, cbv FROM (
+             |    SELECT vec_id, m, code, cbv, row_number() OVER (
+             |      PARTITION BY vec_id, m ORDER BY key, code) AS rn
+             |    FROM keys)
+             |  WHERE rn = 1),
+             |recon AS (
+             |  SELECT p.vec_id,
+             |    list_transform(range(64), i -> r.cv[i+1] + p.rh[i+1])
+             |      AS xhat
+             |  FROM (SELECT vec_id, flatten(list(cbv ORDER BY m)) AS rh
+             |        FROM pick GROUP BY vec_id) p
+             |  JOIN res r USING (vec_id)),
+             |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |       WHERE vec_id % 25 = 0),
+             |scored AS (
+             |  SELECT query_id, rc.vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(qv, rc.xhat), 6) AS pq_cosine
+             |  FROM qs JOIN recon rc ON rc.vec_id <> query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, pq_cosine, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY pq_cosine DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, pq_cosine
+             |FROM ranked WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q94: k-means CONVERGENCE stop — trainLloyd with an objective-delta
     // rule (stop when the round-4 mean best-cosine improves by less than
     // epsilon), graded end to end: the twin restates three unrolled Lloyd
