@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_dot_i8",
         "(array<double>, array<tinyint>) - dot against int8 codes"),
       (args: Seq[Expression]) => graft.expressions.VecDotI8(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("pq_argmin"),
+      info("pq_argmin",
+        "(array<double>, array<array<double>>, array<double>) - PQ code " +
+          "assignment: argmin of round(consts[c] - 2*dot(sub, cb[c]), 6)"),
+      (args: Seq[Expression]) =>
+        graft.expressions.PqArgmin(args(0), args(1), args(2))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "(str, n) - word n-gram shingle array"),
       (args: Seq[Expression]) =>

@@ -455,18 +455,23 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
     val v = Vec.asDouble(col(vecCol))
+    // the argmin itself is the native PqArgmin kernel: a k x ds runtime
+    // loop over the literal codebook matrix. The unrolled expression form
+    // (array_min over k candidate structs) codegen'd past the JVM's 64 KB
+    // method limit on the residual path and dropped the encode projection
+    // to interpreted mode.
+    def cbMat(mi: Int) = array(model.codebooks(mi).map { case (_, cv) =>
+      array(cv.map(lit): _*)
+    }: _*)
     model.residualCentroids match {
       case None =>
         val codeCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
           val sub = slice(v, mi * model.ds + 1, model.ds)
-          val cands = array(cb.map { case (code, cv) =>
-            val c2 = cv.map(x => x * x).sum
-            struct(
-              round(lit(c2) - lit(2.0) * Vec.dot(sub, array(cv.map(lit): _*)),
-                6).as("key"),
-              lit(code).as("code"))
+          val consts = array(cb.map { case (_, cv) =>
+            lit(cv.map(x => x * x).sum)
           }: _*)
-          array_min(cands).getField("code").cast("tinyint").as(s"__c$mi")
+          graft.expressions.PqArgmin.column(sub, cbMat(mi), consts)
+            .as(s"__c$mi")
         }
         val norm2Of = (mi: Int) =>
           element_at(
@@ -490,6 +495,18 @@ object Similarity {
           struct(Vec.cosine(col("__v"), array(cv.map(lit): _*)).as("sim"),
             lit(-cid).as("neg"), lit(cid).as("cent_id"))
         }: _*)).getField("cent_id")
+        // per-(list, code) constant ||cb||^2 + 2 c_sub.cb — a foldable 2-D
+        // literal; the row's list selects its k-wide const row for PqArgmin
+        val constsByList = (mi: Int) => array(cents.map { case (_, cv) =>
+          array(model.codebooks(mi).map { case (_, cbv) =>
+            lit(dotd(cbv, cbv) + 2.0 * dotd(subOf(cv, mi), cbv))
+          }: _*)
+        }: _*)
+        val codeCols = (0 until model.m).map { mi =>
+          val sub = slice(col("__v"), mi * model.ds + 1, model.ds)
+          graft.expressions.PqArgmin.column(sub, cbMat(mi),
+            element_at(constsByList(mi), col("cent_id") + 1)).as(s"__c$mi")
+        }
         // ||c + r_hat||^2 = ||c||^2 + sum_mi (2 c_sub.cb[code] + ||cb[code]||^2)
         val centNorm2 =
           array(cents.map { case (_, cv) => lit(dotd(cv, cv)) }: _*)
@@ -505,25 +522,7 @@ object Similarity {
             col(s"__c$mi").cast("int") + 1)
         df.select(col(idCol).as("id"), v.as("__v"))
           .withColumn("cent_id", assignment)
-          .select(Seq(col("id"), col("cent_id")) ++ (0 until model.m).map {
-            mi =>
-              val sub = slice(col("__v"), mi * model.ds + 1, model.ds)
-              val cb = model.codebooks(mi)
-              array(cb.map { case (code, cbv) =>
-                val c2 = cbv.map(x => x * x).sum
-                val perList = array(cents.map { case (_, cv) =>
-                  lit(c2 + 2.0 * dotd(subOf(cv, mi), cbv))
-                }: _*)
-                struct(
-                  round(element_at(perList, col("cent_id") + 1)
-                    - lit(2.0) * Vec.dot(sub, array(cbv.map(lit): _*)), 6)
-                    .as("key"),
-                  lit(code).as("code"))
-              }: _*).as(s"__k$mi")
-          }: _*)
-          .select(Seq(col("id"), col("cent_id")) ++ (0 until model.m).map(
-            mi => array_min(col(s"__k$mi")).getField("code").cast("tinyint")
-              .as(s"__c$mi")): _*)
+          .select(Seq(col("id"), col("cent_id")) ++ codeCols: _*)
           .select(col("id"), col("cent_id"),
             array((0 until model.m).map(mi => col(s"__c$mi")): _*).as("codes"),
             sqrt(element_at(centNorm2, col("cent_id") + 1)

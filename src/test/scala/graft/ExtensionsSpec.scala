@@ -68,6 +68,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT vec_sum(v) FROM VALUES (array(1.0d, 2.0d)), " +
           "(array(3.0d, 4.0d)) AS t(v)").head().getSeq[Double](0)
       assert(vs == Seq(4.0, 6.0))
+      // pq_argmin: codebook [[1,0],[0,1]], consts = ||cb||^2 = [1,1];
+      // sub (0.9, 0.1) -> keys [1-1.8, 1-0.2] -> code 0; ties -> code 0
+      val pq = spark.sql(
+        "SELECT pq_argmin(array(0.9d, 0.1d), " +
+          "array(array(1.0d, 0.0d), array(0.0d, 1.0d)), " +
+          "array(1.0d, 1.0d)) AS c, " +
+          "pq_argmin(array(0.5d, 0.5d), " +
+          "array(array(1.0d, 0.0d), array(0.0d, 1.0d)), " +
+          "array(1.0d, 1.0d)) AS tie").head()
+      assert(pq.getByte(0) == 0.toByte && pq.getByte(1) == 0.toByte)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
