@@ -641,25 +641,43 @@ object Similarity {
         .join(enc, "id")
     }
 
+    // The k-wide LUTs (and qnrm / the residual dot(q, c_list)) are
+    // computed BELOW the routing window, so the window's sort materializes
+    // them into rows and the candidate join only READS them. Computing
+    // them after routing looks equivalent but is a trap: whole-stage
+    // codegen defers a broadcast-hash-join's streamed-side columns that
+    // are not join keys to their first use — which sits inside the
+    // per-match loop, so the 128-dot LUT build re-ran PER CANDIDATE
+    // (measured 6x the whole query at sf0.1; materializing the probe side
+    // dropped it right back).
     val lutCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
-      val qsub = slice(Vec.asDouble(col("vec")), mi * model.ds + 1, model.ds)
+      val qsub = slice(col("vec"), mi * model.ds + 1, model.ds)
       array(cb.map { case (_, cv) =>
         Vec.dot(qsub, array(cv.map(lit): _*))
       }: _*).as(s"__lut$mi")
     }
-    // residual mode adds dot(q, c_list) — the centroid is a literal lookup
-    // on the probed cent_id, so this stays a pure projection
+    // residual mode adds dot(q, c_list), against the broadcast centroid
+    // row (same values as the model's literals, computed per probed pair
+    // below the window)
     val qcDot = model.residualCentroids match {
-      case Some(cents) =>
-        Vec.dot(Vec.asDouble(col("vec")),
-          element_at(array(cents.map { case (_, cv) =>
-            array(cv.map(lit): _*)
-          }: _*), col("cent_id").cast("int") + 1)).as("__qc")
+      case Some(_) => Vec.dot(col("vec"), col("cent_vec")).as("__qc")
       case None => lit(0.0).as("__qc")
     }
-    val q = routeToLists(queries, queryIdCol, queryVecCol, centroids, nprobe)
-      .select(Seq(col("id"), col("cent_id"),
-        Vec.norm(col("vec")).as("qnrm"), qcDot) ++ lutCols: _*)
+    val qScored = queries
+      .select(col(queryIdCol).as("id"), Vec.asDouble(col(queryVecCol)).as("vec"))
+      .select(Seq(col("id"), col("vec"),
+        Vec.norm(col("vec")).as("qnrm")) ++ lutCols: _*)
+      .join(broadcast(centroids))
+      .select(col("id"), col("cent_id"), col("qnrm"), qcDot,
+        Vec.cosine(col("vec"), col("cent_vec")).as("cent_sim"),
+        struct((0 until model.m).map(mi => col(s"__lut$mi")): _*).as("__luts"))
+    val wq = Window.partitionBy(col("id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val q = qScored.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nprobe)
+      .select(Seq(col("id"), col("cent_id"), col("qnrm"), col("__qc")) ++
+        (0 until model.m).map(mi =>
+          col("__luts").getField(s"__lut$mi").as(s"__lut$mi")): _*)
 
     val adcDot = (0 until model.m).map(mi =>
       element_at(col(s"__lut$mi"), col("codes").getItem(mi).cast("int") + 1))
