@@ -261,17 +261,29 @@ object Similarity {
 
   /** Nearest-list routing shared by BOTH IVF variants: rank the broadcast
     * centroid set by full-precision cosine per row, keep the `nProbe`
-    * best. Returns `(id, vec, cent_id)`. */
+    * best. Returns `(id, vec, cent_id, carry...)`.
+    *
+    * `carry` names pre-computed columns on `df` to ship through the
+    * routing window. Derived columns the candidate join needs (norms,
+    * quantized codes) MUST ride through here rather than be added after
+    * routing: whole-stage codegen defers a broadcast-hash-join's
+    * streamed-side non-key columns to first use — inside the per-match
+    * loop — so a post-routing projection re-evaluates per CANDIDATE,
+    * while the routing window's sort materializes carried columns once
+    * per routed row (the q95 LUT lesson, measured 6x). */
   private def routeToLists(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, nProbe: Int): DataFrame = {
+      centroids: DataFrame, nProbe: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = Seq(col("id"), col("vec"), col("cent_id")) ++ carry.map(col)
     val scored = df.join(broadcast(centroids))
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cent_id"),
+      .select(Seq(col(idCol).as("id"), col(vecCol).as("vec"), col("cent_id"),
         Vec.cosine(col(vecCol), col("cent_vec")).as("cent_sim"))
+        ++ carry.map(col): _*)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cent_sim").desc, col("cent_id").asc)
     scored.withColumn("r", row_number().over(w))
       .filter(col("r") <= nProbe)
-      .select(col("id"), col("vec"), col("cent_id"))
+      .select(keep: _*)
   }
 
   /** IVF-Flat ANN: `nlist` coarse centroids — a deterministic id-ordered
@@ -285,12 +297,15 @@ object Similarity {
       trainIters: Int = 0): DataFrame = {
     val centroids =
       coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
-    // norms computed AFTER routing (once per surviving row), so candidate
-    // scoring is one array traversal per pair
-    val c = routeToLists(corpus, corpusIdCol, corpusVecCol, centroids, 1)
-      .withColumn("nrm", Vec.norm(col("vec")))
-    val q = routeToLists(queries, queryIdCol, queryVecCol, centroids, nprobe)
-      .withColumn("nrm", Vec.norm(col("vec")))
+    // norms computed BELOW the routing window (carried, so the candidate
+    // join reads rather than recomputes them — see routeToLists) and once
+    // per row, so candidate scoring is one array traversal per pair
+    val c = routeToLists(
+      corpus.withColumn("nrm", Vec.norm(col(corpusVecCol))),
+      corpusIdCol, corpusVecCol, centroids, 1, carry = Seq("nrm"))
+    val q = routeToLists(
+      queries.withColumn("nrm", Vec.norm(col(queryVecCol))),
+      queryIdCol, queryVecCol, centroids, nprobe, carry = Seq("nrm"))
 
     val cand = c.as("c")
       .join(q.as("q"),
@@ -334,20 +349,26 @@ object Similarity {
     val centroids =
       coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
 
-    // corpus lists: int8 codes + per-vector scale + dequantized norm (norm
-    // precomputed here so candidate scoring is one array traversal)
-    val scale = array_max(transform(col("vec"), x => abs(x))) / lit(127.0)
-    val c = routeToLists(corpus, corpusIdCol, corpusVecCol, centroids, 1)
+    // corpus lists: int8 codes + per-vector scale + dequantized norm,
+    // ALL computed below the routing window (carried — the interpreted
+    // transform() lambdas must run once per corpus row, never per
+    // candidate; see routeToLists) so candidate scoring is one array
+    // traversal per pair
+    val scale = array_max(transform(col(corpusVecCol), x => abs(x))) / lit(127.0)
+    val cPre = corpus
       .withColumn("scale", scale)
-      .select(col("id"), col("cent_id"), col("scale"),
-        transform(col("vec"), x =>
-          when(col("scale") > 0.0, floor(x / col("scale") + lit(0.5)))
-            .otherwise(lit(0.0)).cast("tinyint")).as("code"))
+      .withColumn("code", transform(col(corpusVecCol), x =>
+        when(col("scale") > 0.0, floor(x / col("scale") + lit(0.5)))
+          .otherwise(lit(0.0)).cast("tinyint")))
       .withColumn("nrm",
         Vec.norm(transform(col("code"), b => b.cast("double") * col("scale"))))
+    val c = routeToLists(cPre, corpusIdCol, corpusVecCol, centroids, 1,
+        carry = Seq("scale", "code", "nrm"))
+      .drop("vec") // the float vector never rides the quantized lists
 
-    val q = routeToLists(queries, queryIdCol, queryVecCol, centroids, nprobe)
-      .withColumn("nrm", Vec.norm(col("vec")))
+    val q = routeToLists(
+      queries.withColumn("nrm", Vec.norm(col(queryVecCol))),
+      queryIdCol, queryVecCol, centroids, nprobe, carry = Seq("nrm"))
 
     val cand = c.as("c")
       .join(q.as("q"),
@@ -632,13 +653,20 @@ object Similarity {
       case None =>
         coarseCentroids(corpus, corpusIdCol, corpusVecCol, nlist, trainIters)
     }
+    // both index sides sit behind a materialization barrier so the encode
+    // expressions can never defer into the candidate join's match loop
+    // regardless of which side AQE streams: the residual index (which
+    // carries its own cent_id) is repartitioned BY LIST — the production
+    // index layout, see BucketingSpec — and the raw index rides the
+    // routing window via an id-join whose build side materializes it
     val enc = pqEncode(corpus, corpusIdCol, corpusVecCol, model)
     val c = model.residualCentroids match {
-      case Some(_) => enc // carries its own cent_id
+      case Some(_) => enc.repartition(col("cent_id"))
       case None => routeToLists(corpus, corpusIdCol, corpusVecCol,
           centroids, 1)
         .select(col("id"), col("cent_id"))
         .join(enc, "id")
+        .repartition(col("cent_id"))
     }
 
     // The k-wide LUTs (and qnrm / the residual dot(q, c_list)) are

