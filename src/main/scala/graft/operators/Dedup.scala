@@ -457,4 +457,75 @@ object Dedup {
 
     main.union(short)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv 2303.09540 — public):
+    * near-duplicate detection in EMBEDDING space made tractable by
+    * clustering first. K-means ([[Similarity.trainCentroids]], the same
+    * seeding/update definition the IVF family and q77 grade) partitions the
+    * corpus into `nlist` clusters; the quadratic pair search then runs ONLY
+    * within each cluster, so the cost is Σ_c |c|² ≈ n²/nlist instead of n².
+    * At 100 TB the cent_id equi-join is ONE key shuffle and each cluster's
+    * pair block is a partition-local problem — size nlist to bound cluster
+    * cardinality (the paper uses 50k clusters on LAION); this is the scale
+    * path [[embeddingNearDup]]'s guarded verifier and [[embeddingNearDupLsh]]
+    * complement: LSH bounds pairs by bucket collision probability, SemDeDup
+    * bounds them by semantic partition, and only SemDeDup also yields the
+    * cluster structure (c_sim) the keep policy needs.
+    *
+    * Keep policy (the paper's): within a similar pair, KEEP the member with
+    * the LOWER similarity to its centroid — semantic outliers are preserved,
+    * redundant cluster-core examples are dropped; ties break to the lower
+    * id. Applied per-pair (no transitive closure): row x is dropped iff some
+    * same-cluster y within `tau` cosine dominates it (y.c_sim < x.c_sim, or
+    * equal c_sim and y.id < x.id), whether or not y is itself dropped — the
+    * deterministic per-pair reading of the paper's NN-graph rule; a chain
+    * a≺b≺c keeps only a. Cosines are rounded to 6 decimals BEFORE the tau
+    * compare and the domination compare so last-ulp engine differences
+    * can't flip a pair (the repo-wide oracle stance).
+    *
+    * Output (one row per input): (id, cent_id, c_sim, n_similar, dup_of,
+    * is_dup) where n_similar counts same-cluster rows within tau and dup_of
+    * is the lowest dominating id (null for survivors).
+    *
+    * Reference: cleaning/dedupe.py drops only exact-equal rows — this is
+    * the semantic extension of that operator for embedding-bearing corpora.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, tau: Double): DataFrame = {
+    import graft.functions.Vec
+    val e = df.select(col(idCol).cast("long").as("id"),
+      Vec.asDouble(col(vecCol)).as("vec"))
+    val cents = Similarity.trainCentroids(e, "id", "vec", nlist, iters)
+    // assignment: broadcast the (metadata-sized) centroid set, rank per row;
+    // vec rides BELOW the window so the pair join reads it materialized
+    // rather than re-deriving per candidate (the q95 deferred-eval lesson)
+    val scored = e.join(broadcast(cents))
+      .select(col("id"), col("vec"), col("cent_id"),
+        round(Vec.cosine(col("vec"), col("cent_vec")), 6).as("c_sim"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    val asg = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("vec"), col("cent_id"), col("c_sim"))
+    // within-cluster pairs: the ONLY shuffle after assignment is on cent_id
+    val a = asg.select(col("id").as("a_id"), col("vec").as("a_vec"),
+      col("cent_id"), col("c_sim").as("a_csim"))
+    val b = asg.select(col("id").as("b_id"), col("vec").as("b_vec"),
+      col("cent_id"), col("c_sim").as("b_csim"))
+    val pairs = a.join(b, "cent_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(round(Vec.cosine(col("a_vec"), col("b_vec")), 6) >= tau)
+    // one partial-agg pass computes both the similarity degree and the
+    // lowest dominating partner (null when a_id wins every pair it is in)
+    val agg = pairs.groupBy(col("a_id")).agg(
+      count(lit(1)).as("n_similar"),
+      min(when(col("b_csim") < col("a_csim")
+          || (col("b_csim") === col("a_csim") && col("b_id") < col("a_id")),
+        col("b_id"))).as("dup_of"))
+    asg.join(agg, asg("id") === agg("a_id"), "left")
+      .select(col("id"), col("cent_id"), col("c_sim"),
+        coalesce(col("n_similar"), lit(0L)).as("n_similar"),
+        col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
+  }
 }

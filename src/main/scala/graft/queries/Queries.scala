@@ -3804,7 +3804,94 @@ object Queries {
              |SELECT iter, objective, delta,
              |  (iter = s AND delta < 0.0155) AS stopped_early
              |FROM d CROSS JOIN sp WHERE iter <= s
-             |ORDER BY iter""".stripMargin))
+             |ORDER BY iter""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q96: SemDeDup (Abbas et al. 2023) — embedding-space near-dup removal
+    // made tractable by clustering first: k-means (the q77/q94 shared
+    // trainCentroids) partitions the corpus, the quadratic pair search runs
+    // only WITHIN clusters (n²/nlist, one cent_id shuffle), and the paper's
+    // keep policy preserves the member of each similar pair with the LOWER
+    // centroid similarity (semantic outliers survive, cluster-core
+    // redundancy drops). Graded on the planted corpus (q34/q35's +100000
+    // twins at cosine ≈ 0.999; unrelated pairs max ≈ 0.52, so tau = 0.9 is
+    // decisive): recall is load-bearing — a twin pair the clustering keeps
+    // together MUST be flagged with the right survivor, and the twin
+    // recomputes training, assignment, pairs, and domination from scratch.
+    QueryDef("q96_semdedup",
+      (s, dir) => Dedup.semDedup(plantedVecs(s, dir), "vec_id", "vec",
+          nlist = 8, iters = 2, tau = 0.9)
+        .orderBy(col("id")),
+      Some("""WITH e0 AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |e AS (
+             |  SELECT * FROM e0
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+             |  FROM e0 WHERE vec_id % 5 = 0),
+             |seeds AS (
+             |  SELECT row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             |      AS cent_id, v
+             |  FROM (SELECT vec_id, v FROM e
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+             |assign0 AS (
+             |  SELECT vec_id, e.v AS v, cent_id, row_number() OVER (
+             |      PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, s.v) DESC, cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN seeds s),
+             |comp1 AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM assign0 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents1 AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp1 GROUP BY cent_id),
+             |assign1 AS (
+             |  SELECT vec_id, e.v AS v, c.cent_id, row_number() OVER (
+             |      PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN cents1 c),
+             |comp2 AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM assign1 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents2 AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp2 GROUP BY cent_id),
+             |asg AS (
+             |  SELECT vec_id AS id, v, cent_id, c_sim FROM (
+             |    SELECT e.vec_id, e.v, c.cent_id,
+             |      round(list_cosine_similarity(e.v, c.cv), 6) AS c_sim,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+             |          DESC, c.cent_id) AS rk
+             |    FROM e CROSS JOIN cents2 c)
+             |  WHERE rk = 1),
+             |pairs AS (
+             |  SELECT a.id AS a_id, a.c_sim AS a_csim,
+             |         b.id AS b_id, b.c_sim AS b_csim
+             |  FROM asg a JOIN asg b
+             |    ON a.cent_id = b.cent_id AND a.id <> b.id
+             |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9),
+             |agg AS (
+             |  SELECT a_id, count(*) AS n_sim,
+             |    min(CASE WHEN b_csim < a_csim
+             |             OR (b_csim = a_csim AND b_id < a_id)
+             |        THEN b_id END) AS dup_of
+             |  FROM pairs GROUP BY a_id)
+             |SELECT asg.id, cent_id, c_sim,
+             |  coalesce(n_sim, 0) AS n_similar, dup_of,
+             |  (dup_of IS NOT NULL) AS is_dup
+             |FROM asg LEFT JOIN agg ON asg.id = agg.a_id
+             |ORDER BY asg.id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -118,6 +118,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
   }
 
+  test("semDedup keeps the lower-centroid-sim member of each similar pair") {
+    // one cluster (nlist=1) so every assertion is unconditional: two
+    // identical-DIRECTION groups (equal c_sim -> the id tie-break decides),
+    // one 0.96-cosine pair with distinct c_sims (the paper's policy proper),
+    // and a dissimilar singleton
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(2.0, 0.0)), (3L, Array(3.0, 0.0)),
+      (4L, Array(0.0, 1.0)), (5L, Array(0.0, 2.0)),
+      (6L, Array(0.8, 0.6)), (7L, Array(0.6, 0.8)),
+      (8L, Array(-1.0, 1.0))).toDF("id", "vec")
+    val rows = Dedup.semDedup(df, "id", "vec", nlist = 1, iters = 2,
+        tau = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    assert(rows.map(_._1).toSet == (1L to 8L).toSet) // one row per input
+    assert(rows.map(_._2).toSet.size == 1)           // a single cluster
+    rows.foreach(t => assert(t._6 == t._5.nonEmpty)) // is_dup <=> dup_of
+    // equal-c_sim groups: min id survives, every dup points at it
+    assert(byId(1L)._5.isEmpty && byId(1L)._4 == 2L)
+    assert(byId(2L)._5 == Some(1L) && byId(3L)._5 == Some(1L))
+    assert(byId(4L)._5.isEmpty && byId(5L)._5 == Some(4L))
+    // the 0.96 pair: exactly one dropped, and the SURVIVOR has the lower
+    // (c_sim, id) — semantic outliers are preserved
+    val (s6, s7) = (byId(6L), byId(7L))
+    assert(s6._6 ^ s7._6)
+    val (kept, drop) = if (s6._6) (s7, s6) else (s6, s7)
+    assert(kept._3 < drop._3 || (kept._3 == drop._3 && kept._1 < drop._1))
+    assert(drop._5 == Some(kept._1))
+    assert(s6._4 == 1L && s7._4 == 1L) // similar only to each other
+    // dissimilar singleton: untouched
+    assert(byId(8L)._4 == 0L && !byId(8L)._6 && byId(8L)._5.isEmpty)
+  }
+
   test("simhashPairs maxHamming=0: exact-duplicate buckets, no mask wrap") {
     val df = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different text here"))
