@@ -3891,7 +3891,28 @@ object Queries {
              |  coalesce(n_sim, 0) AS n_similar, dup_of,
              |  (dup_of IS NOT NULL) AS is_dup
              |FROM asg LEFT JOIN agg ON asg.id = agg.a_id
-             |ORDER BY asg.id""".stripMargin))
+             |ORDER BY asg.id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q97: binary (1-bit) quantization ANN — sign bits packed into two
+    // 32-bit words (16 bytes/vector, the most aggressive compression tier
+    // below int8/PQ), Hamming pre-rank via codegen'd bit_count(xor), exact
+    // cosine re-rank of the 64 best candidates per query. Graded exactly
+    // like q34/q35 on the planted corpus: the shared twin brute-forces the
+    // exact top-1 (the +100000 twin at its exact cosine) and the folded
+    // flag asserts the binary index surfaced it — a twin differs from its
+    // query only in components the +0.02 shift pushed across zero (~0-4
+    // sign flips vs ~32 for unrelated pairs), so recall is load-bearing.
+    QueryDef("q97_ann_binary",
+      (s, dir) => {
+        val e = plantedVecs(s, dir)
+        val q = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val ann = Similarity.binaryTopK(e, "vec_id", "vec", q, "qid", "qvec",
+          k = 10, candidates = 64)
+        gradePlantedTwins(ann, q, e)
+      },
+      Some(annPlantedOracle))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -241,6 +241,42 @@ class OperatorsSpec extends AnyFunSuite {
       queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 4))
     assert(qivf == ivf,
       s"quantized IVF diverged from float IVF: ${qivf.size} vs ${ivf.size}")
+
+    // binary sketch, candidate cap off: the exact-cosine re-rank over ALL
+    // pairs must reproduce brute force verbatim (pairs AND cosines)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val bin = ranked(Similarity.binaryTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5, candidates = 1000))
+    val bf = ranked(Similarity.bruteForceTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5))
+    assert(bin == bf, "uncapped binaryTopK must equal bruteForceTopK")
+    // capped: a query's own cluster-mates share most sign bits, so the
+    // Hamming pre-rank keeps them and recall stays high
+    val binCap = pairs(Similarity.binaryTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 5, candidates = 16))
+    assert((binCap & truth).size >= 30,
+      s"binary recall ${(binCap & truth).size}/40")
+  }
+
+  test("binaryTopK sign packing: dim > 64 refused, dim < 32 works") {
+    val small = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(0.5f, -1.0f)),
+      (3L, Array(-1.0f, 1.0f))).toDF("id", "vec")
+    val q = Seq((10L, Array(1.0f, -1.0f))).toDF("qid", "qvec")
+    // bits beyond dim contribute nothing; same-sign vectors collide at
+    // hamming 0 and the exact re-rank orders them by cosine
+    val out = Similarity.binaryTopK(small, "id", "vec", q, "qid", "qvec",
+      k = 2, candidates = 2)
+      .select("neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 1), (2L, 2)))
+    val wide = Seq((1L, Array.fill(65)(1.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(wide, "id", "vec", q, "qid", "qvec", k = 1)
+    }
+    assert(e.getMessage.contains("dim <= 64"))
   }
 
   test("ivfTopKQuantized ships tinyint codes, scores within quantization error") {
