@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** N-gram language-model quality scoring — the CCNet recipe (Wenzek et al.
+  * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data", public): score each document by its per-token log-probability under
+  * an n-gram LM and filter the worst tail. CCNet uses a KenLM 5-gram trained
+  * on Wikipedia; this operator trains a BIGRAM model with add-alpha smoothing
+  * on a reference corpus (by default the scored corpus itself — a
+  * self-perplexity filter that flags documents whose token transitions are
+  * atypical for the collection: gibberish, boilerplate soup, wrong-domain
+  * text).
+  *
+  * Model: P(v | u) = (c(u,v) + alpha) / (c(u) + alpha * V), with V the
+  * training vocabulary size; a document's score is the MEAN of
+  * ln P(v | u) over its adjacent token pairs (mean-normalized, so long and
+  * short documents are comparable — exp(-score) is the perplexity).
+  * Unseen bigrams and unseen context tokens fall back to the smoothing mass
+  * (counts coalesce to 0), so scoring a corpus against a separate training
+  * corpus is well-defined.
+  *
+  * Scale posture (100 TB): two token-stream scans over the training corpus
+  * build the count tables (partial-agg hash aggregates — the shuffle is
+  * |vocab| and |distinct bigrams|, not |tokens|); scoring is two hash joins
+  * of the scored token stream against those tables keyed on (u,v) and u, then
+  * a per-doc partial-agg mean. Nothing is quadratic, nothing collects; the
+  * count tables are data-sized but shuffle-partitioned (they must NOT be
+  * broadcast — web-scale vocabularies run to billions of bigrams).
+  *
+  * Reference scope: the reference (cleaning/dedupe.py and friends) has no
+  * statistical text quality signal — extension alongside QualityRules (Rae et al.
+  * heuristics); this is the model-based complement the training-data
+  * pipelines pair them with.
+  *
+  * Determinism stances (repo-wide): the per-doc mean rounds to 4 before the
+  * threshold compare, so summation order and last-ulp ln() differences
+  * across engines cannot flip a value or the flag.
+  */
+object LmScore {
+
+  /** Per-document bigram-LM score over `docs(idCol, textCol)`:
+    * (id, n_bigrams, lm_score, low_quality) — lm_score is the rounded mean
+    * ln P(v|u) (null for docs with < 2 tokens, which are never flagged),
+    * low_quality = lm_score < threshold. `train` defaults to `docs`. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5, threshold: Double = -7.0,
+      train: Option[DataFrame] = None): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("toks"))
+    def bigrams(df: DataFrame) = df
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+      .select(col("id"), col("p.0").as("u"), col("p.1").as("v"))
+
+    val scoreToks = toks(docs)
+    val trainToks = train.map(toks).getOrElse(scoreToks)
+    val bgCounts = bigrams(trainToks)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_uv"))
+    val uniCounts = trainToks.select(explode(col("toks")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("c_u"))
+    // vocabulary size: a single-row aggregate, broadcast as a literal column
+    val vocab = uniCounts.agg(count(lit(1)).as("vsz"))
+
+    val lp = bigrams(scoreToks)
+      .join(bgCounts, Seq("u", "v"), "left")
+      .join(uniCounts, Seq("u"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        log((coalesce(col("c_uv"), lit(0L)) + lit(alpha))
+          / (coalesce(col("c_u"), lit(0L)) + lit(alpha) * col("vsz")))
+          .as("lp"))
+    val perDoc = lp.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("lm_score"))
+    scoreToks.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"),
+        coalesce(col("lm_score") < lit(threshold), lit(false))
+          .as("low_quality"))
+  }
+}

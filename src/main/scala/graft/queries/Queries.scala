@@ -3912,7 +3912,73 @@ object Queries {
           k = 10, candidates = 64)
         gradePlantedTwins(ann, q, e)
       },
-      Some(annPlantedOracle))
+      Some(annPlantedOracle)),
+
+    // ---------------------------------------------------------------------
+    // q98: CCNet-style LM quality scoring (Wenzek et al. 2020) — a bigram
+    // LM with add-alpha smoothing trained on the corpus itself, each doc
+    // scored by its mean token-transition log-prob (exp(-score) = its
+    // perplexity), worst tail flagged. The model-based complement to q63's
+    // rule-based quality gates. Count tables are hash-aggregated and
+    // hash-joined (never broadcast — web-scale bigram tables are
+    // data-sized); the twin retrains the identical model in SQL.
+    QueryDef("q98_lm_score",
+      (s, dir) => {
+        // planted gibberish (md5-hex token soup) makes the flag
+        // load-bearing: unseen-transition docs score ≈ -5 (singleton
+        // transitions against this corpus's small vocabulary; lower still
+        // at larger V) vs ≥ -3.9 for corpus text, so threshold -4.5 sits
+        // in the gap and must flag exactly the planted ids
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val junk = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", (0 until 8).map(i =>
+              md5((col("doc_id") + lit(i)).cast("string").cast("binary")))
+              : _*).as("text"))
+        graft.operators.LmScore.lmScore(d.unionByName(junk),
+            "doc_id", "text", alpha = 0.5, threshold = -4.5)
+          .orderBy(col("id"))
+      },
+      Some("""WITH pl AS (
+             |  SELECT doc_id + 10000 AS id,
+             |    concat_ws(' ', md5(CAST(doc_id + 0 AS VARCHAR)),
+             |      md5(CAST(doc_id + 1 AS VARCHAR)),
+             |      md5(CAST(doc_id + 2 AS VARCHAR)),
+             |      md5(CAST(doc_id + 3 AS VARCHAR)),
+             |      md5(CAST(doc_id + 4 AS VARCHAR)),
+             |      md5(CAST(doc_id + 5 AS VARCHAR)),
+             |      md5(CAST(doc_id + 6 AS VARCHAR)),
+             |      md5(CAST(doc_id + 7 AS VARCHAR))) AS text
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |corpus AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL SELECT id, text FROM pl),
+             |d AS (
+             |  SELECT id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM corpus),
+             |bg AS (
+             |  SELECT id, unnest(toks[1:len(toks)-1]) AS u,
+             |         unnest(toks[2:len(toks)]) AS v
+             |  FROM d WHERE len(toks) >= 2),
+             |bgc AS (SELECT u, v, count(*) AS c_uv FROM bg GROUP BY u, v),
+             |uc AS (
+             |  SELECT u, count(*) AS c_u
+             |  FROM (SELECT unnest(toks) AS u FROM d) GROUP BY u),
+             |vv AS (SELECT count(*) AS vsz FROM uc),
+             |lp AS (
+             |  SELECT id, ln((coalesce(c_uv, 0) + 0.5)
+             |    / (coalesce(c_u, 0) + 0.5 * vsz)) AS lp
+             |  FROM bg LEFT JOIN bgc USING (u, v) LEFT JOIN uc USING (u)
+             |  CROSS JOIN vv),
+             |sc AS (
+             |  SELECT id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
+             |  FROM lp GROUP BY id)
+             |SELECT d.id, coalesce(n_bigrams, 0) AS n_bigrams, lm_score,
+             |  coalesce(lm_score < -4.5, false) AS low_quality
+             |FROM d LEFT JOIN sc USING (id)
+             |ORDER BY d.id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, QualityRules, Sessionize, Similarity}
+import graft.operators.{Dedup, LmScore, Multimodal, QualityRules, Sessionize, Similarity}
 
 /** Operator-level tests: dedup family (exact / Jaccard / MinHash-LSH /
   * SimHash / embedding), ANN search, sessionization, multimodal plumbing. */
@@ -150,6 +150,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s6._4 == 1L && s7._4 == 1L) // similar only to each other
     // dissimilar singleton: untouched
     assert(byId(8L)._4 == 0L && !byId(8L)._6 && byId(8L)._5.isEmpty)
+  }
+
+  test("lmScore: repeated transitions outscore gibberish; smoothing floor") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "the dog sat on the mat"),
+      (4L, "zq9 xv7 kk3 jj1"), // every transition a singleton
+      (5L, "one"), (6L, "")).toDF("doc_id", "text")
+    def scores(threshold: Double) =
+      LmScore.lmScore(docs, "doc_id", "text", alpha = 0.5,
+        threshold = threshold).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3))).toMap
+    val s = scores(-100.0)
+    // identical docs score identically; shared frequent transitions beat
+    // the one-off doc 3, which beats all-singleton doc 4
+    assert(s(1L)._2 == s(2L)._2)
+    assert(s(1L)._2.get > s(3L)._2.get && s(3L)._2.get > s(4L)._2.get)
+    // sub-bigram docs: zero bigrams, null score, never flagged
+    assert(s(5L) == ((0L, None, false)) && s(6L) == ((0L, None, false)))
+    assert(s.values.forall(!_._3)) // threshold below everything: no flags
+    // a threshold inside the doc3/doc4 gap flags exactly the gibberish
+    val mid = (s(3L)._2.get + s(4L)._2.get) / 2
+    val flagged = scores(mid).filter(_._2._3).keySet
+    assert(flagged == Set(4L))
+    // separate train corpus: a fully-unseen doc hits the smoothing floor
+    // ln(alpha / (alpha * V)) = -ln(V) exactly (V = train vocab size)
+    val train = Seq((9L, "xx yy")).toDF("doc_id", "text")
+    val floor = LmScore.lmScore(Seq((1L, "aa bb cc")).toDF("doc_id", "text"),
+      "doc_id", "text", train = Some(train)).collect().head
+    assert(floor.getDouble(2) ==
+      BigDecimal(-math.log(2)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("simhashPairs maxHamming=0: exact-duplicate buckets, no mask wrap") {
