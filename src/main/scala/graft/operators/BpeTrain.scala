@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units", public): learn the top
+  * merge rules of a byte-pair-encoding vocabulary from a corpus. Each round
+  * counts adjacent symbol pairs (weighted by word frequency), picks the
+  * heaviest pair, and merges it greedily left-to-right everywhere it occurs —
+  * exactly the reference algorithm, expressed relationally.
+  *
+  * The classic scale trick makes this Spark-friendly: every round operates on
+  * the DISTINCT-WORD table (|vocabulary| rows — millions, not the corpus's
+  * trillions of tokens), built by one corpus-wide hash aggregate up front.
+  * Per round: one partial-agg pair count (shuffle = |distinct pairs|), one
+  * 1-row argmax collect (driver-literal, the Lloyd-centroid stance:
+  * metadata-sized, never data-sized), and the merge application is a PURE
+  * PROJECTION — no join, no shuffle.
+  *
+  * Symbol sequences are carried as a space-delimited string (" l  o  w "):
+  * every symbol is wrapped in single spaces, so the pair (a, b) occurs iff
+  * the string " a  b " occurs, and the engine-native non-overlapping
+  * left-to-right `replace` IS greedy BPE merge application ("aaa" with merge
+  * (a,a) becomes "aa"+"a", never a+"aa"). That keeps the hot path inside
+  * whole-stage codegen — no per-row array rebuilding, no UDF — and the same
+  * representation restates 1:1 in the DuckDB oracle twin.
+  *
+  * Reference scope: the reference pipeline has no tokenizer; this is
+  * extension surface for the LLM-training-data story (token counting's
+  * Text.bpeishCount is the FIXED approximation; this LEARNS the table).
+  * ASCII-oriented: symbolization splits on regex `(.)` (UTF-16 code units in
+  * Spark) — byte-level BPE over arbitrary unicode would symbolize bytes
+  * instead.
+  */
+object BpeTrain {
+
+  /** One learned merge: `left` + `right` fused at weighted count `weight`
+    * on round `iter` (1-based). */
+  case class BpeMerge(iter: Int, left: String, right: String, weight: Long)
+
+  /** `merges` in learned order; `vocab` = (sym, freq) symbol frequencies
+    * AFTER all merges are applied. */
+  case class BpeResult(merges: Seq[BpeMerge], vocab: DataFrame)
+
+  private def symbols(s: Column): Column = split(trim(s), "  ")
+
+  /** Weighted adjacent-pair counts over the symbolized word table. */
+  private def adjacentPairs(syms: DataFrame): DataFrame = {
+    val t = syms.select(col("cnt"), symbols(col("s")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    t.select(col("cnt"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+      .select(col("p.0").as("u"), col("p.1").as("v"), col("cnt"))
+      .groupBy(col("u"), col("v")).agg(sum(col("cnt")).as("wt"))
+  }
+
+  /** Learn up to `numMerges` merges from `docs(textCol)` (whitespace
+    * word-tokenized via [[Text.tokens]]). Ties break to the
+    * lexicographically smallest (left, right) pair — a total order, so
+    * training is deterministic and engine-portable. Stops early when no
+    * multi-symbol word remains. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): BpeResult = {
+    val words = docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var syms = words.select(
+      regexp_replace(col("word"), "(.)", " $1 ").as("s"), col("cnt"))
+    val merges = Seq.newBuilder[BpeMerge]
+    var exhausted = false
+    for (i <- 1 to numMerges if !exhausted) {
+      val top = adjacentPairs(syms)
+        .orderBy(col("wt").desc, col("u").asc, col("v").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (u, v) = (top.head.getString(0), top.head.getString(1))
+        merges += BpeMerge(i, u, v, top.head.getLong(2))
+        syms = syms.select(
+          replace(col("s"), lit(s" $u  $v "), lit(s" $u$v ")).as("s"),
+          col("cnt"))
+      }
+    }
+    val vocab = syms
+      .select(explode(symbols(col("s"))).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("freq"))
+    BpeResult(merges.result(), vocab)
+  }
+}

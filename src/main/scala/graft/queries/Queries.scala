@@ -3978,7 +3978,95 @@ object Queries {
              |SELECT d.id, coalesce(n_bigrams, 0) AS n_bigrams, lm_score,
              |  coalesce(lm_score < -4.5, false) AS low_quality
              |FROM d LEFT JOIN sc USING (id)
-             |ORDER BY d.id""".stripMargin))
+             |ORDER BY d.id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q99: distributed BPE tokenizer training (Sennrich et al. 2016) — 3
+    // merge rounds learned from the documents corpus, graded on the merge
+    // table AND the resulting top-25 symbol vocabulary. The twin restates
+    // the identical algorithm unrolled in SQL (same symbolized-string
+    // representation, same greedy left-to-right replace, same
+    // (weight desc, pair asc) argmax), so a wrong pair count, wrong
+    // tie-break, or non-greedy merge application moves the hash.
+    QueryDef("q99_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        val r = graft.operators.BpeTrain.train(
+          t(s, dir, "documents"), "text", numMerges = 3)
+        val m = r.merges.map(mg => (mg.iter, "merge", mg.left, mg.right,
+            mg.weight)).toDF("ord", "kind", "sym_a", "sym_b", "freq")
+        val vw = Window.orderBy(col("freq").desc, col("sym").asc)
+        val v = r.vocab.withColumn("rk", row_number().over(vw))
+          .filter(col("rk") <= 25)
+          .select((col("rk") + 100).as("ord"), lit("vocab").as("kind"),
+            col("sym").as("sym_a"), lit("").as("sym_b"), col("freq"))
+        m.unionByName(v).orderBy(col("ord"))
+      },
+      Some("""WITH w AS (
+             |  SELECT word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS word
+             |    FROM documents)
+             |  GROUP BY word),
+             |s0 AS (
+             |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s, cnt
+             |  FROM w),
+             |p1 AS (
+             |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s0)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m1 AS (SELECT u, v, wt FROM p1 ORDER BY wt DESC, u, v LIMIT 1),
+             |s1 AS (
+             |  SELECT replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s0 CROSS JOIN m1),
+             |p2 AS (
+             |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s1)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m2 AS (SELECT u, v, wt FROM p2 ORDER BY wt DESC, u, v LIMIT 1),
+             |s2 AS (
+             |  SELECT replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s1 CROSS JOIN m2),
+             |p3 AS (
+             |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s2)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m3 AS (SELECT u, v, wt FROM p3 ORDER BY wt DESC, u, v LIMIT 1),
+             |s3 AS (
+             |  SELECT replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s2 CROSS JOIN m3),
+             |vocab AS (
+             |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(trim(s), '  ')) AS sym, cnt
+             |    FROM s3)
+             |  GROUP BY sym),
+             |vtop AS (
+             |  SELECT sym, freq,
+             |    row_number() OVER (ORDER BY freq DESC, sym) AS rk
+             |  FROM vocab QUALIFY rk <= 25)
+             |SELECT * FROM (
+             |  SELECT 1 AS ord, 'merge' AS kind, u AS sym_a, v AS sym_b,
+             |    wt AS freq FROM m1
+             |  UNION ALL SELECT 2, 'merge', u, v, wt FROM m2
+             |  UNION ALL SELECT 3, 'merge', u, v, wt FROM m3
+             |  UNION ALL SELECT rk + 100, 'vocab', sym, '', freq FROM vtop)
+             |ORDER BY ord""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

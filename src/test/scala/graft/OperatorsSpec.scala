@@ -186,6 +186,35 @@ class OperatorsSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("bpeTrain learns the hand-computed merges (greedy, tie-broken)") {
+    // Sennrich-style corpus: low x5, lower x2, newest x6, widest x3.
+    // Round 1: e-s and s-t tie at 9 -> (e,s) by pair order. Round 2:
+    // (es,t) at 9. Round 3: l-o and o-w tie at 7 -> (l,o).
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower")
+        ++ Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.BpeTrain.train(docs, "text", numMerges = 3)
+    assert(r.merges.map(m => (m.iter, m.left, m.right, m.weight)) ==
+      Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)))
+    val vocab = r.vocab.collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    // merged symbols carry the merged counts; unmerged chars keep theirs
+    assert(vocab("est") == 9L && vocab("lo") == 7L && vocab("w") == 16L)
+    assert(!vocab.contains("es") && !vocab.contains("s")) // fully absorbed
+    // "aaa" + merge (a,a): greedy left-to-right -> ["aa","a"], never a+aa
+    val tri = graft.operators.BpeTrain.train(
+      Seq((1L, "aaa")).toDF("doc_id", "text"), "text", numMerges = 1)
+    assert(tri.merges.head.left == "a" && tri.merges.head.right == "a")
+    val triVocab = tri.vocab.collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(triVocab == Map("aa" -> 1L, "a" -> 1L))
+    // early stop: single-char words leave nothing to merge
+    val none = graft.operators.BpeTrain.train(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", numMerges = 2)
+    assert(none.merges.isEmpty)
+  }
+
   test("simhashPairs maxHamming=0: exact-duplicate buckets, no mask wrap") {
     val df = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different text here"))
