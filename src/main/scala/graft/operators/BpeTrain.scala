@@ -64,29 +64,44 @@ object BpeTrain {
     * training is deterministic and engine-portable. Stops early when no
     * multi-symbol word remains. */
   def train(docs: DataFrame, textCol: String, numMerges: Int): BpeResult = {
-    val words = docs
+    def wordCounts = docs
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    var syms = words.select(
+    def symbolize(words: DataFrame) = words.select(
       regexp_replace(col("word"), "(.)", " $1 ").as("s"), col("cnt"))
+    // each round's argmax is its own ACTION, so the vocab-sized word table
+    // is persisted for the training loop (numMerges corpus scans -> one;
+    // the q69 cross-action stance) and released before returning — the
+    // returned vocab frame rebuilds from a fresh lineage, costing exactly
+    // one more corpus scan whenever the caller acts on it
+    val words = wordCounts.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[BpeMerge]
-    var exhausted = false
-    for (i <- 1 to numMerges if !exhausted) {
-      val top = adjacentPairs(syms)
-        .orderBy(col("wt").desc, col("u").asc, col("v").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (u, v) = (top.head.getString(0), top.head.getString(1))
-        merges += BpeMerge(i, u, v, top.head.getLong(2))
-        syms = syms.select(
-          replace(col("s"), lit(s" $u  $v "), lit(s" $u$v ")).as("s"),
-          col("cnt"))
+    try {
+      var syms = symbolize(words)
+      var exhausted = false
+      for (i <- 1 to numMerges if !exhausted) {
+        val top = adjacentPairs(syms)
+          .orderBy(col("wt").desc, col("u").asc, col("v").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (u, v) = (top.head.getString(0), top.head.getString(1))
+          merges += BpeMerge(i, u, v, top.head.getLong(2))
+          syms = syms.select(
+            replace(col("s"), lit(s" $u  $v "), lit(s" $u$v ")).as("s"),
+            col("cnt"))
+        }
       }
+    } finally words.unpersist(blocking = false)
+    val learned = merges.result()
+    val applied = learned.foldLeft(symbolize(wordCounts)) { (df, m) =>
+      df.select(replace(col("s"), lit(s" ${m.left}  ${m.right} "),
+        lit(s" ${m.left}${m.right} ")).as("s"), col("cnt"))
     }
-    val vocab = syms
+    val vocab = applied
       .select(explode(symbols(col("s"))).as("sym"), col("cnt"))
       .groupBy(col("sym")).agg(sum(col("cnt")).as("freq"))
-    BpeResult(merges.result(), vocab)
+    BpeResult(learned, vocab)
   }
 }
