@@ -161,22 +161,71 @@ object Dedup {
       .distinct()
 
     if (!verify) cand
-    else {
-      // exact-Jaccard rescoring of the candidate set only
-      val sizes = posts.groupBy("id").agg(count(lit(1)).as("n"))
-      val pairShingles = cand
-        .join(posts.select(col("id").as("id_a"), col("shingle")), "id_a")
-        .join(posts.select(col("id").as("id_b"), col("shingle")),
-          Seq("id_b", "shingle"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-      pairShingles
-        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-        .withColumn("jaccard", col("n_inter").cast("double")
-          / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    }
+    else jaccardRescore(cand, posts, threshold)
+  }
+
+  /** Exact-Jaccard rescoring of a candidate pair set against shingle
+    * postings: only candidate pairs touch the postings (two slim hash
+    * joins), so precision is exact at candidate-set cost. */
+  private def jaccardRescore(cand: DataFrame, posts: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = posts.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairShingles = cand
+      .join(posts.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(posts.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    pairShingles
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard", col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental MinHash-LSH dedup: near-dup pairs introduced by a NEW
+    * `batch` against an already-indexed `corpus` (plus the batch's internal
+    * pairs), without ever re-pairing the corpus against itself — the
+    * production ingest path at 100 TB, where the corpus side's band buckets
+    * are a persisted, bucket-partitioned INDEX (here recomputed: the plan
+    * shape — one corpus scan, one bucket-key shuffle, zero corpus-corpus
+    * candidates — is what carries over). Signatures use the same fixed-seed
+    * hash family as [[minhashLshPairs]], so batch signatures are comparable
+    * to index signatures across ingests by construction.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, exact-rescored like
+    * the batch variant: every pair has at least one batch-side member.
+    * Caller contract: batch ids are disjoint from corpus ids. */
+  def incrementalLshPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val cPosts =
+      shinglePostings(corpus, idCol, textCol, shingleSize, maxDocFreq).cache()
+    val bPosts =
+      shinglePostings(batch, idCol, textCol, shingleSize, maxDocFreq).cache()
+    def banded(posts: DataFrame) =
+      minhashSignatures(posts, numHashes).select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bucket")))
+    val cb = banded(cPosts)
+    // cached: the batch's banding probes the index AND self-joins
+    val bb = banded(bPosts).cache()
+    val vsIndex = bb.as("a").join(cb.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+        && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val inBatch = bb.as("a").join(bb.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = vsIndex.unionByName(inBatch).distinct()
+    jaccardRescore(cand, cPosts.unionByName(bPosts), threshold)
   }
 
   /** SimHash fingerprints as an AGGREGATION (explode tokens -> `bits`

@@ -4066,7 +4066,34 @@ object Queries {
              |  UNION ALL SELECT 2, 'merge', u, v, wt FROM m2
              |  UNION ALL SELECT 3, 'merge', u, v, wt FROM m3
              |  UNION ALL SELECT rk + 100, 'vocab', sym, '', freq FROM vtop)
-             |ORDER BY ord""".stripMargin))
+             |ORDER BY ord""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q100: incremental LSH dedup — the ingest path: a NEW batch (q19's
+    // perturbed docs, ids +10000) checked against the already-indexed
+    // corpus plus itself, with zero corpus-corpus candidates regenerated.
+    // Same fixed-seed signature family and operating point as q20
+    // (r=4 b=16, planted pairs at j >= 0.8, per-pair recall ~0.9998), exact
+    // rescoring, so the twin holds the probabilistic stage to the exact
+    // batch-touching closure: q19's inverted-index oracle restricted to
+    // pairs with a batch-side member (id_b >= 10000). A recall miss drops
+    // a row; a corpus-corpus leak adds one — both move the hash.
+    QueryDef("q100_incremental_lsh",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        Dedup.incrementalLshPairs(d, batch, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle.replace(
+        "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
+        "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
+          "  AND id_b >= 10000")))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

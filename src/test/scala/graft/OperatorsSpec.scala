@@ -118,6 +118,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
   }
 
+  test("incrementalLshPairs: batch pairs found, corpus-corpus never re-paired") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact corpus dup
+      (3L, "totally different content lives here now"))
+    val batch = docs(
+      (101L, "beta gamma delta epsilon zeta"), // near-dup of 1 AND 2
+      (102L, "one two three four five"),
+      (103L, "one two three four five"),       // batch-internal dup
+      (104L, "unrelated batch document text entirely"))
+    val out = Dedup.incrementalLshPairs(corpus, batch, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) is a TRUE near-dup pair but purely corpus-side: the ingest
+    // operator must not regenerate it
+    assert(out == Set((1L, 101L), (2L, 101L), (102L, 103L)))
+  }
+
   test("semDedup keeps the lower-centroid-sim member of each similar pair") {
     // one cluster (nlist=1) so every assertion is unconditional: two
     // identical-DIRECTION groups (equal c_sim -> the id tie-break decides),

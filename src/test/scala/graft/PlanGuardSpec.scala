@@ -85,6 +85,27 @@ class PlanGuardSpec extends AnyFunSuite {
       "q88's dtf is no longer shared between the df agg and the scoring join")
   }
 
+  test("q96/q97/q100: the new dedup/ANN queries keep their scale shapes") {
+    assume(new java.io.File(SfDir).isDirectory)
+    // q96 SemDeDup: the assignment frame is pinned (InMemoryRelation), so
+    // its three consumers read the cache instead of re-running the
+    // train+assign subtree per evaluation
+    assert(planOf("q96_semdedup").contains("InMemoryRelation"),
+      "q96's assignment frame lost its persist pin")
+    // q97 binary ANN: Hamming pre-rank must stay on the packed words
+    // (codegen'd bit_count(xor)), and no plan may fall back to a cartesian
+    val p97 = planOf("q97_ann_binary")
+    assert(p97.contains("bit_count"),
+      s"q97's Hamming stage no longer scores packed words:\n$p97")
+    assert(!p97.contains("CartesianProduct"), "q97 plans a cartesian product")
+    // q100 incremental dedup: every join has an equi component (bucket keys
+    // or pair ids) — the ingest path must never cross-join a side
+    val p100 = planOf("q100_incremental_lsh")
+    assert(!p100.contains("CartesianProduct")
+        && !p100.contains("BroadcastNestedLoopJoin"),
+      s"q100 lost its bucket-key equi joins:\n$p100")
+  }
+
   test("q72 heavy hitters: O(k) sketch aggregate + broadcast candidate join") {
     assume(new java.io.File(SfDir).isDirectory)
     val plan = planOf("q72_heavy_hitters")
