@@ -104,4 +104,33 @@ object BpeTrain {
       .groupBy(col("sym")).agg(sum(col("cnt")).as("freq"))
     BpeResult(learned, vocab)
   }
+
+  /** Apply learned merges corpus-wide: per-document BPE token counts.
+    *
+    * Tokenization-by-lookup, the production encode path: the merge chain is
+    * applied ONCE per distinct word (a projection over the vocab-sized word
+    * table), and documents then resolve their tokens against that table with
+    * a hash join keyed on the word — at web scale the table is
+    * shuffle-partitioned (billions of words would not broadcast), while the
+    * per-document work is one explode + one partial-agg sum. Splitting a
+    * trillion-token corpus never re-runs the merge replaces per occurrence.
+    *
+    * Returns (id, n_words, n_bpe_tokens): whitespace word count and the
+    * symbol count after `merges` — n_bpe_tokens == sum of characters when
+    * `merges` is empty, and shrinks by one per merge hit. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val wordSyms = merges.foldLeft(
+      docs.select(explode(Text.tokens(col(textCol))).as("word")).distinct()
+        .select(col("word"),
+          regexp_replace(col("word"), "(.)", " $1 ").as("s"))) { (df, m) =>
+      df.withColumn("s", replace(col("s"), lit(s" ${m.left}  ${m.right} "),
+        lit(s" ${m.left}${m.right} ")))
+    }.select(col("word"), size(symbols(col("s"))).as("n_sym"))
+    docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("word"))
+      .join(wordSyms, "word")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
 }

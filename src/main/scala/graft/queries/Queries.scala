@@ -4093,7 +4093,85 @@ object Queries {
       Some(jaccardOracle.replace(
         "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
         "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
-          "  AND id_b >= 10000")))
+          "  AND id_b >= 10000"))),
+
+    // ---------------------------------------------------------------------
+    // q101: BPE encoding (the q99 tokenizer APPLIED) — per-document token
+    // counts under the learned 3-merge vocabulary, via tokenization-by-
+    // lookup: the merge chain runs once per DISTINCT word, documents
+    // resolve tokens with a hash join on the word table. The twin re-learns
+    // the identical merges (q99's unrolled rounds, word column carried) and
+    // re-encodes from scratch, so a drifting merge table, a per-occurrence
+    // re-merge bug, or a wrong join all move per-doc counts.
+    QueryDef("q101_bpe_encode",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val r = graft.operators.BpeTrain.train(d, "text", numMerges = 3)
+        graft.operators.BpeTrain.tokenCounts(d, "doc_id", "text", r.merges)
+          .orderBy(col("id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS word
+             |    FROM documents)
+             |  GROUP BY word),
+             |s0 AS (
+             |  SELECT word, regexp_replace(word, '(.)', ' \1 ', 'g') AS s,
+             |    cnt
+             |  FROM w),
+             |p1 AS (
+             |  SELECT u, v, sum(cnt) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s0)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m1 AS (SELECT u, v FROM p1 ORDER BY wt DESC, u, v LIMIT 1),
+             |s1 AS (
+             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s0 CROSS JOIN m1),
+             |p2 AS (
+             |  SELECT u, v, sum(cnt) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s1)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m2 AS (SELECT u, v FROM p2 ORDER BY wt DESC, u, v LIMIT 1),
+             |s2 AS (
+             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s1 CROSS JOIN m2),
+             |p3 AS (
+             |  SELECT u, v, sum(cnt) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s2)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m3 AS (SELECT u, v FROM p3 ORDER BY wt DESC, u, v LIMIT 1),
+             |s3 AS (
+             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s2 CROSS JOIN m3),
+             |wmap AS (
+             |  SELECT word, len(string_split(trim(s), '  ')) AS n_sym
+             |  FROM s3),
+             |tok AS (
+             |  SELECT doc_id AS id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS word
+             |  FROM documents)
+             |SELECT id, count(*) AS n_words,
+             |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+             |FROM tok JOIN wmap USING (word)
+             |GROUP BY id ORDER BY id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

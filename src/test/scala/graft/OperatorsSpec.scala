@@ -232,6 +232,19 @@ class OperatorsSpec extends AnyFunSuite {
     val none = graft.operators.BpeTrain.train(
       Seq((1L, "a b c")).toDF("doc_id", "text"), "text", numMerges = 2)
     assert(none.merges.isEmpty)
+    // encode under the learned merges: low -> [lo, w] = 2, lower ->
+    // [lo, w, e, r] = 4, newest -> [n, e, w, est] = 4, and the UNSEEN word
+    // "lowest" segments through the same table: [lo, w, est] = 3
+    val enc = graft.operators.BpeTrain.tokenCounts(
+      Seq((1L, "low lower newest"), (2L, "lowest")).toDF("doc_id", "text"),
+      "doc_id", "text", r.merges).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    assert(enc == Map(1L -> ((3L, 10L)), 2L -> ((1L, 3L))))
+    // zero merges: token count degrades to character count
+    val raw = graft.operators.BpeTrain.tokenCounts(
+      Seq((1L, "ab cde")).toDF("doc_id", "text"), "doc_id", "text", Nil)
+      .collect().head
+    assert(raw.getLong(1) == 2L && raw.getLong(2) == 5L)
   }
 
   test("simhashPairs maxHamming=0: exact-duplicate buckets, no mask wrap") {
