@@ -102,15 +102,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The fixed-seed universal-hash family behind every minhash signature in
+    * the engine (batch AND streaming): identical parameters on every call,
+    * so signatures computed by different paths/processes are comparable. */
+  private[graft] def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible across runs
+    Seq.fill(numHashes)(
+      (rnd.nextLong().abs % (Text.P31 - 1) + 1, rnd.nextLong().abs % Text.P31))
+  }
+
+  /** LSH band buckets of a signature array: element b = salted hash of the
+    * b-th `rows`-wide slice. Shared by the batch banding and the streaming
+    * per-row path so buckets can never diverge. */
+  private[graft] def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
+
   /** MinHash signature matrix: one row per doc, `numHashes` min-hash values.
     * Signature i = min over shingles of ((a_i * h + b_i) mod P31) where h is
     * the shingle hash. Computed as `numHashes` conditional min aggregates over
     * the exploded postings — partial aggregation (map-side combine) keeps the
     * shuffle at |docs| * numHashes longs regardless of corpus size. */
   def minhashSignatures(posts: DataFrame, numHashes: Int): DataFrame = {
-    val rnd = new scala.util.Random(42) // fixed seed: reproducible across runs
-    val params = Seq.fill(numHashes)(
-      (rnd.nextLong().abs % (Text.P31 - 1) + 1, rnd.nextLong().abs % Text.P31))
+    val params = minhashParams(numHashes)
     // postings already carry xxhash64(shingle) (see shinglePostings), so the
     // P31 reduction is a plain pmod — same values as pmod(xxhash64(s), P31)
     val hashed = posts.select(col("id"),
@@ -149,8 +163,7 @@ object Dedup {
 
     // explode into (band, bucket) — bucket = hash of the band's slice
     val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+      posexplode(bandBuckets(col("sig"), bands, rows))
         .as(Seq("band", "bucket")))
 
     val cand = banded.as("a")
@@ -209,8 +222,7 @@ object Dedup {
       shinglePostings(batch, idCol, textCol, shingleSize, maxDocFreq).cache()
     def banded(posts: DataFrame) =
       minhashSignatures(posts, numHashes).select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        posexplode(bandBuckets(col("sig"), bands, rows))
           .as(Seq("band", "bucket")))
     val cb = banded(cPosts)
     // cached: the batch's banding probes the index AND self-joins

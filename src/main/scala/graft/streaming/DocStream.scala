@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Streaming document ingest with near-duplicate flagging against a static
+  * index — the incremental-dedup ingest path (the streaming twin of
+  * [[Dedup.incrementalLshPairs]]'s batch-vs-index lane).
+  *
+  * Design constraint: the batch minhash pipeline aggregates postings
+  * (groupBy doc), which in a stream would demand stateful aggregation
+  * before the join. Instead the stream computes each document's signature
+  * as a PER-ROW PROJECTION ([[rowSignature]] — the min over the row's own
+  * shingle set), which is algebraically identical to the batch min-aggregate
+  * over exploded postings and uses the same fixed-seed hash family
+  * ([[Dedup.minhashParams]]) and banding ([[Dedup.bandBuckets]]), so stream
+  * and batch signatures are bit-equal by construction (the StreamingSpec
+  * equivalence proof). The band join against the index is STREAM-STATIC:
+  * stateless, no watermark, each micro-batch probes the index the way a
+  * batch job would — at 100 TB the static side is the persisted,
+  * bucket-partitioned band table and arrives pre-shuffled.
+  *
+  * The only state in the plan is the final dropDuplicates on (doc_id,
+  * index_id) — bounded by the number of FLAGGED pairs, not the stream
+  * length; pair it with a watermark on an arrival-time column if flagged
+  * volume is unbounded.
+  */
+object DocStream {
+
+  /** Minimal streamed-document schema (file sources need one up front). */
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Streaming scan of a documents parquet directory. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocSchema).parquet(dir)
+
+  /** Per-row minhash signature: same values as
+    * [[Dedup.minhashSignatures]] over the same doc, but computed with
+    * higher-order functions on the row's distinct shingle array — no
+    * aggregation, so streaming plans stay stateless. Interpreted HOFs are
+    * fine here: the cost is per DOCUMENT (numHashes x |shingles|), never
+    * per candidate pair. Empty docs yield null mins and collide nowhere. */
+  def rowSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val hs = transform(
+      array_distinct(Text.wordShingles(text, shingleSize)),
+      s => pmod(xxhash64(s), lit(Text.P31)))
+    array(Dedup.minhashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(lit(a) * h + lit(b), lit(Text.P31))))
+    }: _*)
+  }
+
+  /** Candidate near-dup flags for a document stream against a static index:
+    * (doc_id, index_id) pairs that collide in >= 1 LSH band, deduplicated.
+    * Exact-Jaccard confirmation happens downstream in batch
+    * ([[Dedup.incrementalLshPairs]]) — the stream's job is the cheap flag,
+    * production-wise the trigger for quarantine/rescore, not the verdict.
+    * Works identically on a batch frame (how the spec proves equivalence). */
+  def dedupCandidates(docs: DataFrame, index: DataFrame,
+      indexIdCol: String, indexTextCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val idx = Dedup.minhashSignatures(
+        Dedup.shinglePostings(index, indexIdCol, indexTextCol, shingleSize),
+        numHashes)
+      .select(col("id").as("index_id"),
+        posexplode(Dedup.bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+    val streamed = docs
+      .select(col("doc_id"),
+        rowSignature(col("text"), shingleSize, numHashes).as("sig"))
+      .select(col("doc_id"),
+        posexplode(Dedup.bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+    streamed.join(idx, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("index_id"))
+      .select(col("doc_id"), col("index_id"))
+      .dropDuplicates("doc_id", "index_id")
+  }
+
+  /** Drain a documents directory against `index` into a memory sink. */
+  def drainCandidatesToMemory(spark: SparkSession, dir: String,
+      index: DataFrame, indexIdCol: String, indexTextCol: String,
+      table: String): StreamingQuery = {
+    val q = dedupCandidates(readDocs(spark, dir), index,
+        indexIdCol, indexTextCol)
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -55,6 +55,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming incremental dedup flags == batch band join (stream-static)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // the ingest batch: q100's perturbed docs, staged as a stream directory
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val streamDir = java.nio.file.Files.createTempDirectory("docs-stream")
+    batch.coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+
+    graft.streaming.DocStream.drainCandidatesToMemory(spark,
+      streamDir.toString, docs, "doc_id", "text", "stream_dedup")
+    val streamed = spark.table("stream_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the same operator on the same frame in BATCH mode: per-row signatures
+    // are a projection, so stream and batch plans compute identical flags
+    val batchSide = graft.streaming.DocStream
+      .dedupCandidates(batch, docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batchSide)
+    // recall: every planted doc must flag its source (j >= 0.8, 16 bands)
+    val planted = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.forall(id => streamed.contains((id, id - 10000))),
+      "a planted near-dup was not flagged against the index")
+  }
+
   test("streaming dedup drops redelivered events (dropDuplicatesWithinWatermark)") {
     val dir = "/root/testdata/sf0.001"
     // simulate at-least-once upstream delivery: the same file lands twice
