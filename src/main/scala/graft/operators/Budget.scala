@@ -82,4 +82,29 @@ object Budget {
   def tokenBudgetSelect(df: DataFrame, order: Seq[Column], tokens: Column,
       budget: Long, cumCol: String = "cum_tokens"): DataFrame =
     cumulativeSum(df, order, tokens, cumCol).filter(col(cumCol) <= budget)
+
+  /** GPT-style sequence packing: documents are concatenated in `order` and
+    * the token stream is cut into fixed `ctxLen`-token training windows —
+    * documents may span a cut (the packed-pretraining layout; attention
+    * masking handles the seam). Each document gets the `bin` its FIRST
+    * token lands in plus a `crosses_boundary` flag; zero-token documents
+    * sit at their stream position and never cross. Built on
+    * [[cumulativeSum]], so the only non-metadata exchange is the range
+    * partitioning of `order` — no global window, no driver loop, and bin
+    * arithmetic is a projection. Downstream per-bin stats (fill, doc
+    * counts, crossers) are one partial-agg groupBy on `bin`. */
+  def packSequences(df: DataFrame, order: Seq[Column], tokens: Column,
+      ctxLen: Long, binCol: String = "bin",
+      crossCol: String = "crosses_boundary"): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive (got $ctxLen)")
+    // doc occupies [cum - tokens, cum - 1]; floor via double division is
+    // exact for token totals < 2^53 and restates identically in SQL engines
+    cumulativeSum(df, order, tokens, "cum_tokens")
+      .withColumn(binCol,
+        floor((col("cum_tokens") - tokens) / lit(ctxLen.toDouble))
+          .cast("long"))
+      .withColumn(crossCol, tokens > 0 &&
+        floor((col("cum_tokens") - 1) / lit(ctxLen.toDouble)).cast("long")
+          > col(binCol))
+  }
 }

@@ -4171,7 +4171,51 @@ object Queries {
              |SELECT id, count(*) AS n_words,
              |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
              |FROM tok JOIN wmap USING (word)
-             |GROUP BY id ORDER BY id""".stripMargin))
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q102: sequence packing — documents concatenated in a deterministic
+    // md5-shuffled order and cut into fixed 512-token training windows
+    // (packed pretraining: docs span cuts, attention masking owns the
+    // seam). Per-bin stats grade the whole layout: doc counts, started
+    // tokens, and boundary crossers per window. The cumsum is the
+    // distributed prefix sum (Budget.cumulativeSum — no global window), so
+    // the layout computes with one range exchange at any corpus size.
+    QueryDef("q102_pack_sequences",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val packed = graft.operators.Budget.packSequences(d,
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+          col("n_tokens"), ctxLen = 512)
+        packed.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_started_tokens"),
+            sum(when(col("crosses_boundary"), 1L).otherwise(0L))
+              .as("n_crossers"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, n_tokens, sum(n_tokens) OVER (
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d),
+             |b AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+             |    (n_tokens > 0 AND floor((cum - 1) / 512.0)
+             |      > floor((cum - n_tokens) / 512.0)) AS crosses
+             |  FROM o)
+             |SELECT bin, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_started_tokens,
+             |  CAST(sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_crossers
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

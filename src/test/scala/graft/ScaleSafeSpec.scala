@@ -84,6 +84,21 @@ class ScaleSafeSpec extends AnyFunSuite {
     assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty)
   }
 
+  test("Budget.packSequences: hand-computed bins and boundary crossers") {
+    import spark.implicits._
+    // tokens 3,3,3 at ctx 4: doc1 [0,2] bin0 no-cross; doc2 [3,5] bin0
+    // crossing into window 1; doc3 [6,8] bin1 crossing into window 2;
+    // a zero-token doc sits at its stream position and never crosses
+    val rows = Seq((1L, 3L), (2L, 3L), (3L, 0L), (4L, 3L))
+      .toDF("id", "n_tokens")
+    val out = Budget.packSequences(rows, Seq(col("id")), col("n_tokens"),
+        ctxLen = 4)
+      .select("id", "bin", "crosses_boundary").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((0L, false)), 2L -> ((0L, true)),
+      3L -> ((1L, false)), 4L -> ((1L, true))))
+  }
+
   test("RowIds holds at 1M rows across 64 partitions (dense, unique, ordered)") {
     val big = spark.range(0, 1000000, 1, 64).toDF("x")
     val out = RowIds.denseInPartitionOrder(big, "rid")
