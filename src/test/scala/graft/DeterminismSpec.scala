@@ -91,6 +91,46 @@ class DeterminismSpec extends AnyFunSuite {
     same(cum(rows.repartition(1)), cum(rows.repartition(13)))
   }
 
+  test("semDedup verdicts are partitioning-invariant") {
+    val rnd = new scala.util.Random(9)
+    val base = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val near = base.filter(_._1 % 4 == 0)
+      .map { case (i, v) => (i + 100, v.map(_ + 0.015)) }
+    val vecs = (base ++ near).toDF("id", "vec")
+    def sd(df: DataFrame) = Dedup.semDedup(df, "id", "vec",
+      nlist = 3, iters = 2, tau = 0.98)
+    same(sd(vecs.repartition(1)), sd(vecs.repartition(13)))
+  }
+
+  test("BPE merges and token counts are partitioning-invariant") {
+    import graft.operators.BpeTrain
+    val docs = (1L to 80L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 5 + j) % 30}ab").mkString(" ")))
+      .toDF("doc_id", "text")
+    def enc(df: DataFrame) = {
+      val r = BpeTrain.train(df, "text", numMerges = 3)
+      BpeTrain.tokenCounts(df, "doc_id", "text", r.merges)
+    }
+    same(enc(docs.repartition(1)), enc(docs.repartition(13)))
+  }
+
+  test("LM scores are partitioning-invariant") {
+    import graft.operators.LmScore
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until 20).map(j => s"t${(i + j * 3) % 25}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def lm(df: DataFrame) = LmScore.lmScore(df, "doc_id", "text")
+    same(lm(docs.repartition(1)), lm(docs.repartition(13)))
+  }
+
+  test("sequence packing bins are partitioning-invariant") {
+    import graft.operators.Budget
+    val rows = (1L to 300L).map(i => (i, i * 13 % 40)).toDF("id", "n")
+    def pack(df: DataFrame) = Budget.packSequences(df,
+      Seq(md5(col("id").cast("string")), col("id")), col("n"), ctxLen = 64)
+    same(pack(rows.repartition(1)), pack(rows.repartition(13)))
+  }
+
   test("sketch-verified heavy hitters are partitioning-invariant") {
     // the raw Misra-Gries CANDIDATE array legitimately varies with merge
     // order (non-heavy survivors differ) — what must be invariant is the
