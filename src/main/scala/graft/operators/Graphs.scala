@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph scoring operators for corpus curation. PageRank (Page et al. 1999,
+  * public) is the classic crawl-quality signal: web-corpus pipelines rank
+  * hosts/pages by link centrality and keep the head (the Common Crawl
+  * host-ranking stance). Expressed relationally: one edge-table hash join +
+  * one destination-keyed partial aggregate per iteration — the plan a
+  * 1000-executor cluster wants (no driver-side graph, no message-passing
+  * framework; the edge table shuffles on its join key and aggregate
+  * contributions combine map-side).
+  *
+  * Complements [[Dedup.connectedComponents]] (the other graph kernel in the
+  * engine): CC labels duplicate groups, PageRank scores importance.
+  */
+object Graphs {
+
+  /** PageRank over a directed edge list `edges(src, dst)`, `iters` unrolled
+    * power iterations at `damping`. Node set = every endpoint; callers
+    * wanting undirected semantics union both directions first (which also
+    * eliminates dangling nodes — every node then has out-degree >= 1;
+    * rank mass leaking from dangling nodes is NOT redistributed here).
+    *
+    * Determinism stance: each iteration's rank vector is rounded to 9
+    * decimals, so cross-engine/cross-partitioning summation-order noise
+    * (~1e-17 per sum) cannot compound across iterations — the q77 centroid
+    * rounding argument; PageRank is insensitive at 1e-9. The node count is
+    * the one driver scalar (a metadata-sized aggregate, the Lloyd stance).
+    * Returns (node, pr). */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    // cached: consumed by the node-count action plus every iteration's join
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().cache()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("pr", lit(0.0))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("m"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("m"), lit(0.0)), 9).as("pr"))
+    }
+    pr
+  }
+}

@@ -4215,7 +4215,57 @@ object Queries {
              |  CAST(sum(n_tokens) AS BIGINT) AS n_started_tokens,
              |  CAST(sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_crossers
-             |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q103: PageRank (Page et al. 1999) — the crawl-corpus link-quality
+    // signal, run on the undirected customer<->supplier order graph (both
+    // directions unioned, so no dangling mass). Two unrolled power
+    // iterations; per-iteration round-9 makes the vector engine-portable
+    // (the q77 centroid stance). The twin recomputes edges, degrees, and
+    // both iterations from scratch; node identity is string-prefixed so
+    // the two key spaces cannot collide.
+    QueryDef("q103_pagerank",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("sn"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
+          .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
+        graft.operators.Graphs.pageRank(edges, iters = 2)
+          .orderBy(col("node"))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS sn
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (
+             |  SELECT c AS src, sn AS dst FROM e0
+             |  UNION ALL SELECT sn, c FROM e0),
+             |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |nn AS (SELECT count(*) AS cnt FROM n),
+             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |pr0 AS (SELECT node, 1.0 / cnt AS pr FROM n CROSS JOIN nn),
+             |c1 AS (
+             |  SELECT dst AS node, sum(pr / deg) AS m
+             |  FROM e JOIN pr0 ON pr0.node = e.src JOIN deg USING (src)
+             |  GROUP BY dst),
+             |pr1 AS (
+             |  SELECT n.node,
+             |    round((1.0 - 0.85) / cnt + 0.85 * coalesce(m, 0), 9) AS pr
+             |  FROM n LEFT JOIN c1 USING (node) CROSS JOIN nn),
+             |c2 AS (
+             |  SELECT dst AS node, sum(pr / deg) AS m
+             |  FROM e JOIN pr1 ON pr1.node = e.src JOIN deg USING (src)
+             |  GROUP BY dst),
+             |pr2 AS (
+             |  SELECT n.node,
+             |    round((1.0 - 0.85) / cnt + 0.85 * coalesce(m, 0), 9) AS pr
+             |  FROM n LEFT JOIN c2 USING (node) CROSS JOIN nn)
+             |SELECT node, pr FROM pr2 ORDER BY node""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -118,6 +118,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
   }
 
+  test("pageRank: uniform on cycles, mass concentrates on hubs, sums to 1") {
+    import graft.operators.Graphs
+    // 3-cycle: symmetric, rank stays exactly uniform
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val cpr = Graphs.pageRank(cycle, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cpr.values.toSet == Set(0.333333333))
+    // undirected star: the hub collects both spokes' full mass
+    val star = Seq(("h", "s1"), ("s1", "h"), ("h", "s2"), ("s2", "h"))
+      .toDF("src", "dst")
+    val spr = Graphs.pageRank(star, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(spr("s1") == spr("s2") && spr("h") > spr("s1"))
+    assert(math.abs(spr.values.sum - 1.0) < 1e-6) // undirected: no leak
+    // empty graph: empty result, no division by zero
+    assert(Graphs.pageRank(cycle.limit(0), iters = 1).isEmpty)
+  }
+
   test("incrementalLshPairs: batch pairs found, corpus-corpus never re-paired") {
     val corpus = docs(
       (1L, "alpha beta gamma delta epsilon zeta"),
