@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_dot_i8",
         "(array<double>, array<tinyint>) - dot against int8 codes"),
       (args: Seq[Expression]) => graft.expressions.VecDotI8(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("hamming_dist"),
+      info("hamming_dist",
+        "(array<bigint>, array<bigint>) - popcount-of-xor over bit-sketch " +
+          "words (binary-ANN kernel)"),
+      (args: Seq[Expression]) =>
+        graft.expressions.HammingDist(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("pq_argmin"),
       info("pq_argmin",
         "(array<double>, array<array<double>>, array<double>) - PQ code " +

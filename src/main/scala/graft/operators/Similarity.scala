@@ -83,19 +83,20 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x).cast("long")
 
   /** Binary (1-bit-per-dimension) quantization ANN: pack each vector's sign
-    * bits into two 32-bit words (16 bytes/row vs 256 for float32 at dim 64 —
-    * the most aggressive compression tier below [[ivfTopKQuantized]]'s int8
-    * and the PQ family), pre-rank every (query, corpus) pair by Hamming
-    * distance — `bit_count(xor)` on longs, a handful of native instructions
-    * per pair — keep the `candidates` best per query, then re-rank only
-    * those with exact float cosine (a slim join back to the raw vectors) for
-    * the final top-k. The sign-concordance sketch is the classic SimHash /
+    * bits into `ceil(dim/32)` 32-bit words (16 bytes/row vs 256 for float32
+    * at dim 64 — the most aggressive compression tier below
+    * [[ivfTopKQuantized]]'s int8 and the PQ family), pre-rank every
+    * (query, corpus) pair by Hamming distance — the codegen'd
+    * [[graft.expressions.HammingDist]] kernel, one POPCNT per word per
+    * pair — keep the `candidates` best per query, then re-rank only those
+    * with exact float cosine (a slim join back to the raw vectors) for the
+    * final top-k. The sign-concordance sketch is the classic SimHash /
     * binary-embedding bound (Charikar 2002: P[sign flip] = θ/π per random
     * projection; here the identity basis, the RaBitQ-style 1-bit baseline):
     * near-parallel vectors differ in few signs, unrelated ones in ~dim/2.
     *
-    * 100-TB posture: the Hamming stage streams the 16-byte sketch column —
-    * a 16x smaller scan than float re-ranking everything — and the exact
+    * 100-TB posture: the Hamming stage streams the word-array sketch — a
+    * 16x smaller scan than float re-ranking everything — and the exact
     * stage touches only |queries| x candidates raw vectors. Combine with
     * IVF routing for sub-linear candidate generation; this operator is the
     * in-list scorer of that composition. `candidates >= |corpus|` degrades
@@ -107,19 +108,18 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, candidates: Int = 64): DataFrame = {
     val dim = vecDim(corpus, corpusVecCol)
-    require(dim <= 64,
-      s"binaryTopK packs sign bits into two 32-bit words (dim <= 64, got " +
-        s"$dim); wider embeddings need an array-of-words sketch")
+    val nWords = (dim + 31) / 32
     def sketch(df: DataFrame, idCol: String, vecCol: String) =
       df.select(col(idCol).as("id"),
-        packWord(col(vecCol), 0).as("w0"), packWord(col(vecCol), 1).as("w1"))
+        array((0 until nWords).map(w => packWord(col(vecCol), w)): _*)
+          .as("wb"))
     val c = sketch(corpus, corpusIdCol, corpusVecCol)
     val q = sketch(queries, queryIdCol, queryVecCol)
-      .select(col("id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+      .select(col("id").as("qid"), col("wb").as("qwb"))
     val ham = c.join(broadcast(q), col("id") =!= col("qid"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
-        (bit_count(col("w0").bitwiseXOR(col("qw0")))
-          + bit_count(col("w1").bitwiseXOR(col("qw1")))).as("hamming"))
+        graft.expressions.HammingDist.column(col("wb"), col("qwb"))
+          .as("hamming"))
     val hw = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     val cand = ham.withColumn("hrank", row_number().over(hw))

@@ -28,6 +28,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getString(0) == "O'Brien X2Y")
       assert(r.getDouble(1) == 11.0)
       assert(r.getDouble(2) == 0.5 * 3 + 2.0 * -4)
+      // binary-ANN kernel: popcount(3^1) + popcount(0^4) = 1 + 1
+      assert(spark.sql("SELECT hamming_dist(array(3L), array(1L, 4L))")
+        .head().getLong(0) == 2L)
       // composed text-analysis functions lowered through the bridge
       val t = spark.sql(
         "SELECT redact_pii('mail a@b.io or 555-867-5309') AS red, " +

@@ -140,6 +140,25 @@ class FunctionsSpec extends AnyFunSuite {
         s"diverged: native=${r.getDouble(0)} hof=${r.getDouble(1)}")
   }
 
+  test("native HammingDist == HOF popcount fold (incl. length mismatch)") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 60).map { _ =>
+      (Array.fill(1 + rnd.nextInt(4))(rnd.nextLong()),
+        Array.fill(1 + rnd.nextInt(4))(rnd.nextLong()))
+    }
+    val out = rows.toDF("a", "b").select(col("a"), col("b"),
+      graft.expressions.HammingDist.column(col("a"), col("b"))
+        .as("native")).collect()
+    for (r <- out) {
+      val a = r.getSeq[Long](0); val b = r.getSeq[Long](1)
+      val expected = a.padTo(math.max(a.size, b.size), 0L)
+        .zip(b.padTo(math.max(a.size, b.size), 0L))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+      assert(r.getLong(2) == expected,
+        s"diverged: native=${r.getLong(2)} expected=$expected")
+    }
+  }
+
   test("native WordShingles == HOF composition (incl. null/empty/unicode)") {
     // the HOF form is the executable spec the native expression replaced on
     // the hot path — outputs must stay byte-identical, including the [""]

@@ -374,7 +374,7 @@ class OperatorsSpec extends AnyFunSuite {
       s"binary recall ${(binCap & truth).size}/40")
   }
 
-  test("binaryTopK sign packing: dim > 64 refused, dim < 32 works") {
+  test("binaryTopK sign packing: dim < 32 and dim > 64 both work") {
     val small = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(0.5f, -1.0f)),
       (3L, Array(-1.0f, 1.0f))).toDF("id", "vec")
     val q = Seq((10L, Array(1.0f, -1.0f))).toDF("qid", "qvec")
@@ -385,11 +385,20 @@ class OperatorsSpec extends AnyFunSuite {
       .select("neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(out == Seq((1L, 1), (2L, 2)))
-    val wide = Seq((1L, Array.fill(65)(1.0f))).toDF("id", "vec")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.binaryTopK(wide, "id", "vec", q, "qid", "qvec", k = 1)
-    }
-    assert(e.getMessage.contains("dim <= 64"))
+    // dim 80 -> three words; uncapped still equals brute force exactly
+    val rnd = new scala.util.Random(13)
+    val wide = (0L until 30L).map(i => (i, Array.fill(80)(rnd.nextGaussian()
+      .toFloat))).toDF("id", "vec")
+    val wq = wide.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bin = pairs(Similarity.binaryTopK(wide, "id", "vec", wq,
+      "qid", "qvec", k = 4, candidates = 1000))
+    val bf = pairs(Similarity.bruteForceTopK(wide, "id", "vec", wq,
+      "qid", "qvec", k = 4))
+    assert(bin == bf)
   }
 
   test("ivfTopKQuantized ships tinyint codes, scores within quantization error") {

@@ -92,10 +92,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // train+assign subtree per evaluation
     assert(planOf("q96_semdedup").contains("InMemoryRelation"),
       "q96's assignment frame lost its persist pin")
-    // q97 binary ANN: Hamming pre-rank must stay on the packed words
-    // (codegen'd bit_count(xor)), and no plan may fall back to a cartesian
+    // q97 binary ANN: Hamming pre-rank must stay on the packed words (the
+    // native HammingDist kernel), and no plan may fall back to a cartesian
     val p97 = planOf("q97_ann_binary")
-    assert(p97.contains("bit_count"),
+    assert(p97.toLowerCase.contains("hammingdist"),
       s"q97's Hamming stage no longer scores packed words:\n$p97")
     assert(!p97.contains("CartesianProduct"), "q97 plans a cartesian product")
     // q100 incremental dedup: every join has an equi component (bucket keys
