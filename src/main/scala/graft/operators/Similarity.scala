@@ -316,6 +316,51 @@ object Similarity {
       objectives.result(), itersRun, converged)
   }
 
+  /** Covariance-free PCA power iteration: the dominant principal direction
+    * of an embedding column, computed WITHOUT materializing the d x d
+    * covariance — each iteration is w = Σ_x x · (x·v) over one corpus scan
+    * (a scalar [[Vec.dot]] per row + the native [[Vec.sumAgg]] elementwise
+    * aggregate), normalized on the driver (d-length literal, the Lloyd
+    * centroid stance). The dimensionality-reduction primitive behind
+    * PCA projection / whitening / OPQ-style rotations: at 100 TB the
+    * covariance outer-product would be fine too (d² partial-agg cells),
+    * but the matrix-free form needs nothing beyond the kernels already
+    * on the scan.
+    *
+    * Determinism stances: each iterate's components round to 6 (q77's
+    * centroid argument) so cross-engine summation order can't leak; the
+    * returned direction is sign-fixed so its first component with
+    * |value| > 1e-9 is positive (eigenvectors are defined up to sign).
+    * Starts from the deterministic all-ones/√d vector — orthogonal-start
+    * pathologies are a measure-zero concern the spec pins. Returns the
+    * direction as a driver-side Seq (metadata, like centroids). */
+  def powerIteration(corpus: DataFrame, vecCol: String,
+      iters: Int): Seq[Double] = {
+    val dim = vecDim(corpus, vecCol)
+    var v: Seq[Double] = Seq.fill(dim)(
+      BigDecimal(1.0 / math.sqrt(dim.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      val row = corpus
+        .select(Vec.asDouble(col(vecCol)).as("x"))
+        .select(col("x"), Vec.dot(col("x"), vLit).as("s"))
+        .select(transform(col("x"), xi => xi * col("s")).as("xs"))
+        .agg(Vec.sumAgg(col("xs")).as("w"))
+        .head()
+      if (!row.isNullAt(0)) {
+        val w = row.getSeq[Double](0)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 0) {
+          val sign = w.find(math.abs(_) > 1e-9).map(math.signum).getOrElse(1.0)
+          v = w.map(x => BigDecimal(x * sign / nrm)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    }
+    v
+  }
+
   /** Deterministic coarse centroids shared by BOTH IVF variants: trained
     * ([[trainCentroids]]) when `trainIters > 0`, else the nlist corpus
     * vectors with the smallest ids (stand-in with an identical layout).

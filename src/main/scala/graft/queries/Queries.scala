@@ -4265,7 +4265,74 @@ object Queries {
              |  SELECT n.node,
              |    round((1.0 - 0.85) / cnt + 0.85 * coalesce(m, 0), 9) AS pr
              |  FROM n LEFT JOIN c2 USING (node) CROSS JOIN nn)
-             |SELECT node, pr FROM pr2 ORDER BY node""".stripMargin))
+             |SELECT node, pr FROM pr2 ORDER BY node""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q104: PCA power iteration (covariance-free) — the dominant principal
+    // direction of the embedding corpus via two w = Σ x·(x·v) passes (one
+    // scalar dot + the native VecSum aggregate per scan; no d×d matrix),
+    // graded on every vector's 1-d projection. Sign-fixed (first
+    // |component| > 1e-9 positive) and round-6 per iterate so the
+    // direction is engine-portable; the twin unrolls both iterations,
+    // normalization, and the sign rule from scratch in SQL.
+    QueryDef("q104_pca_power",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val v = graft.operators.Similarity.powerIteration(e, "vec", 2)
+        val vLit = array(v.map(lit): _*)
+        e.select(col("vec_id"),
+            round(Vec.dot(col("vec"), vLit), 6).as("proj"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |d AS (SELECT len(v) AS dim FROM x LIMIT 1),
+             |v0 AS (
+             |  SELECT list_transform(range(1, dim + 1),
+             |    i -> round(1.0 / sqrt(dim), 6)) AS v
+             |  FROM d),
+             |s1 AS (
+             |  SELECT x.v AS xv, list_inner_product(x.v, v0.v) AS s
+             |  FROM x CROSS JOIN v0),
+             |w1c AS (
+             |  SELECT pos, sum(val * s) AS w FROM (
+             |    SELECT s, unnest(xv) AS val,
+             |      generate_subscripts(xv, 1) AS pos FROM s1)
+             |  GROUP BY pos),
+             |w1 AS (SELECT list(w ORDER BY pos) AS w FROM w1c),
+             |n1 AS (
+             |  SELECT sqrt(list_sum(list_transform(w, y -> y * y))) AS nrm,
+             |    coalesce((SELECT CASE WHEN y < 0 THEN -1.0 ELSE 1.0 END
+             |      FROM (SELECT unnest(w) AS y,
+             |              generate_subscripts(w, 1) AS p FROM w1)
+             |      WHERE abs(y) > 1e-9 ORDER BY p LIMIT 1), 1.0) AS sgn
+             |  FROM w1),
+             |v1 AS (
+             |  SELECT list_transform(w, y -> round(y * sgn / nrm, 6)) AS v
+             |  FROM w1 CROSS JOIN n1),
+             |s2 AS (
+             |  SELECT x.v AS xv, list_inner_product(x.v, v1.v) AS s
+             |  FROM x CROSS JOIN v1),
+             |w2c AS (
+             |  SELECT pos, sum(val * s) AS w FROM (
+             |    SELECT s, unnest(xv) AS val,
+             |      generate_subscripts(xv, 1) AS pos FROM s2)
+             |  GROUP BY pos),
+             |w2 AS (SELECT list(w ORDER BY pos) AS w FROM w2c),
+             |n2 AS (
+             |  SELECT sqrt(list_sum(list_transform(w, y -> y * y))) AS nrm,
+             |    coalesce((SELECT CASE WHEN y < 0 THEN -1.0 ELSE 1.0 END
+             |      FROM (SELECT unnest(w) AS y,
+             |              generate_subscripts(w, 1) AS p FROM w2)
+             |      WHERE abs(y) > 1e-9 ORDER BY p LIMIT 1), 1.0) AS sgn
+             |  FROM w2),
+             |v2 AS (
+             |  SELECT list_transform(w, y -> round(y * sgn / nrm, 6)) AS v
+             |  FROM w2 CROSS JOIN n2)
+             |SELECT vec_id, round(list_inner_product(x.v, v2.v), 6) AS proj
+             |FROM x CROSS JOIN v2 ORDER BY vec_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -118,6 +118,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
   }
 
+  test("powerIteration finds the dominant axis; degenerate starts are safe") {
+    // strong x-axis variance, slight y noise: the principal direction must
+    // land on +x (sign convention) regardless of the mixed input signs
+    val vecs = Seq(Array(3.0, 0.1), Array(-2.9, 0.05), Array(3.1, -0.1),
+      Array(-3.0, 0.0), Array(2.8, 0.15)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val v = Similarity.powerIteration(vecs, "vec", iters = 2)
+    assert(v.head > 0.99 && math.abs(v(1)) < 0.2, s"direction was $v")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3) // unit norm
+    // data exactly orthogonal to the all-ones start: w = 0, the iterate
+    // keeps the previous vector instead of dividing by zero
+    val ortho = Seq((1L, Array(1.0, -1.0)), (2L, Array(-2.0, 2.0)))
+      .toDF("id", "vec")
+    val kept = Similarity.powerIteration(ortho, "vec", iters = 1)
+    assert(kept == Seq(0.707107, 0.707107))
+    // empty corpus: the deterministic start comes back, no crash
+    assert(Similarity.powerIteration(vecs.limit(0), "vec", 1).nonEmpty)
+  }
+
   test("pageRank: uniform on cycles, mass concentrates on hubs, sums to 1") {
     import graft.operators.Graphs
     // 3-cycle: symmetric, rank stays exactly uniform
