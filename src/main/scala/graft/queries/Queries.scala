@@ -4223,15 +4223,18 @@ object Queries {
     // directions unioned, so no dangling mass). Two unrolled power
     // iterations; per-iteration round-9 makes the vector engine-portable
     // (the q77 centroid stance). The twin recomputes edges, degrees, and
-    // both iterations from scratch; node identity is string-prefixed so
-    // the two key spaces cannot collide.
+    // both iterations from scratch; node identity is LONG-encoded
+    // (2*custkey / 2*suppkey+1) so the key spaces cannot collide and the
+    // |edges|-proportional iteration shuffles move 8-byte keys, not
+    // strings — the registry's honest graph heavyweight (~1.2M edges at
+    // sf0.1), priced at what distributed PageRank costs per iteration.
     QueryDef("q103_pagerank",
       (s, dir) => {
         val e0 = t(s, dir, "orders")
           .join(t(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("c"),
-            concat(lit("s"), col("l_suppkey")).as("sn"))
+          .select((col("o_custkey") * 2).cast("long").as("c"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("sn"))
           .distinct()
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
@@ -4239,8 +4242,8 @@ object Queries {
           .orderBy(col("node"))
       },
       Some("""WITH e0 AS (
-             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
-             |    's' || CAST(l_suppkey AS VARCHAR) AS sn
+             |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+             |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS sn
              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
              |e AS (
              |  SELECT c AS src, sn AS dst FROM e0
