@@ -99,4 +99,25 @@ object DocStream {
     q.awaitTermination()
     q
   }
+
+  /** Durable variant: flags land in a parquet sink with a checkpoint, so an
+    * ingest that stops and restarts resumes from the file-source offset AND
+    * keeps the dropDuplicates state — a doc redelivered in a later batch
+    * (at-least-once upstream) does not re-flag a pair the stream already
+    * emitted. This is the production wiring; the memory variant is the
+    * spec's equivalence harness. */
+  def flagToParquet(spark: SparkSession, dir: String,
+      index: DataFrame, indexIdCol: String, indexTextCol: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = dedupCandidates(readDocs(spark, dir), index,
+        indexIdCol, indexTextCol)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

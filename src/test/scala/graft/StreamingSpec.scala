@@ -83,6 +83,36 @@ class StreamingSpec extends AnyFunSuite {
       "a planted near-dup was not flagged against the index")
   }
 
+  test("streaming incremental dedup survives restarts without re-flagging") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally different corpus content here")).toDF("doc_id", "text")
+    val in = Files.createTempDirectory("docs-restart-in")
+    val out = Files.createTempDirectory("docs-restart-out").toString + "/flags"
+    val ckpt = Files.createTempDirectory("docs-restart-ckpt").toString
+    def drop(name: String, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(name).toString)
+    // batch 1: one near-dup of index doc 1
+    drop("b1", 101L -> "beta gamma delta epsilon zeta")
+    graft.streaming.DocStream.flagToParquet(spark,
+      in.toString + "/*", index, "doc_id", "text", out, ckpt)
+    // batch 2 after a restart: doc 101 REDELIVERED plus a new near-dup of 2
+    drop("b2", 101L -> "beta gamma delta epsilon zeta",
+      102L -> "one two three four five six")
+    graft.streaming.DocStream.flagToParquet(spark,
+      in.toString + "/*", index, "doc_id", "text", out, ckpt)
+    val flags = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // each pair exactly once: batch 1 not reprocessed, the redelivered doc
+    // suppressed by the checkpointed dropDuplicates state
+    assert(flags.sorted.toSeq == Seq((101L, 1L), (102L, 2L)), flags.toSeq)
+  }
+
   test("streaming dedup drops redelivered events (dropDuplicatesWithinWatermark)") {
     val dir = "/root/testdata/sf0.001"
     // simulate at-least-once upstream delivery: the same file lands twice
