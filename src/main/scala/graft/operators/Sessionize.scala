@@ -41,4 +41,23 @@ object Sessionize {
         max(ts).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(value), 2).as("total_value"))
+
+  /** Per-session ordered event trajectory — the sequence-assembly primitive
+    * of event-log training data (agent traces, clickstream/session
+    * pretraining, conversation-turn datasets): every session collapses to
+    * ONE row carrying its `token`s joined in (ts, tieBreak) order.
+    * `collect_list` is order-nondeterministic under partial aggregation, so
+    * the collected structs are `array_sort`ed on the total order before
+    * joining — partitioning can never leak into the string (the
+    * DeterminismSpec stance). One hash aggregate after the sessionization
+    * window; trajectory size is bounded by session length, which the gap
+    * rule bounds in turn. */
+  def trajectories(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+      token: Column, gapSeconds: Long): DataFrame =
+    withSessions(df, key, ts, tieBreak, gapSeconds)
+      .groupBy(key.as("key"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(" ", transform(array_sort(collect_list(
+            struct(ts.as("t"), tieBreak.as("tb"), token.as("tok")))),
+          s => s.getField("tok"))).as("trajectory"))
 }

@@ -4335,7 +4335,46 @@ object Queries {
              |  SELECT list_transform(w, y -> round(y * sgn / nrm, 6)) AS v
              |  FROM w2 CROSS JOIN n2)
              |SELECT vec_id, round(list_inner_product(x.v, v2.v), 6) AS proj
-             |FROM x CROSS JOIN v2 ORDER BY vec_id""".stripMargin))
+             |FROM x CROSS JOIN v2 ORDER BY vec_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q105: trajectory assembly — per-session ordered event sequences (the
+    // agent-trace / clickstream-pretraining dataset constructor): q24's
+    // gap sessionization, then each session collapses to one row with its
+    // event types joined in (ts, event_id) order. collect_list is
+    // order-nondeterministic under partial agg, so the operator sorts the
+    // collected structs on the total order first; the twin's
+    // string_agg(... ORDER BY) restates it exactly, making the full
+    // concatenated string hash-gradable.
+    QueryDef("q105_trajectories",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        graft.operators.Sessionize.trajectories(e, col("user_id"),
+            col("ts"), col("event_id"), col("event_type"),
+            gapSeconds = 1800)
+          .select(col("key").as("user_id"),
+            col("session_id").cast("long").as("session_id"),
+            col("n_events"), col("trajectory"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH flags AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_start
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(is_start) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             |    AS session_id
+             |  FROM flags)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  count(*) AS n_events,
+             |  string_agg(event_type, ' ' ORDER BY ts, event_id)
+             |    AS trajectory
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

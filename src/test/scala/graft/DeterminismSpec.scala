@@ -131,6 +131,19 @@ class DeterminismSpec extends AnyFunSuite {
     same(pack(rows.repartition(1)), pack(rows.repartition(13)))
   }
 
+  test("trajectory strings are partitioning-invariant (collect_list sorted)") {
+    import graft.operators.Sessionize
+    val rnd = new scala.util.Random(23)
+    val events = (1L to 500L).map { i =>
+      (i % 20, java.sql.Timestamp.valueOf(
+        f"2021-01-01 0${rnd.nextInt(9)}%d:0${rnd.nextInt(6)}%d:00"),
+        i, s"ev${i % 7}")
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    def traj(df: DataFrame) = Sessionize.trajectories(df, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"), gapSeconds = 600)
+    same(traj(events.repartition(1)), traj(events.repartition(13)))
+  }
+
   test("sketch-verified heavy hitters are partitioning-invariant") {
     // the raw Misra-Gries CANDIDATE array legitimately varies with merge
     // order (non-heavy survivors differ) — what must be invariant is the
