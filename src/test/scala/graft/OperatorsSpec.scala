@@ -118,6 +118,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size >= 3, s"LSH recall too low: $lsh") // recall is probabilistic
   }
 
+  test("new operators degrade cleanly on empty inputs") {
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    assert(Dedup.semDedup(noVecs, "id", "vec", 2, 1, 0.9).isEmpty)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LmScore.lmScore(noDocs, "doc_id", "text").isEmpty)
+    val bpe = graft.operators.BpeTrain.train(noDocs, "text", 2)
+    assert(bpe.merges.isEmpty && bpe.vocab.isEmpty)
+    assert(graft.operators.BpeTrain
+      .tokenCounts(noDocs, "doc_id", "text", Nil).isEmpty)
+    assert(Dedup.incrementalLshPairs(
+      docs((1L, "some corpus doc with words")), noDocs,
+      "doc_id", "text").isEmpty)
+    assert(graft.operators.Budget.packSequences(
+      Seq.empty[(Long, Long)].toDF("id", "n"),
+      Seq(col("id")), col("n"), 16).isEmpty)
+  }
+
   test("powerIteration finds the dominant axis; degenerate starts are safe") {
     // strong x-axis variance, slight y noise: the principal direction must
     // land on +x (sign convention) regardless of the mixed input signs
