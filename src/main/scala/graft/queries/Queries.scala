@@ -4374,7 +4374,219 @@ object Queries {
              |  string_agg(event_type, ' ' ORDER BY ts, event_id)
              |    AS trajectory
              |FROM sess GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin))
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q106: DSIR importance resampling (Xie et al. 2023) — hashed-bigram
+    // importance weights against the corpus's own English subset as the
+    // target distribution, then Gumbel-top-100 resampling (the paper's
+    // without-replacement sampler) on the portable md5 uniform. The twin
+    // re-fits both multinomials, the per-bucket log-ratios, the per-doc
+    // weight sums, the Gumbel draws, and the top-k cut from scratch, so a
+    // wrong hash bucket, smoothing term, or selection boundary moves the
+    // hash. Weight sums round to 4 BEFORE the noise add (summation-order
+    // canon), draws to 6; the final 2-term sum is IEEE-exact both sides.
+    QueryDef("q106_dsir_select",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val w = graft.operators.Dsir.importanceWeights(
+          d, "doc_id", "text", col("lang") === "en",
+          buckets = 256, alpha = 0.5)
+        graft.operators.Dsir.resample(w, k = 100)
+          .select(col("id").as("doc_id"), col("n_feats"),
+            col("logw"), col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang = 'en' AS is_t, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> x <> '') AS toks
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, is_t, array_to_string(
+             |      list_slice(toks, i + 1, i + 2), ' ') AS f
+             |  FROM (SELECT doc_id, is_t, toks,
+             |          unnest(range(0, len(toks) - 1)) AS i
+             |        FROM d WHERE len(toks) >= 2)
+             |  UNION ALL
+             |  SELECT doc_id, is_t, array_to_string(toks, ' ') AS f
+             |  FROM d WHERE len(toks) < 2),
+             |sh AS (
+             |  SELECT doc_id, is_t,
+             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+             |  FROM f),
+             |db AS (
+             |  SELECT doc_id, is_t, b, count(*) AS c
+             |  FROM sh GROUP BY doc_id, is_t, b),
+             |bs AS (
+             |  SELECT b, sum(c) AS cr,
+             |    sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct
+             |  FROM db GROUP BY b),
+             |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM bs),
+             |lam AS (
+             |  SELECT b, ln((ct + 0.5) / (tt + 0.5 * 256))
+             |         - ln((cr + 0.5) / (tr + 0.5 * 256)) AS lam
+             |  FROM bs CROSS JOIN tot),
+             |w AS (
+             |  SELECT doc_id, round(sum(c * lam), 4) AS logw,
+             |    CAST(sum(c) AS BIGINT) AS n_feats
+             |  FROM db JOIN lam USING (b) GROUP BY doc_id),
+             |g AS (
+             |  SELECT doc_id, n_feats, logw,
+             |    round(-ln(-ln(
+             |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |          ::BIGINT % 2147483647) + 1) / 2147483648.0)), 6) AS gb
+             |  FROM w),
+             |sel AS (
+             |  SELECT doc_id, n_feats, logw, round(logw + gb, 6) AS score
+             |  FROM g ORDER BY score DESC, doc_id LIMIT 100)
+             |SELECT doc_id, n_feats, logw, score FROM sel
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q107: k-center greedy coreset selection (Gonzalez 1985 max-min;
+    // Sener & Savarese 2018) — 4 deterministic farthest-point rounds over
+    // the embedding corpus, graded on EVERY vector's assignment (center
+    // rank, center id, squared distance): a wrong argmax in any round
+    // reshuffles all downstream assignments and moves the hash. The twin
+    // unrolls all four selections and the final nearest-center argmin from
+    // scratch in SQL (distances round to 9 before every comparison — the
+    // k-means iterate canon; earlier-chosen center keeps ties).
+    QueryDef("q107_kcenter_coreset",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val centers = graft.operators.Similarity.kCenterGreedy(
+          e, "vec_id", "vec", k = 4)
+        graft.operators.Similarity.kCenterAssign(e, "vec_id", "vec", centers)
+          .select(col("id").as("vec_id"), col("center_rank"),
+            col("center_id"), round(col("d2"), 6).as("d2"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |c1 AS (
+             |  SELECT vec_id, v FROM x
+             |  ORDER BY round(list_inner_product(v, v), 9) DESC, vec_id
+             |  LIMIT 1),
+             |d1 AS (
+             |  SELECT x.vec_id, x.v, round(list_inner_product(x.v, x.v)
+             |    - 2 * list_inner_product(x.v, (SELECT v FROM c1))
+             |    + list_inner_product((SELECT v FROM c1),
+             |                         (SELECT v FROM c1)), 9) AS m
+             |  FROM x),
+             |c2 AS (SELECT vec_id, v FROM d1 ORDER BY m DESC, vec_id LIMIT 1),
+             |d2 AS (
+             |  SELECT d1.vec_id, d1.v, least(d1.m,
+             |    round(list_inner_product(d1.v, d1.v)
+             |      - 2 * list_inner_product(d1.v, (SELECT v FROM c2))
+             |      + list_inner_product((SELECT v FROM c2),
+             |                           (SELECT v FROM c2)), 9)) AS m
+             |  FROM d1),
+             |c3 AS (SELECT vec_id, v FROM d2 ORDER BY m DESC, vec_id LIMIT 1),
+             |d3 AS (
+             |  SELECT d2.vec_id, d2.v, least(d2.m,
+             |    round(list_inner_product(d2.v, d2.v)
+             |      - 2 * list_inner_product(d2.v, (SELECT v FROM c3))
+             |      + list_inner_product((SELECT v FROM c3),
+             |                           (SELECT v FROM c3)), 9)) AS m
+             |  FROM d2),
+             |c4 AS (SELECT vec_id, v FROM d3 ORDER BY m DESC, vec_id LIMIT 1),
+             |cents AS (
+             |  SELECT 1 AS rk, vec_id AS cid, v FROM c1
+             |  UNION ALL SELECT 2, vec_id, v FROM c2
+             |  UNION ALL SELECT 3, vec_id, v FROM c3
+             |  UNION ALL SELECT 4, vec_id, v FROM c4),
+             |scored AS (
+             |  SELECT x.vec_id, cents.rk, cents.cid,
+             |    round(list_inner_product(x.v, x.v)
+             |      - 2 * list_inner_product(x.v, cents.v)
+             |      + list_inner_product(cents.v, cents.v), 9) AS d2v,
+             |    row_number() OVER (PARTITION BY x.vec_id
+             |      ORDER BY round(list_inner_product(x.v, x.v)
+             |        - 2 * list_inner_product(x.v, cents.v)
+             |        + list_inner_product(cents.v, cents.v), 9) ASC,
+             |        cents.rk ASC) AS rn
+             |  FROM x CROSS JOIN cents)
+             |SELECT vec_id, rk AS center_rank, cid AS center_id,
+             |  round(d2v, 6) AS d2
+             |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q108: Bloom-pruned star join — the explicit runtime-row-filter
+    // pattern: the urgent-orders key set folds into a 2^16-bit native
+    // Bloom sketch ([[graft.expressions.Bloom]]), shipped to the lineitem
+    // scan as ONE literal, so non-joining fact rows die before the join
+    // (at 100 TB: before the fact exchange). False positives pass the
+    // sketch and die in the exact join, so the graded result IS the plain
+    // join's — the twin needs no Bloom at all, and any false NEGATIVE
+    // (a pruned joining row) shows up as a wrong aggregate.
+    QueryDef("q108_bloom_join",
+      (s, dir) => {
+        val dim = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val bloom = graft.expressions.Bloom.buildFrom(
+          dim, col("o_orderkey"), numBits = 1 << 16, numHashes = 5)
+        val pruned = t(s, dir, "lineitem")
+          .filter(graft.expressions.Bloom.mightContainCol(
+            lit(bloom.toArray), col("l_orderkey"),
+            numBits = 1 << 16, numHashes = 5))
+        pruned.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+              2).as("revenue"))
+          .orderBy(col("month"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY month ORDER BY month""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q109: Count-Min sketch point estimates (Cormode & Muthukrishnan
+    // 2005) vs exact counts — the top-50 tokens are graded on their exact
+    // counts PLUS the sketch's two contracts as flags the twin asserts
+    // TRUE (the q34/q35 tolerance-flag pattern): estimates never
+    // undercount (hard guarantee), and overcount stays within the
+    // (e/w)*N_stream bound (w=1024, d=4 -> eps ~ 0.27% of the stream at
+    // 98% per-key confidence). A wrong update, merge, or row hash breaks
+    // a flag and moves the hash; the sketch collect is w*d longs,
+    // stream-size-independent.
+    QueryDef("q109_cms_counts",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+        val m = graft.expressions.CountMin.buildFrom(
+          toks, col("tok"), w = 1024, d = 4)
+        val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).as("n_stream"))
+        val est = graft.expressions.CountMin.estimateCol(
+          lit(m.toArray), col("tok"), w = 1024, d = 4)
+        counts
+          .orderBy(col("cnt").desc, col("tok").asc).limit(50)
+          .crossJoin(broadcast(tot))
+          .withColumn("est", est)
+          .select(col("tok"), col("cnt"),
+            (col("est") >= col("cnt")).as("no_undercount"),
+            (col("est") <= col("cnt") +
+              ceil(lit(math.E / 1024.0) * col("n_stream")))
+              .as("within_eps"))
+          .orderBy(col("tok"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+             |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50)
+             |SELECT tok, cnt, TRUE AS no_undercount, TRUE AS within_eps
+             |FROM top ORDER BY tok""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

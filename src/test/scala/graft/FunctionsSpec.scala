@@ -373,4 +373,89 @@ class FunctionsSpec extends AnyFunSuite {
     assert(arr == arr.sorted)
     assert(arr.containsSlice(Seq("a", "b")))
   }
+
+  // ------------------------------------------------------------------ Bloom
+
+  test("Bloom: zero false negatives, partitioning-invariant words") {
+    import graft.expressions.Bloom
+    val keys = (1 to 2000).map(_ => scala.util.Random.nextLong()).distinct
+    val df = keys.toDF("k")
+    val bits = Bloom.buildFrom(df, col("k"), numBits = 1 << 15, numHashes = 5)
+    val bits2 = Bloom.buildFrom(df.repartition(13), col("k"),
+      numBits = 1 << 15, numHashes = 5)
+    assert(bits == bits2, "word state must be merge-order independent")
+    // every inserted key must test positive (the conservative guarantee)
+    val hits = df.select(Bloom.mightContainCol(lit(bits.toArray), col("k"),
+        1 << 15, 5).as("h"))
+      .filter(!col("h")).count()
+    assert(hits == 0L, s"$hits false negatives")
+  }
+
+  test("Bloom: false-positive rate on a disjoint probe set is bounded") {
+    import graft.expressions.Bloom
+    val ins = (0L until 3000L).map(i => i * 2)       // even keys inserted
+    val probe = (0L until 3000L).map(i => i * 2 + 1) // odd keys probed
+    val bits = Bloom.buildFrom(ins.toDF("k"), col("k"),
+      numBits = 1 << 16, numHashes = 5)
+    val fp = probe.toDF("k")
+      .select(Bloom.mightContainCol(lit(bits.toArray), col("k"),
+        1 << 16, 5).as("h"))
+      .filter(col("h")).count()
+    // m/n ~ 21.8 bits/key at k=5 -> theoretical fpp ~ 0.04%; allow 1%
+    assert(fp <= 30L, s"$fp false positives out of 3000 disjoint probes")
+  }
+
+  test("Bloom-pruned join == plain join (false positives die in the join)") {
+    import graft.expressions.Bloom
+    val dim = (1L to 50L).filter(_ % 3 == 0).toDF("k")
+    val fact = (1L to 500L).map(i => (i % 60, i)).toDF("k", "v")
+    val bits = Bloom.buildFrom(dim, col("k"), numBits = 64, numHashes = 2)
+    // tiny filter (64 bits for 16 keys) forces real false positives, so
+    // this also proves the conservative contract end-to-end
+    val pruned = fact
+      .filter(Bloom.mightContainCol(lit(bits.toArray), col("k"), 64, 2))
+      .join(dim, "k").agg(count(lit(1)), sum(col("v"))).head()
+    val plain = fact.join(dim, "k").agg(count(lit(1)), sum(col("v"))).head()
+    assert(pruned == plain)
+  }
+
+  // -------------------------------------------------------------- Count-Min
+
+  test("CMS: never undercounts, partitioning-invariant, bounded overcount") {
+    import graft.expressions.CountMin
+    val rnd = new scala.util.Random(23)
+    // zipf-ish stream: key i appears ~ 2000/i times
+    val stream = (1 to 60).flatMap(i => Seq.fill(2000 / i)(s"key$i")) ++
+      (1 to 500).map(i => s"rare${rnd.nextInt(100000)}")
+    val df = stream.toDF("k")
+    val exact = stream.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val m = CountMin.buildFrom(df, col("k"), w = 512, d = 4)
+    val m2 = CountMin.buildFrom(df.repartition(9), col("k"), w = 512, d = 4)
+    assert(m == m2, "counter matrix must be merge-order independent")
+    val est = df.distinct()
+      .select(col("k"), CountMin.estimateCol(lit(m.toArray), col("k"),
+        512, 4).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stream.size
+    val bound = math.ceil(math.E / 512 * n).toLong
+    for ((k, c) <- exact) {
+      assert(est(k) >= c, s"undercount for $k: ${est(k)} < $c")
+      assert(est(k) <= c + bound, s"overcount for $k: ${est(k)} > $c + $bound")
+    }
+  }
+
+  test("CMS heavy keys are exact when the sketch is wide enough") {
+    import graft.expressions.CountMin
+    // 5 keys in a 4096-wide, depth-5 sketch: collision odds per key-row
+    // ~ 4/4096; all five rows colliding simultaneously is ~1e-15 — the
+    // estimate must equal the exact count
+    val stream = (1 to 5).flatMap(i => Seq.fill(i * 7)(s"k$i"))
+    val df = stream.toDF("k")
+    val m = CountMin.buildFrom(df, col("k"), w = 4096, d = 5)
+    val est = df.distinct()
+      .select(col("k"), CountMin.estimateCol(lit(m.toArray), col("k"),
+        4096, 5).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (i <- 1 to 5) assert(est(s"k$i") == i * 7L)
+  }
 }

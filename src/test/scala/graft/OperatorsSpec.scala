@@ -1063,4 +1063,124 @@ class OperatorsSpec extends AnyFunSuite {
     // and the uncapped path agrees on the same corpus
     assert(containedPairs(df) == Set((21L, 20L)))
   }
+
+  // ------------------------------------------------------------------ DSIR
+
+  /** Driver-side executable spec of Dsir.importanceWeights: same token
+    * model, same md5-60-bit bucket hash, same add-alpha log-ratio, written
+    * against plain Scala collections (no Spark plan shared). */
+  private def dsirReference(rows: Seq[(Long, String, Boolean)],
+      buckets: Int, alpha: Double): Map[Long, (Double, Long)] = {
+    def md5Long60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def feats(text: String): Seq[Long] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val fs = if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+               else Seq(toks.mkString(" "))
+      fs.map(f => md5Long60(f) % buckets)
+    }
+    val perDoc = rows.map { case (id, text, isT) => (id, isT, feats(text)) }
+    val cr = perDoc.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val ct = perDoc.filter(_._2).flatMap(_._3).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val tr = cr.values.sum.toDouble
+    val tt = ct.values.sum.toDouble
+    def lam(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + alpha) / (tt + alpha * buckets)) -
+        math.log((cr(b) + alpha) / (tr + alpha * buckets))
+    perDoc.map { case (id, _, fs) =>
+      id -> (fs.map(lam).sum, fs.size.toLong)
+    }.toMap
+  }
+
+  test("DSIR weights match a driver-side reference exactly (incl. short docs)") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog ran to the cat", true),
+      (3L, "xs qq zz xs qq ww", false),
+      (4L, "the cat ran", false),      // target-looking non-target doc
+      (5L, "solo", false),             // 1 token -> whole-text fallback feat
+      (6L, "  ", false))               // empty -> one "" feature
+    val df = rows.toDF("doc_id", "text", "is_t")
+    val out = graft.operators.Dsir.importanceWeights(
+        df, "doc_id", "text", col("is_t"), buckets = 16, alpha = 0.5)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getDouble(r.fieldIndex("logw_raw")),
+          r.getLong(r.fieldIndex("n_feats")))).toMap
+    val ref = dsirReference(rows, buckets = 16, alpha = 0.5)
+    assert(out.keySet == ref.keySet)
+    for ((id, (logw, n)) <- ref) {
+      assert(out(id)._2 == n, s"n_feats for doc $id")
+      assert(math.abs(out(id)._1 - logw) < 1e-9, s"logw for doc $id")
+    }
+    // directionality: the target-vocabulary non-target doc must outscore
+    // the alien-vocabulary doc (the point of importance weighting)
+    assert(out(4L)._1 > out(3L)._1)
+  }
+
+  test("DSIR resample: exact k, deterministic, partitioning-independent") {
+    val corpus = (1L to 60L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" "),
+        i % 3 == 0))
+    val df = corpus.toDF("doc_id", "text", "is_t")
+    def sel(d: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+      val w = graft.operators.Dsir.importanceWeights(
+        d, "doc_id", "text", col("is_t"), buckets = 32, alpha = 0.5)
+      graft.operators.Dsir.resample(w, k = 10)
+        .select(col("id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    }
+    val a = sel(df)
+    val b = sel(df.repartition(7, col("text")))
+    assert(a.size == 10)
+    assert(a == b)
+  }
+
+  // -------------------------------------------------- k-center greedy
+
+  test("kCenterGreedy picks the hand-computed farthest-point sequence") {
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)),   // norm2 0
+      (2L, Seq(10.0, 0.0)),  // norm2 100 -> first center
+      (3L, Seq(0.0, 9.0)),   // d2 to (10,0) = 181 -> second
+      (4L, Seq(5.0, 5.0)),   // min d2 41 -> fourth
+      (5L, Seq(9.9, 0.0)))   // d2 to (10,0) = 0.01, never chosen
+    val df = pts.toDF("vec_id", "vec")
+    val centers = graft.operators.Similarity.kCenterGreedy(
+      df, "vec_id", "vec", k = 4)
+    assert(centers.map(c => (c._1, c._2)) ==
+      Seq((1, 2L), (2, 3L), (3, 1L), (4, 4L)))
+    val assign = graft.operators.Similarity.kCenterAssign(
+        df, "vec_id", "vec", centers)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(assign(5L) == ((1, 2L, 0.01)))   // nearest center is (10,0)
+    assert(assign(1L) == ((3, 1L, 0.0)))    // a chosen point maps to itself
+    assert(assign(4L) == ((4, 4L, 0.0)))
+  }
+
+  test("kCenterGreedy: smallest id wins norm/distance ties; k > n degrades") {
+    val df = Seq((7L, Seq(3.0, 4.0)), (2L, Seq(4.0, 3.0)),
+      (9L, Seq(0.0, 0.0))).toDF("vec_id", "vec")
+    // ids 2 and 7 tie on norm2 = 25 -> id 2 first; both remaining points
+    // (id 7 at d2 2, id 9 at d2 25) -> id 9 second, id 7 third; k=5 asks
+    // for more centers than points and must stop at 3 without error
+    val centers = graft.operators.Similarity.kCenterGreedy(
+      df, "vec_id", "vec", k = 5)
+    assert(centers.map(_._2) == Seq(2L, 9L, 7L))
+  }
+
+  test("kCenterGreedy is partitioning-independent") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq(math.sin(i.toDouble) * 3, math.cos(i.toDouble * 2) * 5,
+        (i % 7).toDouble)))
+    val df = vecs.toDF("vec_id", "vec")
+    val a = graft.operators.Similarity.kCenterGreedy(df, "vec_id", "vec", 4)
+    val b = graft.operators.Similarity.kCenterGreedy(
+      df.repartition(11, col("vec_id")), "vec_id", "vec", 4)
+    assert(a == b)
+  }
 }
