@@ -81,6 +81,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.expressions.MisraGries(args(0),
           intLiteral("misra_gries k", args(1)))))
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "(bigint, numBits, numHashes) - Bloom filter word aggregate " +
+          "(array<bigint>)"),
+      (args: Seq[Expression]) => graft.expressions.BloomAgg(args(0),
+        intLiteral("bloom_agg numBits", args(1)),
+        intLiteral("bloom_agg numHashes", args(2)))))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"),
+      info("bloom_contains",
+        "(array<bigint>, bigint, numBits, numHashes) - conservative " +
+          "membership test against Bloom words"),
+      (args: Seq[Expression]) => graft.expressions.BloomMightContain(
+        args(0), args(1),
+        intLiteral("bloom_contains numBits", args(2)),
+        intLiteral("bloom_contains numHashes", args(3)))))
+    ext.injectFunction((FunctionIdentifier("cms_agg"),
+      info("cms_agg",
+        "(str, w, d) - Count-Min sketch counter-matrix aggregate " +
+          "(array<bigint>)"),
+      (args: Seq[Expression]) => graft.expressions.CmsAgg(args(0),
+        intLiteral("cms_agg w", args(1)),
+        intLiteral("cms_agg d", args(2)))))
+    ext.injectFunction((FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "(array<bigint>, str, w, d) - Count-Min point-frequency estimate"),
+      (args: Seq[Expression]) => graft.expressions.CmsEstimate(
+        args(0), args(1),
+        intLiteral("cms_estimate w", args(2)),
+        intLiteral("cms_estimate d", args(3)))))
   }
 
   /** Fold a SQL argument that must be a compile-time integer. Checked for

@@ -4586,7 +4586,129 @@ object Queries {
              |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
              |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50)
              |SELECT tok, cnt, TRUE AS no_undercount, TRUE AS within_eps
-             |FROM top ORDER BY tok""".stripMargin))
+             |FROM top ORDER BY tok""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q110: split assignment + cross-split leakage audit — the train/val/
+    // test constructor every eval-honest pipeline needs: docs split 80/10/10
+    // by the portable md5 hash (content-stable, partitioning-independent),
+    // then the q19 near-dup closure is graded as an audit: each split's doc
+    // count plus how many near-dup pairs CROSS it into another split (the
+    // planted +10000 twins hash independently, so crossings provably
+    // exist). A wrong split hash, boundary, or pair set moves the hash.
+    // Scale: split is pure expression work on the scan; the audit joins the
+    // (tiny) pair set to the split map twice.
+    QueryDef("q110_split_leakage",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val split = all.select(col("doc_id"),
+          when(pmod(Text.md5Long(col("doc_id")), lit(10)) < 8, "train")
+            .when(pmod(Text.md5Long(col("doc_id")), lit(10)) === 8, "val")
+            .otherwise("test").as("split"))
+        val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+            shingleSize = 3, threshold = 0.7)
+          .select(col("id_a"), col("id_b"))
+        val cross = pairs
+          .join(split.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(split.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+          .filter(col("split_a") =!= col("split_b"))
+        val leaks = cross.select(col("split_a").as("split"))
+          .unionAll(cross.select(col("split_b").as("split")))
+          .groupBy(col("split")).agg(count(lit(1)).as("n_cross_pairs"))
+        split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+          .join(leaks, Seq("split"), "left")
+          .select(col("split"), col("n_docs"),
+            coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH all_docs AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+              |  FROM documents WHERE doc_id % 7 = 0),
+              |sp AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+              |        1, 15))::BIGINT % 10 < 8 THEN 'train'
+              |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+              |        1, 15))::BIGINT % 10 = 8 THEN 'val'
+              |      ELSE 'test' END AS split
+              |  FROM all_docs),
+              |pairs AS (SELECT id_a, id_b FROM ($jaccardOracle)),
+              |x AS (
+              |  SELECT pa.split AS split_a, pb.split AS split_b
+              |  FROM pairs
+              |  JOIN sp pa ON pa.doc_id = id_a
+              |  JOIN sp pb ON pb.doc_id = id_b
+              |  WHERE pa.split <> pb.split),
+              |l AS (
+              |  SELECT split, count(*) AS n_cross_pairs FROM (
+              |    SELECT split_a AS split FROM x
+              |    UNION ALL SELECT split_b FROM x)
+              |  GROUP BY split)
+              |SELECT sp.split, count(*) AS n_docs,
+              |  coalesce(any_value(l.n_cross_pairs), 0) AS n_cross_pairs
+              |FROM sp LEFT JOIN l ON l.split = sp.split
+              |GROUP BY sp.split ORDER BY sp.split""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q111: n-gram novelty scoring — per-doc fraction of 3-gram shingles
+    // that are corpus-UNIQUE (df = 1): the cheap self-information signal
+    // data-pruning recipes rank by before paying for embeddings (a doc
+    // whose shingles all appear elsewhere is template/boilerplate; the
+    // planted +10000 near-dups make the low-novelty tail load-bearing).
+    // One shingle explode -> one df agg -> join back on the SAME shingle
+    // key -> id agg: two partial-agg shuffles on a stream that only ships
+    // 8-byte xxhash64 keys (exactness birthday-bounded, the q19 postings
+    // stance; the twin counts raw strings and the gate pins the graded SFs
+    // collision-free).
+    QueryDef("q111_ngram_novelty",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val posts = Dedup.shinglePostings(all, "doc_id", "text", 3)
+        // df as a partition-only window, NOT a groupBy + self-join: the
+        // postings then explode ONCE and shuffle ONCE (by shingle) — the
+        // join form re-ran the tokenize+explode subtree for the probe side
+        // (PlanGuardSpec counts the Generate nodes)
+        val w = Window.partitionBy(col("shingle"))
+        posts.withColumn("df", count(lit(1)).over(w))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("id").as("doc_id"), col("n_shingles"), col("n_unique"),
+            round(col("n_unique").cast("double") / col("n_shingles"), 6)
+              .as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM all_docs),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |         THEN list_distinct(list_transform(range(len(toks) - 2),
+             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+             |         ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM tok),
+             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |dfq AS (SELECT shingle, count(*) AS df FROM posts
+             |        GROUP BY shingle)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unique,
+             |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 6) AS novelty
+             |FROM posts JOIN dfq USING (shingle)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -81,6 +81,25 @@ class ExtensionsSpec extends AnyFunSuite {
           "array(array(1.0d, 0.0d), array(0.0d, 1.0d)), " +
           "array(1.0d, 1.0d)) AS tie").head()
       assert(pq.getByte(0) == 0.toByte && pq.getByte(1) == 0.toByte)
+      // bloom: build words over 0..99 in SQL, every key must test positive
+      // and a disjoint probe range must be mostly negative
+      spark.range(100).createOrReplaceTempView("bl_keys")
+      spark.sql("SELECT bloom_agg(id, 4096, 5) AS w FROM bl_keys")
+        .createOrReplaceTempView("bl_words")
+      val fneg = spark.sql(
+        "SELECT count(*) FROM bl_keys CROSS JOIN bl_words " +
+          "WHERE NOT bloom_contains(w, id, 4096, 5)").head().getLong(0)
+      assert(fneg == 0L, s"$fneg SQL-path false negatives")
+      // cms: estimates of a skewed stream never undercount
+      spark.range(300).selectExpr("concat('k', id % 7) AS w")
+        .createOrReplaceTempView("cms_words")
+      spark.sql("SELECT cms_agg(w, 512, 4) AS m FROM cms_words")
+        .createOrReplaceTempView("cms_sketch")
+      val under = spark.sql(
+        "SELECT count(*) FROM (SELECT w, count(*) AS c FROM cms_words " +
+          "GROUP BY w) CROSS JOIN cms_sketch " +
+          "WHERE cms_estimate(m, w, 512, 4) < c").head().getLong(0)
+      assert(under == 0L, s"$under SQL-path undercounts")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -106,6 +106,34 @@ class PlanGuardSpec extends AnyFunSuite {
       s"q100 lost its bucket-key equi joins:\n$p100")
   }
 
+  test("q106/q111 reuse their token-stream exchange; q108 prunes pre-join") {
+    assume(new java.io.File(SfDir).isDirectory)
+    def reusedAfterRun(name: String): Int = {
+      val df = Queries.all.find(_.name == name).get.spark(spark, SfDir)
+      df.collect()
+      "ReusedExchange".r.findAllMatchIn(
+        df.queryExecution.executedPlan.toString).size
+    }
+    // q106 DSIR: the doc-bucket count frame feeds the bucket-stats re-agg
+    // AND the final weight join — one token-stream explode+agg, not two
+    assert(reusedAfterRun("q106_dsir_select") >= 1,
+      "q106 recomputes the doc-bucket counts per consumer")
+    // q111 novelty: df rides a shingle window over ONE posting stream —
+    // exactly one explode (Generate) in the plan; a groupBy+join-back form
+    // re-runs the tokenize+explode subtree for the probe side
+    val p111 = planOf("q111_ngram_novelty")
+    assert("Generate".r.findAllMatchIn(p111).size == 1,
+      s"q111 should explode the postings exactly once:\n$p111")
+    // q108: the Bloom membership test must sit in the lineitem scan stage
+    // (before the join), and the join stays broadcast
+    val p108 = planOf("q108_bloom_join")
+    assert(p108.contains("BloomMightContain") ||
+        p108.toLowerCase.contains("bloommightcontain"),
+      s"q108 lost its scan-side Bloom prune:\n$p108")
+    assert(p108.contains("BroadcastHashJoin"),
+      s"q108's dim join should broadcast:\n$p108")
+  }
+
   test("q72 heavy hitters: O(k) sketch aggregate + broadcast candidate join") {
     assume(new java.io.File(SfDir).isDirectory)
     val plan = planOf("q72_heavy_hitters")

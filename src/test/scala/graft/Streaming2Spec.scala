@@ -176,4 +176,36 @@ class Streaming2Spec extends AnyFunSuite {
       .select("FIRSTNAME", "EMAIL", "ISACTIVE")
     assert(staged.exceptAll(batch).isEmpty && batch.exceptAll(staged).isEmpty)
   }
+
+  test("streaming CMS + Bloom sketches == batch sketches across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    implicit val sqlCtx = spark.sqlContext
+    // complete-mode global aggregate: the sketch state must merge across
+    // micro-batches exactly as partial aggregation merges across partitions
+    val input = MemoryStream[String]
+    val q = input.toDS().toDF("k")
+      .agg(graft.expressions.CountMin.agg(col("k"), 256, 4).as("m"),
+        graft.expressions.Bloom.agg(xxhash64(col("k")), 1 << 12, 5).as("b"))
+      .writeStream.format("memory").queryName("sketches")
+      .outputMode("complete").start()
+    try {
+      val batch1 = (1 to 40).map(i => s"tok${i % 9}")
+      val batch2 = (1 to 25).map(i => s"tok${i % 5}") :+ "rare"
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // complete mode: the memory sink holds exactly the latest result row
+      val got = spark.table("sketches").collect().head
+      val want = (batch1 ++ batch2).toDF("k")
+        .agg(graft.expressions.CountMin.agg(col("k"), 256, 4).as("m"),
+          graft.expressions.Bloom.agg(xxhash64(col("k")), 1 << 12, 5).as("b"))
+        .head()
+      assert(got.getSeq[Long](0) == want.getSeq[Long](0),
+        "CMS matrix diverged from batch")
+      assert(got.getSeq[Long](1) == want.getSeq[Long](1),
+        "Bloom words diverged from batch")
+    } finally q.stop()
+  }
 }
