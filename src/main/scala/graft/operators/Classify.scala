@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Multinomial Naive Bayes text classification — the model-based quality
+  * filter of the GPT-3 / PaLM data recipes (Brown et al. 2020 §Appendix A
+  * train a classifier on known-good vs crawl text and keep documents the
+  * classifier scores as good; fastText — Joulin et al. 2017 — is the usual
+  * implementation). Naive Bayes is the distributed-closed-form variant: both
+  * training and inference are pure relational algebra, so the whole
+  * classifier runs as DataFrame aggregates + one vocabulary join with no
+  * driver-side model object and no UDF.
+  *
+  * Model (binary, classes `pos`/`neg`, add-alpha smoothing over the joint
+  * training vocabulary V):
+  *
+  *   P(w | k) = (c(w,k) + alpha) / (T_k + alpha * |V|)
+  *   score_k(d) = ln P(k) + sum_{w in d} ln P(w | k)
+  *   log_odds(d) = score_pos(d) - score_neg(d),  predict pos iff > 0
+  *
+  * Tokens unseen in training fall back to the smoothing mass of BOTH
+  * classes; because the two classes differ in training-token totals T_k,
+  * an unseen token still carries signal (it votes for the smaller class —
+  * exactly why hash-soup documents score "junk" even when their tokens
+  * never appeared in training).
+  *
+  * Scale posture (100 TB): training is one token-stream scan -> hash
+  * aggregate keyed on token (shuffle = |vocab|, map-side combined, both
+  * class counts pivoted into one row per token — one table, not one per
+  * class); the class totals / priors / |V| are single-row aggregates
+  * broadcast as literal columns. Inference is one hash join of the scored
+  * token stream against the vocab-keyed count table (NOT broadcast —
+  * web-scale vocabularies run to billions of rows) followed by a per-doc
+  * partial aggregate. Nothing is quadratic; nothing collects.
+  *
+  * Reference scope: the reference pipeline (cleaning/*.py) has only
+  * rule-based validity filters — this is the statistical-classifier
+  * extension the LLM-training recipes layer on top, alongside
+  * [[LmScore]] (perplexity) and [[QualityRules]] (heuristics).
+  *
+  * Determinism: the per-doc sum of logs is rounded to 4 decimals before
+  * the sign test (repo-wide stance: summation order and last-ulp ln()
+  * differences across engines cannot flip a rounded value or the derived
+  * prediction).
+  */
+object Classify {
+
+  /** Train a binary multinomial NB on `train(idCol, textCol, labelCol)`
+    * (labels exactly `posLabel`/`negLabel`) and score `score(idCol,
+    * textCol)`. Returns (id, n_tokens, log_odds, prediction): log_odds =
+    * round(score_pos - score_neg, 4); prediction = posLabel iff
+    * log_odds > 0 else negLabel (a zero-token document is scored on the
+    * class priors alone). */
+  def nbTrainScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, labelCol: String, posLabel: String, negLabel: String,
+      alpha: Double = 1.0): DataFrame = {
+    val isPos = col(labelCol) === lit(posLabel)
+    val trainToks = train.select(isPos.as("is_pos"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+
+    // one row per training token: both class counts pivoted at agg time
+    val tokTable = trainToks.groupBy(col("tok")).agg(
+      sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(!col("is_pos"), 1L).otherwise(0L)).as("c_neg"))
+
+    // class token totals + |V|: metadata-sized single-row aggregate
+    val totals = tokTable.agg(
+      sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+      count(lit(1)).as("vsz"))
+    // doc-count priors
+    val priors = train.agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("d_pos"),
+      sum(when(!isPos, 1L).otherwise(0L)).as("d_neg"))
+
+    val scoreToks = score.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("toks"))
+    val lp = scoreToks
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .join(tokTable, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        log((coalesce(col("c_pos"), lit(0L)) + lit(alpha))
+          / (col("t_pos") + lit(alpha) * col("vsz"))).as("lp_pos"),
+        log((coalesce(col("c_neg"), lit(0L)) + lit(alpha))
+          / (col("t_neg") + lit(alpha) * col("vsz"))).as("lp_neg"))
+    val perDoc = lp.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("lp_pos")).as("s_pos"), sum(col("lp_neg")).as("s_neg"))
+
+    scoreToks.select(col("id")).join(perDoc, Seq("id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round((log(col("d_pos").cast("double") / col("d_neg")) +
+          coalesce(col("s_pos") - col("s_neg"), lit(0.0))), 4)
+          .as("log_odds"))
+      .withColumn("prediction",
+        when(col("log_odds") > 0, lit(posLabel)).otherwise(lit(negLabel)))
+  }
+}
