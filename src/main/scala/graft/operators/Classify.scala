@@ -36,7 +36,7 @@ import graft.functions.Text
   * web-scale vocabularies run to billions of rows) followed by a per-doc
   * partial aggregate. Nothing is quadratic; nothing collects.
   *
-  * Reference scope: the reference pipeline (cleaning/*.py) has only
+  * Reference scope: the reference pipeline (the cleaning scripts) has only
   * rule-based validity filters — this is the statistical-classifier
   * extension the LLM-training recipes layer on top, alongside
   * [[LmScore]] (perplexity) and [[QualityRules]] (heuristics).

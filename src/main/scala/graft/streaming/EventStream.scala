@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema with raw int64 nanos ts (the parquet's physical type —
-    * streaming reads need an explicit schema). */
+  /** events schema modulo the `ts` physical encoding (streaming reads need
+    * an explicit schema; `ts` is filled in per-directory by [[readEvents]],
+    * which probes the actual files — the corpus has shipped both
+    * TIMESTAMP(NANOS)-as-int64 and timestamp[us]). */
   val RawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -30,11 +32,17 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of an events parquet directory. */
+  /** Streaming scan of an events parquet directory. Schema-adaptive like
+    * the batch loader ([[graft.queries.Tables.events]]): one batch probe of
+    * the directory resolves the writer's `ts` encoding, then the stream
+    * reads with that schema and normalizes to session-tz TimestampType. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(RawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = graft.queries.Tables.rawEvents(spark, dir)
+      .schema("ts").dataType
+    val schema = StructType(RawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Hourly per-type rollup with a 2-hour watermark: the streaming twin of
