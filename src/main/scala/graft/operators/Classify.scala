@@ -53,12 +53,20 @@ object Classify {
     * textCol)`. Returns (id, n_tokens, log_odds, prediction): log_odds =
     * round(score_pos - score_neg, 4); prediction = posLabel iff
     * log_odds > 0 else negLabel (a zero-token document is scored on the
-    * class priors alone). */
+    * class priors alone).
+    *
+    * Guards: training rows whose label is neither `posLabel` nor
+    * `negLabel` (including null) are dropped before tokenizing — a stray
+    * third label must not silently count as negative evidence or inflate
+    * |V|. Training that ends up single-class or empty fails loudly at
+    * execution time (`raise_error` folded into the prior term) instead of
+    * degrading to an all-one-class or all-default scorer. */
   def nbTrainScore(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, labelCol: String, posLabel: String, negLabel: String,
       alpha: Double = 1.0): DataFrame = {
     val isPos = col(labelCol) === lit(posLabel)
-    val trainToks = train.select(isPos.as("is_pos"),
+    val labeled = train.filter(col(labelCol).isin(posLabel, negLabel))
+    val trainToks = labeled.select(isPos.as("is_pos"),
       explode(Text.tokens(col(textCol))).as("tok"))
 
     // one row per training token: both class counts pivoted at agg time
@@ -71,7 +79,7 @@ object Classify {
       sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
       count(lit(1)).as("vsz"))
     // doc-count priors
-    val priors = train.agg(
+    val priors = labeled.agg(
       sum(when(isPos, 1L).otherwise(0L)).as("d_pos"),
       sum(when(!isPos, 1L).otherwise(0L)).as("d_neg"))
 
@@ -90,12 +98,26 @@ object Classify {
       count(lit(1)).as("n_tokens"),
       sum(col("lp_pos")).as("s_pos"), sum(col("lp_neg")).as("s_neg"))
 
+    // prior term, with the single-class/empty-train guard folded in: the
+    // priors frame is a 1-row broadcast, so the check costs nothing and
+    // fires lazily exactly when the model is actually used
+    val logPrior = when(
+      coalesce(col("d_pos"), lit(0L)) <= 0 ||
+        coalesce(col("d_neg"), lit(0L)) <= 0,
+      raise_error(concat(
+        lit("Classify.nbTrainScore: training must contain both classes; "),
+        lit(s"'$posLabel' count="),
+        coalesce(col("d_pos"), lit(0L)).cast("string"),
+        lit(s", '$negLabel' count="),
+        coalesce(col("d_neg"), lit(0L)).cast("string"))))
+      .otherwise(log(col("d_pos").cast("double") / col("d_neg")))
+
     scoreToks.select(col("id")).join(perDoc, Seq("id"), "left")
       .crossJoin(broadcast(priors))
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round((log(col("d_pos").cast("double") / col("d_neg")) +
-          coalesce(col("s_pos") - col("s_neg"), lit(0.0))), 4)
+        round(logPrior +
+          coalesce(col("s_pos") - col("s_neg"), lit(0.0)), 4)
           .as("log_odds"))
       .withColumn("prediction",
         when(col("log_odds") > 0, lit(posLabel)).otherwise(lit(negLabel)))

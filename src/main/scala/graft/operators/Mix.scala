@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temperature-based corpus mixing — the multilingual sampling-rate rule of
@@ -16,8 +17,9 @@ import org.apache.spark.sql.functions._
   * domain (shuffle = |domains| rows, map-side combined); everything after
   * the aggregate is arithmetic over the domain-sized frame (|domains| is
   * metadata-sized — tens to thousands). The normalizer sum(p^alpha) is a
-  * single-row aggregate broadcast back as a literal column; no window, no
-  * collect.
+  * single-row aggregate broadcast back as a literal column. The one window
+  * (remainder ranking for the budget correction) partitions nothing but
+  * runs over the |domains|-row frame, not the corpus — deliberate and safe.
   */
 object Mix {
 
@@ -26,23 +28,54 @@ object Mix {
     * for doc-count shares). Returns one row per domain:
     * (domain, n_weight, nat_share, temp_share, budget_rows) where
     * nat_share = p_i, temp_share = q_i ~ p_i^alpha (both rounded to 6),
-    * and budget_rows = round(q_i * budget) — the number of
-    * tokens/documents to draw from each domain under a total budget. */
+    * and budget_rows apportions `budget` across domains by the
+    * largest-remainder method over the ROUNDED q_i (integer micro-shares:
+    * budget_rows_i = floor(q6_i * budget / 1e6) plus one of the
+    * deficit corrections below), so sum(budget_rows) == budget exactly —
+    * independent rounding would drift by up to |domains|/2 rows, and the
+    * integer arithmetic keeps the apportionment bit-identical across
+    * engines (no floor-of-a-float at an integer boundary).
+    * Tie-breaks are total: (remainder desc, domain asc) for the +1s,
+    * (remainder asc, domain desc) for the (rare, micro-rounding-induced)
+    * -1s.
+    *
+    * Guard: a negative or null per-domain weight sum would silently poison
+    * the normalizer into NaN; it raises instead. */
   def temperatureWeights(df: DataFrame, domainCol: String, weight: Column,
       alpha: Double = 0.3, budget: Long = 1000000L): DataFrame = {
     val byDom = df.groupBy(col(domainCol))
       .agg(sum(weight).as("n_weight"))
+      .withColumn("n_weight",
+        when(col("n_weight").isNull || col("n_weight") < 0,
+          raise_error(concat(
+            lit("Mix.temperatureWeights: negative or null weight sum for "
+              + "domain "), col(domainCol).cast("string"))))
+          .otherwise(col("n_weight")))
     val tot = byDom.agg(sum(col("n_weight")).as("n_total"))
     val shares = byDom.crossJoin(broadcast(tot))
       .select(col(domainCol), col("n_weight"),
         (col("n_weight").cast("double") / col("n_total")).as("p"))
       .withColumn("p_a", pow(col("p"), lit(alpha)))
     val norm = shares.agg(sum(col("p_a")).as("z"))
-    shares.crossJoin(broadcast(norm))
+    // integer micro-shares: q rounded to 6 decimals, as a long in [0, 1e6]
+    val micro = shares.crossJoin(broadcast(norm))
       .select(col(domainCol), col("n_weight"),
         round(col("p"), 6).as("nat_share"),
-        round(col("p_a") / col("z"), 6).as("temp_share"),
-        round(col("p_a") / col("z") * lit(budget.toDouble), 0)
-          .cast("long").as("budget_rows"))
+        round(col("p_a") / col("z") * 1e6, 0).cast("long").as("q6"))
+      .withColumn("fl", expr(s"q6 * ${budget}L div 1000000L"))
+      .withColumn("rem", (col("q6") * lit(budget)) % lit(1000000L))
+    val deficit = micro.agg(
+      (lit(budget) - sum(col("fl"))).as("deficit"))
+    val up = Window.orderBy(col("rem").desc, col(domainCol).asc)
+    val down = Window.orderBy(col("rem").asc, col(domainCol).desc)
+    micro.crossJoin(broadcast(deficit))
+      .withColumn("rk_up", row_number().over(up))
+      .withColumn("rk_down", row_number().over(down))
+      .select(col(domainCol), col("n_weight"), col("nat_share"),
+        round(col("q6").cast("double") / 1e6, 6).as("temp_share"),
+        (col("fl")
+          + when(col("rk_up") <= col("deficit"), 1L).otherwise(0L)
+          - when(col("rk_down") <= -col("deficit"), 1L).otherwise(0L))
+          .as("budget_rows"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, Text, Vec}
-import graft.operators.{Boilerplate, Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{Boilerplate, Classify, Dedup, Mix, Multimodal, Sessionize, Similarity}
 import graft.pipeline.{Fill, GoldenRecord, Validate}
 
 /** The driver-graded query registry: every SURVEY.md §2 operator family is
@@ -4708,7 +4708,143 @@ object Queries {
              |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / count(*), 6) AS novelty
              |FROM posts JOIN dfq USING (shingle)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q112: NB quality classifier (Brown et al. 2020 App. A — train
+    // known-good vs junk, keep what scores good). Train: real docs (good)
+    // vs planted md5 token soup (junk), 3/4 of the corpus; score: the
+    // held-out 1/4 plus soup for those ids. The planted score-soup tokens
+    // are DISJOINT from the train-soup tokens (different ids -> different
+    // md5), so the junk verdicts ride entirely on the unseen-token
+    // smoothing asymmetry (t_pos >> t_neg) — the load-bearing NB property
+    // for hash-soup spam. Stray-label train rows (label 'dubious') are
+    // planted and must be dropped by the operator's label filter: the twin
+    // simply never includes them, so a filter regression moves every
+    // hash. Whole model is relational: token-keyed hash agg + one
+    // vocab hash join + per-doc agg; priors/totals are 1-row broadcasts.
+    QueryDef("q112_nb_quality_classifier",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        def soup(ids: DataFrame): DataFrame = ids.select(
+          (col("doc_id") + 10000).as("id"),
+          concat_ws(" ", (0 until 8).map(i =>
+            md5((col("doc_id") + lit(i)).cast("string").cast("binary")))
+            : _*).as("text"))
+        val train = d.filter(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id").as("id"), col("text"),
+            lit("good").as("label"))
+          .unionByName(soup(d.filter(col("doc_id") % 4 =!= 0))
+            .withColumn("label", lit("junk")))
+          .unionByName(d.filter(col("doc_id") % 8 === 1)
+            .select((col("doc_id") + 20000).as("id"), col("text"),
+              lit("dubious").as("label")))
+        val score = d.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").as("id"), col("text"))
+          .unionByName(soup(d.filter(col("doc_id") % 4 === 0)))
+        Classify.nbTrainScore(train, score, "id", "text", "label",
+            "good", "junk", alpha = 1.0)
+          .orderBy(col("id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |soup AS (
+             |  SELECT doc_id, concat_ws(' ',
+             |    md5(CAST(doc_id + 0 AS VARCHAR)),
+             |    md5(CAST(doc_id + 1 AS VARCHAR)),
+             |    md5(CAST(doc_id + 2 AS VARCHAR)),
+             |    md5(CAST(doc_id + 3 AS VARCHAR)),
+             |    md5(CAST(doc_id + 4 AS VARCHAR)),
+             |    md5(CAST(doc_id + 5 AS VARCHAR)),
+             |    md5(CAST(doc_id + 6 AS VARCHAR)),
+             |    md5(CAST(doc_id + 7 AS VARCHAR))) AS text
+             |  FROM base),
+             |train AS (
+             |  SELECT text, TRUE AS is_pos FROM base WHERE doc_id % 4 <> 0
+             |  UNION ALL
+             |  SELECT text, FALSE FROM soup WHERE doc_id % 4 <> 0),
+             |score AS (
+             |  SELECT doc_id AS id, text FROM base WHERE doc_id % 4 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM soup WHERE doc_id % 4 = 0),
+             |ttok AS (
+             |  SELECT is_pos, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS tok
+             |  FROM train),
+             |tt AS (SELECT tok,
+             |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+             |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS c_neg
+             |  FROM ttok GROUP BY tok),
+             |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+             |    count(*) AS vsz FROM tt),
+             |pri AS (SELECT
+             |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS d_pos,
+             |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS d_neg
+             |  FROM train),
+             |stok AS (
+             |  SELECT id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS tok
+             |  FROM score),
+             |lp AS (SELECT id,
+             |    ln((coalesce(c_pos, 0) + 1.0)
+             |      / (t_pos + 1.0 * vsz)) AS lp_pos,
+             |    ln((coalesce(c_neg, 0) + 1.0)
+             |      / (t_neg + 1.0 * vsz)) AS lp_neg
+             |  FROM stok LEFT JOIN tt USING (tok) CROSS JOIN tot),
+             |pd AS (SELECT id, count(*) AS n_tokens,
+             |    sum(lp_pos) AS s_pos, sum(lp_neg) AS s_neg
+             |  FROM lp GROUP BY id),
+             |sc AS (SELECT s.id,
+             |    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+             |    round(ln(CAST(d_pos AS DOUBLE) / d_neg)
+             |      + coalesce(s_pos - s_neg, 0.0), 4) AS log_odds
+             |  FROM score s LEFT JOIN pd ON s.id = pd.id CROSS JOIN pri)
+             |SELECT id, n_tokens, log_odds,
+             |  CASE WHEN log_odds > 0 THEN 'good' ELSE 'junk' END
+             |    AS prediction
+             |FROM sc ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
+    // over the documents corpus, domains = lang, weighted by n_chars,
+    // budget 1000 rows apportioned by largest remainder over integer
+    // micro-shares (sum(budget_rows) == budget exactly — both engines do
+    // the identical integer arithmetic, so no floor-at-a-boundary skew).
+    // One |domains|-row aggregate + 1-row broadcasts; the ranking windows
+    // run on the domain frame, not the corpus.
+    QueryDef("q113_temperature_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Mix.temperatureWeights(d, "lang", col("n_chars"),
+            alpha = 0.3, budget = 1000L)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH bd AS (
+             |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_weight
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT sum(n_weight) AS n_total FROM bd),
+             |sh AS (SELECT lang, n_weight,
+             |    CAST(n_weight AS DOUBLE) / n_total AS p,
+             |    pow(CAST(n_weight AS DOUBLE) / n_total, 0.3) AS p_a
+             |  FROM bd CROSS JOIN tot),
+             |nz AS (SELECT sum(p_a) AS z FROM sh),
+             |mi AS (SELECT lang, n_weight, round(p, 6) AS nat_share,
+             |    CAST(round(p_a / z * 1000000, 0) AS BIGINT) AS q6
+             |  FROM sh CROSS JOIN nz),
+             |fr AS (SELECT *, q6 * 1000 // 1000000 AS fl,
+             |    (q6 * 1000) % 1000000 AS rem FROM mi),
+             |df AS (SELECT 1000 - sum(fl) AS deficit FROM fr),
+             |rk AS (SELECT *,
+             |    row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk_up,
+             |    row_number() OVER (ORDER BY rem ASC, lang DESC) AS rk_down
+             |  FROM fr)
+             |SELECT lang, n_weight, nat_share,
+             |  round(CAST(q6 AS DOUBLE) / 1000000, 6) AS temp_share,
+             |  CAST(fl + CASE WHEN rk_up <= deficit THEN 1 ELSE 0 END
+             |          - CASE WHEN rk_down <= -deficit THEN 1 ELSE 0 END
+             |    AS BIGINT) AS budget_rows
+             |FROM rk CROSS JOIN df ORDER BY lang""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Classify, Mix}
+
+/** Classify (NB quality filter) and Mix (temperature sampling rates):
+  * hand-computed fixtures, degradation behavior, and the loud-failure
+  * guards (stray labels dropped, single-class/empty train raises,
+  * negative weights raise, budget apportionment sums exactly). */
+class ClassifyMixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Fixture model (alpha=1): pos docs "good good fine" + "good fine" ->
+  // c(good)=3, c(fine)=2, T_pos=5; neg docs "bad bad awful" + "bad" ->
+  // c(bad)=3, c(awful)=1, T_neg=4; V=4; priors 2/2 -> ln(1)=0.
+  private def train = Seq(
+    ("p1", "good good fine", "good"), ("p2", "good fine", "good"),
+    ("n1", "bad bad awful", "junk"), ("n2", "bad", "junk"))
+    .toDF("id", "text", "label")
+
+  private def nb(tr: org.apache.spark.sql.DataFrame,
+      sc: org.apache.spark.sql.DataFrame) =
+    Classify.nbTrainScore(tr, sc, "id", "text", "label", "good", "junk")
+
+  test("nbTrainScore matches hand-computed log-odds and predictions") {
+    val score = Seq(("s1", "good bad"), ("s2", "good good fine"),
+      ("s3", "   ")).toDF("id", "text")
+    val out = nb(train, score).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getString(3)))).toMap
+    // s1: ln(4/9 * 1/9) - ln(1/8 * 4/8) = ln(64/81) = -0.2356
+    assert(out("s1") == ((2L, -0.2356, "junk")))
+    // s2: ln(4/9 * 4/9 * 3/9) - 3*ln(1/8) = ln(8192/243) = 3.5179
+    assert(out("s2") == ((3L, 3.5179, "good")))
+    // s3: zero tokens -> priors only: ln(2/2) = 0, not > 0 -> junk
+    assert(out("s3") == ((0L, 0.0, "junk")))
+  }
+
+  test("stray-label train rows are dropped, not counted as negatives") {
+    val score = Seq(("s1", "good bad")).toDF("id", "text")
+    val strayed = train.unionByName(Seq(
+      ("x1", "zombie horde approaching", "dubious"),
+      ("x2", "good fine", null.asInstanceOf[String]))
+      .toDF("id", "text", "label"))
+    val base = nb(train, score).collect().map(_.toSeq).toSeq
+    val got = nb(strayed, score).collect().map(_.toSeq).toSeq
+    assert(got == base)
+  }
+
+  test("single-class and empty training fail loudly") {
+    val score = Seq(("s1", "good")).toDF("id", "text")
+    for (tr <- Seq(train.filter(col("label") === "good"),
+        train.limit(0))) {
+      val e = intercept[Exception] { nb(tr, score).collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        t +: Option(t.getCause).map(chain).getOrElse(Nil)
+      assert(chain(e).exists(t =>
+        Option(t.getMessage).exists(_.contains("both classes"))))
+    }
+  }
+
+  test("temperatureWeights alpha=1 reproduces natural shares") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(6)("c"))
+      .toDF("dom")
+    val out = Mix.temperatureWeights(df, "dom", lit(1L),
+        alpha = 1.0, budget = 10L)
+      .orderBy("dom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", 1L, 0.1, 0.1, 1L),
+      ("b", 3L, 0.3, 0.3, 3L), ("c", 6L, 0.6, 0.6, 6L)))
+  }
+
+  test("budget apportionment sums exactly to the budget") {
+    val df = (1 to 7).flatMap(i => Seq.fill(i)(s"d$i")).toDF("dom")
+    val out = Mix.temperatureWeights(df, "dom", lit(1L),
+      alpha = 0.3, budget = 100L).collect()
+    assert(out.map(_.getLong(4)).sum == 100L)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    // natural rounding would drift here: 7 domains, shares irrational
+  }
+
+  test("negative weights raise instead of poisoning the normalizer") {
+    val df = Seq(("a", 5L), ("b", -1L)).toDF("dom", "w")
+    val e = intercept[Exception] {
+      Mix.temperatureWeights(df, "dom", col("w")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("negative or null"))))
+  }
+
+  test("empty input degrades to empty output") {
+    val df = Seq.empty[(String, Long)].toDF("dom", "w")
+    assert(Mix.temperatureWeights(df, "dom", col("w")).collect().isEmpty)
+  }
+}
