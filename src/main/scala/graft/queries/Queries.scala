@@ -4844,7 +4844,107 @@ object Queries {
              |  CAST(fl + CASE WHEN rk_up <= deficit THEN 1 ELSE 0 END
              |          - CASE WHEN rk_down <= -deficit THEN 1 ELSE 0 END
              |    AS BIGINT) AS budget_rows
-             |FROM rk CROSS JOIN df ORDER BY lang""".stripMargin))
+             |FROM rk CROSS JOIN df ORDER BY lang""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q114: Gopher repetition filters (Rae et al. 2021 Table A1) — the
+    // within-document repetition family: dup-line fraction + char
+    // fraction (row-wise HOFs, ZERO shuffle), top-2-gram and dup-5-gram
+    // occurrence-char fractions (one explode per n, (doc,gram)- then
+    // doc-keyed partial aggs; no window wider than a document). The
+    // corpus has no newlines, so lines = 'fast'-token-split chunks, and
+    // planted docs (+10000, doc_id%9) append ' fast alpha beta' x3 —
+    // three identical chunks plus repeated 5-gram windows, making every
+    // metric's nonzero tail load-bearing.
+    QueryDef("q114_gopher_repetition",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"),
+              lit(" fast alpha beta fast alpha beta fast alpha beta"))
+              .as("text"))
+        graft.operators.Repetition.gopherRepetition(
+            d.unionByName(planted), "doc_id", "text", lineSep = "fast")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000,
+             |    text || ' fast alpha beta fast alpha beta fast alpha beta'
+             |  FROM documents WHERE doc_id % 9 = 0),
+             |ln AS (
+             |  SELECT doc_id,
+             |    list_filter(list_transform(string_split(text, 'fast'),
+             |      x -> trim(x)), x -> x <> '') AS lines
+             |  FROM all_docs),
+             |lm AS (
+             |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CASE WHEN len(lines) > 0 THEN
+             |      round(CAST(len(lines) - len(list_distinct(lines))
+             |        AS DOUBLE) / len(lines), 6) ELSE 0.0 END
+             |      AS dup_line_frac,
+             |    CASE WHEN coalesce(list_sum(list_transform(lines,
+             |        x -> length(x))), 0) > 0 THEN
+             |      round(CAST(list_sum(list_transform(lines,
+             |          x -> length(x)))
+             |        - list_sum(list_transform(list_distinct(lines),
+             |          x -> length(x))) AS DOUBLE)
+             |        / list_sum(list_transform(lines, x -> length(x))), 6)
+             |      ELSE 0.0 END AS dup_line_char_frac
+             |  FROM ln),
+             |tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM all_docs),
+             |g2 AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(range(len(toks) - 1),
+             |      i -> array_to_string(toks[i + 1:i + 2], ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS gram
+             |  FROM tok),
+             |c2 AS (SELECT doc_id, gram, count(*) AS cnt
+             |  FROM g2 GROUP BY doc_id, gram),
+             |s2 AS (SELECT doc_id, sum(cnt * length(gram)) AS tot
+             |  FROM c2 GROUP BY doc_id),
+             |t2 AS (
+             |  SELECT doc_id, cnt * length(gram) AS top_chars,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY cnt DESC, gram DESC) AS rn
+             |  FROM c2),
+             |top2 AS (
+             |  SELECT t2.doc_id,
+             |    round(CAST(top_chars AS DOUBLE) / tot, 6)
+             |      AS top_2gram_char_frac
+             |  FROM t2 JOIN s2 ON t2.doc_id = s2.doc_id
+             |  WHERE rn = 1 AND tot > 0),
+             |g5 AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+             |    THEN list_transform(range(len(toks) - 4),
+             |      i -> array_to_string(toks[i + 1:i + 5], ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS gram
+             |  FROM tok),
+             |c5 AS (SELECT doc_id, gram, count(*) AS cnt
+             |  FROM g5 GROUP BY doc_id, gram),
+             |d5 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN sum(cnt * length(gram)) > 0 THEN
+             |      round(CAST(sum(CASE WHEN cnt > 1
+             |          THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+             |        / sum(cnt * length(gram)), 6) ELSE 0.0 END
+             |      AS dup_5gram_char_frac
+             |  FROM c5 GROUP BY doc_id)
+             |SELECT lm.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+             |  coalesce(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+             |  coalesce(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+             |  (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+             |    OR coalesce(top_2gram_char_frac, 0.0) > 0.20
+             |    OR coalesce(dup_5gram_char_frac, 0.0) > 0.15) AS flagged
+             |FROM lm LEFT JOIN top2 USING (doc_id)
+             |LEFT JOIN d5 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF
