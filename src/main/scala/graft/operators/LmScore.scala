@@ -86,4 +86,36 @@ object LmScore {
         coalesce(col("lm_score") < lit(threshold), lit(false))
           .as("low_quality"))
   }
+
+  /** Tercile cutoffs (c1, c2) of `scoreCol` as a 1-row frame, for
+    * [[perplexityBuckets]]. CCNet computes its bucket cutoffs ONCE from the
+    * score distribution and applies them as constants; this mirrors that
+    * split. `exact = false` (the 100-TB path) uses `approx_percentile` — a
+    * mergeable Greenwald-Khanna sketch with bounded memory; `exact = true`
+    * (grading/calibration scale) uses exact interpolated `percentile`
+    * (memory O(distinct scores) on one reducer — only sane when the score
+    * frame is calibration-sized). Both round to 6 so the downstream
+    * boundary compares are engine-stable. */
+  def tercileCuts(scored: DataFrame, scoreCol: String = "lm_score",
+      exact: Boolean = false): DataFrame = {
+    val fn = if (exact) "percentile" else "approx_percentile"
+    scored.agg(
+      round(expr(s"$fn($scoreCol, cast(1 as double)/3)"), 6).as("c1"),
+      round(expr(s"$fn($scoreCol, cast(2 as double)/3)"), 6).as("c2"))
+  }
+
+  /** CCNet head/middle/tail partition (Wenzek et al. 2020 §4.3): 'head' is
+    * the best-scoring (lowest-perplexity) third (score >= c2), 'tail' the
+    * worst (score < c1), 'unscored' the sub-2-token documents the LM cannot
+    * rate. `cuts` is a 1-row (c1, c2) frame ([[tercileCuts]]) joined as a
+    * broadcast literal — the corpus stream is never re-shuffled. */
+  def perplexityBuckets(scored: DataFrame, cuts: DataFrame,
+      scoreCol: String = "lm_score"): DataFrame =
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        when(col(scoreCol).isNull, lit("unscored"))
+          .when(col(scoreCol) >= col("c2"), lit("head"))
+          .when(col(scoreCol) >= col("c1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("c1", "c2")
 }

@@ -4944,7 +4944,140 @@ object Queries {
              |    OR coalesce(dup_5gram_char_frac, 0.0) > 0.15) AS flagged
              |FROM lm LEFT JOIN top2 USING (doc_id)
              |LEFT JOIN d5 USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q115: CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    // 2020 §4.3) — the q98 self-trained bigram LM scores partitioned at
+    // tercile cutoffs. The cutoffs are a 1-row broadcast computed ONCE
+    // (CCNet's own deployment shape: calibrate cutoffs, apply as
+    // constants); grading uses exact interpolated percentile, the 100-TB
+    // path is the mergeable approx_percentile sketch (same operator,
+    // exact=false). Planted md5 soup (q98's plant) pins the tail bucket.
+    QueryDef("q115_perplexity_buckets",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val junk = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", (0 until 8).map(i =>
+              md5((col("doc_id") + lit(i)).cast("string").cast("binary")))
+              : _*).as("text"))
+        val scored = graft.operators.LmScore.lmScore(
+          d.unionByName(junk), "doc_id", "text", alpha = 0.5)
+        val cuts = graft.operators.LmScore.tercileCuts(
+          scored, "lm_score", exact = true)
+        graft.operators.LmScore.perplexityBuckets(scored, cuts)
+          .select(col("id"), col("n_bigrams"), col("lm_score"),
+            col("ppl_bucket"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH pl AS (
+             |  SELECT doc_id + 10000 AS id,
+             |    concat_ws(' ', md5(CAST(doc_id + 0 AS VARCHAR)),
+             |      md5(CAST(doc_id + 1 AS VARCHAR)),
+             |      md5(CAST(doc_id + 2 AS VARCHAR)),
+             |      md5(CAST(doc_id + 3 AS VARCHAR)),
+             |      md5(CAST(doc_id + 4 AS VARCHAR)),
+             |      md5(CAST(doc_id + 5 AS VARCHAR)),
+             |      md5(CAST(doc_id + 6 AS VARCHAR)),
+             |      md5(CAST(doc_id + 7 AS VARCHAR))) AS text
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |corpus AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL SELECT id, text FROM pl),
+             |d AS (
+             |  SELECT id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM corpus),
+             |bg AS (
+             |  SELECT id, unnest(toks[1:len(toks)-1]) AS u,
+             |         unnest(toks[2:len(toks)]) AS v
+             |  FROM d WHERE len(toks) >= 2),
+             |bgc AS (SELECT u, v, count(*) AS c_uv FROM bg GROUP BY u, v),
+             |uc AS (
+             |  SELECT u, count(*) AS c_u
+             |  FROM (SELECT unnest(toks) AS u FROM d) GROUP BY u),
+             |vv AS (SELECT count(*) AS vsz FROM uc),
+             |lp AS (
+             |  SELECT id, ln((coalesce(c_uv, 0) + 0.5)
+             |    / (coalesce(c_u, 0) + 0.5 * vsz)) AS lp
+             |  FROM bg LEFT JOIN bgc USING (u, v) LEFT JOIN uc USING (u)
+             |  CROSS JOIN vv),
+             |sc AS (
+             |  SELECT id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
+             |  FROM lp GROUP BY id),
+             |scored AS (
+             |  SELECT d.id, coalesce(n_bigrams, 0) AS n_bigrams, lm_score
+             |  FROM d LEFT JOIN sc USING (id)),
+             |cuts AS (SELECT
+             |    round(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 6) AS c1,
+             |    round(quantile_cont(lm_score, CAST(2 AS DOUBLE)/3), 6) AS c2
+             |  FROM scored)
+             |SELECT id, n_bigrams, lm_score,
+             |  CASE WHEN lm_score IS NULL THEN 'unscored'
+             |       WHEN lm_score >= c2 THEN 'head'
+             |       WHEN lm_score >= c1 THEN 'middle'
+             |       ELSE 'tail' END AS ppl_bucket
+             |FROM scored CROSS JOIN cuts ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q116: DoReMi loss-driven domain reweighting (Xie et al. 2023) — one
+    // exponentiated-gradient step over per-lang mean LM loss
+    // (loss = -q98-style lm_score, the bigram cross-entropy), smoothed
+    // with uniform mass. The data-side computation of one DoReMi step:
+    // corpus scan -> |domains|-row hash agg -> 1-row broadcasts; pairs
+    // with q113 (sizes set rates there, losses set them here).
+    QueryDef("q116_doremi_reweight",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = graft.operators.LmScore.lmScore(
+          d.select(col("doc_id"), col("text")), "doc_id", "text",
+          alpha = 0.5)
+        val withDom = scored.join(
+          d.select(col("doc_id").as("id"), col("lang")), "id")
+        graft.operators.Doremi.domainReweight(withDom, "lang",
+            -col("lm_score"), eta = 5.0, smoothing = 0.2)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id, lang,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |bg AS (
+             |  SELECT id, unnest(toks[1:len(toks)-1]) AS u,
+             |         unnest(toks[2:len(toks)]) AS v
+             |  FROM d WHERE len(toks) >= 2),
+             |bgc AS (SELECT u, v, count(*) AS c_uv FROM bg GROUP BY u, v),
+             |uc AS (
+             |  SELECT u, count(*) AS c_u
+             |  FROM (SELECT unnest(toks) AS u FROM d) GROUP BY u),
+             |vv AS (SELECT count(*) AS vsz FROM uc),
+             |lp AS (
+             |  SELECT id, ln((coalesce(c_uv, 0) + 0.5)
+             |    / (coalesce(c_u, 0) + 0.5 * vsz)) AS lp
+             |  FROM bg LEFT JOIN bgc USING (u, v) LEFT JOIN uc USING (u)
+             |  CROSS JOIN vv),
+             |sc AS (SELECT id, round(avg(lp), 4) AS lm_score
+             |  FROM lp GROUP BY id),
+             |wl AS (
+             |  SELECT d.lang, -sc.lm_score AS l
+             |  FROM d LEFT JOIN sc USING (id)),
+             |bd AS (
+             |  SELECT lang, count(l) AS n_docs,
+             |    round(avg(l), 6) AS mean_loss
+             |  FROM wl GROUP BY lang),
+             |rf AS (SELECT round(avg(l), 6) AS ref_loss FROM wl),
+             |ex AS (
+             |  SELECT lang, n_docs, mean_loss,
+             |    round(greatest(mean_loss - ref_loss, 0.0), 6) AS excess
+             |  FROM bd CROSS JOIN rf),
+             |ew AS (SELECT *, exp(5.0 * excess) AS w FROM ex),
+             |nz AS (SELECT sum(w) AS z, count(*) AS k FROM ew)
+             |SELECT lang, n_docs, mean_loss, excess,
+             |  round(0.8 * w / z + 0.2 / k, 6) AS weight
+             |FROM ew CROSS JOIN nz ORDER BY lang""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF
