@@ -69,10 +69,17 @@ object Classify {
     val trainToks = labeled.select(isPos.as("is_pos"),
       explode(Text.tokens(col(textCol))).as("tok"))
 
-    // one row per training token: both class counts pivoted at agg time
+    // one row per training token: both class counts pivoted at agg time.
+    // Pinned: the vocab table is otherwise evaluated twice per action (the
+    // scoring join and the totals aggregate — different output prunings, so
+    // exchange reuse cannot kick in), and each evaluation re-scans and
+    // re-tokenizes the full training corpus. The pin is vocab-sized, not
+    // corpus-sized; CacheManager-managed, so the session's clearCache
+    // releases it (the semDedup/connectedComponents pin stance).
     val tokTable = trainToks.groupBy(col("tok")).agg(
       sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
       sum(when(!col("is_pos"), 1L).otherwise(0L)).as("c_neg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // class token totals + |V|: metadata-sized single-row aggregate
     val totals = tokTable.agg(

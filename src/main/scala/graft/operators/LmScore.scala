@@ -62,8 +62,14 @@ object LmScore {
     val trainToks = train.map(toks).getOrElse(scoreToks)
     val bgCounts = bigrams(trainToks)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_uv"))
+    // pinned: otherwise evaluated twice per action (the scoring join and
+    // the vocabulary-size count — pruned differently, so exchange reuse
+    // cannot kick in) and each evaluation re-tokenizes the training
+    // corpus. Vocab-sized, CacheManager-managed (the Classify/semDedup
+    // pin stance).
     val uniCounts = trainToks.select(explode(col("toks")).as("u"))
       .groupBy(col("u")).agg(count(lit(1)).as("c_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // vocabulary size: a single-row aggregate, broadcast as a literal column
     val vocab = uniCounts.agg(count(lit(1)).as("vsz"))
 
