@@ -917,4 +917,49 @@ object Similarity {
     }
     scored.select(col("id"), col("center_rank"), col("center_id"), col("d2"))
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the LASER/CCMatrix bitext recipe): a candidate pair's score is its
+    * cosine RELATIVE to each side's neighborhood density,
+    *
+    *   margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2)
+    *
+    * with avgk = mean cosine of the point's k nearest neighbors in the
+    * OTHER set (the "ratio" margin). Hub points — similar to everything —
+    * get discounted; a pair wins on being MUTUALLY exceptional, which is
+    * why margin beats raw cosine for mining aligned pairs.
+    *
+    * Returns the best `b` partner per `a` row: (a_id, b_id, cosine,
+    * margin), cosine/margin rounded to 6, ties on rounded margin broken by
+    * b_id. Candidates and avgk are both restricted to each side's top-k
+    * frame (the paper's retrieve-then-score shape).
+    *
+    * Scale posture: candidate generation here is [[bruteForceTopK]] (exact,
+    * |a| broadcast) — at index scale swap in [[ivfTopK]]/[[lshTopK]]/
+    * [[pqTopK]] for either direction; everything downstream is top-k-frame
+    * joins and per-id partial aggs, shuffled on the pair ids only, plus a
+    * per-a-id window over <= k candidate rows. */
+  def marginMining(a: DataFrame, aIdCol: String, aVecCol: String,
+      b: DataFrame, bIdCol: String, bVecCol: String,
+      k: Int = 4): DataFrame = {
+    val ab = bruteForceTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k)
+    val ba = bruteForceTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, k)
+    val aAvg = ab.groupBy(col("query_id").as("a_id"))
+      .agg(avg(col("cosine")).as("a_avgk"))
+    val bAvg = ba.groupBy(col("query_id").as("b_id"))
+      .agg(avg(col("cosine")).as("b_avgk"))
+    val scoredPairs = ab
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("cosine"))
+      .join(aAvg, "a_id").join(bAvg, "b_id")
+      .withColumn("margin", round(col("cosine")
+        / ((col("a_avgk") + col("b_avgk")) / 2), 6))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin").desc, col("b_id").asc)
+    scoredPairs.withColumn("brn", row_number().over(w))
+      .filter(col("brn") === 1)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"),
+        col("margin"))
+  }
 }

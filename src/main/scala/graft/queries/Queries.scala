@@ -5077,7 +5077,67 @@ object Queries {
              |nz AS (SELECT sum(w) AS z, count(*) AS k FROM ew)
              |SELECT lang, n_docs, mean_loss, excess,
              |  round(0.8 * w / z + 0.2 / k, 6) AS weight
-             |FROM ew CROSS JOIN nz ORDER BY lang""".stripMargin))
+             |FROM ew CROSS JOIN nz ORDER BY lang""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q117: margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    // LASER/CCMatrix aligned-pair recipe): best partner per source vector
+    // by RATIO margin cos/(neighborhood mean), which discounts hubs. Side
+    // a = every 5th vector; side b = their +0.02 planted twins plus
+    // %5==2 distractors — the twin must win every a's mining slot at a
+    // margin its distractors can't reach, so both the pairing and the
+    // margin arithmetic are load-bearing. Candidate gen is the exact
+    // top-k (the ANN index family slots in at scale); the margin stage is
+    // top-k-frame joins + per-id partial aggs only.
+    QueryDef("q117_bitext_margin",
+      (s, dir) => {
+        val e = plantedVecs(s, dir)
+        val a = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 100000)
+        val b = e.filter(col("vec_id") >= 100000 ||
+          col("vec_id") % 5 === 2)
+        Similarity.marginMining(a, "vec_id", "vec", b, "vec_id", "vec",
+            k = 4)
+          .orderBy(col("a_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |a AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 5 = 0),
+             |b AS (
+             |  SELECT vec_id + 100000 AS id,
+             |    list_transform(v, x -> x + 0.02) AS v
+             |  FROM e WHERE vec_id % 5 = 0
+             |  UNION ALL
+             |  SELECT vec_id AS id, v FROM e WHERE vec_id % 5 = 2),
+             |ab AS (
+             |  SELECT a.id AS a_id, b.id AS b_id,
+             |    list_cosine_similarity(a.v, b.v) AS cosine,
+             |    row_number() OVER (PARTITION BY a.id
+             |      ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+             |        b.id ASC) AS rn
+             |  FROM a, b),
+             |ka AS (SELECT a_id, avg(cosine) AS a_avgk
+             |  FROM ab WHERE rn <= 4 GROUP BY a_id),
+             |ba AS (
+             |  SELECT b.id AS b_id, a.id AS a_id,
+             |    list_cosine_similarity(b.v, a.v) AS cosine,
+             |    row_number() OVER (PARTITION BY b.id
+             |      ORDER BY list_cosine_similarity(b.v, a.v) DESC,
+             |        a.id ASC) AS rn
+             |  FROM b, a),
+             |kb AS (SELECT b_id, avg(cosine) AS b_avgk
+             |  FROM ba WHERE rn <= 4 GROUP BY b_id),
+             |sc AS (
+             |  SELECT ab.a_id, ab.b_id, ab.cosine,
+             |    round(ab.cosine / ((a_avgk + b_avgk) / 2), 6) AS margin
+             |  FROM ab JOIN ka USING (a_id) JOIN kb USING (b_id)
+             |  WHERE ab.rn <= 4),
+             |best AS (
+             |  SELECT *, row_number() OVER (PARTITION BY a_id
+             |    ORDER BY margin DESC, b_id ASC) AS brn
+             |  FROM sc)
+             |SELECT a_id, b_id, round(cosine, 6) AS cosine, margin
+             |FROM best WHERE brn = 1 ORDER BY a_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

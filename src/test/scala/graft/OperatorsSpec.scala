@@ -1183,4 +1183,41 @@ class OperatorsSpec extends AnyFunSuite {
       df.repartition(11, col("vec_id")), "vec_id", "vec", 4)
     assert(a == b)
   }
+
+  test("marginMining: hand-computed ratio margins, hub discounted") {
+    // a1=(1,0), a2=(0,1); b: exact twins b1/b2 plus the hub b3=(1,1),
+    // which has cosine 1/sqrt(2) to BOTH a's. With k=2:
+    //   avgk(a1) = (1 + c)/2, avgk(b1) = (1 + 0)/2, avgk(b3) = c
+    // margin(a1,b1) = 1 / ((avgk(a1) + 0.5)/2) ~ 1.4776 — the twin wins
+    // even though the hub's raw cosine is a strong 0.707.
+    val a = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val b = Seq((11L, Seq(1.0, 0.0)), (12L, Seq(0.0, 1.0)),
+      (13L, Seq(1.0, 1.0))).toDF("id", "vec")
+    val out = graft.operators.Similarity.marginMining(
+        a, "id", "vec", b, "id", "vec", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val c = 1.0 / math.sqrt(2.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r6(1.0 / (((1.0 + c) / 2 + 0.5) / 2))
+    assert(out(1L) == ((11L, 1.0, expected)))
+    assert(out(2L) == ((12L, 1.0, expected)))
+  }
+
+  test("marginMining recovers planted twins against distractors") {
+    // mutually orthogonal sources (basis vectors) so neighborhoods don't
+    // overlap; twins at +0.02 per component, distractors are complement
+    // vectors (cosine 0 to their own source, ~0.38 to the others)
+    val base = (0L until 8L).map(i => (i,
+      Seq.tabulate(8)(d => if (d == i) 1.0 else 0.0)))
+    val a = base.toDF("id", "vec")
+    val twins = base.map { case (i, v) => (i + 100, v.map(_ + 0.02)) }
+    val distract = base.map { case (i, v) => (i + 200, v.map(1.0 - _)) }
+    val b = (twins ++ distract).toDF("id", "vec")
+    val out = graft.operators.Similarity.marginMining(
+        a, "id", "vec", b, "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 8 && out.forall { case (ai, bi) => bi == ai + 100 })
+  }
 }
