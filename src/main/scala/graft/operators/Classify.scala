@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -61,25 +61,34 @@ object Classify {
     * |V|. Training that ends up single-class or empty fails loudly at
     * execution time (`raise_error` folded into the prior term) instead of
     * degrading to an all-one-class or all-default scorer. */
+  /** Label-filtered training rows (stray/null labels dropped). */
+  private[graft] def labeledOnly(train: DataFrame, labelCol: String,
+      posLabel: String, negLabel: String): DataFrame =
+    train.filter(col(labelCol).isin(posLabel, negLabel))
+
+  /** The pivoted per-token class-count table (tok, c_pos, c_neg) — one row
+    * per training token. Pinned: the vocab table is otherwise evaluated
+    * twice per action (the scoring join and the totals aggregate —
+    * different output prunings, so exchange reuse cannot kick in), and
+    * each evaluation re-scans and re-tokenizes the full training corpus.
+    * The pin is vocab-sized, not corpus-sized; CacheManager-managed, so
+    * the session's clearCache releases it (the semDedup/
+    * connectedComponents pin stance). */
+  private[graft] def vocabCounts(labeled: DataFrame, textCol: String,
+      isPos: Column): DataFrame =
+    labeled.select(isPos.as("is_pos"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("c_neg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def nbTrainScore(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, labelCol: String, posLabel: String, negLabel: String,
       alpha: Double = 1.0): DataFrame = {
     val isPos = col(labelCol) === lit(posLabel)
-    val labeled = train.filter(col(labelCol).isin(posLabel, negLabel))
-    val trainToks = labeled.select(isPos.as("is_pos"),
-      explode(Text.tokens(col(textCol))).as("tok"))
-
-    // one row per training token: both class counts pivoted at agg time.
-    // Pinned: the vocab table is otherwise evaluated twice per action (the
-    // scoring join and the totals aggregate — different output prunings, so
-    // exchange reuse cannot kick in), and each evaluation re-scans and
-    // re-tokenizes the full training corpus. The pin is vocab-sized, not
-    // corpus-sized; CacheManager-managed, so the session's clearCache
-    // releases it (the semDedup/connectedComponents pin stance).
-    val tokTable = trainToks.groupBy(col("tok")).agg(
-      sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
-      sum(when(!col("is_pos"), 1L).otherwise(0L)).as("c_neg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labeled = labeledOnly(train, labelCol, posLabel, negLabel)
+    val tokTable = vocabCounts(labeled, textCol, isPos)
 
     // class token totals + |V|: metadata-sized single-row aggregate
     val totals = tokTable.agg(

@@ -208,4 +208,46 @@ class Streaming2Spec extends AnyFunSuite {
         "Bloom words diverged from batch")
     } finally q.stop()
   }
+
+  test("streaming NB scoring == batch nbTrainScore on every rounded score") {
+    import graft.streaming.ClassifyStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(("p1", "good good fine", "good"),
+      ("p2", "good fine", "good"), ("n1", "bad bad awful", "junk"),
+      ("n2", "bad", "junk")).toDF("id", "text", "label")
+    val docs = Seq((1L, "good bad"), (2L, "good good fine"),
+      (3L, "zombie unseen tokens"), (4L, "  "))
+    val m = ClassifyStream.trainModel(train, "text", "label", "good", "junk")
+    val input = MemoryStream[(Long, String)]
+    val q = ClassifyStream.scoreDocs(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", m)
+      .writeStream.format("memory").queryName("nbscores")
+      .start()  // append mode: the scoring plan must be stateless
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("nbscores").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      val want = graft.operators.Classify.nbTrainScore(train,
+          docs.toDF("doc_id", "text"), "doc_id", "text", "label",
+          "good", "junk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming NB trainModel rejects single-class training") {
+    import graft.streaming.ClassifyStream
+    import spark.implicits._
+    val train = Seq(("p1", "good", "good")).toDF("id", "text", "label")
+    val e = intercept[IllegalArgumentException] {
+      ClassifyStream.trainModel(train, "text", "label", "good", "junk")
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
 }
