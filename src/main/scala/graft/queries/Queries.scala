@@ -5137,7 +5137,158 @@ object Queries {
              |    ORDER BY margin DESC, b_id ASC) AS brn
              |  FROM sc)
              |SELECT a_id, b_id, round(cosine, 6) AS cosine, margin
-             |FROM best WHERE brn = 1 ORDER BY a_id""".stripMargin))
+             |FROM best WHERE brn = 1 ORDER BY a_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q118: the composed curation pipeline (RefinedWeb/Dolma shape) —
+    // raw corpus in, per-document verdicts out: exact-dedup survivor
+    // status (one shuffle on the normalized-content key), Gopher
+    // repetition flag (q114's operator), CCNet perplexity bucket (q115's
+    // operator), and the final kept = not-dup AND not-repetitive AND
+    // not-tail. Each constituent is independently graded with plants
+    // (q18/q114/q115); what THIS query grades is the composition — three
+    // verdict frames all keyed by doc, joined doc-keyed, one pass each.
+    // Planted exact copies (doc_id%11, +10000) make is_dup load-bearing.
+    QueryDef("q118_curation_pipeline",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val copies = d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        val all = d.unionByName(copies)
+        val w = Window
+          .partitionBy(Cleaning.normName(col("text")))
+          .orderBy(col("doc_id").asc)
+        val dd = all.select(col("doc_id"),
+          (row_number().over(w) > 1).as("is_dup"))
+        val rp = graft.operators.Repetition.gopherRepetition(
+            all, "doc_id", "text", lineSep = "fast")
+          .select(col("doc_id"), col("flagged").as("rep_flagged"))
+        val scored = graft.operators.LmScore.lmScore(
+          all, "doc_id", "text", alpha = 0.5)
+        val bk = graft.operators.LmScore.perplexityBuckets(scored,
+            graft.operators.LmScore.tercileCuts(scored, "lm_score",
+              exact = true))
+          .select(col("id").as("doc_id"), col("ppl_bucket"))
+        dd.join(rp, "doc_id").join(bk, "doc_id")
+          .select(col("doc_id"), col("is_dup"), col("rep_flagged"),
+            col("ppl_bucket"),
+            (!col("is_dup") && !col("rep_flagged") &&
+              col("ppl_bucket") =!= "tail").as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents
+             |  WHERE doc_id % 11 = 0),
+             |dd AS (
+             |  SELECT doc_id, row_number() OVER (
+             |    PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+             |    ORDER BY doc_id) > 1 AS is_dup
+             |  FROM all_docs),
+             |ln AS (
+             |  SELECT doc_id,
+             |    list_filter(list_transform(string_split(text, 'fast'),
+             |      x -> trim(x)), x -> x <> '') AS lines
+             |  FROM all_docs),
+             |lm AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(lines) > 0 THEN
+             |      round(CAST(len(lines) - len(list_distinct(lines))
+             |        AS DOUBLE) / len(lines), 6) ELSE 0.0 END
+             |      AS dup_line_frac,
+             |    CASE WHEN coalesce(list_sum(list_transform(lines,
+             |        x -> length(x))), 0) > 0 THEN
+             |      round(CAST(list_sum(list_transform(lines,
+             |          x -> length(x)))
+             |        - list_sum(list_transform(list_distinct(lines),
+             |          x -> length(x))) AS DOUBLE)
+             |        / list_sum(list_transform(lines, x -> length(x))), 6)
+             |      ELSE 0.0 END AS dup_line_char_frac
+             |  FROM ln),
+             |tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM all_docs),
+             |g2 AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(range(len(toks) - 1),
+             |      i -> array_to_string(toks[i + 1:i + 2], ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS gram
+             |  FROM tok),
+             |c2 AS (SELECT doc_id, gram, count(*) AS cnt
+             |  FROM g2 GROUP BY doc_id, gram),
+             |s2 AS (SELECT doc_id, sum(cnt * length(gram)) AS tot
+             |  FROM c2 GROUP BY doc_id),
+             |t2 AS (
+             |  SELECT doc_id, cnt * length(gram) AS top_chars,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY cnt DESC, gram DESC) AS rn
+             |  FROM c2),
+             |top2 AS (
+             |  SELECT t2.doc_id,
+             |    round(CAST(top_chars AS DOUBLE) / tot, 6) AS top2
+             |  FROM t2 JOIN s2 ON t2.doc_id = s2.doc_id
+             |  WHERE rn = 1 AND tot > 0),
+             |g5 AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+             |    THEN list_transform(range(len(toks) - 4),
+             |      i -> array_to_string(toks[i + 1:i + 5], ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS gram
+             |  FROM tok),
+             |c5 AS (SELECT doc_id, gram, count(*) AS cnt
+             |  FROM g5 GROUP BY doc_id, gram),
+             |d5 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN sum(cnt * length(gram)) > 0 THEN
+             |      round(CAST(sum(CASE WHEN cnt > 1
+             |          THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+             |        / sum(cnt * length(gram)), 6) ELSE 0.0 END AS dup5
+             |  FROM c5 GROUP BY doc_id),
+             |rp AS (
+             |  SELECT lm.doc_id,
+             |    (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+             |      OR coalesce(top2, 0.0) > 0.20
+             |      OR coalesce(dup5, 0.0) > 0.15) AS rep_flagged
+             |  FROM lm LEFT JOIN top2 USING (doc_id)
+             |  LEFT JOIN d5 USING (doc_id)),
+             |bg AS (
+             |  SELECT doc_id AS id, unnest(toks[1:len(toks)-1]) AS u,
+             |         unnest(toks[2:len(toks)]) AS v
+             |  FROM tok WHERE len(toks) >= 2),
+             |bgc AS (SELECT u, v, count(*) AS c_uv FROM bg GROUP BY u, v),
+             |uc AS (
+             |  SELECT u, count(*) AS c_u
+             |  FROM (SELECT unnest(toks) AS u FROM tok) GROUP BY u),
+             |vv AS (SELECT count(*) AS vsz FROM uc),
+             |lp AS (
+             |  SELECT id, ln((coalesce(c_uv, 0) + 0.5)
+             |    / (coalesce(c_u, 0) + 0.5 * vsz)) AS lp
+             |  FROM bg LEFT JOIN bgc USING (u, v) LEFT JOIN uc USING (u)
+             |  CROSS JOIN vv),
+             |sc AS (
+             |  SELECT id, round(avg(lp), 4) AS lm_score
+             |  FROM lp GROUP BY id),
+             |scored AS (
+             |  SELECT doc_id, lm_score
+             |  FROM all_docs LEFT JOIN sc ON all_docs.doc_id = sc.id),
+             |cuts AS (SELECT
+             |    round(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 6) AS c1,
+             |    round(quantile_cont(lm_score, CAST(2 AS DOUBLE)/3), 6) AS c2
+             |  FROM scored),
+             |bk AS (
+             |  SELECT doc_id,
+             |    CASE WHEN lm_score IS NULL THEN 'unscored'
+             |         WHEN lm_score >= c2 THEN 'head'
+             |         WHEN lm_score >= c1 THEN 'middle'
+             |         ELSE 'tail' END AS ppl_bucket
+             |  FROM scored CROSS JOIN cuts)
+             |SELECT dd.doc_id, is_dup, rep_flagged, ppl_bucket,
+             |  (NOT is_dup AND NOT rep_flagged AND ppl_bucket <> 'tail')
+             |    AS kept
+             |FROM dd JOIN rp USING (doc_id) JOIN bk USING (doc_id)
+             |ORDER BY dd.doc_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF
