@@ -148,4 +148,28 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"candidate filter must not shuffle the token stream:\n$plan")
   }
+
+  test("q112/q114/q118: the round-8 curation queries keep their shapes") {
+    assume(new java.io.File(SfDir).isDirectory)
+    // q112 NB: the vocab table is pinned (InMemoryRelation), so the
+    // scoring join and the totals aggregate read the cache instead of
+    // re-tokenizing the training corpus each
+    val p112 = planOf("q112_nb_quality_classifier")
+    assert(p112.contains("InMemoryRelation"),
+      "q112's vocab table lost its persist pin")
+    // q114 repetition: line metrics are row-wise HOFs (no explode), so
+    // the whole query carries exactly two Generates — one per n-gram size
+    val p114 = planOf("q114_gopher_repetition")
+    assert("Generate".r.findAllMatchIn(p114).size == 2,
+      s"q114 should explode exactly twice (2-grams and 5-grams):\n$p114")
+    // q118 composition: three verdict frames joined doc-keyed; nothing in
+    // the pipeline may degenerate to a cartesian join
+    val p118 = planOf("q118_curation_pipeline")
+    assert(!p118.contains("CartesianProduct"),
+      s"q118 plans a cartesian product:\n$p118")
+    // the LM-score pin from lmScore + the NB-style bucket broadcast: the
+    // unigram table must be cached, not rebuilt per consumer
+    assert(p118.contains("InMemoryRelation"),
+      "q118's unigram table lost its persist pin")
+  }
 }
