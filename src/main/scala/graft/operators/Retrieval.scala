@@ -129,4 +129,45 @@ object Retrieval {
       .join(broadcast(terms.select("term").distinct()), "term")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** Boolean-AND relevance: the docs containing EVERY term of each query
+    * — the classic graded-retrieval ground truth when no human labels
+    * exist. Built from the same [[docTermFreq]] frame the rankers score,
+    * so the token stream is scanned once across ranking AND truth. */
+  def conjunctiveTruth(dtf: DataFrame, queries: DataFrame): DataFrame = {
+    val qn = queries.groupBy(col("query_id"))
+      .agg(countDistinct(col("term")).as("__qn"))
+    dtf.join(broadcast(queries.select("query_id", "term").distinct()),
+        "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("__nt"))
+      .join(broadcast(qn), "query_id")
+      .filter(col("__nt") === col("__qn"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
+  /** Per-query ranking-quality metrics of `ranked(query_id, doc_id,
+    * rank)` against a relevance set `truth(query_id, doc_id)`:
+    * (query_id, n_relevant, hits_at_k, recall_at_k, rr_at_k) — rr is the
+    * reciprocal rank of the first relevant hit within the top k (0 when
+    * none); macro-MRR/mean-recall are one tiny agg away. Two partial-agg
+    * shuffles on (query, doc)-sized frames; queries with an empty
+    * relevance set report zeros rather than dividing by zero. */
+  def evalRanking(ranked: DataFrame, truth: DataFrame,
+      k: Int = 10): DataFrame = {
+    val hits = ranked.filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits_at_k"),
+        min(col("rank")).as("__first"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        when(col("n_relevant") > 0,
+          round(coalesce(col("hits_at_k"), lit(0L)).cast("double")
+            / col("n_relevant"), 6)).otherwise(0.0).as("recall_at_k"),
+        coalesce(round(lit(1.0) / col("__first"), 6), lit(0.0))
+          .as("rr_at_k"))
+  }
 }

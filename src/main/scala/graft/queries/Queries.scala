@@ -5288,7 +5288,86 @@ object Queries {
              |  (NOT is_dup AND NOT rep_flagged AND ppl_bucket <> 'tail')
              |    AS kept
              |FROM dd JOIN rp USING (doc_id) JOIN bk USING (doc_id)
-             |ORDER BY dd.doc_id""".stripMargin))
+             |ORDER BY dd.doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q119: retrieval-quality evaluation — recall@10 and reciprocal rank
+    // of the q88 BM25 ranking against boolean-AND relevance (docs
+    // containing every query term), the labels-free graded-retrieval
+    // ground truth. Ranking, truth, AND the df aggregate all hang off ONE
+    // docTermFreq definition, so the token stream is scanned once and the
+    // identical exchanges dedupe at runtime (the q88/q91 reuse stance).
+    QueryDef("q119_retrieval_eval",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val q = retrievalQueries(s)
+        val R = graft.operators.Retrieval
+        val dtf = R.docTermFreq(d, "doc_id", "text", q)
+        val byDoc = R.bm25ScoresOf(dtf, R.corpusStats(d, "text"), q)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val ranked = byDoc
+          .withColumn("rank", row_number().over(w).cast("long"))
+        R.evalRanking(ranked, R.conjunctiveTruth(dtf, q), k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |    (1, 'vector'), (1, 'join'),
+             |    (2, 'customer'), (2, 'batch'), (2, 'window'),
+             |    (3, 'slow'), (3, 'scan')),
+             |toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> x <> '') AS tk
+             |  FROM documents),
+             |words AS (
+             |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+             |  FROM toks),
+             |dtf AS (
+             |  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl
+             |  FROM words WHERE term IN (SELECT term FROM q)
+             |  GROUP BY 1, 2),
+             |dfx AS (SELECT term, count(*) AS df FROM dtf GROUP BY 1),
+             |st AS (
+             |  SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks),
+             |sc AS (
+             |  SELECT q.query_id, dtf.doc_id,
+             |    round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             |      * (tf * 2.2)
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS ts
+             |  FROM dtf JOIN dfx USING (term) JOIN q USING (term)
+             |  CROSS JOIN st),
+             |agg AS (
+             |  SELECT query_id, doc_id, round(sum(ts), 6) AS score,
+             |    count(*) AS n_terms_hit
+             |  FROM sc GROUP BY 1, 2),
+             |r AS (
+             |  SELECT query_id, doc_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             |  FROM agg),
+             |qn AS (SELECT query_id, count(DISTINCT term) AS qn
+             |  FROM q GROUP BY 1),
+             |truth AS (
+             |  SELECT query_id, doc_id
+             |  FROM (SELECT q.query_id, dtf.doc_id,
+             |          count(DISTINCT dtf.term) AS nt
+             |        FROM dtf JOIN q USING (term) GROUP BY 1, 2)
+             |  JOIN qn USING (query_id) WHERE nt = qn),
+             |hits AS (
+             |  SELECT r.query_id, count(*) AS hits_at_k,
+             |    min(rank) AS first_rank
+             |  FROM r JOIN truth USING (query_id, doc_id)
+             |  WHERE rank <= 10 GROUP BY 1),
+             |nrel AS (SELECT query_id, count(*) AS n_relevant
+             |  FROM truth GROUP BY 1)
+             |SELECT query_id, n_relevant,
+             |  coalesce(hits_at_k, 0) AS hits_at_k,
+             |  CASE WHEN n_relevant > 0 THEN
+             |    round(CAST(coalesce(hits_at_k, 0) AS DOUBLE) / n_relevant, 6)
+             |  ELSE 0.0 END AS recall_at_k,
+             |  coalesce(round(1.0 / first_rank, 6), 0.0) AS rr_at_k
+             |FROM nrel LEFT JOIN hits USING (query_id)
+             |ORDER BY query_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

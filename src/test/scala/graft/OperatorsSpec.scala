@@ -172,6 +172,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graphs.pageRank(cycle.limit(0), iters = 1).isEmpty)
   }
 
+  test("pageRank deep iteration: checkpointed lineage == uncheckpointed") {
+    import graft.operators.Graphs
+    val star = Seq(("h", "s1"), ("s1", "h"), ("h", "s2"), ("s2", "h"),
+      ("s1", "s2"), ("s2", "s1")).toDF("src", "dst")
+    def ranks(ckpt: Int) = Graphs.pageRank(star, iters = 12,
+        checkpointEvery = ckpt)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // checkpoint truncates the PLAN only — the 1e-9-rounded values are
+    // bit-identical with and without it
+    assert(ranks(5) == ranks(0))
+  }
+
   test("incrementalLshPairs: batch pairs found, corpus-corpus never re-paired") {
     val corpus = docs(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -97,4 +97,28 @@ class RetrievalSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(tiOf == ti)
   }
+
+  test("conjunctiveTruth: docs containing EVERY query term") {
+    val corpus = Seq((1L, "a b c"), (2L, "a c"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("query_id", "term")
+    val dtf = Retrieval.docTermFreq(corpus, "doc_id", "text", q)
+    val truth = Retrieval.conjunctiveTruth(dtf, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((1L, 1L), (2L, 1L), (2L, 2L)))
+  }
+
+  test("evalRanking: hand-computed recall@k and reciprocal rank") {
+    val ranked = Seq((1L, 5L, 1L), (1L, 2L, 2L), (1L, 9L, 3L),
+      (1L, 3L, 4L), (2L, 7L, 1L)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 8L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalRanking(ranked, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // q1: relevant {1,2,3}; top-3 = {5,2,9} -> hit d2 at rank 2:
+    // recall 1/3, rr 1/2. q2: relevant {8}, no hit -> zeros.
+    assert(out(1L) == ((3L, 1L, 0.333333, 0.5)))
+    assert(out(2L) == ((1L, 0L, 0.0, 0.0)))
+  }
 }
