@@ -146,6 +146,45 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"))
   }
 
+  /** Exact phrase search via a positional inverted index — the algorithm
+    * a search engine runs on its positions file (Manning et al., IR 2008
+    * §2.4.2, public): tokenize docs WITH positions, join the posting
+    * stream against the (term, offset) rows of each phrase, shift every
+    * hit to its implied phrase START (pos - offset), and a start having
+    * ALL the phrase's offsets present is a match. Overlapping matches
+    * count ("a a a" contains "a a" twice); repeated phrase terms work
+    * because (pos, offset) hit pairs are distinct.
+    *
+    * Returns (phrase_id, doc_id, n_matches), matched docs only.
+    *
+    * Scale posture: ONE posting-stream shuffle on term (the join), one
+    * partial agg on (phrase, doc, start), one on (phrase, doc); the
+    * phrase table is query-sized and broadcasts. No per-phrase text
+    * re-scan — the doc stream is tokenized exactly once for any number
+    * of phrases. */
+  def phraseSearch(docs: DataFrame, docIdCol: String, textCol: String,
+      phrases: DataFrame): DataFrame = {
+    val pterms = phrases.select(col("phrase_id"),
+      posexplode(Text.tokens(col("phrase"))))
+      .withColumnRenamed("pos", "off").withColumnRenamed("col", "term")
+    val plen = pterms.groupBy(col("phrase_id"))
+      .agg(count(lit(1)).as("__plen"))
+    val postings = docs
+      .select(col(docIdCol).as("doc_id"),
+        posexplode(Text.tokens(col(textCol))))
+      .withColumnRenamed("col", "term")
+    postings.join(broadcast(pterms), "term")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("phrase_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("__nhit"))
+      .join(broadcast(plen), "phrase_id")
+      .filter(col("__nhit") === col("__plen"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Per-query ranking-quality metrics of `ranked(query_id, doc_id,
     * rank)` against a relevance set `truth(query_id, doc_id)`:
     * (query_id, n_relevant, hits_at_k, recall_at_k, rr_at_k) — rr is the

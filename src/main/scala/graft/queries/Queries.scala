@@ -5367,7 +5367,58 @@ object Queries {
              |  ELSE 0.0 END AS recall_at_k,
              |  coalesce(round(1.0 / first_rank, 6), 0.0) AS rr_at_k
              |FROM nrel LEFT JOIN hits USING (query_id)
-             |ORDER BY query_id""".stripMargin))
+             |ORDER BY query_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q120: exact phrase search over the positional inverted index — the
+    // positions-file algorithm (Manning et al. IR 2008 §2.4.2): postings
+    // (doc, pos, term) join the phrase's (term, offset) rows, every hit
+    // shifts to its implied start (pos - offset), and a start holding ALL
+    // offsets is a match (overlaps counted). ONE posting shuffle however
+    // many phrases; no per-phrase text re-scan. The twin restates the
+    // identical index join.
+    QueryDef("q120_phrase_search",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val phrases = Seq((1L, "fast column"), (2L, "the customer"),
+          (3L, "group query"), (4L, "join join"))
+          .toDF("phrase_id", "phrase")
+        graft.operators.Retrieval.phraseSearch(d, "doc_id", "text", phrases)
+          .orderBy(col("phrase_id"), col("doc_id"))
+      },
+      Some("""WITH ph(phrase_id, off, term) AS (VALUES
+             |    (1, 0, 'fast'), (1, 1, 'column'),
+             |    (2, 0, 'the'), (2, 1, 'customer'),
+             |    (3, 0, 'group'), (3, 1, 'query'),
+             |    (4, 0, 'join'), (4, 1, 'join')),
+             |plen AS (SELECT phrase_id, count(*) AS plen
+             |  FROM ph GROUP BY 1),
+             |tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM documents),
+             |posting AS (
+             |  SELECT doc_id, unnest(range(len(toks))) AS pos,
+             |         unnest(toks) AS term
+             |  FROM tok),
+             |starts AS (
+             |  SELECT ph.phrase_id, posting.doc_id,
+             |    pos - off AS start
+             |  FROM posting JOIN ph USING (term)
+             |  WHERE pos - off >= 0),
+             |full_hits AS (
+             |  SELECT phrase_id, doc_id, start, count(*) AS nhit
+             |  FROM starts GROUP BY 1, 2, 3),
+             |matches AS (
+             |  SELECT f.phrase_id, doc_id
+             |  FROM full_hits f JOIN plen USING (phrase_id)
+             |  WHERE nhit = plen)
+             |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+             |  count(*) AS n_matches
+             |FROM matches GROUP BY 1, 2
+             |ORDER BY phrase_id, doc_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

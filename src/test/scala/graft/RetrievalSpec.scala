@@ -121,4 +121,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(1L) == ((3L, 1L, 0.333333, 0.5)))
     assert(out(2L) == ((1L, 0L, 0.0, 0.0)))
   }
+
+  test("phraseSearch: positional matches, overlaps, repeated terms") {
+    val docs = Seq((1L, "a a a b"), (2L, "b a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val phrases = Seq((10L, "a a"), (20L, "a b"), (30L, "b a b"),
+      (40L, "c"), (50L, "a c")).toDF("phrase_id", "phrase")
+    val out = Retrieval.phraseSearch(docs, "doc_id", "text", phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      (10L, 1L) -> 2L,  // "a a" overlaps twice in "a a a"
+      (20L, 1L) -> 1L,  // "a b" once in doc 1
+      (20L, 2L) -> 1L,  // and once in doc 2
+      (30L, 2L) -> 1L,  // repeated-term 3-gram exact
+      (40L, 3L) -> 1L)) // single-token phrase
+    // (50,"a c"): adjacency required — "a" and "c" never adjacent, no row
+  }
 }
