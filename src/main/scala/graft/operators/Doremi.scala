@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
   * the |domains|-sized frame. No window, no collect, nothing iterative over
   * the corpus.
   *
-  * Determinism: per-domain and corpus means round to 6 before the exp —
-  * summation order cannot leak into the weights; final weights round to 6.
+  * Determinism: losses are quantized to 4 decimals and summed as exact
+  * scaled integers, so each mean is ONE IEEE division of exact longs —
+  * bit-identical under any partitioning or engine. (A plain avg-then-round
+  * is NOT safe here: averaging already-quantized values lands exactly on
+  * 6-decimal rounding boundaries often — discrete sums over small counts —
+  * and summation order then flips the rounded mean; caught by
+  * DeterminismSpec.) Final weights round to 6 after the exp.
   */
 object Doremi {
 
@@ -40,11 +45,17 @@ object Doremi {
     * (6-decimal rounding), n_docs counting rows with non-null loss. */
   def domainReweight(df: DataFrame, domainCol: String, loss: Column,
       eta: Double = 1.0, smoothing: Double = 0.01): DataFrame = {
-    val withLoss = df.select(col(domainCol), loss.as("l"))
+    // 4-decimal quantized loss as an exact integer: the sums are exact,
+    // each mean is one IEEE division — partitioning/engine-independent
+    val withLoss = df.select(col(domainCol),
+      round(loss * 10000).cast("long").as("li"))
+    def mean6(s: Column, n: Column): Column =
+      round(s.cast("double") / (n * 10000.0), 6)
     val byDom = withLoss.groupBy(col(domainCol)).agg(
-      count(col("l")).as("n_docs"),
-      round(avg(col("l")), 6).as("mean_loss"))
-    val ref = withLoss.agg(round(avg(col("l")), 6).as("ref_loss"))
+      count(col("li")).as("n_docs"),
+      mean6(sum(col("li")), count(col("li"))).as("mean_loss"))
+    val ref = withLoss.agg(
+      mean6(sum(col("li")), count(col("li"))).as("ref_loss"))
     val ex = byDom.crossJoin(broadcast(ref))
       .withColumn("excess",
         round(greatest(col("mean_loss") - col("ref_loss"), lit(0.0)), 6))

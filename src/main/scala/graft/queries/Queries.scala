@@ -5062,13 +5062,15 @@ object Queries {
              |sc AS (SELECT id, round(avg(lp), 4) AS lm_score
              |  FROM lp GROUP BY id),
              |wl AS (
-             |  SELECT d.lang, -sc.lm_score AS l
+             |  SELECT d.lang,
+             |    CAST(round(-sc.lm_score * 10000) AS BIGINT) AS li
              |  FROM d LEFT JOIN sc USING (id)),
              |bd AS (
-             |  SELECT lang, count(l) AS n_docs,
-             |    round(avg(l), 6) AS mean_loss
+             |  SELECT lang, count(li) AS n_docs,
+             |    round(sum(li) / (10000.0 * count(li)), 6) AS mean_loss
              |  FROM wl GROUP BY lang),
-             |rf AS (SELECT round(avg(l), 6) AS ref_loss FROM wl),
+             |rf AS (SELECT round(sum(li) / (10000.0 * count(li)), 6)
+             |  AS ref_loss FROM wl),
              |ex AS (
              |  SELECT lang, n_docs, mean_loss,
              |    round(greatest(mean_loss - ref_loss, 0.0), 6) AS excess

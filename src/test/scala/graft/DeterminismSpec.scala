@@ -166,4 +166,71 @@ class DeterminismSpec extends AnyFunSuite {
     }
     same(heavy(words.repartition(1)), heavy(words.repartition(13)))
   }
+
+  private lazy val r8docs = (1L to 80L).map(i =>
+    (i, (0 until 24).map(j => s"t${(i * 7 + j * 3) % 21}").mkString(" "),
+      s"d${i % 5}"))
+    .toDF("doc_id", "text", "dom")
+
+  test("NB classifier scores are partitioning-invariant") {
+    import graft.operators.Classify
+    val train = r8docs.withColumn("label",
+      when(col("doc_id") % 2 === 0, "good").otherwise("junk"))
+    def nb(df: DataFrame) = Classify.nbTrainScore(
+      df, r8docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", "label", "good", "junk")
+    same(nb(train.repartition(1)), nb(train.repartition(13)))
+  }
+
+  test("temperature mix weights and budgets are partitioning-invariant") {
+    import graft.operators.Mix
+    def mix(df: DataFrame) = Mix.temperatureWeights(df, "dom",
+      graft.functions.Text.tokenCount(col("text")).cast("long"),
+      alpha = 0.3, budget = 997L)
+    same(mix(r8docs.repartition(1)), mix(r8docs.repartition(13)))
+  }
+
+  test("repetition metrics are partitioning-invariant") {
+    import graft.operators.Repetition
+    def rep(df: DataFrame) = Repetition.gopherRepetition(
+      df, "doc_id", "text", lineSep = "t3")
+    same(rep(r8docs.repartition(1)), rep(r8docs.repartition(13)))
+  }
+
+  test("perplexity buckets and DoReMi weights are partitioning-invariant") {
+    import graft.operators.{Doremi, LmScore}
+    def bk(df: DataFrame) = {
+      val scored = LmScore.lmScore(df, "doc_id", "text")
+      LmScore.perplexityBuckets(scored,
+        LmScore.tercileCuts(scored, "lm_score", exact = true))
+    }
+    same(bk(r8docs.repartition(1)), bk(r8docs.repartition(13)))
+    def dr(df: DataFrame) = {
+      val scored = LmScore.lmScore(df, "doc_id", "text")
+        .join(df.select(col("doc_id").as("id"), col("dom")), "id")
+      Doremi.domainReweight(scored, "dom", -col("lm_score"), eta = 5.0)
+    }
+    same(dr(r8docs.repartition(1)), dr(r8docs.repartition(13)))
+  }
+
+  test("phrase search matches are partitioning-invariant") {
+    import graft.operators.Retrieval
+    val phrases = Seq((1L, "t3 t6"), (2L, "t0 t3 t6")).toDF(
+      "phrase_id", "phrase")
+    def ph(df: DataFrame) = Retrieval.phraseSearch(
+      df, "doc_id", "text", phrases)
+    same(ph(r8docs.repartition(1)), ph(r8docs.repartition(13)))
+  }
+
+  test("bitext margins are partitioning-invariant") {
+    import graft.operators.Similarity
+    val vecs = (0L until 30L).map(i => (i,
+      Seq.tabulate(6)(d => ((i * 5 + d * 3) % 11).toDouble + 0.5)))
+    val a = vecs.toDF("id", "vec")
+    val b = vecs.map { case (i, v) => (i + 100, v.map(_ + 0.02)) }
+      .toDF("id", "vec")
+    def mm(df: DataFrame) = Similarity.marginMining(
+      df, "id", "vec", b, "id", "vec", k = 4)
+    same(mm(a.repartition(1)), mm(a.repartition(13)))
+  }
 }
