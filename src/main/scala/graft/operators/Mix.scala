@@ -78,4 +78,25 @@ object Mix {
           - when(col("rk_down") <= -col("deficit"), 1L).otherwise(0L))
           .as("budget_rows"))
   }
+
+  /** The sampler that consumes [[temperatureWeights]]' output: draw each
+    * domain's `budget_rows` rows by deterministic hash order — the
+    * engine-portable uniform (md5 of the id, the q106 Gumbel stance), so
+    * the same corpus yields the same sample on any engine or
+    * partitioning. One |domains|-row broadcast join plus one window
+    * PARTITIONED by the domain (per-domain rank, never a global funnel).
+    * Returns the kept rows of `df` (all columns). */
+  def temperatureSample(df: DataFrame, domainCol: String, weight: Column,
+      idCol: String, alpha: Double = 0.3,
+      budget: Long = 1000000L): DataFrame = {
+    val budgets = temperatureWeights(df, domainCol, weight, alpha, budget)
+      .select(col(domainCol), col("budget_rows"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc,
+        col(idCol).asc)
+    df.join(broadcast(budgets), domainCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("budget_rows"))
+      .drop("__rk", "budget_rows")
+  }
 }

@@ -5420,7 +5420,58 @@ object Queries {
              |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
              |  count(*) AS n_matches
              |FROM matches GROUP BY 1, 2
-             |ORDER BY phrase_id, doc_id""".stripMargin))
+             |ORDER BY phrase_id, doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q121: the sampler consuming q113's rates — draw each lang's
+    // largest-remainder budget_rows by deterministic md5 order (the
+    // engine-portable uniform, q106's Gumbel stance): rates -> an actual
+    // sampled corpus, the full mT5 sampling loop. One |domains| broadcast
+    // join + one domain-PARTITIONED window; membership is exactly graded
+    // (a wrong budget, hash, or tie-break moves rows across the cut).
+    QueryDef("q121_temperature_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Mix.temperatureSample(d, "lang", col("n_chars"), "doc_id",
+            alpha = 0.3, budget = 300L)
+          .select(col("lang"), col("doc_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH bd AS (
+             |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_weight
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT sum(n_weight) AS n_total FROM bd),
+             |sh AS (SELECT lang, n_weight,
+             |    CAST(n_weight AS DOUBLE) / n_total AS p,
+             |    pow(CAST(n_weight AS DOUBLE) / n_total, 0.3) AS p_a
+             |  FROM bd CROSS JOIN tot),
+             |nz AS (SELECT sum(p_a) AS z FROM sh),
+             |mi AS (SELECT lang,
+             |    CAST(round(p_a / z * 1000000, 0) AS BIGINT) AS q6
+             |  FROM sh CROSS JOIN nz),
+             |fr AS (SELECT *, q6 * 300 // 1000000 AS fl,
+             |    (q6 * 300) % 1000000 AS rem FROM mi),
+             |df AS (SELECT 300 - sum(fl) AS deficit FROM fr),
+             |rk AS (SELECT *,
+             |    row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk_up,
+             |    row_number() OVER (ORDER BY rem ASC, lang DESC) AS rk_down
+             |  FROM fr),
+             |bud AS (
+             |  SELECT lang,
+             |    fl + CASE WHEN rk_up <= deficit THEN 1 ELSE 0 END
+             |       - CASE WHEN rk_down <= -deficit THEN 1 ELSE 0 END
+             |      AS budget_rows
+             |  FROM rk CROSS JOIN df),
+             |ranked AS (
+             |  SELECT d.lang, d.doc_id, row_number() OVER (
+             |      PARTITION BY d.lang
+             |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+             |    AS rnk
+             |  FROM documents d)
+             |SELECT r.lang, r.doc_id
+             |FROM ranked r JOIN bud USING (lang)
+             |WHERE rnk <= budget_rows
+             |ORDER BY lang, doc_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF

@@ -98,4 +98,22 @@ class ClassifyMixSpec extends AnyFunSuite {
     val df = Seq.empty[(String, Long)].toDF("dom", "w")
     assert(Mix.temperatureWeights(df, "dom", col("w")).collect().isEmpty)
   }
+
+  test("temperatureSample draws exactly budget_rows per domain") {
+    val df = (1L to 200L).map(i => (i, s"d${i % 4}")).toDF("id", "dom")
+    val budgets = Mix.temperatureWeights(df, "dom", lit(1L),
+        alpha = 0.3, budget = 37L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val sample = Mix.temperatureSample(df, "dom", lit(1L), "id",
+      alpha = 0.3, budget = 37L)
+    val got = sample.groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == budgets.filter(_._2 > 0))
+    assert(got.values.sum == 37L)
+    // deterministic membership under repartitioning
+    val again = Mix.temperatureSample(df.repartition(13), "dom", lit(1L),
+      "id", alpha = 0.3, budget = 37L)
+    assert(sample.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
