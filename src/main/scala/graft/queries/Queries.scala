@@ -5471,7 +5471,85 @@ object Queries {
              |SELECT r.lang, r.doc_id
              |FROM ranked r JOIN bud USING (lang)
              |WHERE rnk <= budget_rows
-             |ORDER BY lang, doc_id""".stripMargin))
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q122: C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    // first filter of a web-corpus pipeline, and deliberately the
+    // cheapest: every rule is row-local HOF arithmetic inside the scan
+    // (zero shuffle, zero UDF, full codegen; the only exchange is the
+    // grading ORDER BY). Plants make every rule load-bearing: each doc
+    // gains a kept line (terminal '.'), a no-punctuation line (dropped),
+    // %3 a second kept line (so minKeptLines=2 splits the corpus), %7 a
+    // well-formed line containing "JavaScript" (dropped by the word rule
+    // despite passing punctuation+length), %5 a curly-brace line (page
+    // dropped), %11 a lorem-ipsum line (page dropped).
+    QueryDef("q122_c4_line_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val aug = d.select(col("doc_id"), concat(
+            col("text"), lit("."),
+            lit("%%no punct line here"),
+            when(col("doc_id") % 3 === 0,
+              lit("%%the quick brown fox jumps over the lazy dog!"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit("%%please enable JavaScript to continue viewing."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("%%config { nested }"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit("%%Lorem ipsum dolor sit amet.")).otherwise(lit("")))
+          .as("text"))
+        graft.operators.C4Filter.c4Lines(aug, "doc_id", "text",
+            lineSep = "%%", minWords = 5, minKeptLines = 2)
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+            col("kept_char_frac"), col("has_lorem"), col("has_brace"),
+            col("keep"), md5(col("clean_text")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || '.'
+             |    || '%%no punct line here'
+             |    || CASE WHEN doc_id % 3 = 0
+             |         THEN '%%the quick brown fox jumps over the lazy dog!'
+             |         ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0
+             |         THEN '%%please enable JavaScript to continue viewing.'
+             |         ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0
+             |         THEN '%%config { nested }' ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0
+             |         THEN '%%Lorem ipsum dolor sit amet.' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |ln AS (
+             |  SELECT doc_id, text,
+             |    list_filter(list_transform(string_split(text, '%%'),
+             |      x -> trim(x)), x -> x <> '') AS lines
+             |  FROM aug),
+             |k AS (
+             |  SELECT doc_id, text, lines,
+             |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+             |      AND len(list_filter(string_split_regex(l, '\s+'),
+             |            w -> w <> '')) >= 5
+             |      AND NOT contains(lower(l), 'javascript')) AS kept
+             |  FROM ln)
+             |SELECT doc_id,
+             |  CAST(len(lines) AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CASE WHEN coalesce(list_sum(list_transform(lines,
+             |      x -> length(x))), 0) > 0
+             |    THEN round(CAST(coalesce(list_sum(list_transform(kept,
+             |        x -> length(x))), 0) AS DOUBLE)
+             |      / list_sum(list_transform(lines, x -> length(x))), 6)
+             |    ELSE 0.0 END AS kept_char_frac,
+             |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+             |  contains(text, '{') AS has_brace,
+             |  (len(kept) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+             |    AND NOT contains(text, '{')) AS keep,
+             |  md5(array_to_string(kept, chr(10))) AS clean_md5
+             |FROM k ORDER BY doc_id""".stripMargin))
   )
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF
