@@ -138,4 +138,42 @@ object Classify {
       .withColumn("prediction",
         when(col("log_odds") > 0, lit(posLabel)).otherwise(lit(negLabel)))
   }
+
+  /** Reliability-diagram calibration of a binary scorer (Guo et al. 2017,
+    * "On Calibration of Modern Neural Networks" — the standard audit
+    * before a classifier's score threshold is used as a data-selection
+    * knob, as the GPT-3/FineWeb-Edu recipes do): confidence
+    * p = sigmoid(log_odds) is bucketed into `bins` equal-width bins; per
+    * bin the mean confidence is compared with the empirical positive
+    * fraction, and ECE = sum_b (n_b/N) * |frac_pos_b - mean_conf_b|.
+    *
+    * Input: `scored(logOddsCol, truthCol)` (truth boolean/0-1). Output:
+    * one row per non-empty bin — (bin, n, mean_conf, frac_pos, abs_gap,
+    * ece), ece repeated on every row (a 1-value windowed constant).
+    *
+    * Scale posture: one scan -> hash aggregate keyed on bin (at most
+    * `bins` groups, map-side combined); the ECE window runs over the
+    * |bins|-row aggregate, never the corpus. Determinism: p is rounded
+    * to 6 before binning and averaging, so an engine's last-ulp exp()
+    * difference cannot move a row across a bin edge. */
+  def calibration(scored: DataFrame, logOddsCol: String, truthCol: String,
+      bins: Int = 10, temperature: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = round(lit(1.0)
+      / (lit(1.0) + exp(-col(logOddsCol) / temperature)), 6)
+    val binned = scored
+      .select(p.as("p"), col(truthCol).cast("double").as("y"))
+      .select(least(floor(col("p") * bins), lit(bins - 1)).cast("long")
+        .as("bin"), col("p"), col("y"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("mean_conf"),
+        round(avg(col("y")), 6).as("frac_pos"))
+      .withColumn("abs_gap",
+        round(abs(col("frac_pos") - col("mean_conf")), 6))
+    val w = Window.partitionBy()
+    binned.withColumn("ece",
+      round(sum(col("n") * col("abs_gap")).over(w)
+        / sum(col("n")).over(w), 6))
+  }
 }

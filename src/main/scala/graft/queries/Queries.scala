@@ -4724,86 +4724,47 @@ object Queries {
     // hash. Whole model is relational: token-keyed hash agg + one
     // vocab hash join + per-doc agg; priors/totals are 1-row broadcasts.
     QueryDef("q112_nb_quality_classifier",
-      (s, dir) => {
-        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        def soup(ids: DataFrame): DataFrame = ids.select(
-          (col("doc_id") + 10000).as("id"),
-          concat_ws(" ", (0 until 8).map(i =>
-            md5((col("doc_id") + lit(i)).cast("string").cast("binary")))
-            : _*).as("text"))
-        val train = d.filter(col("doc_id") % 4 =!= 0)
-          .select(col("doc_id").as("id"), col("text"),
-            lit("good").as("label"))
-          .unionByName(soup(d.filter(col("doc_id") % 4 =!= 0))
-            .withColumn("label", lit("junk")))
-          .unionByName(d.filter(col("doc_id") % 8 === 1)
-            .select((col("doc_id") + 20000).as("id"), col("text"),
-              lit("dubious").as("label")))
-        val score = d.filter(col("doc_id") % 4 === 0)
-          .select(col("doc_id").as("id"), col("text"))
-          .unionByName(soup(d.filter(col("doc_id") % 4 === 0)))
-        Classify.nbTrainScore(train, score, "id", "text", "label",
-            "good", "junk", alpha = 1.0)
-          .orderBy(col("id"))
-      },
-      Some("""WITH base AS (SELECT doc_id, text FROM documents),
-             |soup AS (
-             |  SELECT doc_id, concat_ws(' ',
-             |    md5(CAST(doc_id + 0 AS VARCHAR)),
-             |    md5(CAST(doc_id + 1 AS VARCHAR)),
-             |    md5(CAST(doc_id + 2 AS VARCHAR)),
-             |    md5(CAST(doc_id + 3 AS VARCHAR)),
-             |    md5(CAST(doc_id + 4 AS VARCHAR)),
-             |    md5(CAST(doc_id + 5 AS VARCHAR)),
-             |    md5(CAST(doc_id + 6 AS VARCHAR)),
-             |    md5(CAST(doc_id + 7 AS VARCHAR))) AS text
-             |  FROM base),
-             |train AS (
-             |  SELECT text, TRUE AS is_pos FROM base WHERE doc_id % 4 <> 0
-             |  UNION ALL
-             |  SELECT text, FALSE FROM soup WHERE doc_id % 4 <> 0),
-             |score AS (
-             |  SELECT doc_id AS id, text FROM base WHERE doc_id % 4 = 0
-             |  UNION ALL
-             |  SELECT doc_id + 10000, text FROM soup WHERE doc_id % 4 = 0),
-             |ttok AS (
-             |  SELECT is_pos, unnest(list_filter(
-             |    string_split_regex(lower(trim(text)), '\s+'),
-             |    t -> t <> '')) AS tok
-             |  FROM train),
-             |tt AS (SELECT tok,
-             |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
-             |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS c_neg
-             |  FROM ttok GROUP BY tok),
-             |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
-             |    count(*) AS vsz FROM tt),
-             |pri AS (SELECT
-             |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS d_pos,
-             |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS d_neg
-             |  FROM train),
-             |stok AS (
-             |  SELECT id, unnest(list_filter(
-             |    string_split_regex(lower(trim(text)), '\s+'),
-             |    t -> t <> '')) AS tok
-             |  FROM score),
-             |lp AS (SELECT id,
-             |    ln((coalesce(c_pos, 0) + 1.0)
-             |      / (t_pos + 1.0 * vsz)) AS lp_pos,
-             |    ln((coalesce(c_neg, 0) + 1.0)
-             |      / (t_neg + 1.0 * vsz)) AS lp_neg
-             |  FROM stok LEFT JOIN tt USING (tok) CROSS JOIN tot),
-             |pd AS (SELECT id, count(*) AS n_tokens,
-             |    sum(lp_pos) AS s_pos, sum(lp_neg) AS s_neg
-             |  FROM lp GROUP BY id),
-             |sc AS (SELECT s.id,
-             |    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-             |    round(ln(CAST(d_pos AS DOUBLE) / d_neg)
-             |      + coalesce(s_pos - s_neg, 0.0), 4) AS log_odds
-             |  FROM score s LEFT JOIN pd ON s.id = pd.id CROSS JOIN pri)
+      (s, dir) => nbPlantScored(s, dir).orderBy(col("id")),
+      Some(s"""$nbScoreCtes
              |SELECT id, n_tokens, log_odds,
              |  CASE WHEN log_odds > 0 THEN 'good' ELSE 'junk' END
              |    AS prediction
              |FROM sc ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q123: calibration audit of the q112 classifier (Guo et al. 2017
+    // reliability diagram + ECE) — before a score threshold becomes a
+    // data-selection knob (the FineWeb-Edu stance), the score must be
+    // checked against empirical truth. Shares q112's plant + scoring CTEs
+    // verbatim (factored, so the two queries cannot drift); truth = the
+    // plant itself (ids >= 10000 are soup). NB log-odds grow with doc
+    // length and saturate the sigmoid, so the diagram is read at T=100
+    // (Guo et al.'s temperature scaling) to spread the bins. The binning
+    // is a <= 10-group hash aggregate; the ECE window runs over the
+    // 10-row bin frame.
+    QueryDef("q123_calibration",
+      (s, dir) => {
+        val scored = nbPlantScored(s, dir)
+          .withColumn("is_pos", col("id") < 10000)
+        Classify.calibration(scored, "log_odds", "is_pos", bins = 10,
+            temperature = 100.0)
+          .orderBy(col("bin"))
+      },
+      Some(s"""$nbScoreCtes,
+             |cal AS (SELECT id,
+             |    round(1.0 / (1.0 + exp(-log_odds / 100.0)), 6) AS p,
+             |    CASE WHEN id < 10000 THEN 1.0 ELSE 0.0 END AS y
+             |  FROM sc),
+             |b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+             |    count(*) AS n, round(avg(p), 6) AS mean_conf,
+             |    round(avg(y), 6) AS frac_pos
+             |  FROM cal GROUP BY 1),
+             |g AS (SELECT bin, n, mean_conf, frac_pos,
+             |    round(abs(frac_pos - mean_conf), 6) AS abs_gap
+             |  FROM b)
+             |SELECT bin, n, mean_conf, frac_pos, abs_gap,
+             |  round(sum(n * abs_gap) OVER () / sum(n) OVER (), 6) AS ece
+             |FROM g ORDER BY bin""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
@@ -5551,6 +5512,90 @@ object Queries {
              |  md5(array_to_string(kept, chr(10))) AS clean_md5
              |FROM k ORDER BY doc_id""".stripMargin))
   )
+
+  /** Shared NB plant + scoring of q112/q123 (the Spark half of
+    * [[nbScoreCtes]]): train = non-held-out docs labeled good + md5 token
+    * soup labeled junk + a stray 'dubious' slice that the label guard
+    * must drop; score = the held-out quarter in both classes (soup ids
+    * offset +10000 — which doubles as the calibration truth). */
+  private def nbPlantScored(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def soup(ids: DataFrame): DataFrame = ids.select(
+      (col("doc_id") + 10000).as("id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        md5((col("doc_id") + lit(i)).cast("string").cast("binary")))
+        : _*).as("text"))
+    val train = d.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id").as("id"), col("text"), lit("good").as("label"))
+      .unionByName(soup(d.filter(col("doc_id") % 4 =!= 0))
+        .withColumn("label", lit("junk")))
+      .unionByName(d.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 20000).as("id"), col("text"),
+          lit("dubious").as("label")))
+    val score = d.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(soup(d.filter(col("doc_id") % 4 === 0)))
+    Classify.nbTrainScore(train, score, "id", "text", "label",
+      "good", "junk", alpha = 1.0)
+  }
+
+  /** Oracle CTE chain shared by q112/q123 — the NB plant, training, and
+    * scoring restated in SQL, ending at `sc(id, n_tokens, log_odds)`. */
+  private lazy val nbScoreCtes: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |soup AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    md5(CAST(doc_id + 0 AS VARCHAR)),
+      |    md5(CAST(doc_id + 1 AS VARCHAR)),
+      |    md5(CAST(doc_id + 2 AS VARCHAR)),
+      |    md5(CAST(doc_id + 3 AS VARCHAR)),
+      |    md5(CAST(doc_id + 4 AS VARCHAR)),
+      |    md5(CAST(doc_id + 5 AS VARCHAR)),
+      |    md5(CAST(doc_id + 6 AS VARCHAR)),
+      |    md5(CAST(doc_id + 7 AS VARCHAR))) AS text
+      |  FROM base),
+      |train AS (
+      |  SELECT text, TRUE AS is_pos FROM base WHERE doc_id % 4 <> 0
+      |  UNION ALL
+      |  SELECT text, FALSE FROM soup WHERE doc_id % 4 <> 0),
+      |score AS (
+      |  SELECT doc_id AS id, text FROM base WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM soup WHERE doc_id % 4 = 0),
+      |ttok AS (
+      |  SELECT is_pos, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> t <> '')) AS tok
+      |  FROM train),
+      |tt AS (SELECT tok,
+      |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+      |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS c_neg
+      |  FROM ttok GROUP BY tok),
+      |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+      |    count(*) AS vsz FROM tt),
+      |pri AS (SELECT
+      |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS d_pos,
+      |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS d_neg
+      |  FROM train),
+      |stok AS (
+      |  SELECT id, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> t <> '')) AS tok
+      |  FROM score),
+      |lp AS (SELECT id,
+      |    ln((coalesce(c_pos, 0) + 1.0)
+      |      / (t_pos + 1.0 * vsz)) AS lp_pos,
+      |    ln((coalesce(c_neg, 0) + 1.0)
+      |      / (t_neg + 1.0 * vsz)) AS lp_neg
+      |  FROM stok LEFT JOIN tt USING (tok) CROSS JOIN tot),
+      |pd AS (SELECT id, count(*) AS n_tokens,
+      |    sum(lp_pos) AS s_pos, sum(lp_neg) AS s_neg
+      |  FROM lp GROUP BY id),
+      |sc AS (SELECT s.id,
+      |    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      |    round(ln(CAST(d_pos AS DOUBLE) / d_neg)
+      |      + coalesce(s_pos - s_neg, 0.0), 4) AS log_odds
+      |  FROM score s LEFT JOIN pd ON s.id = pd.id CROSS JOIN pri)""".stripMargin
 
   /** The fixed keyword-query set shared by q88 (BM25) and q91 (RRF
     * fusion) — one definition so the two rankings grade the same

@@ -116,4 +116,39 @@ class ClassifyMixSpec extends AnyFunSuite {
     assert(sample.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("calibration bins, gaps, and ECE match hand computation") {
+    // sigmoid(0)=0.5 -> bin 5; sigmoid(+inf-ish)=1 -> bin 9;
+    // sigmoid(-2.1972...)=0.1 -> bin 1 (log_odds = ln(1/9))
+    val ln19 = math.log(1.0 / 9.0) // p = 0.1
+    val rows = Seq(
+      (0.0, true), (0.0, false),          // bin 5: conf .5, frac_pos .5
+      (1000.0, true), (1000.0, true),     // bin 9: conf 1, frac_pos 1
+      (ln19, false), (ln19, false), (ln19, true)) // bin 1: conf .1, fp 1/3
+      .toDF("log_odds", "y")
+    val out = Classify.calibration(rows, "log_odds", "y")
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 5L, 9L))
+    val byBin = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byBin(1L) == ((3L, 0.1, 0.333333, 0.233333)))
+    assert(byBin(5L) == ((2L, 0.5, 0.5, 0.0)))
+    assert(byBin(9L) == ((2L, 1.0, 1.0, 0.0)))
+    // ECE = (3*0.233333 + 2*0 + 2*0) / 7
+    val ece = out.head.getDouble(5)
+    assert(ece == math.rint(3 * 0.233333 / 7 * 1e6) / 1e6)
+    assert(out.forall(_.getDouble(5) == ece), "ece constant across rows")
+  }
+
+  test("calibration temperature spreads saturated scores; empty input ok") {
+    val rows = Seq((100.0, true), (-100.0, false)).toDF("log_odds", "y")
+    val raw = Classify.calibration(rows, "log_odds", "y")
+      .select("bin").collect().map(_.getLong(0)).sorted.toSeq
+    assert(raw == Seq(0L, 9L), "T=1 saturates to the outer bins")
+    val t = Classify.calibration(rows, "log_odds", "y", temperature = 200.0)
+      .orderBy("bin").collect()
+    assert(t.map(_.getLong(0)).toSeq == Seq(3L, 6L))
+    assert(Classify.calibration(rows.limit(0), "log_odds", "y")
+      .collect().isEmpty)
+  }
 }
