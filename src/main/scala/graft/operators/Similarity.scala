@@ -940,6 +940,48 @@ object Similarity {
     * [[pqTopK]] for either direction; everything downstream is top-k-frame
     * joins and per-id partial aggs, shuffled on the pair ids only, plus a
     * per-a-id window over <= k candidate rows. */
+  /** Hard-negative mining for contrastive / retrieval training (Karpukhin
+    * et al. 2020, DPR §3.2 — "in-batch + hard negatives"; Xiong et al.
+    * 2021, ANCE): for each anchor, the best same-label neighbor is the
+    * mined positive and the top different-label neighbors — near in
+    * embedding space but wrong by label — are the hard negatives that make
+    * the contrastive gradient informative (random negatives are too easy).
+    *
+    * Per anchor, from its `kCand` nearest candidates: the single
+    * highest-cosine same-label candidate (`role` = 'pos', if any same-label
+    * candidate made the cut) and the `kNeg` highest-cosine different-label
+    * candidates ('neg'). `rnk` orders within role; cosine rounded to 6.
+    *
+    * Scale posture: candidate generation is [[bruteForceTopK]] (the exact
+    * verifier — swap [[ivfTopK]]/[[pqTopK]] at index scale, the q35/q93
+    * composition); everything downstream touches only the
+    * |anchors| x kCand candidate frame — one corpus-label hash join keyed
+    * on candidate id, a broadcast anchor-label join, and per-anchor
+    * windows over <= kCand rows. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, anchorIdCol: String,
+      anchorVecCol: String, anchorLabelCol: String,
+      kNeg: Int = 3, kCand: Int = 32): DataFrame = {
+    val cands = bruteForceTopK(corpus, idCol, vecCol,
+      anchors, anchorIdCol, anchorVecCol, kCand)
+    val nl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("n_label"))
+    val al = anchors.select(col(anchorIdCol).as("query_id"),
+      col(anchorLabelCol).as("a_label"))
+    val roled = cands
+      .join(nl, "neighbor_id").join(broadcast(al), "query_id")
+      .withColumn("role",
+        when(col("n_label") === col("a_label"), "pos").otherwise("neg"))
+    val w = Window.partitionBy(col("query_id"), col("role"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    roled.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter((col("role") === "pos" && col("rnk") === 1) ||
+        (col("role") === "neg" && col("rnk") <= kNeg))
+      .select(col("query_id").as("anchor_id"), col("role"), col("rnk"),
+        col("neighbor_id").as("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   def marginMining(a: DataFrame, aIdCol: String, aVecCol: String,
       b: DataFrame, bIdCol: String, bVecCol: String,
       k: Int = 4): DataFrame = {

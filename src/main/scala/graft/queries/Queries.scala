@@ -4767,6 +4767,46 @@ object Queries {
              |FROM g ORDER BY bin""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q124: hard-negative mining for contrastive training (DPR /
+    // ANCE) — per anchor (every 10th vector), the best same-label
+    // neighbor (mined positive) and top-3 different-label neighbors
+    // (hard negatives) from the 32 nearest candidates. Candidate gen is
+    // the exact verifier (anchors broadcast, corpus streams); at index
+    // scale the same downstream runs off ivfTopK/pqTopK candidates.
+    QueryDef("q124_hard_negatives",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"),
+          Vec.asDouble(col("embedding")).as("vec"), col("label"))
+        val anchors = e.filter(col("vec_id") % 10 === 0)
+        Similarity.hardNegatives(e, "vec_id", "vec", "label",
+            anchors, "vec_id", "vec", "label", kNeg = 3, kCand = 32)
+          .orderBy(col("anchor_id"), col("role"), col("rnk"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, label AS ql
+             |  FROM e WHERE vec_id % 10 = 0),
+             |scored AS (
+             |  SELECT qid, ql, e.vec_id AS nid, e.label AS nl,
+             |    list_cosine_similarity(qv, e.v) AS cos
+             |  FROM q JOIN e ON e.vec_id <> qid),
+             |cand AS (SELECT *, row_number() OVER (
+             |    PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             |  FROM scored),
+             |roled AS (SELECT qid, nid, cos,
+             |    CASE WHEN nl = ql THEN 'pos' ELSE 'neg' END AS role
+             |  FROM cand WHERE rk <= 32),
+             |rr AS (SELECT *, row_number() OVER (
+             |    PARTITION BY qid, role ORDER BY cos DESC, nid) AS rrk
+             |  FROM roled)
+             |SELECT qid AS anchor_id, role, CAST(rrk AS BIGINT) AS rnk,
+             |  nid AS cand_id, round(cos, 6) AS cosine
+             |FROM rr
+             |WHERE (role = 'pos' AND rrk = 1) OR (role = 'neg' AND rrk <= 3)
+             |ORDER BY anchor_id, role, rnk""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer

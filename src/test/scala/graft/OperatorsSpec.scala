@@ -1232,4 +1232,34 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 8 && out.forall { case (ai, bi) => bi == ai + 100 })
   }
+
+  test("hardNegatives: mined positive is best same-label, negatives nearest wrong-label") {
+    // anchor 1 (label 0) at 0 deg; same-label 2 at 10 deg, 3 at 60 deg;
+    // wrong-label 4 at 5 deg (hardest), 5 at 30 deg, 6 at 170 deg (easy)
+    def v(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val corpus = Seq(
+      (1L, v(0), 0), (2L, v(10), 0), (3L, v(60), 0),
+      (4L, v(5), 1), (5L, v(30), 1), (6L, v(170), 1))
+      .toDF("id", "vec", "label")
+    val anchors = corpus.filter(col("id") === 1)
+    val out = Similarity.hardNegatives(corpus, "id", "vec", "label",
+        anchors, "id", "vec", "label", kNeg = 2, kCand = 10)
+      .orderBy("role", "rnk").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("neg", 1L, 4L), ("neg", 2L, 5L),
+      ("pos", 1L, 2L)))
+
+    // kCand cap: with only the single nearest candidate (4, wrong label),
+    // no positive row is emitted and 4 is the one negative
+    val capped = Similarity.hardNegatives(corpus, "id", "vec", "label",
+        anchors, "id", "vec", "label", kNeg = 2, kCand = 1)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(capped.toSeq == Seq(("neg", 4L)))
+
+    // empty anchors degrade to empty output
+    assert(Similarity.hardNegatives(corpus, "id", "vec", "label",
+      anchors.limit(0), "id", "vec", "label").collect().isEmpty)
+  }
 }
