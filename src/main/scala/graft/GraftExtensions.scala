@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.expressions.MisraGries(args(0),
           intLiteral("misra_gries k", args(1)))))
+    ext.injectFunction((FunctionIdentifier("kmv_agg"),
+      info("kmv_agg",
+        "(bigint, k) - k-minimum-values distinct sketch (sorted " +
+          "array<bigint> of the k smallest distinct hashes)"),
+      (args: Seq[Expression]) =>
+        graft.expressions.KmvAgg(args(0),
+          intLiteral("kmv_agg k", args(1)))))
     ext.injectFunction((FunctionIdentifier("bloom_agg"),
       info("bloom_agg",
         "(bigint, numBits, numHashes) - Bloom filter word aggregate " +

@@ -4807,6 +4807,110 @@ object Queries {
              |ORDER BY anchor_id, role, rnk""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q125: KMV-sketch overlap audit (Beyer et al. SIGMOD'07) between two
+    // corpus slices (bigram vocabularies of even vs %3 docs) — distinct
+    // counts, the composed union sketch, and the Jaccard/intersection
+    // estimates that HLL cannot provide. ONE gram-keyed shuffle feeds a
+    // single 1-row aggregate computing both k=64 sketches (filtered
+    // kmv_agg inputs), the exact counts (the verifier — dropped at
+    // 100 TB), and their membership flags; every estimate is derived
+    // from the sketches with engine-portable arithmetic, so the grading
+    // is hash-exact, not tolerance-banded (the sketch itself is
+    // deterministic: the k smallest md5-60bit hashes).
+    QueryDef("q125_kmv_overlap",
+      (s, dir) => {
+        import graft.expressions.Kmv
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val grams = d.select(col("doc_id"),
+          explode(Text.wordShingles(col("text"), 2)).as("g"))
+        val gsets = grams.groupBy(col("g")).agg(
+            (max(when(col("doc_id") % 2 === 0, 1).otherwise(0)) === 1)
+              .as("a"),
+            (max(when(col("doc_id") % 3 === 0, 1).otherwise(0)) === 1)
+              .as("b"))
+          .filter(col("a") || col("b"))
+          .select(col("g"), col("a"), col("b"),
+            Text.md5Long(col("g")).as("h"))
+        val row = gsets.agg(
+          Kmv.column(when(col("a"), col("h")), 64).as("sk_a"),
+          Kmv.column(when(col("b"), col("h")), 64).as("sk_b"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("d_a_exact"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("d_b_exact"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("d_ab_exact"),
+          count(lit(1)).as("union_exact"))
+        row.select(
+            col("d_a_exact"), col("d_b_exact"), col("union_exact"),
+            round(col("d_ab_exact").cast("double") / col("union_exact"), 6)
+              .as("jacc_exact"),
+            round(Kmv.estimate(col("sk_a"), 64), 2).as("d_a_est"),
+            round(Kmv.estimate(col("sk_b"), 64), 2).as("d_b_est"),
+            round(Kmv.estimate(
+              Kmv.unionSketch(col("sk_a"), col("sk_b"), 64), 64), 2)
+              .as("union_est"),
+            round(Kmv.jaccard(col("sk_a"), col("sk_b"), 64), 6)
+              .as("jacc_est"))
+          .withColumn("inter_est",
+            round(col("jacc_est") * col("union_est"), 2))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM documents),
+             |gr AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(range(len(toks) - 1),
+             |      i -> array_to_string(toks[i + 1:i + 2], ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS g
+             |  FROM tok),
+             |gsets AS (
+             |  SELECT g, max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) = 1
+             |      AS a,
+             |    max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) = 1 AS b
+             |  FROM gr GROUP BY g),
+             |hh AS (SELECT g, a, b,
+             |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+             |  FROM gsets WHERE a OR b),
+             |ska AS (SELECT list(h ORDER BY h) AS sk FROM
+             |  (SELECT h FROM hh WHERE a ORDER BY h LIMIT 64) t),
+             |skb AS (SELECT list(h ORDER BY h) AS sk FROM
+             |  (SELECT h FROM hh WHERE b ORDER BY h LIMIT 64) t),
+             |ex AS (SELECT
+             |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS d_a_exact,
+             |    sum(CASE WHEN b THEN 1 ELSE 0 END) AS d_b_exact,
+             |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS d_ab_exact,
+             |    count(*) AS union_exact
+             |  FROM hh),
+             |comb AS (SELECT ska.sk AS sk_a, skb.sk AS sk_b,
+             |    list_sort(list_distinct(list_concat(ska.sk, skb.sk)))[1:64]
+             |      AS sku
+             |  FROM ska, skb),
+             |est AS (SELECT
+             |    CASE WHEN len(sk_a) < 64 THEN CAST(len(sk_a) AS DOUBLE)
+             |      ELSE 63.0 * 1152921504606846976.0
+             |        / CAST(sk_a[64] AS DOUBLE) END AS d_a_raw,
+             |    CASE WHEN len(sk_b) < 64 THEN CAST(len(sk_b) AS DOUBLE)
+             |      ELSE 63.0 * 1152921504606846976.0
+             |        / CAST(sk_b[64] AS DOUBLE) END AS d_b_raw,
+             |    CASE WHEN len(sku) < 64 THEN CAST(len(sku) AS DOUBLE)
+             |      ELSE 63.0 * 1152921504606846976.0
+             |        / CAST(sku[64] AS DOUBLE) END AS u_raw,
+             |    CASE WHEN len(sku) = 0 THEN 0.0
+             |      ELSE CAST(len(list_intersect(sku,
+             |          list_intersect(sk_a, sk_b))) AS DOUBLE) / len(sku)
+             |      END AS jacc_raw
+             |  FROM comb)
+             |SELECT CAST(d_a_exact AS BIGINT) AS d_a_exact,
+             |  CAST(d_b_exact AS BIGINT) AS d_b_exact,
+             |  CAST(union_exact AS BIGINT) AS union_exact,
+             |  round(CAST(d_ab_exact AS DOUBLE) / union_exact, 6)
+             |    AS jacc_exact,
+             |  round(d_a_raw, 2) AS d_a_est, round(d_b_raw, 2) AS d_b_est,
+             |  round(u_raw, 2) AS union_est, round(jacc_raw, 6) AS jacc_est,
+             |  round(round(jacc_raw, 6) * round(u_raw, 2), 2) AS inter_est
+             |FROM ex, est""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer

@@ -100,6 +100,19 @@ class ExtensionsSpec extends AnyFunSuite {
           "GROUP BY w) CROSS JOIN cms_sketch " +
           "WHERE cms_estimate(m, w, 512, 4) < c").head().getLong(0)
       assert(under == 0L, s"$under SQL-path undercounts")
+      // kmv: SQL-path sketch == Column-API sketch
+      spark.range(1, 501)
+        .selectExpr("conv(substring(md5(cast(id AS STRING)), 1, 15), " +
+          "16, 10) AS hs")
+        .selectExpr("cast(hs AS bigint) AS h")
+        .createOrReplaceTempView("kmv_in")
+      val viaSql = spark.sql("SELECT kmv_agg(h, 16) FROM kmv_in")
+        .head().getSeq[Long](0)
+      val viaCol = spark.table("kmv_in")
+        .agg(graft.expressions.Kmv.column(
+          org.apache.spark.sql.functions.col("h"), 16))
+        .head().getSeq[Long](0)
+      assert(viaSql == viaCol && viaSql.length == 16)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

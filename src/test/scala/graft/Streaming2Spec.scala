@@ -186,7 +186,9 @@ class Streaming2Spec extends AnyFunSuite {
     val input = MemoryStream[String]
     val q = input.toDS().toDF("k")
       .agg(graft.expressions.CountMin.agg(col("k"), 256, 4).as("m"),
-        graft.expressions.Bloom.agg(xxhash64(col("k")), 1 << 12, 5).as("b"))
+        graft.expressions.Bloom.agg(xxhash64(col("k")), 1 << 12, 5).as("b"),
+        graft.expressions.Kmv.column(
+          graft.functions.Text.md5Long(col("k")), 8).as("kv"))
       .writeStream.format("memory").queryName("sketches")
       .outputMode("complete").start()
     try {
@@ -200,12 +202,16 @@ class Streaming2Spec extends AnyFunSuite {
       val got = spark.table("sketches").collect().head
       val want = (batch1 ++ batch2).toDF("k")
         .agg(graft.expressions.CountMin.agg(col("k"), 256, 4).as("m"),
-          graft.expressions.Bloom.agg(xxhash64(col("k")), 1 << 12, 5).as("b"))
+          graft.expressions.Bloom.agg(xxhash64(col("k")), 1 << 12, 5).as("b"),
+          graft.expressions.Kmv.column(
+            graft.functions.Text.md5Long(col("k")), 8).as("kv"))
         .head()
       assert(got.getSeq[Long](0) == want.getSeq[Long](0),
         "CMS matrix diverged from batch")
       assert(got.getSeq[Long](1) == want.getSeq[Long](1),
         "Bloom words diverged from batch")
+      assert(got.getSeq[Long](2) == want.getSeq[Long](2),
+        "KMV sketch diverged from batch")
     } finally q.stop()
   }
 
