@@ -4911,6 +4911,39 @@ object Queries {
              |FROM ex, est""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q126: deterministic shard assignment + per-epoch dataloader order —
+    // the content-addressed "global shuffle" of pretraining runs: shard
+    // and order are pure functions of (content, epoch), so a resumed or
+    // re-provisioned job reads the identical stream and epochs 0/1 get
+    // different permutations with zero stored state. Shard needs no
+    // shuffle; both epoch positions ride ONE shard-keyed exchange (two
+    // in-partition sorts — the dataloader's own read order, so the sort
+    // is the product).
+    QueryDef("q126_shard_order",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        graft.operators.Sharding.deterministicShards(
+            d, "doc_id", numShards = 8, epochs = Seq(0, 1))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("shard"), col("pos_e0"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      ::BIGINT % 8 AS shard,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+             |      1, 15))::BIGINT AS h0,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'),
+             |      1, 15))::BIGINT AS h1
+             |  FROM documents)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY h0, doc_id)
+             |    AS pos_e0,
+             |  row_number() OVER (PARTITION BY shard ORDER BY h1, doc_id)
+             |    AS pos_e1
+             |FROM h ORDER BY shard, pos_e0""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer
