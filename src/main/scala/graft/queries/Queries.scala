@@ -4944,6 +4944,87 @@ object Queries {
              |FROM h ORDER BY shard, pos_e0""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q127: leakage-SAFE train/val/test split — the constructive
+    // counterpart of q110's leakage AUDIT: split keyed on the near-dup
+    // CLUSTER representative (not the document), so every near-duplicate
+    // family lands in one split and cross-split contamination is zero BY
+    // CONSTRUCTION (Lee et al. 2022 §6 document the eval inflation when
+    // it is not). The graded `crossings` column re-derives that guarantee
+    // from the pair frame (a mis-assignment would flip every row's hash).
+    // Pair gen + CC are the q44 machinery; the pair frame is pinned
+    // across its two consumers (CC and the crossing check).
+    QueryDef("q127_leakage_safe_split",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+            shingleSize = 3, threshold = 0.7)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cc = Dedup.connectedComponents(
+          all.select(col("doc_id").as("id")), pairs)
+        val h = pmod(Text.md5Long(col("cluster")), lit(10))
+        val withSplit = cc.withColumn("split",
+          when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+        val sa = withSplit.select(col("id").as("id_a"),
+          col("split").as("split_a"))
+        val sb = withSplit.select(col("id").as("id_b"),
+          col("split").as("split_b"))
+        val crossings = pairs.join(sa, "id_a").join(sb, "id_b")
+          .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+            .otherwise(0L)), lit(0L)).as("crossings"))
+        withSplit.crossJoin(broadcast(crossings)).orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE
+             |all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM all_docs),
+             |sh AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |         THEN list_distinct(list_transform(range(len(toks) - 2),
+             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+             |         ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM tok),
+             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM posts a JOIN posts b
+             |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM all_docs
+             |  UNION
+             |  SELECT reach.id, edges.dst FROM reach
+             |  JOIN edges ON edges.src = reach.r),
+             |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |sp AS (SELECT id, cluster,
+             |    CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)),
+             |        1, 15))::BIGINT % 10 < 8 THEN 'train'
+             |      WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)),
+             |        1, 15))::BIGINT % 10 = 8 THEN 'val'
+             |      ELSE 'test' END AS split
+             |  FROM cc),
+             |cr AS (SELECT CAST(coalesce(sum(CASE WHEN x.split <> y.split
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS crossings
+             |  FROM pairs p
+             |  JOIN sp x ON x.id = p.id_a JOIN sp y ON y.id = p.id_b)
+             |SELECT id, cluster, split, crossings
+             |FROM sp CROSS JOIN cr ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer
