@@ -5025,6 +5025,68 @@ object Queries {
              |FROM sp CROSS JOIN cr ORDER BY id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q128: T5 span-corruption construction (Raffel et al. 2020 §3.1.4) —
+    // the denoising-objective (input, target) pairs materialized from raw
+    // documents. Span starts are content-hash draws (hash(doc:pos) <
+    // 0.05 * 2^60 for noise 0.15 / span 3), overlapping spans merge, and
+    // the sentinel numbering/joins ride doc-partitioned windows — no
+    // state crosses documents. 57646075230342348 = floor(0.05 * 2^60),
+    // the same literal the operator computes.
+    QueryDef("q128_span_corruption",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        graft.operators.SpanCorrupt.t5SpanCorruption(
+            d, "doc_id", "text", noiseDensity = 0.15, spanLen = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM documents),
+             |p AS (SELECT doc_id, unnest(list_transform(range(len(toks)),
+             |    i -> {'pos': i, 'tok': toks[i + 1]}), recursive := true)
+             |  FROM tok),
+             |f AS (SELECT doc_id, pos, tok,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+             |      || CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+             |      < 57646075230342348 AS start
+             |  FROM p),
+             |c AS (SELECT *, max(CASE WHEN start THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS covered
+             |  FROM f),
+             |n AS (SELECT *, covered AND coalesce(
+             |    NOT lag(covered) OVER (PARTITION BY doc_id ORDER BY pos),
+             |    TRUE) AS new_run
+             |  FROM c),
+             |r AS (SELECT *, sum(CASE WHEN new_run THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+             |  FROM n),
+             |pc AS (SELECT doc_id, pos, covered, new_run,
+             |    CASE WHEN NOT covered THEN tok
+             |      WHEN new_run THEN '<extra_id_'
+             |        || CAST(run_id - 1 AS VARCHAR) || '>'
+             |      ELSE NULL END AS in_piece,
+             |    CASE WHEN covered AND new_run THEN '<extra_id_'
+             |        || CAST(run_id - 1 AS VARCHAR) || '>' || ' ' || tok
+             |      WHEN covered THEN tok ELSE NULL END AS tgt_piece
+             |  FROM r)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN new_run THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_spans,
+             |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_masked,
+             |  round(CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) AS mask_frac,
+             |  coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
+             |    AS input_text,
+             |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+             |    AS target_text
+             |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer
