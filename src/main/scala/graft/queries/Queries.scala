@@ -5087,6 +5087,55 @@ object Queries {
              |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q129: Z-order layout audit (Morton interleave — the Delta/Iceberg
+    // OPTIMIZE ZORDER technique): events bucketized equi-width on
+    // (user_id, value), bit-interleaved to a 16-bit code, grouped into
+    // 64 zcode-contiguous "files". Graded per file: row count and the
+    // (za, zb) bounding box the file's min-max stats would advertise —
+    // bbox_frac is the fraction of the 2-D domain a scan of that file
+    // can touch (the file-skipping bound; z-ordered files stay small on
+    // BOTH dims, a single-column sort's boxes span one full dim). The
+    // bounds are a 1-row broadcast; the code is a codegen'd projection.
+    QueryDef("q129_zorder_layout",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val z = graft.operators.ZOrder.zCode(e, "user_id", "value",
+          bits = 8)
+        z.withColumn("file_id", shiftright(col("zcode"), 10))
+          .groupBy(col("file_id")).agg(
+            count(lit(1)).as("n"),
+            min(col("za")).as("a_min"), max(col("za")).as("a_max"),
+            min(col("zb")).as("b_min"), max(col("zb")).as("b_max"))
+          .withColumn("bbox_frac", round(
+            ((col("a_max") - col("a_min") + 1)
+              * (col("b_max") - col("b_min") + 1)).cast("double")
+              / (256.0 * 256.0), 6))
+          .orderBy(col("file_id"))
+      },
+      Some(s"""WITH bounds AS (
+             |  SELECT min(user_id) AS amin, max(user_id) AS amax,
+             |    min(value) AS bmin, max(value) AS bmax
+             |  FROM events),
+             |z AS (SELECT event_id,
+             |    CASE WHEN amax > amin THEN CAST(floor(
+             |      CAST(user_id - amin AS DOUBLE) / (amax - amin) * 255)
+             |      AS BIGINT) ELSE 0 END AS za,
+             |    CASE WHEN bmax > bmin THEN CAST(floor(
+             |      (value - bmin) / (bmax - bmin) * 255)
+             |      AS BIGINT) ELSE 0 END AS zb
+             |  FROM events CROSS JOIN bounds),
+             |zz AS (SELECT za, zb, ${mortonSql("za", "zb", 8)} AS zcode
+             |  FROM z),
+             |f AS (SELECT za, zb, zcode >> 10 AS file_id FROM zz)
+             |SELECT file_id, count(*) AS n,
+             |  min(za) AS a_min, max(za) AS a_max,
+             |  min(zb) AS b_min, max(zb) AS b_max,
+             |  round(CAST((max(za) - min(za) + 1) * (max(zb) - min(zb) + 1)
+             |    AS DOUBLE) / (256.0 * 256.0), 6) AS bbox_frac
+             |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer
@@ -5832,6 +5881,13 @@ object Queries {
              |  md5(array_to_string(kept, chr(10))) AS clean_md5
              |FROM k ORDER BY doc_id""".stripMargin))
   )
+
+  /** SQL restatement of [[graft.operators.ZOrder.interleave2]]: the
+    * 2*bits-term Morton shift sum (q129's twin). */
+  private def mortonSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString("\n             |    + ")
 
   /** Shared NB plant + scoring of q112/q123 (the Spark half of
     * [[nbScoreCtes]]): train = non-held-out docs labeled good + md5 token
