@@ -4110,64 +4110,7 @@ object Queries {
         graft.operators.BpeTrain.tokenCounts(d, "doc_id", "text", r.merges)
           .orderBy(col("id"))
       },
-      Some("""WITH w AS (
-             |  SELECT word, count(*) AS cnt FROM (
-             |    SELECT unnest(list_filter(
-             |      string_split_regex(lower(trim(text)), '\s+'),
-             |      t -> t <> '')) AS word
-             |    FROM documents)
-             |  GROUP BY word),
-             |s0 AS (
-             |  SELECT word, regexp_replace(word, '(.)', ' \1 ', 'g') AS s,
-             |    cnt
-             |  FROM w),
-             |p1 AS (
-             |  SELECT u, v, sum(cnt) AS wt FROM (
-             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
-             |           unnest(toks[2:len(toks)]) AS v, cnt
-             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
-             |          FROM s0)
-             |    WHERE len(toks) >= 2)
-             |  GROUP BY u, v),
-             |m1 AS (SELECT u, v FROM p1 ORDER BY wt DESC, u, v LIMIT 1),
-             |s1 AS (
-             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
-             |    ' ' || u || v || ' ') AS s, cnt
-             |  FROM s0 CROSS JOIN m1),
-             |p2 AS (
-             |  SELECT u, v, sum(cnt) AS wt FROM (
-             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
-             |           unnest(toks[2:len(toks)]) AS v, cnt
-             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
-             |          FROM s1)
-             |    WHERE len(toks) >= 2)
-             |  GROUP BY u, v),
-             |m2 AS (SELECT u, v FROM p2 ORDER BY wt DESC, u, v LIMIT 1),
-             |s2 AS (
-             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
-             |    ' ' || u || v || ' ') AS s, cnt
-             |  FROM s1 CROSS JOIN m2),
-             |p3 AS (
-             |  SELECT u, v, sum(cnt) AS wt FROM (
-             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
-             |           unnest(toks[2:len(toks)]) AS v, cnt
-             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
-             |          FROM s2)
-             |    WHERE len(toks) >= 2)
-             |  GROUP BY u, v),
-             |m3 AS (SELECT u, v FROM p3 ORDER BY wt DESC, u, v LIMIT 1),
-             |s3 AS (
-             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
-             |    ' ' || u || v || ' ') AS s, cnt
-             |  FROM s2 CROSS JOIN m3),
-             |wmap AS (
-             |  SELECT word, len(string_split(trim(s), '  ')) AS n_sym
-             |  FROM s3),
-             |tok AS (
-             |  SELECT doc_id AS id, unnest(list_filter(
-             |    string_split_regex(lower(trim(text)), '\s+'),
-             |    t -> t <> '')) AS word
-             |  FROM documents)
+      Some(s"""$bpeWmapCtes
              |SELECT id, count(*) AS n_words,
              |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
              |FROM tok JOIN wmap USING (word)
@@ -5136,6 +5079,43 @@ object Queries {
              |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q130: tokenizer fertility audit per language (Acs 2019; the XLM-R /
+    // NLLB tokenizer-equity check): subword tokens per word under the
+    // corpus-trained BPE, aggregated by language. High-fertility
+    // languages pay more sequence length for the same text — the signal
+    // that feeds vocabulary-size and mixing decisions. Shares q101's
+    // merge-learning CTEs verbatim (factored); the per-doc frame then
+    // rolls up by a broadcast lang join — nothing new shuffles wider
+    // than q101 itself.
+    QueryDef("q130_tokenizer_fertility",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val r = graft.operators.BpeTrain.train(d, "text", numMerges = 3)
+        val tc = graft.operators.BpeTrain.tokenCounts(
+          d, "doc_id", "text", r.merges)
+        tc.join(d.select(col("doc_id").as("id"), col("lang")), "id")
+          .groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+          .withColumn("fertility", round(
+            col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+          .orderBy(col("lang"))
+      },
+      Some(s"""$bpeWmapCtes,
+             |per_doc AS (
+             |  SELECT id, count(*) AS n_words,
+             |    CAST(sum(n_sym) AS BIGINT) AS n_bpe
+             |  FROM tok JOIN wmap USING (word) GROUP BY id)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_words) AS BIGINT) AS n_words,
+             |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+             |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6)
+             |    AS fertility
+             |FROM per_doc JOIN documents ON documents.doc_id = per_doc.id
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer
@@ -5881,6 +5861,69 @@ object Queries {
              |  md5(array_to_string(kept, chr(10))) AS clean_md5
              |FROM k ORDER BY doc_id""".stripMargin))
   )
+
+  /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
+    * learning unrolled in SQL, ending at wmap(word, n_sym) and
+    * tok(id, word). */
+  private lazy val bpeWmapCtes: String =
+    """WITH w AS (
+             |  SELECT word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS word
+             |    FROM documents)
+             |  GROUP BY word),
+             |s0 AS (
+             |  SELECT word, regexp_replace(word, '(.)', ' \1 ', 'g') AS s,
+             |    cnt
+             |  FROM w),
+             |p1 AS (
+             |  SELECT u, v, sum(cnt) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s0)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m1 AS (SELECT u, v FROM p1 ORDER BY wt DESC, u, v LIMIT 1),
+             |s1 AS (
+             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s0 CROSS JOIN m1),
+             |p2 AS (
+             |  SELECT u, v, sum(cnt) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s1)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m2 AS (SELECT u, v FROM p2 ORDER BY wt DESC, u, v LIMIT 1),
+             |s2 AS (
+             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s1 CROSS JOIN m2),
+             |p3 AS (
+             |  SELECT u, v, sum(cnt) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s2)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m3 AS (SELECT u, v FROM p3 ORDER BY wt DESC, u, v LIMIT 1),
+             |s3 AS (
+             |  SELECT word, replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s2 CROSS JOIN m3),
+             |wmap AS (
+             |  SELECT word, len(string_split(trim(s), '  ')) AS n_sym
+             |  FROM s3),
+             |tok AS (
+             |  SELECT doc_id AS id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS word
+             |  FROM documents)""".stripMargin
 
   /** SQL restatement of [[graft.operators.ZOrder.interleave2]]: the
     * 2*bits-term Morton shift sum (q129's twin). */
