@@ -5116,6 +5116,95 @@ object Queries {
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q131: curation attrition funnel — the per-stage survival table every
+    // corpus paper reports (C4 Table 1, RefinedWeb Fig. 2, Dolma §4):
+    // exact dedup -> min length -> language-ID -> stopword-ratio prose
+    // check, each stage's in/out counts plus cumulative retention. Flags are
+    // computed once per doc (one dedup window + one TextProfile pass),
+    // the funnel itself is a single 1-row aggregate exploded into stage
+    // rows — the whole report costs two corpus scans regardless of how
+    // many stages stack.
+    QueryDef("q131_attrition_funnel",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val all = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val winners = Dedup.exactText(all, "text", "doc_id")
+          .select(col("doc_id"), lit(true).as("f_dedup"))
+        val prof = graft.operators.TextProfile.profile(all, "doc_id", "text")
+        val flags = prof
+          .select(col("doc_id"), col("n_tokens"), col("lang_pred"),
+            col("stopword_ratio"))
+          .join(winners, Seq("doc_id"), "left")
+          .select(coalesce(col("f_dedup"), lit(false)).as("f1"),
+            (col("n_tokens") >= 20).as("f2"),
+            (col("lang_pred") =!= "und").as("f3"),
+            (round(col("stopword_ratio"), 6) >= 0.05).as("f4"))
+        val c = flags.agg(
+          count(lit(1)).as("c0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L))
+            .as("c3"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+            .otherwise(0L)).as("c4"))
+        def st(i: Int, rule: String, nin: String, nout: String) =
+          struct(lit(i.toLong).as("stage"), lit(rule).as("rule"),
+            col(nin).as("n_in"), col(nout).as("n_out"),
+            col("c0").as("n_corpus"))
+        c.select(explode(array(
+            st(1, "exact_dedup", "c0", "c1"),
+            st(2, "min_length", "c1", "c2"),
+            st(3, "lang_id", "c2", "c3"),
+            st(4, "stopword_ratio", "c3", "c4"))).as("s"))
+          .select(col("s.stage").as("stage"), col("s.rule").as("rule"),
+            col("s.n_in").as("n_in"), col("s.n_out").as("n_out"),
+            round(col("s.n_out").cast("double") / col("s.n_in"), 6)
+              .as("kept_frac"),
+            round(col("s.n_out").cast("double") / col("s.n_corpus"), 6)
+              .as("cum_frac"))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents
+             |  WHERE doc_id % 5 = 0),
+             |prof AS (
+             |${docStatsSql("all_docs").stripSuffix(" ORDER BY doc_id")}),
+             |winners AS (
+             |  SELECT doc_id FROM (
+             |    SELECT doc_id, row_number() OVER (
+             |      PARTITION BY k ORDER BY doc_id) AS rn
+             |    FROM (SELECT doc_id,
+             |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS k
+             |      FROM all_docs))
+             |  WHERE rn = 1),
+             |flags AS (
+             |  SELECT (w.doc_id IS NOT NULL) AS f1, n_tokens >= 20 AS f2,
+             |    lang_pred <> 'und' AS f3, stopword_ratio >= 0.05 AS f4
+             |  FROM prof p LEFT JOIN winners w ON p.doc_id = w.doc_id),
+             |c AS (SELECT count(*) AS c0,
+             |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS c2,
+             |    CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c3,
+             |    CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS c4
+             |  FROM flags)
+             |SELECT stage, rule, n_in, n_out,
+             |  round(CAST(n_out AS DOUBLE) / n_in, 6) AS kept_frac,
+             |  round(CAST(n_out AS DOUBLE) / c0, 6) AS cum_frac
+             |FROM (
+             |  SELECT c0, CAST(1 AS BIGINT) AS stage, 'exact_dedup' AS rule,
+             |    c0 AS n_in, c1 AS n_out FROM c
+             |  UNION ALL SELECT c0, 2, 'min_length', c1, c2 FROM c
+             |  UNION ALL SELECT c0, 3, 'lang_id', c2, c3 FROM c
+             |  UNION ALL SELECT c0, 4, 'stopword_ratio', c3, c4 FROM c)
+             |ORDER BY stage""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer
