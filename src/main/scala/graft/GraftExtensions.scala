@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.expressions.MisraGries(args(0),
           intLiteral("misra_gries k", args(1)))))
+    ext.injectFunction((FunctionIdentifier("topk_agg"),
+      info("topk_agg",
+        "(score double, id bigint, k) - bounded per-group top-k " +
+          "(array<struct<score,id>> best-first, O(k) state)"),
+      (args: Seq[Expression]) =>
+        graft.expressions.TopKAgg(args(0), args(1),
+          intLiteral("topk_agg k", args(2)))))
     ext.injectFunction((FunctionIdentifier("kmv_agg"),
       info("kmv_agg",
         "(bigint, k) - k-minimum-values distinct sketch (sorted " +

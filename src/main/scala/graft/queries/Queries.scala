@@ -5205,6 +5205,32 @@ object Queries {
              |ORDER BY stage""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q132: per-group top-k via the native bounded TopKAgg — the O(k)-state
+    // replacement for `row_number() OVER (...) <= k`: the window form
+    // shuffles and sorts EVERY row of every group; the aggregate's partial
+    // buffers ship at most k entries per map task, so the exchange carries
+    // k*partitions rows and nothing sorts more than k elements. Graded
+    // bit-equal against the window formulation (the DuckDB twin), ties
+    // pinned by smallest id.
+    QueryDef("q132_grouped_topk",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.groupBy(col("lang")).agg(
+            graft.expressions.TopK.column(
+              col("n_chars").cast("double"), col("doc_id"), 5).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("i", "e")))
+          .select(col("lang"), (col("i") + 1).cast("long").as("rnk"),
+            col("e.id").as("doc_id"),
+            col("e.score").cast("long").as("n_chars"))
+          .orderBy(col("lang"), col("rnk"))
+      },
+      Some("""SELECT lang, rnk, doc_id, n_chars FROM (
+             |  SELECT lang, doc_id, n_chars, row_number() OVER (
+             |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+             |  FROM documents)
+             |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer

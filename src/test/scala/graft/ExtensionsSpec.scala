@@ -113,6 +113,22 @@ class ExtensionsSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("h"), 16))
         .head().getSeq[Long](0)
       assert(viaSql == viaCol && viaSql.length == 16)
+      // topk: SQL-path best-first array equals the window top-3
+      spark.range(100)
+        .selectExpr("concat('g', id % 2) AS g",
+          "CAST(id % 11 AS DOUBLE) AS s", "id")
+        .createOrReplaceTempView("tk_in")
+      val tk = spark.sql(
+        "SELECT g, e.id FROM (SELECT g, topk_agg(s, id, 3) AS t " +
+          "FROM tk_in GROUP BY g) LATERAL VIEW explode(t) AS e " +
+          "ORDER BY g, e.score DESC, e.id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val wtk = spark.sql(
+        "SELECT g, id FROM (SELECT g, id, row_number() OVER (" +
+          "PARTITION BY g ORDER BY s DESC, id) AS rn FROM tk_in) " +
+          "WHERE rn <= 3 ORDER BY g, rn")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(tk == wtk)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
