@@ -5231,6 +5231,75 @@ object Queries {
              |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q133: cross-source contamination matrix — pairwise shingle-overlap
+    // estimates between every source pair from ONE sketch per source
+    // (the q125 KMV machinery applied the way a lake audit actually runs:
+    // |sources| k-entry sketches, then all O(|sources|^2) pair scores
+    // from the sketches alone — no pair ever rescans the corpus; with
+    // HLL this matrix is impossible, intersections don't compose).
+    // One token-stream scan, one source-keyed aggregate; the pair join
+    // is a broadcast self-join of a |sources|-row frame.
+    QueryDef("q133_source_overlap_matrix",
+      (s, dir) => {
+        import graft.expressions.Kmv
+        val d = t(s, dir, "documents").select(col("source"), col("text"))
+        val sk = d.select(col("source"),
+            explode(Text.wordShingles(col("text"), 3)).as("g"))
+          .select(col("source"), Text.md5Long(col("g")).as("h"))
+          .groupBy(col("source"))
+          .agg(Kmv.column(col("h"), 128).as("sk"))
+        sk.as("x").join(broadcast(sk.as("y")),
+            col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+            round(Kmv.jaccard(col("x.sk"), col("y.sk"), 128), 6)
+              .as("jacc_est"),
+            round(Kmv.estimate(
+              Kmv.unionSketch(col("x.sk"), col("y.sk"), 128), 128), 2)
+              .as("union_est"))
+          .withColumn("inter_est",
+            round(col("jacc_est") * col("union_est"), 2))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '') AS toks
+             |  FROM documents),
+             |gr AS (
+             |  SELECT source, unnest(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(len(toks) - 2),
+             |      i -> array_to_string(toks[i + 1:i + 3], ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS g
+             |  FROM tok),
+             |hh AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+             |  FROM gr),
+             |rk AS (SELECT source, h, row_number() OVER (
+             |    PARTITION BY source ORDER BY h) AS r
+             |  FROM hh),
+             |sk AS (SELECT source, list(h ORDER BY h) AS sk
+             |  FROM rk WHERE r <= 128 GROUP BY source),
+             |pr AS (
+             |  SELECT x.source AS src_a, y.source AS src_b,
+             |    x.sk AS sa, y.sk AS sb,
+             |    list_sort(list_distinct(list_concat(x.sk, y.sk)))[1:128]
+             |      AS sku
+             |  FROM sk x JOIN sk y ON x.source < y.source),
+             |est AS (SELECT src_a, src_b,
+             |    CASE WHEN len(sku) = 0 THEN 0.0
+             |      ELSE CAST(len(list_intersect(sku,
+             |          list_intersect(sa, sb))) AS DOUBLE) / len(sku)
+             |      END AS jacc_raw,
+             |    CASE WHEN len(sku) < 128 THEN CAST(len(sku) AS DOUBLE)
+             |      ELSE 127.0 * 1152921504606846976.0
+             |        / CAST(sku[128] AS DOUBLE) END AS u_raw
+             |  FROM pr)
+             |SELECT src_a, src_b, round(jacc_raw, 6) AS jacc_est,
+             |  round(u_raw, 2) AS union_est,
+             |  round(round(jacc_raw, 6) * round(u_raw, 2), 2) AS inter_est
+             |FROM est ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q113: temperature-mixed corpus sampling rates (mT5/XLM-R alpha=0.3)
     // over the documents corpus, domains = lang, weighted by n_chars,
     // budget 1000 rows apportioned by largest remainder over integer
