@@ -6043,7 +6043,101 @@ object Queries {
              |  (len(kept) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
              |    AND NOT contains(text, '{')) AS keep,
              |  md5(array_to_string(kept, chr(10))) AS clean_md5
-             |FROM k ORDER BY doc_id""".stripMargin))
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q134: Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    // 1969) — the statistical generalization of the reference's rule-based
+    // ">= 2 of 3 keys" contacts matcher (fill_missing_contact_info.py:64-99).
+    // Planted corpus: exact duplicates (agree on every field -> 'match'),
+    // near-duplicates with a perturbed name (disagree name, agree the rest
+    // -> 'possible'), blocked on nation. u-probabilities are estimated from
+    // the value distributions in ONE scan (collision mass sum (n_v/N)^2,
+    // rounded 9); scoring is two id-keyed hash joins + a 1-row broadcast of
+    // the u's; weights are a fixed-order 3-term sum rounded 6. Blocking
+    // keeps the pair space linear-ish; the all-pairs-in-block join here is
+    // the caller's blocking contract, not the operator's.
+    QueryDef("q134_record_linkage",
+      (s, dir) => {
+        import graft.operators.Linkage
+        import graft.operators.Linkage.FsField
+        val base = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("id"),
+          concat(lit("cust"), col("c_custkey").cast("string")).as("name"),
+          col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        val dirty = base.filter(col("id") % 4 === 0)
+          .withColumn("id", col("id") + 1000000)
+          .withColumn("name", concat(col("name"), lit("x")))
+        val exact = base.filter(col("id") % 10 === 0)
+          .withColumn("id", col("id") + 2000000)
+        val recs = base.unionByName(dirty).unionByName(exact)
+        val pairs = recs.select(col("id"), col("nat")).as("a")
+          .join(recs.select(col("id"), col("nat")).as("b"),
+            col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        Linkage.fellegiSunter(recs, "id", pairs,
+            Seq(FsField("name", 0.95), FsField("seg", 0.9),
+              FsField("bal_bucket", 0.85)),
+            upperT = 4.0, lowerT = 0.0)
+          .filter(col("decision") =!= "non_match")
+          .orderBy(col("weight").desc, col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS id,
+             |    'cust' || c_custkey AS name,
+             |    c_mktsegment AS seg,
+             |    CAST(c_nationkey AS BIGINT) AS nat,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+             |  FROM customer),
+             |dirty AS (SELECT id + 1000000 AS id, name || 'x' AS name,
+             |    seg, nat, bal_bucket FROM base WHERE id % 4 = 0),
+             |exact AS (SELECT id + 2000000 AS id, name, seg, nat,
+             |    bal_bucket FROM base WHERE id % 10 = 0),
+             |recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty
+             |  UNION ALL SELECT * FROM exact),
+             |un AS (SELECT round(least(greatest(
+             |    sum(n * n) / (sum(n) * sum(n)), 1e-9), 1 - 1e-9), 9) AS u
+             |  FROM (SELECT count(*) AS n FROM recs
+             |        WHERE name IS NOT NULL GROUP BY name)),
+             |us AS (SELECT round(least(greatest(
+             |    sum(n * n) / (sum(n) * sum(n)), 1e-9), 1 - 1e-9), 9) AS u
+             |  FROM (SELECT count(*) AS n FROM recs
+             |        WHERE seg IS NOT NULL GROUP BY seg)),
+             |ub AS (SELECT round(least(greatest(
+             |    sum(n * n) / (sum(n) * sum(n)), 1e-9), 1 - 1e-9), 9) AS u
+             |  FROM (SELECT count(*) AS n FROM recs
+             |        WHERE bal_bucket IS NOT NULL GROUP BY bal_bucket)),
+             |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    a.name AS an, b.name AS bn, a.seg AS asg, b.seg AS bsg,
+             |    a.bal_bucket AS ab, b.bal_bucket AS bb
+             |  FROM recs a JOIN recs b ON a.nat = b.nat AND a.id < b.id),
+             |sc AS (SELECT id_a, id_b,
+             |    CASE WHEN an IS NULL OR bn IS NULL THEN NULL
+             |         WHEN an = bn THEN 1 ELSE 0 END AS agree_name,
+             |    CASE WHEN asg IS NULL OR bsg IS NULL THEN NULL
+             |         WHEN asg = bsg THEN 1 ELSE 0 END AS agree_seg,
+             |    CASE WHEN ab IS NULL OR bb IS NULL THEN NULL
+             |         WHEN ab = bb THEN 1 ELSE 0 END AS agree_bal_bucket,
+             |    round(
+             |      (CASE WHEN an IS NULL OR bn IS NULL THEN 0.0
+             |            WHEN an = bn THEN log2(0.95 / un.u)
+             |            ELSE log2(0.05 / (1 - un.u)) END)
+             |      + (CASE WHEN asg IS NULL OR bsg IS NULL THEN 0.0
+             |              WHEN asg = bsg THEN log2(0.9 / us.u)
+             |              ELSE log2(0.1 / (1 - us.u)) END)
+             |      + (CASE WHEN ab IS NULL OR bb IS NULL THEN 0.0
+             |              WHEN ab = bb THEN log2(0.85 / ub.u)
+             |              ELSE log2(0.15 / (1 - ub.u)) END), 6) AS weight
+             |  FROM pr CROSS JOIN un CROSS JOIN us CROSS JOIN ub)
+             |SELECT id_a, id_b, agree_name, agree_seg, agree_bal_bucket,
+             |  weight,
+             |  CASE WHEN weight >= 4.0 THEN 'match'
+             |       WHEN weight <= 0.0 THEN 'non_match'
+             |       ELSE 'possible' END AS decision
+             |FROM sc WHERE weight > 0.0
+             |ORDER BY weight DESC, id_a, id_b""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
