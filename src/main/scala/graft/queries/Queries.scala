@@ -6137,7 +6137,51 @@ object Queries {
              |       WHEN weight <= 0.0 THEN 'non_match'
              |       ELSE 'possible' END AS decision
              |FROM sc WHERE weight > 0.0
-             |ORDER BY weight DESC, id_a, id_b""".stripMargin))
+             |ORDER BY weight DESC, id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q135: sorted-neighborhood candidate generation (Hernandez-Stolfo
+    // merge/purge) — the complementary blocking pass to q33's suffix
+    // blocks: planted END-of-name typos sort adjacent to their source, so
+    // the rank window catches pairs equality blocking splits. Global rank
+    // via the two-phase range-partition scheme (NO single-task window);
+    // pairing is a bucket-keyed equi-join (two probe buckets per row,
+    // n * (window-1) candidates). The oracle restates the definition with
+    // a row_number window + rank-gap join — same pair set by construction.
+    QueryDef("q135_sorted_neighborhood",
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("id"),
+          concat(lit("cust"),
+            lpad(col("c_custkey").cast("string"), 9, "0")).as("name"))
+        val dirty = base.filter(col("id") % 4 === 0)
+          .select((col("id") + 1000000).as("id"),
+            concat(col("name"), lit("x")).as("name"))
+        val recs = base.unionByName(dirty)
+        val names = recs.select(col("id"), col("name"))
+        graft.operators.Fuzzy.sortedNeighborhood(recs, "id", col("name"), 5)
+          .join(names.select(col("id").as("id_a"), col("name").as("name_a")),
+            Seq("id_a"))
+          .join(names.select(col("id").as("id_b"), col("name").as("name_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("gap"),
+            levenshtein(col("name_a"), col("name_b")).as("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS id,
+             |    'cust' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS name
+             |  FROM customer),
+             |dirty AS (SELECT id + 1000000 AS id, name || 'x' AS name
+             |  FROM base WHERE id % 4 = 0),
+             |recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+             |rk AS (SELECT id, name,
+             |    row_number() OVER (ORDER BY name, id) AS rn FROM recs)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  b.rn - a.rn AS gap, levenshtein(a.name, b.name) AS dist
+             |FROM rk a JOIN rk b
+             |  ON b.rn > a.rn AND b.rn - a.rn < 5
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
