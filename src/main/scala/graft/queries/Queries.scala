@@ -6181,7 +6181,45 @@ object Queries {
              |  b.rn - a.rn AS gap, levenshtein(a.name, b.name) AS dist
              |FROM rk a JOIN rk b
              |  ON b.rn > a.rn AND b.rn - a.rn < 5
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q136: market-basket association rules (Apriori's 2-itemset tier) over
+    // order baskets — support / confidence / lift for co-ordered part
+    // pairs, top-100 by lift. The pair expansion is a basket-keyed
+    // self-join (quadratic in BASKET size only, capped at 15 items); all
+    // supports are hash aggregates; the basket total is a 1-row broadcast.
+    // Complements q81's PMI scoring of the same co-occurrence counts.
+    QueryDef("q136_basket_rules",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.operators.Baskets.pairRules(li, "l_orderkey", "l_partkey",
+          minPairCount = 2, maxBasketSize = 15, topK = 100)
+      },
+      Some("""WITH member AS (
+             |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+             |  FROM lineitem),
+             |sized AS (SELECT bk FROM member GROUP BY bk
+             |  HAVING count(*) <= 15),
+             |kept AS (SELECT m.* FROM member m JOIN sized USING (bk)),
+             |nb AS (SELECT count(DISTINCT bk) AS n FROM kept),
+             |ic AS (SELECT it, count(*) AS cnt FROM kept GROUP BY it),
+             |pc AS (SELECT a.it AS item_a, b.it AS item_b,
+             |    count(*) AS pair_cnt
+             |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT item_a, item_b, pair_cnt,
+             |  ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+             |  round(CAST(pair_cnt AS DOUBLE) / n, 6) AS support,
+             |  round(CAST(pair_cnt AS DOUBLE) / ca.cnt, 6) AS conf_ab,
+             |  round(CAST(pair_cnt AS DOUBLE) / cb.cnt, 6) AS conf_ba,
+             |  round(CAST(pair_cnt AS DOUBLE) * n / (ca.cnt * cb.cnt), 6)
+             |    AS lift
+             |FROM pc JOIN ic ca ON pc.item_a = ca.it
+             |  JOIN ic cb ON pc.item_b = cb.it
+             |CROSS JOIN nb
+             |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
