@@ -6219,7 +6219,49 @@ object Queries {
              |FROM pc JOIN ic ca ON pc.item_a = ca.it
              |  JOIN ic cb ON pc.item_b = cb.it
              |CROSS JOIN nb
-             |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin))
+             |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q137: per-node triangle counts (clustering-coefficient numerator)
+    // over the co-purchase graph — parts co-ordered in >= 2 baskets.
+    // Degree-ordered orientation (Suri-Vassilvitskii) bounds the wedge
+    // join's per-node fan-out at O(sqrt(E)) regardless of hub skew; the
+    // oracle restates the naive a<b<c triple join, so the orientation
+    // trick is graded against the definition. Third graph kernel beside
+    // connectedComponents (q44) and PageRank (q103).
+    QueryDef("q137_triangle_counts",
+      (s, dir) => {
+        val member = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val sized = member.groupBy(col("bk"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= 15).select("bk")
+        val kept = member.join(sized, Seq("bk"))
+        val edges = kept.as("a").join(kept.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("src"), col("b.it").as("dst"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select(col("src"), col("dst"))
+        graft.operators.Graphs.triangleCounts(edges)
+          .orderBy(col("triangles").desc, col("node"))
+      },
+      Some("""WITH member AS (
+             |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+             |  FROM lineitem),
+             |sized AS (SELECT bk FROM member GROUP BY bk
+             |  HAVING count(*) <= 15),
+             |kept AS (SELECT m.* FROM member m JOIN sized USING (bk)),
+             |ed AS (SELECT a.it AS u, b.it AS v
+             |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+             |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |nodes AS (SELECT a AS node FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri)
+             |SELECT node, count(*) AS triangles FROM nodes GROUP BY node
+             |ORDER BY triangles DESC, node""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

@@ -172,6 +172,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graphs.pageRank(cycle.limit(0), iters = 1).isEmpty)
   }
 
+  test("triangleCounts: cliques, pendants, normalization, naive parity") {
+    import graft.operators.Graphs
+    def counts(edges: org.apache.spark.sql.DataFrame) =
+      Graphs.triangleCounts(edges).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d").toDF("src", "dst")
+    assert(counts(k4) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // triangle + pendant: pendant is in no triangle and absent from output
+    val pend = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
+      .toDF("src", "dst")
+    assert(counts(pend) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // reversed duplicates and self-loops normalize away
+    val messy = pend.unionByName(Seq("b" -> "a", "c" -> "b", "a" -> "a")
+      .toDF("src", "dst"))
+    assert(counts(messy) == counts(pend))
+    // 4-cycle: no triangles at all
+    val square = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+      .toDF("src", "dst")
+    assert(Graphs.triangleCounts(square).isEmpty)
+    // random graph: parity with the naive a<b<c triple join
+    val rnd = (1 to 120).map(i =>
+      (s"n${(i * 7) % 23}", s"n${(i * 13 + 5) % 23}")).toDF("src", "dst")
+    val canon = rnd.select(least($"src", $"dst").as("u"),
+        greatest($"src", $"dst").as("v"))
+      .filter($"u" < $"v").distinct()
+    val naive = canon.as("e1")
+      .join(canon.as("e2"), col("e1.v") === col("e2.u"))
+      .join(canon.as("e3"), col("e1.u") === col("e3.u") &&
+        col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(rnd) == naive)
+  }
+
   test("pageRank deep iteration: checkpointed lineage == uncheckpointed") {
     import graft.operators.Graphs
     val star = Seq(("h", "s1"), ("s1", "h"), ("h", "s2"), ("s2", "h"),
