@@ -6261,7 +6261,37 @@ object Queries {
              |  UNION ALL SELECT b FROM tri
              |  UNION ALL SELECT c FROM tri)
              |SELECT node, count(*) AS triangles FROM nodes GROUP BY node
-             |ORDER BY triangles DESC, node""".stripMargin))
+             |ORDER BY triangles DESC, node""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q138: MinHash-LSH banding design audit (MMDS §3.4.3 S-curve): every
+    // (b, r) factorization of k=24 scored by integrated false-positive /
+    // false-negative mass against the 0.7 Jaccard threshold — the planner
+    // behind q20/q29's band choices. Pure closed-form arithmetic over a
+    // divisors(k) x 19 grid; the planner reads the data MODEL, not the
+    // data, so it is metadata-sized at any corpus scale.
+    QueryDef("q138_lsh_scurve",
+      (s, dir) => {
+        graft.operators.LshPlan.sCurve(s, k = 24, threshold = 0.7)
+      },
+      Some("""WITH cfg AS (
+             |  SELECT b, 24 // b AS r FROM range(1, 25) t(b)
+             |  WHERE 24 % b = 0),
+             |grid AS (SELECT b, r, round(CAST(i AS DOUBLE) / 20, 6) AS s
+             |  FROM cfg CROSS JOIN range(1, 20) g(i)),
+             |pp AS (SELECT b, r, s,
+             |    round(1 - pow(1 - pow(s, r), b), 6) AS p FROM grid),
+             |ag AS (SELECT b, r,
+             |    round(sum(CASE WHEN s < 0.7 THEN p ELSE 0 END) / 20, 6)
+             |      AS fp_mass,
+             |    round(sum(CASE WHEN s >= 0.7 THEN 1 - p ELSE 0 END) / 20, 6)
+             |      AS fn_mass
+             |  FROM pp GROUP BY b, r),
+             |tot AS (SELECT *, round(fp_mass + fn_mass, 6) AS total_err
+             |  FROM ag)
+             |SELECT b, r, fp_mass, fn_mass, total_err,
+             |  (row_number() OVER (ORDER BY total_err, b) = 1) AS chosen
+             |FROM tot ORDER BY b""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
