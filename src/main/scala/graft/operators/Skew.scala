@@ -57,4 +57,36 @@ object Skew {
         }: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /** Join-explosion audit — the planning pass BEFORE a big equi-join: for
+    * every key present on both sides, the join's output is n_left *
+    * n_right rows, all landing on one reducer under plain hash
+    * partitioning. This planner computes that product per key from two
+    * count aggregates (map-side combined; the inputs are never joined),
+    * flags keys whose output exceeds `targetRowsPerTask`, and sizes the
+    * salt factor ceil(out_rows / target) that AQE's skew-join splitting —
+    * or an explicit salted replicate-join — would need. The share column
+    * (key's fraction of total join output) is the "curse of the last
+    * reducer" number: a single key near 1.0 means the join IS that key.
+    *
+    * Returns the top `topK` keys by output rows: (key, n_left, n_right,
+    * out_rows, share, needs_salt, salt_factor). */
+  def joinSkewPlan(left: DataFrame, right: DataFrame, key: String,
+      targetRowsPerTask: Long, topK: Int): DataFrame = {
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be positive")
+    val l = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    val per = l.join(r, Seq(key))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val tot = per.agg(sum(col("out_rows")).as("total_out"))
+    per.crossJoin(broadcast(tot))
+      .select(col(key), col("n_left"), col("n_right"), col("out_rows"),
+        round(col("out_rows").cast("double") / col("total_out"), 6)
+          .as("share"),
+        (col("out_rows") > targetRowsPerTask).as("needs_salt"),
+        ceil(col("out_rows").cast("double") / targetRowsPerTask)
+          .cast("long").as("salt_factor"))
+      .orderBy(col("out_rows").desc, col(key))
+      .limit(topK)
+  }
 }

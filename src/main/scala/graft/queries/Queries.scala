@@ -6291,7 +6291,40 @@ object Queries {
              |  FROM ag)
              |SELECT b, r, fp_mass, fn_mass, total_err,
              |  (row_number() OVER (ORDER BY total_err, b) = 1) AS chosen
-             |FROM tot ORDER BY b""".stripMargin))
+             |FROM tot ORDER BY b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q139: join-skew audit / salt planner — per-key output-row products
+    // for a planned self-equi-join with a planted Zipf-style hot key (5%
+    // of the fact rows collapse onto one key). Two count aggregates and a
+    // count-frame join; the INPUTS are never joined, so the audit costs
+    // O(|keys|) shuffle where the join it plans would cost O(out_rows).
+    // The flagged salt factor is what AQE skew-split / a salted
+    // replicate-join would need per key.
+    QueryDef("q139_join_skew_plan",
+      (s, dir) => {
+        val f = t(s, dir, "lineitem").select(
+          when(col("l_orderkey") % 20 === 0, lit(1L))
+            .otherwise(col("l_partkey")).as("part"))
+        graft.operators.Skew.joinSkewPlan(f, f, "part",
+          targetRowsPerTask = 100000L, topK = 50)
+      },
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN l_orderkey % 20 = 0 THEN 1
+             |    ELSE l_partkey END AS part FROM lineitem),
+             |lc AS (SELECT part, count(*) AS n_left FROM f GROUP BY part),
+             |rc AS (SELECT part, count(*) AS n_right FROM f GROUP BY part),
+             |per AS (SELECT part, n_left, n_right,
+             |    n_left * n_right AS out_rows
+             |  FROM lc JOIN rc USING (part)),
+             |tot AS (SELECT sum(out_rows) AS total_out FROM per)
+             |SELECT part, n_left, n_right, out_rows,
+             |  round(CAST(out_rows AS DOUBLE) / total_out, 6) AS share,
+             |  out_rows > 100000 AS needs_salt,
+             |  CAST(ceil(CAST(out_rows AS DOUBLE) / 100000) AS BIGINT)
+             |    AS salt_factor
+             |FROM per CROSS JOIN tot
+             |ORDER BY out_rows DESC, part LIMIT 50""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

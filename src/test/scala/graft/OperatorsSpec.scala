@@ -844,6 +844,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d1.isEmpty && d2.isEmpty)
   }
 
+  test("joinSkewPlan: products, shares, salt sizing, one-sided keys") {
+    import graft.operators.Skew
+    val left = (Seq.fill(10)("hot") ++ Seq("a", "a", "b", "only_left"))
+      .map((_, 1)).toDF("k", "x")
+    val right = (Seq.fill(20)("hot") ++ Seq("a", "b", "b", "only_right"))
+      .map((_, 1)).toDF("k", "x")
+    val out = Skew.joinSkewPlan(left, right, "k",
+        targetRowsPerTask = 100, topK = 10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5), r.getLong(6)))).toMap
+    // hot: 10*20=200 of 204 total; a: 2*1=2; b: 1*2=2; one-sided keys absent
+    assert(out.keySet == Set("hot", "a", "b"))
+    assert(out("hot") == ((10L, 20L, 200L, 0.980392, true, 2L)))
+    assert(out("a") == ((2L, 1L, 2L, 0.009804, false, 1L)))
+    assert(out("b") == ((1L, 2L, 2L, 0.009804, false, 1L)))
+    // ordering: out_rows desc then key asc
+    val ordered = Skew.joinSkewPlan(left, right, "k", 100, 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(ordered == Seq("hot", "a", "b"))
+    // topK truncates
+    assert(Skew.joinSkewPlan(left, right, "k", 100, 1).count() == 1)
+  }
+
   test("multimodal: featurize is deterministic, batch-shaped, right dims") {
     val media = Seq((1L, "hello world"), (2L, "abc"))
       .toDF("id", "text")
