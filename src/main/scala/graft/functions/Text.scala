@@ -74,6 +74,36 @@ object Text {
       .otherwise(array(s))
   }
 
+  /** Content-defined chunking (the LBFS rule — Muthitacharoen et al. 2001,
+    * "A Low-Bandwidth Network File System"; the mechanism under every
+    * storage dedup system): a chunk boundary falls after any `w`-char
+    * window whose hash lands in 1/16 of the hash space (here: portable
+    * md5 first hex == '0', so the DuckDB twin states the same rule).
+    * Boundaries depend only on LOCAL content, so an insertion or deletion
+    * reflows at most its neighboring chunks — fixed-width chunking would
+    * reflow every downstream chunk, which is exactly why CDC chunk-hash
+    * dedup detects shifted duplicate content and fixed-grid dedup cannot.
+    *
+    * Mean chunk length ~ 16 + w - 1 chars. No min/max clamp (classic CDC
+    * skips w chars after each cut; the clamp-free rule keeps this a pure
+    * per-row expression both engines state identically — documented
+    * divergence, not an accident). Text shorter than `w` is one chunk;
+    * chunks always concatenate back to the input. Returns array<string>,
+    * empty for empty/null-length input. Fully row-local: zero shuffle. */
+  def cdcChunks(c: Column, w: Int = 8): Column = {
+    val boundaryEnds = when(length(c) >= w,
+      filter(sequence(lit(w), length(c)),
+        e => substring(md5(c.substr(e - (w - 1), lit(w))), 1, 1) === "0"))
+      .otherwise(array().cast("array<int>"))
+    val ends = array_sort(array_distinct(
+      concat(boundaryEnds, array(length(c)))))
+    val chunks = transform(sequence(lit(1), size(ends)), j => {
+      val prev = when(j === 1, lit(0)).otherwise(element_at(ends, j - 1))
+      c.substr(prev + 1, element_at(ends, j) - prev)
+    })
+    filter(chunks, ch => length(ch) > 0)
+  }
+
   // ---------------------------------------------------------------- hashing
 
   /** Portable 60-bit integer hash: first 15 hex chars of md5. Unlike

@@ -6324,7 +6324,62 @@ object Queries {
              |  CAST(ceil(CAST(out_rows AS DOUBLE) / 100000) AS BIGINT)
              |    AS salt_factor
              |FROM per CROSS JOIN tot
-             |ORDER BY out_rows DESC, part LIMIT 50""".stripMargin))
+             |ORDER BY out_rows DESC, part LIMIT 50""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q140: content-defined chunk dedup (LBFS rule) — per-doc fraction of
+    // characters living in chunks shared with ANOTHER document. Chunk
+    // boundaries are content-local (md5 of an 8-char window), so shifted /
+    // partially-edited duplicate passages still align — the dedup signal
+    // fixed-grid chunking (and whole-doc hashing, q18) cannot see.
+    // Chunking is a pure per-row expression (zero shuffle); the corpus
+    // side is one chunk-hash aggregate + one hash-keyed join back.
+    QueryDef("q140_cdc_chunk_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val inst = d.select(col("doc_id"),
+            explode(Text.cdcChunks(col("text"), 8)).as("chunk"))
+          .select(col("doc_id"), md5(col("chunk")).as("h"),
+            length(col("chunk")).as("clen"))
+        val dfreq = inst.select(col("h"), col("doc_id")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        inst.join(dfreq, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+            round(sum(when(col("df") >= 2, col("clen")).otherwise(0))
+              .cast("double") / sum(col("clen")), 6)
+              .as("shared_char_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id, text,
+             |    CASE WHEN length(text) >= 8 THEN
+             |      list_filter(range(8, length(text)::BIGINT + 1),
+             |        e -> substr(md5(substr(text, (e - 7)::INT, 8)), 1, 1)
+             |          = '0')
+             |    ELSE [] END AS ends0 FROM documents),
+             |e AS (SELECT doc_id, text,
+             |    list_sort(list_distinct(list_append(ends0,
+             |      length(text)::BIGINT))) AS ends FROM b),
+             |ch AS (SELECT doc_id, unnest(list_filter(list_transform(
+             |      range(1, len(ends)::BIGINT + 1),
+             |      j -> substr(text,
+             |        (CASE WHEN j = 1 THEN 0
+             |          ELSE ends[j::INT - 1] END)::INT + 1,
+             |        (ends[j::INT] - CASE WHEN j = 1 THEN 0
+             |          ELSE ends[j::INT - 1] END)::INT)),
+             |    c -> length(c) > 0)) AS chunk FROM e),
+             |inst AS (SELECT doc_id, md5(chunk) AS h,
+             |    length(chunk) AS clen FROM ch),
+             |dfreq AS (SELECT h, count(DISTINCT doc_id) AS df
+             |  FROM inst GROUP BY h)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shared,
+             |  round(sum(CASE WHEN df >= 2 THEN clen ELSE 0 END)::DOUBLE
+             |    / sum(clen), 6) AS shared_char_frac
+             |FROM inst JOIN dfreq USING (h)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

@@ -458,4 +458,47 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for (i <- 1 to 5) assert(est(s"k$i") == i * 7L)
   }
+
+  test("cdcChunks: partition property, short/empty text, determinism") {
+    import graft.functions.Text
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog " * 20,
+      "abcdefg",          // shorter than the window -> one chunk
+      "x" * 8, "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = df.select(col("id"), col("text"),
+        Text.cdcChunks(col("text"), 8).as("ch"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2))).toList
+    for ((_, t, ch) <- rows) {
+      assert(ch.mkString == t)          // chunks concatenate to the input
+      assert(ch.forall(_.nonEmpty))
+      if (t.nonEmpty && t.length < 8) assert(ch == Seq(t))
+      if (t.isEmpty) assert(ch.isEmpty)
+    }
+    // repeated content yields identical chunk sequences
+    val (_, _, c0) = rows.head
+    assert(c0.size > 1, "long text must produce multiple chunks")
+  }
+
+  test("cdcChunks: boundaries are content-local — a prefix edit reflows " +
+      "only the head") {
+    import graft.functions.Text
+    val base = "the quick brown fox jumps over the lazy dog " * 30
+    val edited = "INSERTED-PREFIX " + base
+    val Seq(cBase, cEdit) = Seq(base, edited).zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("i", "t")
+      .orderBy("i")
+      .select(Text.cdcChunks(col("t"), 8))
+      .collect().map(_.getSeq[String](0)).toSeq
+    // all chunks after the first boundary of the edited copy realign:
+    // the shared suffix of the two chunk sequences covers almost all of
+    // the base text (fixed-grid chunking would share nothing)
+    val shared = cBase.reverse.zip(cEdit.reverse).takeWhile {
+      case (a, b) => a == b
+    }.map(_._1.length).sum
+    assert(shared > base.length / 2,
+      s"only $shared of ${base.length} chars realigned")
+  }
 }
