@@ -6379,7 +6379,117 @@ object Queries {
              |  round(sum(CASE WHEN df >= 2 THEN clen ELSE 0 END)::DOUBLE
              |    / sum(clen), 6) AS shared_char_frac
              |FROM inst JOIN dfreq USING (h)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q141: the COMPOSED entity-resolution pipeline — the full merge/purge
+    // loop the reference's contacts scripts approximate by hand: TWO
+    // blocking passes (q33's equality blocks + q135's sorted neighborhood,
+    // unioned — each catches pairs the other splits), Fellegi-Sunter
+    // scoring (q134), weight>0 links, connected components (q44's kernel),
+    // cluster sizes. Every stage is the already-graded operator; this
+    // grades their composition. The oracle restates all four stages,
+    // closing the clusters with a recursive CTE.
+    QueryDef("q141_er_pipeline",
+      (s, dir) => {
+        import graft.operators.{Dedup, Fuzzy, Linkage}
+        import graft.operators.Linkage.FsField
+        val base = t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("id"),
+          concat(lit("cust"),
+            lpad(col("c_custkey").cast("string"), 9, "0")).as("name"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        val dirty = base.filter(col("id") % 4 === 0)
+          .withColumn("id", col("id") + 1000000)
+          .withColumn("name", concat(col("name"), lit("x")))
+        val exact = base.filter(col("id") % 10 === 0)
+          .withColumn("id", col("id") + 2000000)
+        val recs = base.unionByName(dirty).unionByName(exact)
+        val p1 = Fuzzy.blockedPairs(recs, "id", "name",
+            substring(col("name"), 5, 8), maxDist = 2)
+          .select(col("id_a"), col("id_b"))
+        val p2 = Fuzzy.sortedNeighborhood(recs, "id", col("name"), 5)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+        val cand = p1.unionByName(p2).distinct()
+        val links = Linkage.fellegiSunter(recs, "id", cand,
+            Seq(FsField("name", 0.95), FsField("seg", 0.9),
+              FsField("bal_bucket", 0.85)),
+            upperT = 4.0, lowerT = 0.0)
+          .filter(col("weight") > 0)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(recs.select(col("id")), links)
+        val sz = cc.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sz, Seq("cluster"))
+          .select(col("id"), col("cluster"), col("cluster_size"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE
+             |base AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS id,
+             |    'cust' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS name,
+             |    c_mktsegment AS seg,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+             |  FROM customer),
+             |dirty AS (SELECT id + 1000000 AS id, name || 'x' AS name,
+             |    seg, bal_bucket FROM base WHERE id % 4 = 0),
+             |exact AS (SELECT id + 2000000 AS id, name, seg, bal_bucket
+             |  FROM base WHERE id % 10 = 0),
+             |recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty
+             |  UNION ALL SELECT * FROM exact),
+             |blk AS (SELECT id, name, substr(name, 5, 8) AS b FROM recs),
+             |p1 AS (SELECT a.id AS id_a, b.id AS id_b
+             |  FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id
+             |  WHERE levenshtein(a.name, b.name) <= 2),
+             |rk AS (SELECT id, row_number() OVER (ORDER BY name, id) AS rn
+             |  FROM recs),
+             |p2 AS (SELECT least(a.id, b.id) AS id_a,
+             |    greatest(a.id, b.id) AS id_b
+             |  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < 5),
+             |cand AS (SELECT DISTINCT id_a, id_b FROM
+             |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+             |un AS (SELECT round(least(greatest(
+             |    sum(n * n) / (sum(n) * sum(n)), 1e-9), 1 - 1e-9), 9) AS u
+             |  FROM (SELECT count(*) AS n FROM recs
+             |        WHERE name IS NOT NULL GROUP BY name)),
+             |us AS (SELECT round(least(greatest(
+             |    sum(n * n) / (sum(n) * sum(n)), 1e-9), 1 - 1e-9), 9) AS u
+             |  FROM (SELECT count(*) AS n FROM recs
+             |        WHERE seg IS NOT NULL GROUP BY seg)),
+             |ub AS (SELECT round(least(greatest(
+             |    sum(n * n) / (sum(n) * sum(n)), 1e-9), 1 - 1e-9), 9) AS u
+             |  FROM (SELECT count(*) AS n FROM recs
+             |        WHERE bal_bucket IS NOT NULL GROUP BY bal_bucket)),
+             |pr AS (SELECT c.id_a, c.id_b, ra.name AS an, rb.name AS bn,
+             |    ra.seg AS asg, rb.seg AS bsg,
+             |    ra.bal_bucket AS ab, rb.bal_bucket AS bb
+             |  FROM cand c JOIN recs ra ON c.id_a = ra.id
+             |  JOIN recs rb ON c.id_b = rb.id),
+             |sc AS (SELECT id_a, id_b,
+             |    round(
+             |      (CASE WHEN an = bn THEN log2(0.95 / un.u)
+             |            ELSE log2(0.05 / (1 - un.u)) END)
+             |      + (CASE WHEN asg = bsg THEN log2(0.9 / us.u)
+             |              ELSE log2(0.1 / (1 - us.u)) END)
+             |      + (CASE WHEN ab = bb THEN log2(0.85 / ub.u)
+             |              ELSE log2(0.15 / (1 - ub.u)) END), 6) AS weight
+             |  FROM pr CROSS JOIN un CROSS JOIN us CROSS JOIN ub),
+             |links AS (SELECT id_a, id_b FROM sc WHERE weight > 0),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM links
+             |  UNION ALL SELECT id_b, id_a FROM links),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM recs
+             |  UNION
+             |  SELECT reach.id, edges.dst FROM reach
+             |  JOIN edges ON edges.src = reach.r),
+             |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |sz AS (SELECT cluster, count(*) AS cluster_size FROM cl
+             |  GROUP BY cluster)
+             |SELECT cl.id, cl.cluster, sz.cluster_size
+             |FROM cl JOIN sz USING (cluster)
+             |ORDER BY cl.id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
