@@ -6489,7 +6489,85 @@ object Queries {
              |  GROUP BY cluster)
              |SELECT cl.id, cl.cluster, sz.cluster_size
              |FROM cl JOIN sz USING (cluster)
-             |ORDER BY cl.id""".stripMargin))
+             |ORDER BY cl.id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q142: dense time series with gap filling — hourly per-type counts
+    // zero-filled over the global [min, max] hour span. The grid is
+    // |types| x |hours| (metadata-sized: types and the span are 1-row /
+    // distinct aggregates broadcast back); the dense axis is GENERATED
+    // (sequence + explode), never scanned, and the left join back to the
+    // sparse aggregate is the only corpus-sized shuffle. The standard
+    // prep for window/trend analytics over sparse event streams, where a
+    // missing bucket must read as zero, not absent (q39's moving average
+    // family silently skips empty hours without this).
+    QueryDef("q142_dense_timeseries",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"), col("value"))
+        val agg = e.groupBy(col("event_type"), col("h")).agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("value_sum"))
+        val span = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val types = e.select(col("event_type")).distinct()
+        val grid = types.crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("h"))
+        grid.join(agg, Seq("event_type", "h"), "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |    value FROM events),
+             |agg AS (SELECT event_type, h, count(*) AS n_events,
+             |    round(sum(value), 4) AS value_sum FROM e GROUP BY 1, 2),
+             |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+             |types AS (SELECT DISTINCT event_type FROM e),
+             |grid AS (SELECT event_type,
+             |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |  FROM types CROSS JOIN span)
+             |SELECT g.event_type,
+             |  strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+             |  coalesce(n_events, 0) AS n_events,
+             |  coalesce(value_sum, 0.0) AS value_sum
+             |FROM grid g LEFT JOIN agg a
+             |  ON g.event_type = a.event_type AND g.h = a.h
+             |ORDER BY g.event_type, hour""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q143: per-group OLS trend — slope / intercept / r^2 of event value
+    // against time, per event type, via the closed-form regression
+    // aggregates (one scan, map-side combined; |types| output rows). The
+    // time axis is hours since the corpus epoch as EXACT integer-derived
+    // doubles (unix_micros minus a constant, then one division — both
+    // engines do identical IEEE ops), which also removes the catastrophic
+    // cancellation a raw epoch axis feeds into E[x^2] - E[x]^2.
+    QueryDef("q143_trend_slopes",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          ((unix_micros(col("ts")) - lit(1704067200000000L))
+            / lit(3.6e9)).as("x"),
+          col("value").as("y"))
+        e.groupBy(col("event_type")).agg(
+            count(lit(1)).as("n"),
+            round(regr_slope(col("y"), col("x")), 6).as("slope"),
+            round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+            round(regr_r2(col("y"), col("x")), 6).as("r2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    (epoch_us(ts) - 1704067200000000) / 3.6e9 AS x,
+             |    value AS y FROM events)
+             |SELECT event_type, count(*) AS n,
+             |  round(regr_slope(y, x), 6) AS slope,
+             |  round(regr_intercept(y, x), 4) AS intercept,
+             |  round(regr_r2(y, x), 6) AS r2
+             |FROM e GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
