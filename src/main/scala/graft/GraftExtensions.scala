@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "assignment: argmin of round(consts[c] - 2*dot(sub, cb[c]), 6)"),
       (args: Seq[Expression]) =>
         graft.expressions.PqArgmin(args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "str - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => graft.expressions.NfcNormalize(args.head)))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "(str, n) - word n-gram shingle array"),
       (args: Seq[Expression]) =>

@@ -6567,7 +6567,149 @@ object Queries {
              |  round(regr_intercept(y, x), 4) AS intercept,
              |  round(regr_r2(y, x), 6) AS r2
              |FROM e GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q144: CDC MERGE (SCD1 upsert/delete) — the lakehouse `MERGE INTO`
+    // primitive over a derived change batch: keys %10==0 get two
+    // conflicting upserts (seq 2 must win), %10==1 an upsert superseded
+    // by a delete (the key must vanish), %97==0 brand-new negative keys
+    // (must insert). The batch collapses latest-per-key with a window
+    // over the BATCH only; the snapshot is touched by exactly one
+    // left-anti key join (AQE broadcasts the collapsed batch) plus a
+    // union — the 100-TB side never sorts and never windows.
+    QueryDef("q144_merge_upsert",
+      (s, dir) => {
+        val snap = t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_orderstatus").as("status"),
+          round(col("o_totalprice"), 2).as("price"))
+        val base = snap.select(col("k"), col("cust"), col("price"))
+        val up1 = base.filter(col("k") % 10 === 0).select(col("k"),
+          lit("upsert").as("op"), lit(1L).as("seq"), col("cust"),
+          lit("U1").as("status"), (col("price") * 0.5).as("price"))
+        val up2 = base.filter(col("k") % 10 === 0).select(col("k"),
+          lit("upsert").as("op"), lit(2L).as("seq"), col("cust"),
+          lit("U2").as("status"), (col("price") * 2.0).as("price"))
+        val delPre = base.filter(col("k") % 10 === 1).select(col("k"),
+          lit("upsert").as("op"), lit(1L).as("seq"), col("cust"),
+          lit("GHOST").as("status"), col("price"))
+        val del = base.filter(col("k") % 10 === 1).select(col("k"),
+          lit("delete").as("op"), lit(2L).as("seq"), col("cust"),
+          lit(null).cast("string").as("status"),
+          lit(null).cast("double").as("price"))
+        val ins = base.filter(col("k") % 97 === 0).select(
+          (-col("k")).as("k"), lit("upsert").as("op"), lit(1L).as("seq"),
+          col("cust"), lit("NEW").as("status"), lit(1.0).as("price"))
+        val changes = up1.unionByName(up2).unionByName(delPre)
+          .unionByName(del).unionByName(ins)
+        graft.operators.Merge.applyChanges(snap, changes, Seq("k"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH snap AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    o_orderstatus AS status, round(o_totalprice, 2) AS price
+             |  FROM orders),
+             |changes AS (
+             |  SELECT k, 'upsert' AS op, 1 AS seq, cust, 'U1' AS status,
+             |      price * 0.5 AS price FROM snap WHERE k % 10 = 0
+             |  UNION ALL
+             |  SELECT k, 'upsert', 2, cust, 'U2',
+             |      price * 2.0 FROM snap WHERE k % 10 = 0
+             |  UNION ALL
+             |  SELECT k, 'upsert', 1, cust, 'GHOST', price
+             |    FROM snap WHERE k % 10 = 1
+             |  UNION ALL
+             |  SELECT k, 'delete', 2, cust, NULL, NULL
+             |    FROM snap WHERE k % 10 = 1
+             |  UNION ALL
+             |  SELECT -k, 'upsert', 1, cust, 'NEW', 1.0
+             |    FROM snap WHERE k % 97 = 0),
+             |latest AS (SELECT * FROM (
+             |    SELECT k, op, cust, status, price,
+             |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             |    FROM changes) WHERE rn = 1),
+             |kept AS (SELECT s.* FROM snap s
+             |  LEFT JOIN latest l ON s.k = l.k WHERE l.k IS NULL),
+             |ups AS (SELECT k, cust, status, price FROM latest
+             |  WHERE op = 'upsert')
+             |SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+             |ORDER BY k""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q145: small-file compaction plan — each document stands in for one
+    // ingested file (part = source, bytes = n_chars); the planner packs
+    // sub-threshold files into ~1000-byte merge bins by the slab rule
+    // (exclusive-cumsum div target over a bytes-desc total order) and
+    // rolls up to one row per (partition, bin) with the merge/noop/keep
+    // verdict. The window runs over the file MANIFEST (metadata-sized),
+    // never the data — the 100-TB small-file fix costs one
+    // |files|-row window + one |files|-row aggregate.
+    QueryDef("q145_compaction_plan",
+      (s, dir) => {
+        val manifest = t(s, dir, "documents").select(
+          col("source").as("part"), col("doc_id").as("file"),
+          col("n_chars").cast("long").as("bytes"))
+        val plan = graft.operators.Compaction.planBins(
+          manifest, "part", "file", "bytes", targetBytes = 1000L)
+        graft.operators.Compaction.binSummary(plan, "part", "bytes")
+          .orderBy(col("part"), col("bin"))
+      },
+      Some("""WITH m AS (SELECT source AS part, doc_id AS file,
+             |    CAST(n_chars AS BIGINT) AS bytes FROM documents),
+             |plan AS (SELECT part, file, bytes,
+             |    CASE WHEN bytes < 750 THEN
+             |      CAST(floor((sum(CASE WHEN bytes < 750 THEN bytes
+             |            ELSE 0 END) OVER (PARTITION BY part
+             |          ORDER BY bytes DESC, file ASC
+             |          ROWS UNBOUNDED PRECEDING)
+             |        - (CASE WHEN bytes < 750 THEN bytes ELSE 0 END))
+             |        / 1000.0) AS BIGINT)
+             |    ELSE -1 END AS bin
+             |  FROM m),
+             |su AS (SELECT part, bin, count(*) AS n_files,
+             |    CAST(sum(bytes) AS BIGINT) AS bytes_total
+             |  FROM plan GROUP BY 1, 2)
+             |SELECT part, bin, n_files, bytes_total,
+             |  CASE WHEN bin = -1 THEN 'keep'
+             |       WHEN n_files >= 2 THEN 'merge'
+             |       ELSE 'noop' END AS action
+             |FROM su ORDER BY part, bin""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q146: Unicode NFC normalization — the native NfcNormalize expression
+    // (JDK Normalizer under whole-stage codegen) graded against DuckDB's
+    // independent nfc_normalize (both implement UAX #15, so canonical
+    // composition must agree byte-for-byte). The corpus is ASCII, so every
+    // third doc gets a planted decomposed suffix (e+U+0301, A+U+030A,
+    // o+U+0308, and the U+FB01 ligature that NFC must NOT fold — that
+    // fold is NFKC's, a content-altering choice this pass refuses).
+    // Row-local projection, zero shuffle: the pass that must run BEFORE
+    // any byte-keyed fingerprint (q6/q18 exact dedup, q19/q20 shingles,
+    // BPE) or two spellings of one word hash apart.
+    QueryDef("q146_nfc_normalize",
+      (s, dir) => {
+        val suffix = "Café ﬁne Ångström"
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(substring(col("text"), 1, 20), lit(suffix)))
+            .otherwise(substring(col("text"), 1, 20)).as("raw"))
+        val norm = graft.expressions.NfcNormalize.column(col("raw"))
+        d.select(col("doc_id"), norm.as("norm_text"),
+            (norm =!= col("raw")).as("changed"),
+            length(col("raw")).as("len_raw"),
+            length(norm).as("len_norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 20) ||
+             |      'Café ﬁne Ångström'
+             |    ELSE substr(text, 1, 20) END AS raw
+             |  FROM documents)
+             |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+             |  nfc_normalize(raw) <> raw AS changed,
+             |  length(raw) AS len_raw,
+             |  length(nfc_normalize(raw)) AS len_norm
+             |FROM d ORDER BY doc_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

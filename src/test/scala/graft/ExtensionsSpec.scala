@@ -31,6 +31,9 @@ class ExtensionsSpec extends AnyFunSuite {
       // binary-ANN kernel: popcount(3^1) + popcount(0^4) = 1 + 1
       assert(spark.sql("SELECT hamming_dist(array(3L), array(1L, 4L))")
         .head().getLong(0) == 2L)
+      // NFC: decomposed e+U+0301 composes to U+00E9
+      assert(spark.sql("SELECT nfc_normalize('Café')")
+        .head().getString(0) == "Café")
       // composed text-analysis functions lowered through the bridge
       val t = spark.sql(
         "SELECT redact_pii('mail a@b.io or 555-867-5309') AS red, " +
