@@ -139,6 +139,35 @@ object Classify {
         when(col("log_odds") > 0, lit(posLabel)).otherwise(lit(negLabel)))
   }
 
+  /** Label-noise audit — confident-learning-lite (Northcutt et al. 2021
+    * reduced to its actionable core): train the NB model ON the given
+    * (possibly noisy) labels, score the SAME rows, and surface every row
+    * whose own model disagrees with its label, ranked by |log_odds|
+    * (the model's confidence that the label is wrong). Mislabeled rows
+    * are exactly the ones a model trained on the full set still scores
+    * against their label — the standard pre-training label QA pass
+    * before labels become selection knobs. (Full confident learning
+    * cross-validates to avoid self-fit; with NB's bag-of-tokens
+    * capacity, one planted-flip row cannot memorize itself against
+    * thousands of consistent rows, so in-sample disagreement is the
+    * same signal — documented simplification.)
+    *
+    * Output: (id, given_label, prediction, log_odds) for disagreeing
+    * rows only. Same scale shape as [[nbTrainScore]] — one extra
+    * batch-sized join against the given labels, nothing new shuffles. */
+  def labelNoise(train: DataFrame, idCol: String, textCol: String,
+      labelCol: String, posLabel: String, negLabel: String,
+      alpha: Double = 1.0): DataFrame = {
+    val scored = nbTrainScore(train, train.select(col(idCol), col(textCol)),
+      idCol, textCol, labelCol, posLabel, negLabel, alpha)
+    scored.join(
+        train.select(col(idCol).as("id"), col(labelCol).as("given_label")),
+        Seq("id"))
+      .filter(col("prediction") =!= col("given_label"))
+      .select(col("id"), col("given_label"), col("prediction"),
+        col("log_odds"))
+  }
+
   /** Reliability-diagram calibration of a binary scorer (Guo et al. 2017,
     * "On Calibration of Modern Neural Networks" — the standard audit
     * before a classifier's score threshold is used as a data-selection

@@ -6709,7 +6709,239 @@ object Queries {
              |  nfc_normalize(raw) <> raw AS changed,
              |  length(raw) AS len_raw,
              |  length(nfc_normalize(raw)) AS len_norm
-             |FROM d ORDER BY doc_id""".stripMargin))
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q147: label-noise audit (confident-learning-lite, Northcutt 2021)
+    // over a deliberately corrupted training set: the q112 plant (real
+    // docs good, md5-soup junk) with labels FLIPPED on real docs
+    // %17==3 and soup docs %17==5. The NB model trained on the noisy
+    // labels is scored back over its own training rows; every
+    // disagreement is emitted with the model's log-odds and the planted
+    // ground truth (`flipped`) — the audit is correct iff the suspect
+    // list is exactly the flip set (NB's bag-of-tokens capacity cannot
+    // memorize a lone flipped row against thousands of consistent ones).
+    // Same scale shape as q112: vocab-keyed hash join + doc-keyed
+    // aggregate; the label join-back is batch-sized.
+    QueryDef("q147_label_noise",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 4 =!= 0)
+        val soup = d.select(col("doc_id"),
+          concat_ws(" ", (0 until 8).map(i =>
+            md5((col("doc_id") + lit(i)).cast("string").cast("binary")))
+            : _*).as("text"))
+        val train = d.select(col("doc_id").as("id"), col("text"),
+            when(col("doc_id") % 17 === 3, "junk").otherwise("good")
+              .as("label"))
+          .unionByName(soup.select((col("doc_id") + 10000).as("id"),
+            col("text"),
+            when(col("doc_id") % 17 === 5, "good").otherwise("junk")
+              .as("label")))
+        Classify.labelNoise(train, "id", "text", "label", "good", "junk")
+          .withColumn("flipped",
+            (col("id") < 10000 && col("id") % 17 === 3) ||
+              (col("id") >= 10000 && (col("id") - 10000) % 17 === 5))
+          .orderBy(col("id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 4 <> 0),
+             |soup AS (
+             |  SELECT doc_id, concat_ws(' ',
+             |    md5(CAST(doc_id + 0 AS VARCHAR)),
+             |    md5(CAST(doc_id + 1 AS VARCHAR)),
+             |    md5(CAST(doc_id + 2 AS VARCHAR)),
+             |    md5(CAST(doc_id + 3 AS VARCHAR)),
+             |    md5(CAST(doc_id + 4 AS VARCHAR)),
+             |    md5(CAST(doc_id + 5 AS VARCHAR)),
+             |    md5(CAST(doc_id + 6 AS VARCHAR)),
+             |    md5(CAST(doc_id + 7 AS VARCHAR))) AS text
+             |  FROM base),
+             |trainr AS (
+             |  SELECT doc_id AS id, text,
+             |    CASE WHEN doc_id % 17 = 3 THEN 'junk' ELSE 'good' END
+             |      AS label
+             |  FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text,
+             |    CASE WHEN doc_id % 17 = 5 THEN 'good' ELSE 'junk' END
+             |  FROM soup),
+             |ttok AS (
+             |  SELECT label = 'good' AS is_pos, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS tok
+             |  FROM trainr),
+             |tt AS (SELECT tok,
+             |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+             |    sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS c_neg
+             |  FROM ttok GROUP BY tok),
+             |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+             |    count(*) AS vsz FROM tt),
+             |pri AS (SELECT
+             |    sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END) AS d_pos,
+             |    sum(CASE WHEN label <> 'good' THEN 1 ELSE 0 END) AS d_neg
+             |  FROM trainr),
+             |stok AS (
+             |  SELECT id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS tok
+             |  FROM trainr),
+             |lp AS (SELECT id,
+             |    ln((coalesce(c_pos, 0) + 1.0)
+             |      / (t_pos + 1.0 * vsz)) AS lp_pos,
+             |    ln((coalesce(c_neg, 0) + 1.0)
+             |      / (t_neg + 1.0 * vsz)) AS lp_neg
+             |  FROM stok LEFT JOIN tt USING (tok) CROSS JOIN tot),
+             |pd AS (SELECT id, count(*) AS n_tokens,
+             |    sum(lp_pos) AS s_pos, sum(lp_neg) AS s_neg
+             |  FROM lp GROUP BY id),
+             |sc AS (SELECT tr.id, tr.label AS given_label,
+             |    round(ln(CAST(d_pos AS DOUBLE) / d_neg)
+             |      + coalesce(s_pos - s_neg, 0.0), 4) AS log_odds
+             |  FROM trainr tr LEFT JOIN pd ON tr.id = pd.id CROSS JOIN pri),
+             |outp AS (SELECT id, given_label,
+             |    CASE WHEN log_odds > 0 THEN 'good' ELSE 'junk' END
+             |      AS prediction,
+             |    log_odds,
+             |    (id < 10000 AND id % 17 = 3)
+             |      OR (id >= 10000 AND (id - 10000) % 17 = 5) AS flipped
+             |  FROM sc)
+             |SELECT * FROM outp WHERE prediction <> given_label
+             |ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q148: robust outlier flags (median/MAD, Hampel k=3) per event type,
+    // with planted extremes (event_id %101: value*50+100) that must all
+    // surface. Exact percentile at this calibration scale; the 100-TB
+    // swap is percentile_approx with the identical plan shape. Two
+    // |groups|-row aggregates broadcast back; the corpus is scanned, not
+    // sorted.
+    QueryDef("q148_mad_outliers",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          col("event_id"),
+          when(col("event_id") % 101 === 0, col("value") * 50 + 100)
+            .otherwise(col("value")).as("value"))
+        graft.operators.Outliers.madOutliers(
+            e, "event_type", "event_id", "value", k = 3.0)
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |    CASE WHEN event_id % 101 = 0 THEN value * 50 + 100
+             |      ELSE value END AS v
+             |  FROM events),
+             |med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+             |  FROM e GROUP BY 1),
+             |dev AS (SELECT e.event_type, event_id, v, m, abs(v - m) AS ad
+             |  FROM e JOIN med USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md
+             |  FROM dev GROUP BY 1),
+             |sc AS (SELECT d.event_type, event_id, v, m, md,
+             |    round(ad / nullif(1.4826 * md, 0.0), 4) AS score
+             |  FROM dev d JOIN mad USING (event_type))
+             |SELECT event_type, event_id, v AS value,
+             |  round(m, 6) AS group_median, round(md, 6) AS group_mad,
+             |  score
+             |FROM sc WHERE score > 3.0
+             |ORDER BY event_type, event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q149: PSI drift monitor — even events are the baseline slice, odd
+    // events the current slice with a planted mass shift (+8 on every
+    // third event), bucketed into 10 equal-width bins FIXED from the
+    // baseline range (moving edges would hide the drift), shares
+    // Laplace-smoothed, per-bin contributions and the per-type PSI total
+    // against the 0.1/0.25 watch/alarm reading. One 1-row range
+    // aggregate + one |bins|-keyed aggregate per slice; all PSI
+    // arithmetic runs on the |types|x|bins| frame.
+    QueryDef("q149_psi_drift",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val baseline = e.filter(col("event_id") % 2 === 0)
+          .select(col("event_type"), col("value"))
+        val current = e.filter(col("event_id") % 2 === 1)
+          .select(col("event_type"),
+            (col("value") + when(col("event_id") % 3 === 0, 8.0)
+              .otherwise(0.0)).as("value"))
+        graft.operators.Drift.psi(baseline, current, "event_type",
+            "value", bins = 10)
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some("""WITH b AS (SELECT event_type, value AS v FROM events
+             |  WHERE event_id % 2 = 0),
+             |c AS (SELECT event_type,
+             |    value + CASE WHEN event_id % 3 = 0 THEN 8.0 ELSE 0.0 END
+             |      AS v
+             |  FROM events WHERE event_id % 2 = 1),
+             |r AS (SELECT event_type, min(v) AS lo, max(v) AS hi
+             |  FROM b GROUP BY 1),
+             |bb AS (SELECT b.event_type, CASE WHEN hi = lo THEN 0
+             |    ELSE least(greatest(
+             |      CAST(floor((v - lo) / (hi - lo) * 10) AS BIGINT), 0), 9)
+             |    END AS bin
+             |  FROM b JOIN r USING (event_type)),
+             |bn AS (SELECT event_type, bin, count(*) AS n_base
+             |  FROM bb GROUP BY 1, 2),
+             |cc AS (SELECT c.event_type, CASE WHEN hi = lo THEN 0
+             |    ELSE least(greatest(
+             |      CAST(floor((v - lo) / (hi - lo) * 10) AS BIGINT), 0), 9)
+             |    END AS bin
+             |  FROM c JOIN r USING (event_type)),
+             |cn AS (SELECT event_type, bin, count(*) AS n_cur
+             |  FROM cc GROUP BY 1, 2),
+             |grid AS (SELECT event_type, unnest(range(10)) AS bin FROM r),
+             |j AS (SELECT g.event_type, g.bin,
+             |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+             |  FROM grid g LEFT JOIN bn USING (event_type, bin)
+             |  LEFT JOIN cn USING (event_type, bin)),
+             |sm AS (SELECT event_type, bin, n_base, n_cur,
+             |    (n_base + 0.5) /
+             |      (sum(n_base) OVER (PARTITION BY event_type) + 5.0)
+             |      AS p_base,
+             |    (n_cur + 0.5) /
+             |      (sum(n_cur) OVER (PARTITION BY event_type) + 5.0)
+             |      AS p_cur
+             |  FROM j),
+             |ct AS (SELECT *, round((p_cur - p_base) * ln(p_cur / p_base),
+             |    6) AS contrib FROM sm)
+             |SELECT event_type, bin, n_base, n_cur,
+             |  round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur,
+             |  contrib,
+             |  round(sum(contrib) OVER (PARTITION BY event_type), 6) AS psi
+             |FROM ct ORDER BY event_type, bin""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q150: k-anonymity / l-diversity audit (Sweeney 2002;
+    // Machanavajjhala 2007) over customer quasi-identifiers (nation,
+    // segment, 2000-unit balance bucket) with a binary sensitive
+    // attribute (in-debt flag): every combo below k=5 members or without
+    // both sensitive values is a re-identification / disclosure risk the
+    // release pipeline must generalize or suppress. One hash aggregate
+    // keyed on the quasi tuple computing size and distinct-sensitive
+    // together.
+    QueryDef("q150_k_anonymity",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket"),
+          when(col("c_acctbal") < 0, "debt").otherwise("ok").as("fin"))
+        graft.operators.Privacy.kAnonymityAudit(c,
+            Seq("c_nationkey", "c_mktsegment", "bal_bucket"), "fin",
+            k = 5, l = 2)
+          .orderBy(col("c_nationkey"), col("c_mktsegment"),
+            col("bal_bucket"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             |    CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'ok' END AS fin
+             |  FROM customer)
+             |SELECT c_nationkey, c_mktsegment, bal_bucket,
+             |  count(*) AS group_size,
+             |  count(DISTINCT fin) AS l_distinct,
+             |  count(*) >= 5 AS k_anonymous,
+             |  count(DISTINCT fin) >= 2 AS l_diverse
+             |FROM c GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
