@@ -6941,7 +6941,246 @@ object Queries {
              |  count(*) >= 5 AS k_anonymous,
              |  count(DISTINCT fin) >= 2 AS l_diverse
              |FROM c GROUP BY 1, 2, 3
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q151: CUSUM mean-shift detection (Page 1954) per event type, with a
+    // planted +40 level step on 'click' after the 70%-of-max-id point and
+    // a -30 step on 'error' after 75% — the positive statistic must alarm
+    // on click, the negative on error, and localize the step near the
+    // plant. The in-control reference is the first-half slice (pre-plant
+    // by construction); standardizing against the monitored series' own
+    // pooled stats would make both sides alarm (the operator refuses
+    // that). The max-reset recursion S_t = max(0, S_{t-1}+x_t) is
+    // computed by its closed form S = C - min(0, running-min C) — two
+    // windowed prefix aggregates over one (type, id) sort; no UDF, no
+    // state, one shuffle.
+    QueryDef("q151_cusum_shift",
+      (s, dir) => {
+        val e0 = t(s, dir, "events").select(col("event_type"),
+          col("event_id"), col("value"))
+        val mx = e0.agg(max(col("event_id")).as("__mx"))
+        val e = e0.crossJoin(broadcast(mx)).select(col("event_type"),
+          col("event_id"), col("__mx"),
+          (col("value")
+            + when(col("event_type") === "click" &&
+                col("event_id") > col("__mx") * 0.7, 40.0).otherwise(0.0)
+            - when(col("event_type") === "error" &&
+                col("event_id") > col("__mx") * 0.75, 30.0).otherwise(0.0))
+            .as("value"))
+        val baseline = e.filter(col("event_id") <= col("__mx") * 0.5)
+        graft.operators.Changepoint.cusum(
+            baseline, e, "event_type", "event_id", "value")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH mx AS (SELECT max(event_id) AS m FROM events),
+             |e AS (SELECT event_type, event_id, m,
+             |    value
+             |      + CASE WHEN event_type = 'click' AND event_id > 0.7 * m
+             |        THEN 40.0 ELSE 0.0 END
+             |      - CASE WHEN event_type = 'error' AND event_id > 0.75 * m
+             |        THEN 30.0 ELSE 0.0 END AS v
+             |  FROM events CROSS JOIN mx),
+             |st AS (SELECT event_type, avg(v) AS mu,
+             |    stddev_pop(v) AS sigma FROM e
+             |  WHERE event_id <= 0.5 * m GROUP BY 1),
+             |z AS (SELECT e.event_type, event_id, mu, sigma,
+             |    round((v - mu) / sigma, 6) AS z
+             |  FROM e JOIN st USING (event_type) WHERE sigma > 0),
+             |c AS (SELECT event_type, event_id, mu, sigma,
+             |    sum(z - 0.5) OVER w AS cpos,
+             |    sum(-z - 0.5) OVER w AS cneg
+             |  FROM z WINDOW w AS (PARTITION BY event_type
+             |    ORDER BY event_id ROWS UNBOUNDED PRECEDING)),
+             |sc AS (SELECT event_type, event_id, mu, sigma,
+             |    round(cpos - least(0, min(cpos) OVER w), 4) AS s_pos,
+             |    round(cneg - least(0, min(cneg) OVER w), 4) AS s_neg
+             |  FROM c WINDOW w AS (PARTITION BY event_type
+             |    ORDER BY event_id ROWS UNBOUNDED PRECEDING))
+             |SELECT event_type, count(*) AS n,
+             |  round(any_value(mu), 6) AS mu,
+             |  round(any_value(sigma), 6) AS sigma,
+             |  max(s_pos) AS max_s_pos, max(s_neg) AS max_s_neg,
+             |  min(CASE WHEN s_pos > 5.0 THEN event_id END) AS cp_pos,
+             |  min(CASE WHEN s_neg > 5.0 THEN event_id END) AS cp_neg,
+             |  min(CASE WHEN s_pos > 5.0 THEN event_id END) IS NOT NULL
+             |    AS alarm_pos,
+             |  min(CASE WHEN s_neg > 5.0 THEN event_id END) IS NOT NULL
+             |    AS alarm_neg
+             |FROM sc GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q152: Cohen's kappa inter-annotator agreement per source — two
+    // heuristic "annotators" (a char-length rule and a token-count rule,
+    // correlated but imperfect) plus a planted systematic flip on
+    // annotator B for doc_id %13==2; kappa must come out well below the
+    // raw agreement po (chance correction), per source. One contingency
+    // aggregate keyed (source, a, b); everything after is arithmetic on
+    // that metadata-sized frame.
+    QueryDef("q152_annotator_kappa",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars"), Text.tokenCount(col("text")).as("n_tok"))
+        val annotated = d.select(col("source"),
+          when(col("n_chars") >= 150, "keep").otherwise("drop").as("ann_a"),
+          when(col("doc_id") % 13 === 2,
+            when(col("n_tok") >= 30, "drop").otherwise("keep"))
+            .otherwise(when(col("n_tok") >= 30, "keep").otherwise("drop"))
+            .as("ann_b"))
+        graft.operators.Agreement.cohenKappa(
+            annotated, "source", "ann_a", "ann_b")
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+             |    len(list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), t -> t <> '')) AS n_tok
+             |  FROM documents),
+             |ann AS (SELECT source,
+             |    CASE WHEN n_chars >= 150 THEN 'keep' ELSE 'drop' END
+             |      AS ann_a,
+             |    CASE WHEN doc_id % 13 = 2 THEN
+             |      CASE WHEN n_tok >= 30 THEN 'drop' ELSE 'keep' END
+             |    ELSE
+             |      CASE WHEN n_tok >= 30 THEN 'keep' ELSE 'drop' END
+             |    END AS ann_b
+             |  FROM d),
+             |ct AS (SELECT source, ann_a AS a, ann_b AS b, count(*) AS c
+             |  FROM ann GROUP BY 1, 2, 3),
+             |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             |    sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+             |  FROM ct GROUP BY 1),
+             |ma AS (SELECT source, a AS cat, sum(c) AS ca
+             |  FROM ct GROUP BY 1, 2),
+             |mb AS (SELECT source, b AS cat, sum(c) AS cb
+             |  FROM ct GROUP BY 1, 2),
+             |ch AS (SELECT source, sum(ca * cb) AS sprod
+             |  FROM ma JOIN mb USING (source, cat) GROUP BY 1),
+             |po AS (SELECT t.source, n,
+             |    round(CAST(agree AS DOUBLE) / n, 6) AS po,
+             |    round(CAST(sprod AS DOUBLE) / (n * n), 6) AS pe
+             |  FROM tot t JOIN ch USING (source))
+             |SELECT source, n, po, pe,
+             |  round((po - pe) / nullif(1.0 - pe, 0.0), 6) AS kappa
+             |FROM po ORDER BY source""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q153: weak-supervision label model (Snorkel majority-vote +
+    // accuracy-weighted re-vote) — four LFs over documents: a char-length
+    // rule and a token-count rule (accurate, abstaining in a middle
+    // band), a near-random doc_id-hash LF (weight must land near 0), and
+    // an ADVERSARIAL inverted-length LF whose estimated accuracy falls
+    // below 1/2 — its weight goes negative, so the weighted re-vote
+    // INVERTS its votes back into signal. Votes shuffle twice on doc,
+    // once on LF (|LFs|-row weights frame, broadcast back).
+    QueryDef("q153_label_model",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          Text.tokenCount(col("text")).as("n_tok"))
+        def lf(name: String, vote: Column) =
+          d.select(col("doc_id").as("id"), lit(name).as("lf"),
+            vote.cast("int").as("vote"))
+        val votes = lf("lf_chars",
+            when(col("n_chars") >= 180, 1).when(col("n_chars") < 120, -1)
+              .otherwise(0))
+          .unionByName(lf("lf_tok",
+            when(col("n_tok") >= 28, 1).when(col("n_tok") < 18, -1)
+              .otherwise(0)))
+          .unionByName(lf("lf_noise",
+            when(col("doc_id") % 5 < 3, 1).otherwise(-1)))
+          .unionByName(lf("lf_adv",
+            when(col("n_chars") >= 150, -1).otherwise(1)))
+        graft.operators.LabelModel.weightedVote(votes, "id", "lf", "vote")
+          .orderBy(col("id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |    len(list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), t -> t <> '')) AS n_tok
+             |  FROM documents),
+             |votes AS (
+             |  SELECT doc_id AS id, 'lf_chars' AS lf,
+             |    CASE WHEN n_chars >= 180 THEN 1
+             |      WHEN n_chars < 120 THEN -1 ELSE 0 END AS vote FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 'lf_tok',
+             |    CASE WHEN n_tok >= 28 THEN 1
+             |      WHEN n_tok < 18 THEN -1 ELSE 0 END FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 'lf_noise',
+             |    CASE WHEN doc_id % 5 < 3 THEN 1 ELSE -1 END FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 'lf_adv',
+             |    CASE WHEN n_chars >= 150 THEN -1 ELSE 1 END FROM d),
+             |mv AS (SELECT id, CAST(sign(sum(vote)) AS INT) AS mv
+             |  FROM votes GROUP BY 1),
+             |acc AS (SELECT lf, count(*) AS n_votes,
+             |    sum(CASE WHEN vote = mv THEN 1 ELSE 0 END) AS n_agree
+             |  FROM votes JOIN mv USING (id)
+             |  WHERE vote <> 0 AND mv <> 0 GROUP BY 1),
+             |wts AS (SELECT lf,
+             |    round(least(greatest(CAST(n_agree AS DOUBLE) / n_votes,
+             |      0.01), 0.99), 6) AS a
+             |  FROM acc),
+             |wts2 AS (SELECT lf, round(ln(a / (1.0 - a)), 6) AS weight
+             |  FROM wts)
+             |SELECT id,
+             |  CAST(sum(CASE WHEN vote <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_votes,
+             |  CAST(sign(sum(vote)) AS INT) AS mv,
+             |  round(sum(vote * coalesce(weight, 0.0)), 4) AS w_score,
+             |  CAST(sign(round(sum(vote * coalesce(weight, 0.0)), 4))
+             |    AS INT) AS label
+             |FROM votes LEFT JOIN wts2 USING (lf)
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q154: Benford first-significant-digit audit of order totals per
+    // order priority, with a PLANTED fabricated slice: priority '3-MEDIUM'
+    // totals are overwritten by a uniform-ish synthetic value (4000 +
+    // (key%5000)), exactly the invented-numbers pattern the audit exists
+    // to catch — its chi2 must dwarf the organic priorities'. Digit by
+    // arithmetic (floor(v/10^floor(log10 v))), one (group, digit)-keyed
+    // aggregate, chi2 over the 9-row-per-group frame.
+    QueryDef("q154_benford_audit",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderpriority"),
+          when(col("o_orderpriority") === "3-MEDIUM",
+            lit(4000.0) + (col("o_orderkey") % 5000).cast("double"))
+            .otherwise(col("o_totalprice")).as("amount"))
+        graft.operators.Benford.firstDigitAudit(
+            o, "o_orderpriority", "amount")
+          .orderBy(col("o_orderpriority"), col("digit"))
+      },
+      Some("""WITH o AS (SELECT o_orderpriority,
+             |    CASE WHEN o_orderpriority = '3-MEDIUM'
+             |      THEN 4000.0 + CAST(o_orderkey % 5000 AS DOUBLE)
+             |      ELSE o_totalprice END AS v
+             |  FROM orders),
+             |cnt AS (SELECT o_orderpriority,
+             |    CAST(floor(v / power(10, floor(log10(v)))) AS BIGINT)
+             |      AS digit,
+             |    count(*) AS n_d
+             |  FROM o WHERE v > 0 GROUP BY 1, 2),
+             |grid AS (SELECT DISTINCT o_orderpriority, d.digit
+             |  FROM cnt CROSS JOIN (SELECT unnest(range(1, 10)) AS digit)
+             |    AS d),
+             |full_t AS (SELECT g.o_orderpriority, g.digit,
+             |    coalesce(n_d, 0) AS n_d
+             |  FROM grid g LEFT JOIN cnt USING (o_orderpriority, digit)),
+             |st AS (SELECT o_orderpriority, digit, n_d,
+             |    sum(n_d) OVER (PARTITION BY o_orderpriority) AS n,
+             |    log10(1.0 + 1.0 / digit) AS exp_p_raw
+             |  FROM full_t),
+             |ct AS (SELECT o_orderpriority, digit, n_d,
+             |    round(n_d / n, 6) AS obs_p,
+             |    round(exp_p_raw, 6) AS exp_p,
+             |    round((n_d - n * exp_p_raw) * (n_d - n * exp_p_raw)
+             |      / (n * exp_p_raw), 4) AS contrib
+             |  FROM st)
+             |SELECT o_orderpriority, digit, n_d, obs_p, exp_p, contrib,
+             |  round(sum(contrib) OVER (PARTITION BY o_orderpriority), 4)
+             |    AS chi2
+             |FROM ct ORDER BY o_orderpriority, digit""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
