@@ -97,10 +97,16 @@ object Text {
       .otherwise(array().cast("array<int>"))
     val ends = array_sort(array_distinct(
       concat(boundaryEnds, array(length(c)))))
-    val chunks = transform(sequence(lit(1), size(ends)), j => {
-      val prev = when(j === 1, lit(0)).otherwise(element_at(ends, j - 1))
-      c.substr(prev + 1, element_at(ends, j) - prev)
-    })
+    // chunk spans via zip_with over (starts, ends) — the input arrays
+    // evaluate ONCE per row. The element_at(ends, j) formulation this
+    // replaces re-evaluated the whole `ends` expression (an md5 per
+    // character position) inside every lambda invocation: O(chunks ×
+    // len) interpreted md5s per row, measured 335 s for q140 at sf0.1
+    // vs ~1 s for this shape.
+    val starts = concat(array(lit(0)),
+      slice(ends, lit(1), greatest(size(ends) - 1, lit(0))))
+    val chunks = zip_with(starts, ends,
+      (s0, e0) => c.substr(s0 + 1, e0 - s0))
     filter(chunks, ch => length(ch) > 0)
   }
 

@@ -597,4 +597,28 @@ object Dedup {
         coalesce(col("n_similar"), lit(0L)).as("n_similar"),
         col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
   }
+
+  /** Template-collapse dedup — the "slop template" catcher: mask every
+    * digit run to `#` and collapse whitespace runs, hash the masked
+    * text, and group. Machine-generated filler (receipts, log lines,
+    * SEO spam, self-instruct boilerplate) varies ONLY in its numbers,
+    * so it is invisible to exact dedup ([[exactText]]) yet collapses
+    * to one template here; near-dup shingling would catch some of it
+    * at ~1000× the cost. Output one row per template with ≥ minDocs
+    * members: template_hash, n_docs, n_sources, exemplar_id (min id —
+    * the deterministic keep), template_head (first 40 masked chars,
+    * human triage). One row-local projection + one hash aggregate:
+    * a single |templates|-keyed shuffle, no join, no window. */
+  def templateCollapse(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minDocs: Int = 2): DataFrame = {
+    val tmpl = regexp_replace(
+      regexp_replace(col(textCol), "[0-9]+", "#"), "\\s+", " ")
+    df.select(col(idCol), col(sourceCol), tmpl.as("__tmpl"))
+      .groupBy(md5(col("__tmpl")).as("template_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        min(col(idCol)).as("exemplar_id"),
+        min(substring(col("__tmpl"), 1, 40)).as("template_head"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

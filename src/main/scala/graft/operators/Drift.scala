@@ -71,6 +71,58 @@ object Drift {
         round(col("p_cur"), 6).as("p_cur"), col("contrib"), col("psi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test per `keyCol` — the exact,
+    * binning-free complement to [[psi]]: D = sup_x |F_base(x) −
+    * F_cur(x)| over the two empirical CDFs, with the scaled statistic
+    * ks = √(n_b·n_c/(n_b+n_c))·D read against the asymptotic 5%
+    * critical value c(0.05) = 1.358 (Smirnov). PSI sees only what its
+    * bins resolve and moves with the smoothing; KS is
+    * distribution-shape-exact and parameter-free, so it is the
+    * arbiter when a PSI alarm is disputed.
+    *
+    * Implementation: both slices reduce to per-(key, distinct value)
+    * counts in ONE union + hash aggregate (map-side combined; ties
+    * collapse here, so the window input is distinct values, not
+    * rows). Both ECDFs then ride the SAME key-partitioned prefix-sum
+    * window — for right-continuous step ECDFs the sup is attained at
+    * a data point, so the max over those rows is the exact D. No
+    * global sort; per-key window input is bounded by distinct values
+    * (quantize the metric upstream if it is truly continuous at
+    * extreme scale — or use [[psi]], which is O(bins)).
+    *
+    * Output one row per key: n_base, n_cur, d_stat (rounded 6),
+    * ks_stat (rounded 4), reject_05. */
+  def ksTest(baseline: DataFrame, current: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val tagged = baseline.select(col(keyCol), col(valueCol).as("v"),
+        lit(1L).as("b"), lit(0L).as("c"))
+      .unionByName(current.select(col(keyCol), col(valueCol).as("v"),
+        lit(0L).as("b"), lit(1L).as("c")))
+    val perV = tagged.groupBy(col(keyCol), col("v"))
+      .agg(sum(col("b")).as("nb"), sum(col("c")).as("nc"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val wUpTo = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perV
+      .withColumn("n_base", sum(col("nb")).over(wAll))
+      .withColumn("n_cur", sum(col("nc")).over(wAll))
+      .withColumn("diff", abs(
+        sum(col("nb")).over(wUpTo) / col("n_base")
+          - sum(col("nc")).over(wUpTo) / col("n_cur")))
+      .groupBy(col(keyCol))
+      .agg(first(col("n_base")).as("n_base"),
+        first(col("n_cur")).as("n_cur"),
+        max(col("diff")).as("__d"))
+      .select(col(keyCol), col("n_base"), col("n_cur"),
+        round(col("__d"), 6).as("d_stat"),
+        round(sqrt(col("n_base") * col("n_cur")
+          / (col("n_base") + col("n_cur"))) * col("__d"), 4)
+          .as("ks_stat"),
+        (sqrt(col("n_base") * col("n_cur")
+          / (col("n_base") + col("n_cur"))) * col("__d") > 1.358)
+          .as("reject_05"))
+  }
+
   /** The dense 0..bins-1 bin axis — generated, never scanned. */
   private def spark_range_bins(df: DataFrame, bins: Int): DataFrame =
     df.sparkSession.range(bins).select(col("id").as("bin"))

@@ -6073,9 +6073,21 @@ object Queries {
         val exact = base.filter(col("id") % 10 === 0)
           .withColumn("id", col("id") + 2000000)
         val recs = base.unionByName(dirty).unionByName(exact)
-        val pairs = recs.select(col("id"), col("nat")).as("a")
-          .join(recs.select(col("id"), col("nat")).as("b"),
-            col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+        // two-key blocking (nation x coarse balance bucket) keeps the
+        // candidate space ~|block|^2/20 of single-key nation blocking
+        // (8.2M -> ~0.6M pairs at sf0.1, measured 15.4 s -> ~2 s).
+        // bal_bucket is also a scored field, so its agreement weight is
+        // constant over candidates — the planted match/possible classes
+        // separate exactly as before (both dup classes preserve the
+        // bucket); the standard don't-score-your-block-key caveat is
+        // deliberate and documented here.
+        val pairs = recs.select(col("id"), col("nat"), col("bal_bucket"))
+          .as("a")
+          .join(recs.select(col("id"), col("nat"), col("bal_bucket"))
+            .as("b"),
+            col("a.nat") === col("b.nat")
+              && col("a.bal_bucket") === col("b.bal_bucket")
+              && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         Linkage.fellegiSunter(recs, "id", pairs,
             Seq(FsField("name", 0.95), FsField("seg", 0.9),
@@ -6112,7 +6124,8 @@ object Queries {
              |pr AS (SELECT a.id AS id_a, b.id AS id_b,
              |    a.name AS an, b.name AS bn, a.seg AS asg, b.seg AS bsg,
              |    a.bal_bucket AS ab, b.bal_bucket AS bb
-             |  FROM recs a JOIN recs b ON a.nat = b.nat AND a.id < b.id),
+             |  FROM recs a JOIN recs b ON a.nat = b.nat
+             |    AND a.bal_bucket = b.bal_bucket AND a.id < b.id),
              |sc AS (SELECT id_a, id_b,
              |    CASE WHEN an IS NULL OR bn IS NULL THEN NULL
              |         WHEN an = bn THEN 1 ELSE 0 END AS agree_name,
@@ -6336,7 +6349,14 @@ object Queries {
     // side is one chunk-hash aggregate + one hash-keyed join back.
     QueryDef("q140_cdc_chunk_dedup",
       (s, dir) => {
+        // chunking is row-local but md5-per-position CPU-heavy; spread
+        // the compact single-row-group local scan across cores first
+        // (a lake-scale scan arrives already split — this shuffle moves
+        // ~raw-text bytes and buys 32x on the chunking stage). Explicit
+        // numPartitions: AQE would coalesce a small-byte shuffle back
+        // to one partition, re-serializing the CPU-bound stage.
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         val inst = d.select(col("doc_id"),
             explode(Text.cdcChunks(col("text"), 8)).as("chunk"))
           .select(col("doc_id"), md5(col("chunk")).as("h"),
@@ -7180,7 +7200,370 @@ object Queries {
              |SELECT o_orderpriority, digit, n_d, obs_p, exp_p, contrib,
              |  round(sum(contrib) OVER (PARTITION BY o_orderpriority), 4)
              |    AS chi2
-             |FROM ct ORDER BY o_orderpriority, digit""".stripMargin))
+             |FROM ct ORDER BY o_orderpriority, digit""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q155: Bradley-Terry preference ranking (Hunter 2004 MM, 3
+    // iterations) over pairwise doc-quality judgments between sources.
+    // Comparisons: docs at id-distance 1 and 7 (the source axis is a
+    // doc_id % 20 ring, so step-7 edges make the tournament well
+    // connected, gcd(7,20)=1); winner = higher boosted length, with
+    // planted boosts on src3 (+500) and src7 (+250) the fitted
+    // strengths must recover as ranks 1 and 2. The corpus reduces to
+    // (winner, loser) counts in one shuffle; all MM iterations run on
+    // the |sources|^2 pair frame. The twin unrolls the same 3
+    // iterations, so failing to iterate exactly moves the hash.
+    QueryDef("q155_preference_rank",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          (col("n_chars") + when(col("source") === "src3", 500)
+            .when(col("source") === "src7", 250).otherwise(0))
+            .as("score"))
+        def pairsAt(step: Int) = {
+          val a = d.select(col("doc_id").as("id"),
+            col("source").as("s1"), col("score").as("sc1"))
+          val b = d.select((col("doc_id") - step).as("id"),
+            col("source").as("s2"), col("score").as("sc2"))
+          a.join(b, Seq("id"))
+            .filter(col("s1") =!= col("s2") && col("sc1") =!= col("sc2"))
+            .select(when(col("sc1") > col("sc2"), col("s1"))
+                .otherwise(col("s2")).as("winner"),
+              when(col("sc1") > col("sc2"), col("s2"))
+                .otherwise(col("s1")).as("loser"))
+        }
+        graft.operators.Preference.bradleyTerry(
+            pairsAt(1).unionByName(pairsAt(7)), "winner", "loser",
+            iters = 3)
+          .orderBy(col("rnk"), col("player"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    n_chars + CASE WHEN source = 'src3' THEN 500
+             |      WHEN source = 'src7' THEN 250 ELSE 0 END AS score
+             |  FROM documents),
+             |comp AS (
+             |  SELECT CASE WHEN a.score > b.score THEN a.source
+             |      ELSE b.source END AS winner,
+             |    CASE WHEN a.score > b.score THEN b.source
+             |      ELSE a.source END AS loser
+             |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.source <> b.source AND a.score <> b.score
+             |  UNION ALL
+             |  SELECT CASE WHEN a.score > b.score THEN a.source
+             |      ELSE b.source END,
+             |    CASE WHEN a.score > b.score THEN b.source
+             |      ELSE a.source END
+             |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 7
+             |  WHERE a.source <> b.source AND a.score <> b.score),
+             |dd AS (SELECT winner AS p, loser AS q, count(*) AS w
+             |  FROM comp GROUP BY 1, 2),
+             |sym AS (SELECT p, q, sum(w) AS w FROM (
+             |    SELECT p, q, w FROM dd
+             |    UNION ALL SELECT q, p, 0 FROM dd) GROUP BY 1, 2),
+             |nn AS (SELECT p, q, sum(w) AS n FROM (
+             |    SELECT p, q, w FROM sym
+             |    UNION ALL SELECT q, p, w FROM sym) GROUP BY 1, 2),
+             |ps AS (SELECT sym.p, sym.q, CAST(sym.w AS DOUBLE) AS w,
+             |    CAST(nn.n AS DOUBLE) AS n
+             |  FROM sym JOIN nn ON sym.p = nn.p AND sym.q = nn.q),
+             |wp AS (SELECT p, sum(w) AS wins, sum(n) AS games
+             |  FROM ps GROUP BY 1),
+             |r0 AS (SELECT p, 1.0 AS pi FROM wp),
+             |i1 AS (SELECT ps.p,
+             |    max(wp.wins) / sum(ps.n / (ra.pi + rb.pi)) AS pi
+             |  FROM ps JOIN r0 ra ON ra.p = ps.p
+             |    JOIN r0 rb ON rb.p = ps.q
+             |    JOIN wp ON wp.p = ps.p GROUP BY ps.p),
+             |i2 AS (SELECT ps.p,
+             |    max(wp.wins) / sum(ps.n / (ra.pi + rb.pi)) AS pi
+             |  FROM ps JOIN i1 ra ON ra.p = ps.p
+             |    JOIN i1 rb ON rb.p = ps.q
+             |    JOIN wp ON wp.p = ps.p GROUP BY ps.p),
+             |i3 AS (SELECT ps.p,
+             |    max(wp.wins) / sum(ps.n / (ra.pi + rb.pi)) AS pi
+             |  FROM ps JOIN i2 ra ON ra.p = ps.p
+             |    JOIN i2 rb ON rb.p = ps.q
+             |    JOIN wp ON wp.p = ps.p GROUP BY ps.p),
+             |fin AS (SELECT p, pi / sum(pi) OVER () AS share FROM i3)
+             |SELECT f.p AS player, CAST(wp.games AS BIGINT) AS games,
+             |  CAST(wp.wins AS BIGINT) AS wins,
+             |  round(f.share, 6) AS strength,
+             |  dense_rank() OVER (ORDER BY round(f.share, 6) DESC) AS rnk
+             |FROM fin f JOIN wp ON wp.p = f.p
+             |ORDER BY rnk, player""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q156: Kaplan-Meier time-to-conversion per signup cohort —
+    // subjects are users, the event is the first high-value purchase
+    // (value >= 90, rare enough that ~1 in 7 users never converts and
+    // is right-censored at their last observed event), durations
+    // coarsened to whole hours so event times tie. The subject frame
+    // is one user-keyed aggregate over the corpus; the KM product
+    // rides cohort-partitioned prefix windows over distinct durations.
+    QueryDef("q156_kaplan_meier",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val perUser = e.groupBy(col("user_id")).agg(
+          min(col("ts")).as("t0"), max(col("ts")).as("t_last"),
+          min(when(col("event_type") === "purchase"
+            && col("value") >= 90.0, col("ts"))).as("t_ev"))
+        val gmin = e.agg(min(col("ts")).as("g0"))
+        val subj = perUser.crossJoin(broadcast(gmin)).select(
+          concat(lit("w"), floor(
+            (unix_micros(col("t0")) - unix_micros(col("g0")))
+              / lit(604800000000L)).cast("string")).as("cohort"),
+          floor((unix_micros(coalesce(col("t_ev"), col("t_last")))
+            - unix_micros(col("t0"))) / lit(3600000000L)).as("dur_h"),
+          col("t_ev").isNotNull.as("ev"))
+        graft.operators.Survival.kaplanMeier(
+            subj, "cohort", "dur_h", "ev")
+          .orderBy(col("cohort"), col("t"))
+      },
+      Some("""WITH g AS (SELECT min(ts) AS g0 FROM events),
+             |pu AS (SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      AND value >= 90.0 THEN ts END) AS t_ev
+             |  FROM events GROUP BY 1),
+             |subj AS (SELECT
+             |    'w' || CAST(CAST(floor((epoch_us(t0) - epoch_us(g0))
+             |      / 604800000000) AS BIGINT) AS VARCHAR) AS cohort,
+             |    CAST(floor((epoch_us(coalesce(t_ev, t_last))
+             |      - epoch_us(t0)) / 3600000000) AS BIGINT) AS dur_h,
+             |    t_ev IS NOT NULL AS ev
+             |  FROM pu CROSS JOIN g),
+             |pt AS (SELECT cohort, dur_h AS t,
+             |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             |    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS c
+             |  FROM subj GROUP BY 1, 2),
+             |km1 AS (SELECT cohort, t, d, c,
+             |    sum(d + c) OVER (PARTITION BY cohort)
+             |      - sum(d + c) OVER w + (d + c) AS n_risk
+             |  FROM pt WINDOW w AS (PARTITION BY cohort ORDER BY t
+             |    ROWS UNBOUNDED PRECEDING)),
+             |km2 AS (SELECT cohort, t, n_risk, d, c,
+             |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w
+             |      AS dead,
+             |    sum(CASE WHEN d > 0 AND d < n_risk
+             |      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+             |      ELSE 0.0 END) OVER w AS lsum
+             |  FROM km1 WINDOW w AS (PARTITION BY cohort ORDER BY t
+             |    ROWS UNBOUNDED PRECEDING))
+             |SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS n_event,
+             |  CAST(c AS BIGINT) AS n_censored,
+             |  CASE WHEN dead = 1 THEN 0.0
+             |    ELSE round(exp(lsum), 6) END AS survival
+             |FROM km2 WHERE d > 0
+             |ORDER BY cohort, t""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q157: two-sample Kolmogorov-Smirnov drift test per event type —
+    // the exact, binning-free arbiter next to q149's PSI: even/odd
+    // event-id halves of the same feed, with a +6.0 location shift
+    // planted on the 'view' current slice. Only 'view' may reject at
+    // the 5% Smirnov critical value; the untouched types measure the
+    // sampling-noise floor of D. ECDFs ride one type-partitioned
+    // prefix window over DISTINCT values (ties pre-collapsed).
+    QueryDef("q157_ks_drift",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val base = e.filter(col("event_id") % 2 === 0)
+          .select(col("event_type"), col("value"))
+        val cur = e.filter(col("event_id") % 2 === 1)
+          .select(col("event_type"),
+            (col("value") + when(col("event_type") === "view", 6.0)
+              .otherwise(0.0)).as("value"))
+        graft.operators.Drift.ksTest(base, cur, "event_type", "value")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH base AS (SELECT event_type, value AS v FROM events
+             |  WHERE event_id % 2 = 0),
+             |cur AS (SELECT event_type,
+             |    value + CASE WHEN event_type = 'view' THEN 6.0
+             |      ELSE 0.0 END AS v
+             |  FROM events WHERE event_id % 2 = 1),
+             |u AS (SELECT event_type, v, 1 AS b, 0 AS c FROM base
+             |  UNION ALL SELECT event_type, v, 0, 1 FROM cur),
+             |pv AS (SELECT event_type, v, sum(b) AS nb, sum(c) AS nc
+             |  FROM u GROUP BY 1, 2),
+             |cum AS (SELECT event_type,
+             |    sum(nb) OVER (PARTITION BY event_type) AS n_base,
+             |    sum(nc) OVER (PARTITION BY event_type) AS n_cur,
+             |    sum(nb) OVER w AS cb, sum(nc) OVER w AS cc
+             |  FROM pv WINDOW w AS (PARTITION BY event_type ORDER BY v
+             |    ROWS UNBOUNDED PRECEDING)),
+             |d AS (SELECT event_type,
+             |    any_value(n_base) AS n_base, any_value(n_cur) AS n_cur,
+             |    max(abs(CAST(cb AS DOUBLE) / n_base
+             |      - CAST(cc AS DOUBLE) / n_cur)) AS dd
+             |  FROM cum GROUP BY 1)
+             |SELECT event_type, CAST(n_base AS BIGINT) AS n_base,
+             |  CAST(n_cur AS BIGINT) AS n_cur,
+             |  round(dd, 6) AS d_stat,
+             |  round(sqrt(CAST(n_base AS DOUBLE) * n_cur
+             |    / (n_base + n_cur)) * dd, 4) AS ks_stat,
+             |  sqrt(CAST(n_base AS DOUBLE) * n_cur
+             |    / (n_base + n_cur)) * dd > 1.358 AS reject_05
+             |FROM d ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q158: multi-touch attribution over the event stream — view/click
+    // touches credit each same-user purchase inside a 72h lookback
+    // under all five standard models at once (first/last/linear/
+    // position 40-20-40/time-decay hl=24h); channels derive from the
+    // props JSON campaign key mod 4. The assignment is one user-keyed
+    // equi-join with a range predicate; per-conversion ordering rides
+    // (user, conversion) windows; the rollup is |channels|-keyed.
+    QueryDef("q158_attribution",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val touches = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            concat(lit("ch"),
+              (get_json_object(col("props"), "$.k").cast("int") % 4)
+                .cast("string")).as("channel"))
+        val convs = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.operators.Attribution.multiTouch(touches, convs,
+            "user_id", "ts", "event_id", "channel",
+            lookbackHours = 72, halfLifeHours = 24.0)
+          .orderBy(col("channel"))
+      },
+      Some("""WITH t AS (SELECT user_id AS u, epoch_us(ts) AS tus,
+             |    event_id AS tid,
+             |    'ch' || CAST(CAST(json_extract_string(props, '$.k')
+             |      AS INTEGER) % 4 AS VARCHAR) AS channel
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |c AS (SELECT user_id AS u, epoch_us(ts) AS cus,
+             |    event_id AS cid
+             |  FROM events WHERE event_type = 'purchase'),
+             |a AS (SELECT t.channel, t.u, t.tus, t.tid, c.cus, c.cid
+             |  FROM t JOIN c ON t.u = c.u
+             |  WHERE t.tus < c.cus AND t.tus >= c.cus - 259200000000),
+             |s AS (SELECT channel, cid,
+             |    row_number() OVER (PARTITION BY u, cid
+             |      ORDER BY tus, tid) AS pos,
+             |    count(*) OVER (PARTITION BY u, cid) AS k,
+             |    pow(0.5, (cus - tus) / 86400000000.0) AS dw,
+             |    sum(pow(0.5, (cus - tus) / 86400000000.0))
+             |      OVER (PARTITION BY u, cid) AS dwt
+             |  FROM a),
+             |cr AS (SELECT channel, cid,
+             |    CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS c_first,
+             |    CASE WHEN pos = k THEN 1.0 ELSE 0.0 END AS c_last,
+             |    1.0 / k AS c_linear,
+             |    CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+             |      WHEN pos = 1 OR pos = k THEN 0.4
+             |      ELSE 0.2 / (k - 2) END AS c_position,
+             |    dw / dwt AS c_decay
+             |  FROM s)
+             |SELECT channel, count(*) AS n_touches,
+             |  count(DISTINCT cid) AS n_convs,
+             |  round(sum(c_first), 4) AS credit_first,
+             |  round(sum(c_last), 4) AS credit_last,
+             |  round(sum(c_linear), 4) AS credit_linear,
+             |  round(sum(c_position), 4) AS credit_position,
+             |  round(sum(c_decay), 4) AS credit_decay
+             |FROM cr GROUP BY channel ORDER BY channel""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q159: winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    // MOSS) + shared-fingerprint near-dup pairs. Planted copies with a
+    // shifted prefix (every 97th doc, re-id'd +1e6) exercise the
+    // paper's guarantee: any shared substring >= w+k-1 = 8 chars
+    // yields an identical selected fingerprint in both docs, so every
+    // planted pair MUST surface despite the offset — the property
+    // fixed-stride sampling lacks. Selection is ONE sliding-window
+    // rightmost-argmin (min over struct(hash, -pos), w-row frame) —
+    // no w-fold blowup; the pair join is df-capped (<= 64 docs per
+    // fingerprint) so no hot gram goes quadratic. md5 gram hash for
+    // engine parity (prod swaps xxhash64; logic is hash-agnostic).
+    QueryDef("q159_winnow_pairs",
+      (s, dir) => {
+        val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = d0.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("COPIED WITH A SHIFTED PREFIX >> "), col("text"))
+              .as("text"))
+        val fps = graft.operators.Winnow.fingerprints(
+          d0.unionByName(planted), "doc_id", "text", k = 5, w = 4)
+        graft.operators.Winnow.sharedFingerprintPairs(
+            fps, "doc_id", minShared = 8, dfCap = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |    UNION ALL
+             |    SELECT doc_id + 1000000,
+             |      'COPIED WITH A SHIFTED PREFIX >> ' || text
+             |    FROM documents WHERE doc_id % 97 = 0),
+             |dd AS (SELECT doc_id, text AS tx FROM d
+             |  WHERE length(text) >= 5),
+             |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             |    md5(substring(tx, CAST(p AS INTEGER), 5)) AS h
+             |  FROM dd, unnest(range(1, length(tx) - 3)) AS u(p)),
+             |r AS (SELECT doc_id, pos, h,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS rn,
+             |    min(struct_pack(h := h, np := -pos)) OVER
+             |      (PARTITION BY doc_id ORDER BY pos
+             |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+             |  FROM g),
+             |fps AS (SELECT DISTINCT doc_id, sel.h AS fp_hash FROM r
+             |  WHERE rn >= 4),
+             |keep AS (SELECT fp_hash FROM fps GROUP BY 1
+             |  HAVING count(*) <= 64),
+             |fc AS (SELECT f.doc_id, f.fp_hash
+             |  FROM fps f JOIN keep USING (fp_hash))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  count(*) AS n_shared
+             |FROM fc a JOIN fc b
+             |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q160: template-collapse dedup — mask digit runs to '#', collapse
+    // whitespace, hash the template. The planted slice (every 50th
+    // doc re-id'd +2e6 as a synthetic receipt whose numbers derive
+    // from its id) is EXACT-dedup-invisible — every raw text is
+    // distinct — yet collapses to ONE template cluster here, the
+    // machine-generated-filler signature that survives q18. Zero
+    // joins: one row-local projection + one template-keyed aggregate.
+    QueryDef("q160_template_collapse",
+      (s, dir) => {
+        val d0 = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val synth = d0.filter(col("doc_id") % 50 === 1)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            lit("gen").as("source"),
+            concat(lit("Receipt #"), col("doc_id"), lit(" amount "),
+              col("doc_id") % 997, lit(" cents on day "),
+              col("doc_id") % 28).as("text"))
+        graft.operators.Dedup.templateCollapse(
+            d0.unionByName(synth), "doc_id", "text", "source",
+            minDocs = 2)
+          .orderBy(col("n_docs").desc, col("template_hash"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, 'gen',
+             |    'Receipt #' || doc_id || ' amount '
+             |      || (doc_id % 997) || ' cents on day '
+             |      || (doc_id % 28)
+             |  FROM documents WHERE doc_id % 50 = 1),
+             |m AS (SELECT doc_id, source,
+             |    regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+             |      '\s+', ' ', 'g') AS tmpl
+             |  FROM d),
+             |c AS (SELECT md5(tmpl) AS template_hash,
+             |    count(*) AS n_docs,
+             |    count(DISTINCT source) AS n_sources,
+             |    min(doc_id) AS exemplar_id,
+             |    min(substring(tmpl, 1, 40)) AS template_head
+             |  FROM m GROUP BY 1)
+             |SELECT * FROM c WHERE n_docs >= 2
+             |ORDER BY n_docs DESC, template_hash""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
