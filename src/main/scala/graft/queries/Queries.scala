@@ -7563,7 +7563,238 @@ object Queries {
              |    min(substring(tmpl, 1, 40)) AS template_head
              |  FROM m GROUP BY 1)
              |SELECT * FROM c WHERE n_docs >= 2
-             |ORDER BY n_docs DESC, template_hash""".stripMargin))
+             |ORDER BY n_docs DESC, template_hash""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q161: vocabulary-saturation audit — Good-Turing frequency-of-
+    // frequencies (P0 = N1/N unseen-mass, smoothed r* counts) + Zipf
+    // log-log slope over the top-100 words. The keep-crawling-or-
+    // saturated signal: one token explode + word-keyed aggregate is
+    // the only corpus-sized shuffle; fof is |distinct counts| rows;
+    // the Zipf fit reads top-100 via TakeOrdered and regresses 1-row.
+    QueryDef("q161_vocab_saturation",
+      (s, dir) => graft.operators.Vocab.saturation(
+          t(s, dir, "documents"), "text", maxR = 10, zipfTopN = 100)
+        .orderBy(col("r")),
+      Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(
+             |    lower(trim(text)), '\s+'), x -> x <> '')) AS word
+             |  FROM documents),
+             |wc AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+             |fof AS (SELECT n AS r, count(*) AS n_r FROM wc GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+             |    count(*) AS vocab,
+             |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1
+             |  FROM wc),
+             |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, word)
+             |      AS rank
+             |  FROM wc ORDER BY n DESC, word LIMIT 100),
+             |zipf AS (SELECT round(regr_slope(ln(n), ln(rank)), 6)
+             |    AS zipf_slope FROM top),
+             |grid AS (SELECT unnest(range(1, 11)) AS r)
+             |SELECT g.r, coalesce(f.n_r, 0) AS n_r,
+             |  CASE WHEN coalesce(f.n_r, 0) > 0 AND f1.n_r IS NOT NULL
+             |    THEN round((g.r + 1) * CAST(f1.n_r AS DOUBLE) / f.n_r, 6)
+             |  END AS r_star,
+             |  round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p0_unseen,
+             |  vocab, n_tokens, zipf_slope
+             |FROM grid g LEFT JOIN fof f ON f.r = g.r
+             |  LEFT JOIN fof f1 ON f1.r = g.r + 1
+             |CROSS JOIN tot CROSS JOIN zipf
+             |ORDER BY g.r""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q162: MMR diversity re-ranking (Carbonell & Goldstein 1998) over
+    // ANN candidates — top-12 cosine candidates per query, then 5
+    // greedy picks of argmax 0.7·rel − 0.3·max-sim-to-selected. The
+    // candidate and pairwise-sim frames stay distributed (bounded
+    // |queries|·N²); the inherently sequential per-query greedy runs
+    // driver-side (BT/Lloyd stance). The twin unrolls all 5 steps, so
+    // a wrong tie-break or a skipped redundancy penalty moves the
+    // hash: the top-rel candidate's paraphrase-mates MUST drop.
+    QueryDef("q162_mmr_rerank",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+          .withColumn("nrm", Vec.norm(col("vec")))
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+            col("nrm").as("qnrm"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(Vec.cosineFromParts(Vec.dot(col("qvec"), col("vec")),
+              col("qnrm"), col("nrm")), 6).as("rel"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("rel").desc, col("cid").asc)
+        val cands = scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 12).drop("rk")
+        val withVec = e.select(col("vec_id"), col("vec"), col("nrm"))
+        val ca = cands.select(col("qid"), col("cid").as("a"))
+          .join(withVec.select(col("vec_id").as("a"),
+            col("vec").as("va"), col("nrm").as("na")), Seq("a"))
+        val cb = cands.select(col("qid"), col("cid").as("b"))
+          .join(withVec.select(col("vec_id").as("b"),
+            col("vec").as("vb"), col("nrm").as("nb")), Seq("b"))
+        val pair = ca.join(cb, Seq("qid")).filter(col("a") < col("b"))
+          .select(col("qid"), col("a"), col("b"),
+            round(Vec.cosineFromParts(Vec.dot(col("va"), col("vb")),
+              col("na"), col("nb")), 6).as("sim"))
+        graft.operators.Rerank.mmr(cands, "qid", "cid", "rel",
+            pair, "sim", lambda = 0.7, k = 5)
+          .orderBy(col("query_id"), col("sel_rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e
+             |  WHERE vec_id % 100 = 0),
+             |sc AS (SELECT qid, e.vec_id AS cid,
+             |    round(list_cosine_similarity(qv, e.v), 6) AS rel
+             |  FROM e, q WHERE e.vec_id <> qid),
+             |cand AS (SELECT qid, cid, rel FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |      ORDER BY rel DESC, cid) AS rk FROM sc)
+             |  WHERE rk <= 12),
+             |pw AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             |    round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+             |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid < b.cid
+             |  JOIN e ea ON ea.vec_id = a.cid
+             |  JOIN e eb ON eb.vec_id = b.cid),
+             |pw2 AS (SELECT qid, ca AS x, cb AS y, sim FROM pw
+             |  UNION ALL SELECT qid, cb, ca, sim FROM pw),
+             |s1 AS (SELECT qid, cid, rel, score FROM (
+             |    SELECT qid, cid, rel, round(0.7 * rel, 7) AS score,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY round(0.7 * rel, 7) DESC, cid) AS rk
+             |    FROM cand) WHERE rk = 1),
+             |c2 AS (SELECT c.qid, c.cid, c.rel, max(w.sim) AS ms
+             |  FROM cand c
+             |  LEFT JOIN s1 ex ON ex.qid = c.qid AND ex.cid = c.cid
+             |  JOIN pw2 w ON w.qid = c.qid AND w.x = c.cid
+             |  JOIN s1 s ON s.qid = w.qid AND s.cid = w.y
+             |  WHERE ex.cid IS NULL GROUP BY 1, 2, 3),
+             |s2 AS (SELECT qid, cid, rel, score FROM (
+             |    SELECT qid, cid, rel,
+             |      round(0.7 * rel - 0.3 * ms, 7) AS score,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY round(0.7 * rel - 0.3 * ms, 7) DESC, cid)
+             |        AS rk
+             |    FROM c2) WHERE rk = 1),
+             |sel2 AS (SELECT qid, cid FROM s1
+             |  UNION ALL SELECT qid, cid FROM s2),
+             |c3 AS (SELECT c.qid, c.cid, c.rel, max(w.sim) AS ms
+             |  FROM cand c
+             |  LEFT JOIN sel2 ex ON ex.qid = c.qid AND ex.cid = c.cid
+             |  JOIN pw2 w ON w.qid = c.qid AND w.x = c.cid
+             |  JOIN sel2 s ON s.qid = w.qid AND s.cid = w.y
+             |  WHERE ex.cid IS NULL GROUP BY 1, 2, 3),
+             |s3 AS (SELECT qid, cid, rel, score FROM (
+             |    SELECT qid, cid, rel,
+             |      round(0.7 * rel - 0.3 * ms, 7) AS score,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY round(0.7 * rel - 0.3 * ms, 7) DESC, cid)
+             |        AS rk
+             |    FROM c3) WHERE rk = 1),
+             |sel3 AS (SELECT qid, cid FROM sel2
+             |  UNION ALL SELECT qid, cid FROM s3),
+             |c4 AS (SELECT c.qid, c.cid, c.rel, max(w.sim) AS ms
+             |  FROM cand c
+             |  LEFT JOIN sel3 ex ON ex.qid = c.qid AND ex.cid = c.cid
+             |  JOIN pw2 w ON w.qid = c.qid AND w.x = c.cid
+             |  JOIN sel3 s ON s.qid = w.qid AND s.cid = w.y
+             |  WHERE ex.cid IS NULL GROUP BY 1, 2, 3),
+             |s4 AS (SELECT qid, cid, rel, score FROM (
+             |    SELECT qid, cid, rel,
+             |      round(0.7 * rel - 0.3 * ms, 7) AS score,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY round(0.7 * rel - 0.3 * ms, 7) DESC, cid)
+             |        AS rk
+             |    FROM c4) WHERE rk = 1),
+             |sel4 AS (SELECT qid, cid FROM sel3
+             |  UNION ALL SELECT qid, cid FROM s4),
+             |c5 AS (SELECT c.qid, c.cid, c.rel, max(w.sim) AS ms
+             |  FROM cand c
+             |  LEFT JOIN sel4 ex ON ex.qid = c.qid AND ex.cid = c.cid
+             |  JOIN pw2 w ON w.qid = c.qid AND w.x = c.cid
+             |  JOIN sel4 s ON s.qid = w.qid AND s.cid = w.y
+             |  WHERE ex.cid IS NULL GROUP BY 1, 2, 3),
+             |s5 AS (SELECT qid, cid, rel, score FROM (
+             |    SELECT qid, cid, rel,
+             |      round(0.7 * rel - 0.3 * ms, 7) AS score,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY round(0.7 * rel - 0.3 * ms, 7) DESC, cid)
+             |        AS rk
+             |    FROM c5) WHERE rk = 1)
+             |SELECT qid AS query_id, 1 AS sel_rank, cid AS cand_id,
+             |  rel, score AS mmr_score FROM s1
+             |UNION ALL SELECT qid, 2, cid, rel, score FROM s2
+             |UNION ALL SELECT qid, 3, cid, rel, score FROM s3
+             |UNION ALL SELECT qid, 4, cid, rel, score FROM s4
+             |UNION ALL SELECT qid, 5, cid, rel, score FROM s5
+             |ORDER BY query_id, sel_rank""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q163: split-conformal calibration audit (Papadopoulos 2002; Vovk)
+    // — a 6-decimal-frozen OLS fit on the calibration quarter, absolute
+    // residuals as nonconformity, per-returnflag q-hat at alpha = 0.1,
+    // and empirical test coverage. The planted covariate shift (test
+    // prices of the 'R' group scaled 1.35x) MUST collapse that group's
+    // coverage below the guarantee band while A/N hold near 0.9 — the
+    // model-agnostic drift alarm. The fit is rounded to 6 decimals
+    // BEFORE residuals so both engines subtract identical (a, b):
+    // conformal absorbs model error by construction, so freezing the
+    // fit costs nothing and removes FP-summation hash risk.
+    QueryDef("q163_conformal",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag").as("grp"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+        val cal = li.filter(col("l_orderkey") % 4 === 1)
+        val tst = li.filter(col("l_orderkey") % 4 === 2)
+          .withColumn("y", when(col("grp") === "R", col("y") * 1.35)
+            .otherwise(col("y")))
+        val fit = cal.agg(
+          round(regr_slope(col("y"), col("x")), 6).as("b"),
+          round(regr_intercept(col("y"), col("x")), 6).as("a"))
+        def scores(df: org.apache.spark.sql.DataFrame) =
+          df.crossJoin(broadcast(fit)).select(col("grp"),
+            round(abs(col("y") - (col("a") + col("b") * col("x"))), 6)
+              .as("s"))
+        graft.operators.Conformal.splitConformal(
+            scores(cal), scores(tst), "grp", "s",
+            alpha = 0.1, slack = 0.05)
+          .orderBy(col("grp"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_returnflag AS grp,
+             |    CAST(l_quantity AS DOUBLE) AS x,
+             |    CAST(l_extendedprice AS DOUBLE) AS y
+             |  FROM lineitem),
+             |cal AS (SELECT * FROM li WHERE l_orderkey % 4 = 1),
+             |tst AS (SELECT grp, x,
+             |    CASE WHEN grp = 'R' THEN y * 1.35 ELSE y END AS y
+             |  FROM li WHERE l_orderkey % 4 = 2),
+             |fit AS (SELECT round(regr_slope(y, x), 6) AS b,
+             |    round(regr_intercept(y, x), 6) AS a FROM cal),
+             |cs AS (SELECT grp, round(abs(y - (a + b * x)), 6) AS s
+             |  FROM cal CROSS JOIN fit),
+             |ts AS (SELECT grp, round(abs(y - (a + b * x)), 6) AS s
+             |  FROM tst CROSS JOIN fit),
+             |qh AS (SELECT grp, s AS qhat, n_cal FROM (
+             |    SELECT grp, s,
+             |      count(*) OVER (PARTITION BY grp) AS n_cal,
+             |      row_number() OVER (PARTITION BY grp ORDER BY s)
+             |        AS rn
+             |    FROM cs)
+             |  WHERE rn = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT),
+             |    n_cal)),
+             |cov AS (SELECT t.grp, any_value(n_cal) AS n_cal,
+             |    count(*) AS n_test, any_value(qhat) AS qhat,
+             |    round(CAST(sum(CASE WHEN t.s <= qhat THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / count(*), 6) AS coverage
+             |  FROM ts t JOIN qh ON qh.grp = t.grp GROUP BY t.grp)
+             |SELECT grp, n_cal, n_test, qhat, coverage,
+             |  coverage >= 0.85 AS covered
+             |FROM cov ORDER BY grp""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
