@@ -79,6 +79,67 @@ object Mix {
           .as("budget_rows"))
   }
 
+  /** Neyman-optimal stratified-sample allocation (Neyman 1934): split a
+    * sampling budget across strata as n_h ∝ N_h·σ_h — the allocation
+    * that minimizes the variance of the stratified estimate. The audit
+    * use: eval/QA sampling where a uniform or proportional draw wastes
+    * budget on homogeneous strata (every doc alike — a handful suffices)
+    * and starves the heterogeneous ones. Output compares both: the
+    * proportional allocation (n_h ∝ N_h) rides the same machinery.
+    *
+    * Both allocations apportion by largest remainder over INTEGER
+    * micro-weights (Neyman: round(σ6·1e6)·N_h; proportional: N_h), the
+    * [[temperatureWeights]] stance — sums hit the budget exactly and no
+    * floor-of-a-float sits on an integer boundary. Raises on an
+    * all-zero-variance corpus (the Neyman weights would be 0/0).
+    * Allocations are NOT capped at the stratum size — a tiny volatile
+    * stratum can be allocated more than it has; the caller decides
+    * whether to cap and redistribute (standard survey practice varies).
+    *
+    * Scale: one stratum-keyed aggregate over the corpus; everything
+    * after is arithmetic and |strata|-row windows. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, metric: Column,
+      sampleBudget: Long = 1000L): DataFrame = {
+    val byStr = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(coalesce(stddev_pop(metric), lit(0.0)), 6).as("sd"))
+      .withColumn("m",
+        round(col("sd") * 1e6, 0).cast("long") * col("n_rows"))
+    val tot = byStr.agg(sum(col("m")).as("mm"),
+      sum(col("n_rows")).as("n_total"))
+      .withColumn("mm", when(col("mm") <= 0,
+          raise_error(lit("Mix.neymanAllocation: zero variance in every "
+            + "stratum — Neyman weights undefined")))
+        .otherwise(col("mm")))
+
+    def apportion(d: DataFrame, wCol: String, totCol: String,
+        outCol: String): DataFrame = {
+      val withFl = d
+        .withColumn("__fl",
+          expr(s"$wCol * ${sampleBudget}L div $totCol"))
+        .withColumn("__rem",
+          (col(wCol) * lit(sampleBudget)) % col(totCol))
+      val deficit = withFl.agg(
+        (lit(sampleBudget) - sum(col("__fl"))).as("__def"))
+      val up = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
+      val down = Window.orderBy(col("__rem").asc, col(stratumCol).desc)
+      withFl.crossJoin(broadcast(deficit))
+        .withColumn("__ru", row_number().over(up))
+        .withColumn("__rd", row_number().over(down))
+        .withColumn(outCol, col("__fl")
+          + when(col("__ru") <= col("__def"), 1L).otherwise(0L)
+          - when(col("__rd") <= -col("__def"), 1L).otherwise(0L))
+        .drop("__fl", "__rem", "__def", "__ru", "__rd")
+    }
+
+    val base = byStr.crossJoin(broadcast(tot))
+    val ney = apportion(base, "m", "mm", "neyman_n")
+    val prop = apportion(ney, "n_rows", "n_total", "prop_n")
+    prop.select(col(stratumCol), col("n_rows"), col("sd"),
+      round(col("m").cast("double") / col("mm"), 6).as("neyman_share"),
+      col("neyman_n"), col("prop_n"))
+  }
+
   /** The sampler that consumes [[temperatureWeights]]' output: draw each
     * domain's `budget_rows` rows by deterministic hash order — the
     * engine-portable uniform (md5 of the id, the q106 Gumbel stance), so

@@ -7794,7 +7794,297 @@ object Queries {
              |  FROM ts t JOIN qh ON qh.grp = t.grp GROUP BY t.grp)
              |SELECT grp, n_cal, n_test, qhat, coverage,
              |  coverage >= 0.85 AS covered
-             |FROM cov ORDER BY grp""".stripMargin))
+             |FROM cov ORDER BY grp""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q164: reference-based overlap metrics — clipped-precision BLEU-2
+    // (Papineni 2002) + ROUGE-1/2 recall (Lin 2004) per (candidate,
+    // reference) pair. Candidates: exact copies every 10th doc (BLEU
+    // must be exactly 1) and 2/3-token truncations elsewhere (p1 = 1,
+    // recall ≈ 2/3, brevity penalty < 1 — the metric split that tells
+    // truncation from paraphrase). len cut uses integer ceil
+    // ((2n+2) div 3), never a float at an integer boundary.
+    QueryDef("q164_text_overlap_eval",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("text"), Text.tokens(col("text")).as("tk"))
+        val cut = greatest(
+          expr("(2 * size(tk) + 2) div 3").cast("int"), lit(1))
+        val cand = when(col("doc_id") % 10 === 0, col("text"))
+          .otherwise(array_join(slice(col("tk"), lit(1), cut), " "))
+        graft.operators.TextEval.bleuRouge(
+            d.select(col("doc_id"), cand.as("cand"),
+              col("text").as("ref")), "doc_id", "cand", "ref")
+          .orderBy(col("id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)),
+             |      '\s+'), x -> x <> '') AS rt
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN rt
+             |      ELSE rt[1:CAST(greatest((2 * len(rt) + 2) // 3, 1)
+             |        AS BIGINT)] END AS ct,
+             |    rt FROM d),
+             |cg1 AS (SELECT doc_id, g, count(*) AS nc FROM
+             |  (SELECT doc_id, unnest(ct) AS g FROM p) GROUP BY 1, 2),
+             |rg1 AS (SELECT doc_id, g, count(*) AS nr FROM
+             |  (SELECT doc_id, unnest(rt) AS g FROM p) GROUP BY 1, 2),
+             |cl1 AS (SELECT doc_id, sum(least(nc, nr)) AS clip1
+             |  FROM cg1 JOIN rg1 USING (doc_id, g) GROUP BY 1),
+             |bg AS (SELECT doc_id,
+             |    list_transform(range(1, len(ct)), i ->
+             |      ct[CAST(i AS INT)] || ' ' || ct[CAST(i + 1 AS INT)])
+             |      AS cg2,
+             |    list_transform(range(1, len(rt)), i ->
+             |      rt[CAST(i AS INT)] || ' ' || rt[CAST(i + 1 AS INT)])
+             |      AS rg2
+             |  FROM p),
+             |cg2 AS (SELECT doc_id, g, count(*) AS nc FROM
+             |  (SELECT doc_id, unnest(cg2) AS g FROM bg) GROUP BY 1, 2),
+             |rg2 AS (SELECT doc_id, g, count(*) AS nr FROM
+             |  (SELECT doc_id, unnest(rg2) AS g FROM bg) GROUP BY 1, 2),
+             |cl2 AS (SELECT doc_id, sum(least(nc, nr)) AS clip2
+             |  FROM cg2 JOIN rg2 USING (doc_id, g) GROUP BY 1),
+             |fin AS (SELECT p.doc_id AS id,
+             |    CAST(len(ct) AS BIGINT) AS len_c,
+             |    CAST(len(rt) AS BIGINT) AS len_r,
+             |    CASE WHEN len(ct) > 0 THEN
+             |      CAST(coalesce(clip1, 0) AS DOUBLE) / len(ct)
+             |      ELSE 0.0 END AS p1raw,
+             |    CASE WHEN len(ct) > 1 THEN
+             |      CAST(coalesce(clip2, 0) AS DOUBLE) / (len(ct) - 1)
+             |      ELSE 0.0 END AS p2raw,
+             |    CASE WHEN len(rt) > 0 THEN
+             |      CAST(coalesce(clip1, 0) AS DOUBLE) / len(rt)
+             |      ELSE 0.0 END AS r1raw,
+             |    CASE WHEN len(rt) > 1 THEN
+             |      CAST(coalesce(clip2, 0) AS DOUBLE) / (len(rt) - 1)
+             |      ELSE 0.0 END AS r2raw,
+             |    CASE WHEN len(ct) >= len(rt) OR len(ct) = 0 THEN 1.0
+             |      ELSE exp(1.0 - CAST(len(rt) AS DOUBLE) / len(ct))
+             |      END AS bpraw
+             |  FROM p LEFT JOIN cl1 ON cl1.doc_id = p.doc_id
+             |  LEFT JOIN cl2 ON cl2.doc_id = p.doc_id)
+             |SELECT id, len_c, len_r,
+             |  round(p1raw, 6) AS p1, round(p2raw, 6) AS p2,
+             |  round(r1raw, 6) AS r1, round(r2raw, 6) AS r2,
+             |  round(bpraw, 6) AS bp,
+             |  round(CASE WHEN p1raw > 0 AND p2raw > 0
+             |    THEN bpraw * exp((ln(p1raw) + ln(p2raw)) / 2)
+             |    ELSE 0.0 END, 6) AS bleu2
+             |FROM fin ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q165: TextTiling topic segmentation (Hearst 1997, block variant)
+    // — adjacent 10-token-block cosine valleys with per-doc
+    // mu + 0.5*sigma depth cutoff. Planted two-topic docs (every 25th
+    // doc concatenated with the text of doc+7, re-id'd +3e6) carry a
+    // real topic seam the depth score must flag; organic docs measure
+    // the false-boundary floor. All doc-keyed: token explode, block
+    // counts, one shifted self-join for gap dots, |blocks|-row windows.
+    QueryDef("q165_texttiling",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          col("text"))
+        val planted = base.filter(col("doc_id") % 25 === 0).as("a")
+          .join(base.select(col("doc_id").as("bid"),
+            col("text").as("btext")).as("b"),
+            col("bid") === col("doc_id") + 7)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(col("text"), lit(" "), col("btext")).as("text"))
+        graft.operators.Segment.textTiling(
+            base.unionByName(planted), "doc_id", "text",
+            blockTokens = 10)
+          .orderBy(col("doc_id"), col("g"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |aug AS (SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT a.doc_id + 3000000, a.text || ' ' || b.text
+             |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 7
+             |  WHERE a.doc_id % 25 = 0),
+             |tl AS (SELECT doc_id, list_filter(string_split_regex(
+             |    lower(trim(text)), '\s+'), x -> x <> '') AS toks
+             |  FROM aug),
+             |tk AS (SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS blk,
+             |    toks[CAST(i AS INT)] AS tok
+             |  FROM tl, unnest(range(1, len(toks) + 1)) AS u(i)),
+             |cnt AS (SELECT doc_id, blk, tok, count(*) AS n
+             |  FROM tk GROUP BY 1, 2, 3),
+             |nrm AS (SELECT doc_id, blk, sum(n * n) AS nrm2
+             |  FROM cnt GROUP BY 1, 2),
+             |dots AS (SELECT a.doc_id, a.blk AS g, sum(a.n * b.n) AS dot
+             |  FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id
+             |    AND b.blk = a.blk + 1 AND b.tok = a.tok
+             |  GROUP BY 1, 2),
+             |gaps AS (SELECT na.doc_id, na.blk AS g,
+             |    round(coalesce(dot, 0) / sqrt(na.nrm2 * nb.nrm2), 6)
+             |      AS cos
+             |  FROM nrm na JOIN nrm nb ON nb.doc_id = na.doc_id
+             |    AND nb.blk = na.blk + 1
+             |  LEFT JOIN dots d ON d.doc_id = na.doc_id
+             |    AND d.g = na.blk),
+             |dep AS (SELECT doc_id, g, cos,
+             |    round(coalesce(lag(cos) OVER w - cos, 0.0)
+             |      + coalesce(lead(cos) OVER w - cos, 0.0), 6) + 0.0
+             |      AS depth
+             |  FROM gaps WINDOW w AS (PARTITION BY doc_id ORDER BY g))
+             |SELECT doc_id, g, cos, depth,
+             |  depth > round(avg(depth) OVER d
+             |    + 0.5 * stddev_pop(depth) OVER d, 6) AS is_boundary
+             |FROM dep WINDOW d AS (PARTITION BY doc_id)
+             |ORDER BY doc_id, g""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q166: Johnson-Lindenstrauss ±1 projection (Achlioptas 2003) 64→16
+    // dims with a cosine-distortion audit over adjacent-id pairs. The
+    // sign matrix derives from md5 of the index pair — seedless and
+    // engine-portable (the q110/q126 md5-split stance), so the twin
+    // reproduces the projection bit-for-bit from SQL. Projection is a
+    // pure per-row expression over a literal 16×64 matrix; the audit
+    // pair join is id-shifted (linear), summary is a 1-row broadcast.
+    QueryDef("q166_jl_distortion",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"),
+          Vec.asDouble(col("embedding")).as("vec"))
+        graft.operators.Project.jlDistortion(e, "vec_id", "vec",
+            dOut = 16, dIn = 64)
+          .orderBy(col("id_a"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sgn AS (SELECT k, j,
+             |    CASE WHEN substring(md5(k || '_' || j), 1, 1)
+             |      BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+             |  FROM (SELECT unnest(range(0, 16)) AS k),
+             |       (SELECT unnest(range(0, 64)) AS j)),
+             |el AS (SELECT vec_id, j, v[CAST(j + 1 AS INT)] AS x
+             |  FROM e, (SELECT unnest(range(0, 64)) AS j)),
+             |pv AS (SELECT vec_id, k, sum(x * s) AS p
+             |  FROM el JOIN sgn USING (j) GROUP BY 1, 2),
+             |pp AS (SELECT a.vec_id AS id_a, sum(a.p * b.p) AS dd,
+             |    sum(a.p * a.p) AS n2a, sum(b.p * b.p) AS n2b
+             |  FROM pv a JOIN pv b ON b.vec_id = a.vec_id + 1
+             |    AND b.k = a.k
+             |  GROUP BY 1),
+             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_orig
+             |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+             |j AS (SELECT p.id_a, p.id_b, p.cos_orig,
+             |    round(pp.dd / sqrt(pp.n2a * pp.n2b), 6) AS cos_proj
+             |  FROM pairs p JOIN pp ON pp.id_a = p.id_a),
+             |g AS (SELECT id_a, id_b, cos_orig, cos_proj,
+             |    round(abs(cos_orig - cos_proj), 6) AS abs_gap FROM j),
+             |sm AS (SELECT round(avg(abs_gap), 6) AS mean_gap,
+             |    round(max(abs_gap), 6) AS max_gap FROM g)
+             |SELECT id_a, id_b, cos_orig, cos_proj, abs_gap,
+             |  mean_gap, max_gap
+             |FROM g CROSS JOIN sm ORDER BY id_a""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q167: cross-source quantile normalization (Bolstad 2003 applied
+    // to quality scores) — a planted +40 token-count inflation on
+    // src9's scorer must disappear after rank-mapping onto the pooled
+    // distribution (equal ranks → equal normalized values across
+    // sources). Target index in INTEGER arithmetic (multiply-then-div,
+    // no float at an integer boundary); pooled ladder over DISTINCT
+    // score values, broadcast for the range join.
+    QueryDef("q167_quantile_norm",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          (Text.tokenCount(col("text"))
+            + when(col("source") === "src9", 40).otherwise(0))
+            .as("sc"))
+        graft.operators.Normalize.quantileNormalize(
+            d, "source", "sc", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split_regex(
+             |      lower(trim(text)), '\s+'), x -> x <> ''))
+             |      + CASE WHEN source = 'src9' THEN 40 ELSE 0 END
+             |      AS BIGINT) AS score
+             |  FROM documents),
+             |rk AS (SELECT doc_id, source, score,
+             |    rank() OVER (PARTITION BY source ORDER BY score) AS r,
+             |    count(*) OVER (PARTITION BY source) AS n_h FROM s),
+             |np AS (SELECT count(*) AS n_pool FROM s),
+             |dv AS (SELECT score AS pv, count(*) AS c FROM s
+             |  GROUP BY 1),
+             |cm AS (SELECT pv,
+             |    sum(c) OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING)
+             |      AS cum_hi,
+             |    sum(c) OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING) - c
+             |      AS cum_lo
+             |  FROM dv),
+             |ix AS (SELECT doc_id, source, score,
+             |    CASE WHEN n_h = 1 THEN (n_pool + 1) // 2
+             |      ELSE ((r - 1) * (n_pool - 1)) // (n_h - 1) + 1 END
+             |      AS idx
+             |  FROM rk CROSS JOIN np)
+             |SELECT doc_id, source, score, cm.pv AS norm_score
+             |FROM ix JOIN cm ON ix.idx > cm.cum_lo
+             |  AND ix.idx <= cm.cum_hi
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q168: Neyman-optimal stratified sampling allocation (Neyman 1934)
+    // vs proportional, 200-row eval budget over sources — src5 carries
+    // a planted high-variance metric (doc_id-derived additive noise),
+    // so its Neyman allocation must far exceed its proportional one
+    // while homogeneous sources shrink. Both allocations apportion by
+    // largest remainder over integer micro-weights (the q113 stance) —
+    // sums hit 200 exactly, bit-identical across engines.
+    QueryDef("q168_neyman_alloc",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"),
+          (col("n_chars") + when(col("source") === "src5",
+            col("doc_id") % 1000).otherwise(0)).as("metric"))
+        graft.operators.Mix.neymanAllocation(d, "source", col("metric"),
+            sampleBudget = 200L)
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source,
+             |    n_chars + CASE WHEN source = 'src5'
+             |      THEN doc_id % 1000 ELSE 0 END AS metric
+             |  FROM documents),
+             |st AS (SELECT source, count(*) AS n_rows,
+             |    round(coalesce(stddev_pop(metric), 0.0), 6) AS sd
+             |  FROM d GROUP BY 1),
+             |m AS (SELECT source, n_rows, sd,
+             |    CAST(round(sd * 1e6, 0) AS BIGINT) * n_rows AS m
+             |  FROM st),
+             |tot AS (SELECT sum(m) AS mm, sum(n_rows) AS n_total
+             |  FROM m),
+             |n0 AS (SELECT source, n_rows, sd, m, mm, n_total,
+             |    m * 200 // mm AS fl, (m * 200) % mm AS rem
+             |  FROM m CROSS JOIN tot),
+             |nd AS (SELECT 200 - sum(fl) AS def FROM n0),
+             |n1 AS (SELECT source, n_rows, sd, m, mm, n_total,
+             |    CAST(fl + CASE WHEN row_number() OVER
+             |        (ORDER BY rem DESC, source ASC) <= def
+             |      THEN 1 ELSE 0 END
+             |      - CASE WHEN row_number() OVER
+             |        (ORDER BY rem ASC, source DESC) <= -def
+             |      THEN 1 ELSE 0 END AS BIGINT) AS neyman_n
+             |  FROM n0 CROSS JOIN nd),
+             |p0 AS (SELECT source, n_rows, sd, m, mm, neyman_n,
+             |    n_rows * 200 // n_total AS fl,
+             |    (n_rows * 200) % n_total AS rem
+             |  FROM n1),
+             |pd AS (SELECT 200 - sum(fl) AS def FROM p0)
+             |SELECT source, n_rows, sd,
+             |  round(CAST(m AS DOUBLE) / mm, 6) AS neyman_share,
+             |  neyman_n,
+             |  CAST(fl + CASE WHEN row_number() OVER
+             |      (ORDER BY rem DESC, source ASC) <= def
+             |    THEN 1 ELSE 0 END
+             |    - CASE WHEN row_number() OVER
+             |      (ORDER BY rem ASC, source DESC) <= -def
+             |    THEN 1 ELSE 0 END AS BIGINT) AS prop_n
+             |FROM p0 CROSS JOIN pd ORDER BY source""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
