@@ -8084,7 +8084,170 @@ object Queries {
              |    - CASE WHEN row_number() OVER
              |      (ORDER BY rem ASC, source DESC) <= -def
              |    THEN 1 ELSE 0 END AS BIGINT) AS prop_n
-             |FROM p0 CROSS JOIN pd ORDER BY source""".stripMargin))
+             |FROM p0 CROSS JOIN pd ORDER BY source""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q169: Poisson-bootstrap 95% CI for per-source mean token count
+    // (Chamandy 2012 — the coordination-free resampling for massive
+    // data: independent Poisson(1) weights per (row, replicate) stand
+    // in for with-replacement draws). B=200 replicates; the draw is
+    // the inverse CDF of an md5 uniform (seedless, engine-portable);
+    // replicate means stay INTEGER (num, den) pairs rounded by exact
+    // integer HALF_UP, and quantile indices are integer ceil — zero
+    // floats at decimal/integer boundaries anywhere in the statistic.
+    QueryDef("q169_bootstrap_ci",
+      (s, dir) => graft.operators.Bootstrap.poissonMeanCi(
+          t(s, dir, "documents").select(col("source"), col("doc_id"),
+            col("text")),
+          "source", "doc_id", Text.tokenCount(col("text")), b = 200)
+        .orderBy(col("source")),
+      Some("""WITH basez AS (SELECT source AS g, doc_id AS id,
+             |    CAST(len(list_filter(string_split_regex(
+             |      lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT)
+             |      AS x
+             |  FROM documents),
+             |reps AS (SELECT g, id, x, b,
+             |    ('0x' || substr(md5(CAST(id AS VARCHAR) || '_'
+             |      || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000
+             |      AS u
+             |  FROM basez, (SELECT unnest(range(0, 200)) AS b)),
+             |wt AS (SELECT g, b, x,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+             |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+             |      ELSE 4 END AS w
+             |  FROM reps),
+             |pr AS (SELECT g, b, sum(w * x) AS num, sum(w) AS den
+             |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+             |rk AS (SELECT g, b, num, den,
+             |    row_number() OVER (PARTITION BY g
+             |      ORDER BY CAST(num AS DOUBLE) / den, b) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS nb
+             |  FROM pr),
+             |ci AS (SELECT g,
+             |    max(CASE WHEN rn = (25 * nb + 999) // 1000
+             |      THEN CAST((num * 2000000 + den) // (den * 2)
+             |        AS DOUBLE) / 1e6 END) AS ci_lo,
+             |    max(CASE WHEN rn = (975 * nb + 999) // 1000
+             |      THEN CAST((num * 2000000 + den) // (den * 2)
+             |        AS DOUBLE) / 1e6 END) AS ci_hi
+             |  FROM rk GROUP BY 1),
+             |ov AS (SELECT g, count(*) AS n_rows, sum(x) AS sx
+             |  FROM basez GROUP BY 1)
+             |SELECT o.g AS source, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST((sx * 2000000 + n_rows) // (n_rows * 2) AS DOUBLE)
+             |    / 1e6 AS mean,
+             |  ci_lo, ci_hi, round(ci_hi - ci_lo, 6) AS ci_width
+             |FROM ov o JOIN ci USING (g)
+             |ORDER BY source""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q170: per-source data cards (Datasheets-for-Datasets reduced to
+    // the computable core) — one wide row per source: volume, token
+    // length distribution (exact p50/p90 at calibration scale), exact-
+    // dup rate (planted copies of every 20th doc make it non-zero),
+    // short-doc fraction, dominant language + share. The single frame
+    // a mixing planner consumes. One scan → source-keyed aggregate +
+    // a (source, lang) top-1 window.
+    QueryDef("q170_data_cards",
+      (s, dir) => {
+        val d0 = t(s, dir, "documents")
+        val planted = d0.filter(col("doc_id") % 20 === 3)
+          .withColumn("doc_id", col("doc_id") + 4000000)
+        graft.operators.DataCard.sourceCards(
+            d0.unionByName(planted), "source", "doc_id", "text",
+            "lang", shortChars = 150)
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT * FROM documents
+             |  UNION ALL SELECT doc_id + 4000000, text, lang, source,
+             |    n_chars
+             |  FROM documents WHERE doc_id % 20 = 3),
+             |base AS (SELECT source, doc_id, lang,
+             |    CAST(length(text) AS BIGINT) AS nc,
+             |    CAST(len(list_filter(string_split_regex(
+             |      lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT)
+             |      AS nt,
+             |    md5(text) AS m
+             |  FROM d),
+             |core AS (SELECT source, count(*) AS n_docs,
+             |    sum(nc) AS total_chars,
+             |    round(avg(nt), 6) AS mean_tok,
+             |    quantile_cont(nt, 0.5) AS p50_tok,
+             |    quantile_cont(nt, 0.9) AS p90_tok,
+             |    count(DISTINCT m) AS n_distinct_texts,
+             |    sum(CASE WHEN nc < 150 THEN 1 ELSE 0 END) AS n_short
+             |  FROM base GROUP BY 1),
+             |lt AS (SELECT source, lang, count(*) AS ln2 FROM base
+             |  GROUP BY 1, 2),
+             |top AS (SELECT source, lang AS top_lang, ln2 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY source
+             |      ORDER BY ln2 DESC, lang ASC) AS rn FROM lt)
+             |  WHERE rn = 1)
+             |SELECT c.source, n_docs,
+             |  CAST(total_chars AS BIGINT) AS total_chars, mean_tok,
+             |  p50_tok, p90_tok, n_distinct_texts,
+             |  round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6)
+             |    AS dup_rate,
+             |  round(CAST(n_short AS DOUBLE) / n_docs, 6) AS pct_short,
+             |  top_lang,
+             |  round(CAST(ln2 AS DOUBLE) / n_docs, 6) AS top_lang_share
+             |FROM core c JOIN top USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q171: embedding-space outlier audit — distance of every vector to
+    // its LABEL centroid, flagged by the per-label median/MAD rule
+    // (q148's robust kernel on a derived geometric feature). Catches
+    // the mis-embedded/corrupt/mislabeled vectors a value-level audit
+    // can't see; the planted constant-vector corruption (every 83rd id)
+    // MUST surface. One centroid aggregate (|labels|×dim, broadcast),
+    // one scoring scan, two |labels|-row percentile aggregates.
+    QueryDef("q171_embedding_outliers",
+      (s, dir) => {
+        val e0 = t(s, dir, "embeddings").select(col("vec_id"),
+          col("label"), Vec.asDouble(col("embedding")).as("v"))
+        val e = e0.select(col("vec_id"), col("label"),
+          when(col("vec_id") % 83 === 0,
+            expr("transform(v, x -> 0.25d)")).otherwise(col("v"))
+            .as("v"))
+        val cent = e.groupBy(col("label"))
+          .agg(Vec.sumAgg(col("v")).as("sv"), count(lit(1)).as("n"))
+          .select(col("label"), expr("transform(sv, x -> x / n)")
+            .as("c"))
+        val dist = e.join(broadcast(cent), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            round(sqrt(Vec.l2sq(col("v"), col("c"))), 6).as("dist"))
+        graft.operators.Outliers.madOutliers(
+            dist, "label", "vec_id", "dist", k = 3.0)
+          .orderBy(col("label"), col("vec_id"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (SELECT vec_id, label,
+             |    CASE WHEN vec_id % 83 = 0
+             |      THEN list_transform(v, x -> 0.25) ELSE v END AS v
+             |  FROM e0),
+             |el AS (SELECT vec_id, label, j, v[CAST(j AS INT)] AS x
+             |  FROM e, (SELECT unnest(range(1, 65)) AS j)),
+             |ct AS (SELECT label, j, sum(x) / count(*) AS c
+             |  FROM el GROUP BY 1, 2),
+             |d AS (SELECT el.vec_id, el.label,
+             |    round(sqrt(sum((el.x - ct.c) * (el.x - ct.c))), 6)
+             |      AS dist
+             |  FROM el JOIN ct ON ct.label = el.label AND ct.j = el.j
+             |  GROUP BY el.vec_id, el.label),
+             |med AS (SELECT label, quantile_cont(dist, 0.5) AS m
+             |  FROM d GROUP BY 1),
+             |ad AS (SELECT d.label, vec_id, dist, abs(dist - m) AS adev,
+             |    m FROM d JOIN med USING (label)),
+             |mad AS (SELECT label, quantile_cont(adev, 0.5) AS md
+             |  FROM ad GROUP BY 1)
+             |SELECT a.label, vec_id, dist,
+             |  round(m, 6) AS group_median, round(md, 6) AS group_mad,
+             |  round(adev / nullif(1.4826 * md, 0.0), 4) AS score
+             |FROM ad a JOIN mad USING (label)
+             |WHERE round(adev / nullif(1.4826 * md, 0.0), 4) > 3.0
+             |ORDER BY label, vec_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

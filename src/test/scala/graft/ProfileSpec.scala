@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bootstrap, DataCard, Outliers}
+
+/** Poisson-bootstrap CI (q169), data cards (q170), embedding outlier
+  * audit composition (q171). */
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bootstrap ci: constant group collapses, shift moves the interval") {
+    val a = (1 to 40).map(i => ("a", i.toLong, (i % 7).toLong + 10))
+    val b = a.map { case (_, id, x) => ("b", id + 1000, x + 100) }
+    val c = (1 to 40).map(i => ("c", i.toLong + 2000, 7L))
+    val out = Bootstrap.poissonMeanCi(
+        (a ++ b ++ c).toDF("src", "id", "x"), "src", "id", col("x"))
+      .select("src", "n_rows", "mean", "ci_lo", "ci_hi", "ci_width")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (ga, gb, gc) = (out("a"), out("b"), out("c"))
+    assert(gc._3 == 7.0 && gc._4 == 7.0 && gc._5 == 7.0 && gc._6 == 0.0)
+    assert(ga._4 <= ga._3 && ga._3 <= ga._5 && ga._6 > 0.0)
+    assert(gb._4 > ga._5)  // +100 shift: intervals must not overlap
+    // deterministic: a second run reproduces bit-identical values
+    val again = Bootstrap.poissonMeanCi(
+        (a ++ b ++ c).toDF("src", "id", "x"), "src", "id", col("x"))
+      .select("src", "ci_lo", "ci_hi").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again("a") == ((ga._4, ga._5)))
+  }
+
+  test("data cards: dup rate, tie-broken top language, quantiles") {
+    val docs = Seq(
+      (1L, "one two three four", "en", "s", 18L),
+      (2L, "one two three four", "en", "s", 18L), // exact dup
+      (3L, "a b", "de", "s", 3L),
+      (4L, "c d e f g h", "de", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DataCard.sourceCards(docs, "source", "doc_id", "text",
+        "lang", shortChars = 10)
+      .select("n_docs", "n_distinct_texts", "dup_rate", "pct_short",
+        "top_lang", "top_lang_share", "p50_tok")
+      .as[(Long, Long, Double, Double, String, Double, Double)].head()
+    assert(out._1 == 4L && out._2 == 3L && out._3 == 0.25)
+    assert(out._4 == 0.25)             // only "a b" is under 10 chars
+    assert(out._5 == "de" && out._6 == 0.5) // 2-2 tie -> lang asc
+    assert(out._7 == 4.0)              // tokens 4,4,2,6 -> median 4
+  }
+
+  test("embedding outlier composition: far constant vector is flagged") {
+    val near = (1 to 20).map(i =>
+      (i.toLong, 0, Array(1.0, 0.0, 0.1 * (i % 3))))
+    val far = Seq((99L, 0, Array(50.0, 50.0, 50.0)))
+    val e = (near ++ far).toDF("vec_id", "label", "v")
+    val cent = e.groupBy(col("label"))
+      .agg(graft.functions.Vec.sumAgg(col("v")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), expr("transform(sv, x -> x / n)").as("c"))
+    val dist = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(sqrt(graft.functions.Vec.l2sq(col("v"), col("c"))), 6)
+          .as("dist"))
+    val flagged = Outliers.madOutliers(dist, "label", "vec_id", "dist")
+      .select("vec_id").as[Long].collect().toSet
+    assert(flagged == Set(99L))
+  }
+}
