@@ -177,4 +177,50 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p118.contains("InMemoryRelation"),
       "q118's unigram table lost its persist pin")
   }
+
+  test("q140/q157/q159/q164/q166/q169: late-round-8 queries keep shape") {
+    assume(new java.io.File(SfDir).isDirectory)
+    // q140 CDC chunking: one chunk explode, duplicated once in the
+    // plan text because the inst frame feeds both join sides (the HOF
+    // re-evaluation fix keeps boundary hashing inside the row
+    // expression), and the explicit spread-repartition must survive
+    val p140 = planOf("q140_cdc_chunk_dedup")
+    assert("Generate".r.findAllMatchIn(p140).size == 2,
+      s"q140 should carry its chunk explode twice (inst x 2 consumers):"
+        + s"\n$p140")
+    assert(p140.contains("REPARTITION_BY_NUM"),
+      "q140 lost its explicit CPU-spread repartition")
+    // q157 KS: union + windows, NO join of any kind
+    val p157 = planOf("q157_ks_drift")
+    assert(!p157.contains("Join"), s"q157 must be join-free:\n$p157")
+    // q159 winnowing: selection is one sliding window over ONE
+    // positions explode, appearing 4x in the plan text (planted-union
+    // fps feeding the df-cap filter and both pair sides) — a w-fold
+    // window-enumeration regression would multiply this
+    val p159 = planOf("q159_winnow_pairs")
+    assert("Generate".r.findAllMatchIn(p159).size == 4,
+      s"q159's single explode should appear exactly 4x:\n$p159")
+    assert(!p159.contains("CartesianProduct"),
+      "q159 pair join degenerated to a cartesian")
+    // q164 BLEU/ROUGE: two sides x two n-gram orders = exactly 4
+    // explodes; all joins doc-keyed
+    val p164 = planOf("q164_text_overlap_eval")
+    assert("Generate".r.findAllMatchIn(p164).size == 4,
+      s"q164 should explode exactly four times:\n$p164")
+    assert(!p164.contains("CartesianProduct"),
+      "q164 plans a cartesian product")
+    // q166 JL: the sign matrix is a LITERAL in the projection
+    // expression — a matrix-table join or explode means the scale
+    // story (pure per-row projection) broke
+    val p166 = planOf("q166_jl_distortion")
+    assert(!p166.contains("Generate"),
+      s"q166 projection must not explode:\n$p166")
+    assert(!p166.contains("CartesianProduct"),
+      "q166 pair join degenerated to a cartesian")
+    // q169 bootstrap: ONE Generate (the replicate explode of the
+    // metric column only)
+    val p169 = planOf("q169_bootstrap_ci")
+    assert("Generate".r.findAllMatchIn(p169).size == 1,
+      s"q169 should explode exactly once:\n$p169")
+  }
 }

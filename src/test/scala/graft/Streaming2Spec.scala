@@ -256,4 +256,50 @@ class Streaming2Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("both classes"))
   }
+
+  test("streaming PSI over windows == batch Drift.psi; shift alarms") {
+    import graft.streaming.DriftStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:${m % 30}%02d:00")
+    val baseDf = (for (k <- Seq("a", "b"); i <- 1 to 50)
+      yield (k, (i % 20).toDouble)).toDF("k", "v")
+    val base = DriftStream.psiBaseline(baseDf, "k", "v", bins = 10)
+    // current: 'a' unshifted, 'b' location-shifted +15
+    val cur = for (k <- Seq("a", "b"); i <- 1 to 50)
+      yield (k, ts(i), (i % 20).toDouble
+        + (if (k == "b") 15.0 else 0.0))
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = DriftStream.psiOverWindows(
+        input.toDS().toDF("k", "ts", "v"), "k", "ts", "v", base,
+        "1 hour")
+      .writeStream.format("memory").queryName("psidrift")
+      .outputMode("complete").start()
+    try {
+      input.addData(cur.take(40): _*)
+      q.processAllAvailable()
+      input.addData(cur.drop(40): _*)
+      q.processAllAvailable()
+      val got = spark.table("psidrift").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4))).sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq("a", "b"))
+      assert(got.forall(_._2 == 50L)) // both windows saw all 50 rows
+      // batch twin: Drift.psi on the same baseline/current rows (it
+      // rounds per-bin contribs before summing; the stream rounds the
+      // fold once — equal to a couple of ulps at the 6th decimal)
+      val want = graft.operators.Drift.psi(baseDf,
+          cur.map(c => (c._1, c._3)).toDF("k", "v"), "k", "v", 10)
+        .groupBy("k").agg(org.apache.spark.sql.functions.max("psi")
+          .as("psi"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got.foreach { case (k, _, psi, _) =>
+        assert(math.abs(psi - want(k)) <= 2e-5,
+          s"stream psi $psi != batch ${want(k)} for $k")
+      }
+      val alarms = got.map(g => g._1 -> g._4).toMap
+      assert(!alarms("a") && alarms("b"))
+    } finally q.stop()
+  }
 }
