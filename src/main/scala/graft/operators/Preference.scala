@@ -94,4 +94,52 @@ object Preference {
       rankOf(strength(p))))
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** Preference-consistency audit: enumerate all player triads whose
+    * three pairs each have a MAJORITY direction and classify each as
+    * transitive or cyclic (a beats b beats c beats a — the
+    * transitivity violations that tell you annotator/judge noise is
+    * structural, not sampling; BT fits them silently, this measures
+    * them). Pairs with tied win counts carry no direction and drop.
+    *
+    * Output one row per triad (x < y < z): the three directions
+    * (x_beats_y, y_beats_z, x_beats_z) and cyclic — true iff every
+    * node has out-degree exactly 1 inside the triad.
+    *
+    * Scale posture: the corpus reduces to |players|² majority edges in
+    * one shuffle; the triad join is |players|³-bounded arithmetic on
+    * that metadata-sized frame (players are sources/models/annotator
+    * arms — tens to hundreds). */
+  def cycleAudit(comparisons: DataFrame, winnerCol: String,
+      loserCol: String): DataFrame = {
+    val d = comparisons.groupBy(col(winnerCol).as("w"),
+      col(loserCol).as("l")).agg(count(lit(1)).as("n"))
+    val canon = d.select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"),
+        when(col("w") < col("l"), col("n")).otherwise(0L).as("wab"),
+        when(col("w") > col("l"), col("n")).otherwise(0L).as("wba"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wab")).as("wab"), sum(col("wba")).as("wba"))
+      .filter(col("wab") =!= col("wba"))
+      .select(col("a"), col("b"), (col("wab") > col("wba")).as("fwd"))
+    val e1 = canon.select(col("a").as("x"), col("b").as("y"),
+      col("fwd").as("xy"))
+    val e2 = canon.select(col("a").as("y"), col("b").as("z"),
+      col("fwd").as("yz"))
+    val e3 = canon.select(col("a").as("x"), col("b").as("z"),
+      col("fwd").as("xz"))
+    e1.join(e2, Seq("y")).join(e3, Seq("x", "z"))
+      .select(col("x"), col("y"), col("z"),
+        col("xy").as("x_beats_y"), col("yz").as("y_beats_z"),
+        col("xz").as("x_beats_z"))
+      // out-degrees: x: xy + xz; y: !xy + yz; z: !yz + !xz — cyclic
+      // iff all exactly 1
+      .withColumn("cyclic",
+        (col("x_beats_y").cast("int") + col("x_beats_z").cast("int")
+          === 1)
+        && ((lit(1) - col("x_beats_y").cast("int"))
+          + col("y_beats_z").cast("int") === 1)
+        && ((lit(1) - col("y_beats_z").cast("int"))
+          + (lit(1) - col("x_beats_z").cast("int")) === 1))
+  }
 }

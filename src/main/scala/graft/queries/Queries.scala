@@ -8247,7 +8247,157 @@ object Queries {
              |  round(adev / nullif(1.4826 * md, 0.0), 4) AS score
              |FROM ad a JOIN mad USING (label)
              |WHERE round(adev / nullif(1.4826 * md, 0.0), 4) > 3.0
-             |ORDER BY label, vec_id""".stripMargin))
+             |ORDER BY label, vec_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q172: CUPED variance-reduced A/B readout (Deng/Xu/Kohavi 2013) —
+    // md5-hash arm assignment (seedless, the q110 split stance), pre
+    // vs post purchase value per user (calendar halves), a planted
+    // +5/purchase treatment uplift, and the pre-period covariate
+    // adjustment Y' = Y − θ(X − x̄). The uplift must survive in
+    // mean_adj (CUPED is mean-preserving) while var_adj < var_post.
+    // θ and x̄ are frozen at 6 decimals before adjusting (the q163
+    // frozen-fit stance) so both engines subtract identical constants.
+    QueryDef("q172_cuped_ab",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+            col("value"), col("event_type"))
+          .withColumn("arm",
+            when(pmod(Text.md5Long(col("user_id").cast("string")),
+              lit(2L)) === 0, "ctrl").otherwise("treat"))
+        val users = ev.groupBy(col("user_id")).agg(
+          first(col("arm")).as("arm"),
+          coalesce(sum(when(col("event_type") === "purchase"
+            && dayofmonth(col("ts")) <= 15, col("value"))), lit(0.0))
+            .as("x"),
+          coalesce(sum(when(col("event_type") === "purchase"
+            && dayofmonth(col("ts")) > 15,
+            col("value") + when(col("arm") === "treat", 5.0)
+              .otherwise(0.0))), lit(0.0)).as("y"))
+        graft.operators.Experiment.cuped(users, "arm", "x", "y")
+          .orderBy(col("arm"))
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, value, event_type,
+             |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS
+             |      VARCHAR)), 1, 15))::BIGINT % 2 = 0
+             |      THEN 'ctrl' ELSE 'treat' END AS arm
+             |  FROM events),
+             |pu AS (SELECT user_id, any_value(arm) AS arm,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |      AND day(ts) <= 15 THEN value END), 0.0) AS x,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |      AND day(ts) > 15 THEN value
+             |        + CASE WHEN arm = 'treat' THEN 5.0 ELSE 0.0 END
+             |      END), 0.0) AS y
+             |  FROM ev GROUP BY 1),
+             |fit AS (SELECT round(covar_pop(x, y)
+             |      / nullif(var_pop(x), 0.0), 6) AS theta,
+             |    round(avg(x), 6) AS xbar FROM pu),
+             |adj AS (SELECT arm, x, y, y - theta * (x - xbar) AS yadj,
+             |    theta FROM pu CROSS JOIN fit),
+             |pool AS (SELECT round(1.0 - var_pop(yadj)
+             |    / nullif(var_pop(y), 0.0), 6) AS var_reduction
+             |  FROM adj)
+             |SELECT arm, count(*) AS n_users,
+             |  round(avg(x), 6) AS mean_pre,
+             |  round(avg(y), 6) AS mean_post,
+             |  round(avg(yadj), 6) AS mean_adj,
+             |  round(var_pop(y), 6) AS var_post,
+             |  round(var_pop(yadj), 6) AS var_adj,
+             |  any_value(theta) AS theta, var_reduction
+             |FROM adj CROSS JOIN pool
+             |GROUP BY arm, var_reduction
+             |ORDER BY arm""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q173: preference-transitivity audit — majority-direction edges
+    // from the q155-style tournament (id-distance 1/7/8 so triads
+    // exist on the source ring) plus a PLANTED 3-cycle among synthetic
+    // players zA/zB/zC; every fully-connected triad is classified
+    // transitive or cyclic (all in-triad out-degrees exactly 1). BT
+    // (q155) fits intransitive judges silently — this measures the
+    // violations. Corpus reduces to |players|² majority edges in one
+    // shuffle; the triad join is arithmetic on that metadata frame.
+    QueryDef("q173_preference_cycles",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          (col("n_chars") + when(col("source") === "src3", 500)
+            .when(col("source") === "src7", 250).otherwise(0))
+            .as("score"))
+        def pairsAt(step: Int) = {
+          val a = d.select(col("doc_id").as("id"),
+            col("source").as("s1"), col("score").as("sc1"))
+          val b = d.select((col("doc_id") - step).as("id"),
+            col("source").as("s2"), col("score").as("sc2"))
+          a.join(b, Seq("id"))
+            .filter(col("s1") =!= col("s2") && col("sc1") =!= col("sc2"))
+            .select(when(col("sc1") > col("sc2"), col("s1"))
+                .otherwise(col("s2")).as("winner"),
+              when(col("sc1") > col("sc2"), col("s2"))
+                .otherwise(col("s1")).as("loser"))
+        }
+        val planted = (Seq.fill(3)(("zA", "zB"))
+          ++ Seq.fill(3)(("zB", "zC")) ++ Seq.fill(3)(("zC", "zA")))
+          .toDF("winner", "loser")
+        graft.operators.Preference.cycleAudit(
+            pairsAt(1).unionByName(pairsAt(7)).unionByName(pairsAt(8))
+              .unionByName(planted), "winner", "loser")
+          .orderBy(col("x"), col("y"), col("z"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    n_chars + CASE WHEN source = 'src3' THEN 500
+             |      WHEN source = 'src7' THEN 250 ELSE 0 END AS score
+             |  FROM documents),
+             |comp AS (
+             |  SELECT CASE WHEN a.score > b.score THEN a.source
+             |      ELSE b.source END AS winner,
+             |    CASE WHEN a.score > b.score THEN b.source
+             |      ELSE a.source END AS loser
+             |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.source <> b.source AND a.score <> b.score
+             |  UNION ALL
+             |  SELECT CASE WHEN a.score > b.score THEN a.source
+             |      ELSE b.source END,
+             |    CASE WHEN a.score > b.score THEN b.source
+             |      ELSE a.source END
+             |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 7
+             |  WHERE a.source <> b.source AND a.score <> b.score
+             |  UNION ALL
+             |  SELECT CASE WHEN a.score > b.score THEN a.source
+             |      ELSE b.source END,
+             |    CASE WHEN a.score > b.score THEN b.source
+             |      ELSE a.source END
+             |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 8
+             |  WHERE a.source <> b.source AND a.score <> b.score
+             |  UNION ALL
+             |  SELECT * FROM (VALUES ('zA','zB'),('zA','zB'),
+             |    ('zA','zB'),('zB','zC'),('zB','zC'),('zB','zC'),
+             |    ('zC','zA'),('zC','zA'),('zC','zA'))
+             |    AS t(winner, loser)),
+             |dd AS (SELECT winner AS w, loser AS l, count(*) AS n
+             |  FROM comp GROUP BY 1, 2),
+             |canon AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+             |    sum(CASE WHEN w < l THEN n ELSE 0 END) AS wab,
+             |    sum(CASE WHEN w > l THEN n ELSE 0 END) AS wba
+             |  FROM dd GROUP BY 1, 2),
+             |e AS (SELECT a, b, wab > wba AS fwd FROM canon
+             |  WHERE wab <> wba)
+             |SELECT e1.x, e1.y, e2.z,
+             |  e1.xy AS x_beats_y, e2.yz AS y_beats_z,
+             |  e3.xz AS x_beats_z,
+             |  (CAST(e1.xy AS INT) + CAST(e3.xz AS INT) = 1)
+             |    AND ((1 - CAST(e1.xy AS INT)) + CAST(e2.yz AS INT)
+             |      = 1)
+             |    AND ((1 - CAST(e2.yz AS INT))
+             |      + (1 - CAST(e3.xz AS INT)) = 1) AS cyclic
+             |FROM (SELECT a AS x, b AS y, fwd AS xy FROM e) e1
+             |JOIN (SELECT a AS y2, b AS z, fwd AS yz FROM e) e2
+             |  ON e2.y2 = e1.y
+             |JOIN (SELECT a AS x3, b AS z3, fwd AS xz FROM e) e3
+             |  ON e3.x3 = e1.x AND e3.z3 = e2.z
+             |ORDER BY x, y, z""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
