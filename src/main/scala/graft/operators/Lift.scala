@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-selection gain/lift table — the decile view that prices
+  * a quality scorer before it gates a pipeline: sort by score, cut
+  * into equal buckets, and report per bucket the positive rate, the
+  * cumulative share of positives captured (gain), and the rate
+  * relative to base (lift). A scorer whose top decile captures 40% of
+  * the positives at 4× lift earns its inference cost; one near
+  * gain ≈ decile/10 is noise. Complements the threshold-free view
+  * (q123's calibration/ECE) with the budget-bound one: "if I can
+  * afford to keep only 20%, what do I get?"
+  *
+  * Determinism: the decile cut is ntile over a TOTAL order
+  * (score desc, id asc) — both engines assign identical buckets
+  * (SQL-standard ntile: earlier buckets take the remainder); rates
+  * are integer ratios rounded 6.
+  *
+  * Scale posture: ntile needs a global sort — acceptable for the
+  * audit-table use (the output is 10 rows) but the sort is
+  * corpus-sized; at extreme scale pre-bucket by an approx-quantile
+  * sketch of the score instead (q55's stance) and keep this exact
+  * form for calibration-scale grading. */
+object Lift {
+
+  /** Output per bucket 1..n: n_rows, n_pos, pos_rate, cum_pos, gain
+    * (cum_pos/total_pos), lift (pos_rate/base_rate), rounded 6. */
+  def gainTable(scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, buckets: Int = 10): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val bucketed = scored
+      .select(col(idCol), col(scoreCol),
+        col(labelCol).cast("long").as("__pos"))
+      .withColumn("bucket", ntile(buckets).over(w))
+    val per = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__pos")).as("n_pos"))
+    val tot = per.agg(sum(col("n_rows")).as("tn"),
+      sum(col("n_pos")).as("tp"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_rows"), 6)
+          .as("pos_rate"),
+        col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("tp"), 6).as("gain"),
+        round((col("n_pos").cast("double") / col("n_rows"))
+          / (col("tp").cast("double") / col("tn")), 6).as("lift"))
+  }
+}

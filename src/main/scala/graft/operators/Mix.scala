@@ -79,6 +79,29 @@ object Mix {
           .as("budget_rows"))
   }
 
+  /** Class-balanced re-weighting by effective number of samples (Cui
+    * et al., CVPR 2019): the marginal value of the n-th sample of a
+    * class decays, so weight classes by 1/E_n with E_n = (1−β^n)/(1−β)
+    * instead of the over-aggressive 1/n. The curation use: loss
+    * weights (or sampling multipliers) for imbalanced label/language
+    * distributions where inverse-frequency overweights tiny classes
+    * into noise amplifiers. β→0 recovers uniform, β→1 recovers
+    * inverse-frequency; the paper's β = (N−1)/N defaults near 0.999.
+    * One |classes|-row aggregate + arithmetic; weights normalized to
+    * sum to |classes| (the paper's convention). */
+  def classBalancedWeights(df: DataFrame, classCol: String,
+      beta: Double = 0.999): DataFrame = {
+    val byCls = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .withColumn("en", (lit(1.0) - pow(lit(beta), col("n")))
+        / lit(1.0 - beta))
+      .withColumn("w_raw", lit(1.0) / col("en"))
+    val norm = byCls.agg(sum(col("w_raw")).as("z"),
+      count(lit(1)).as("k"))
+    byCls.crossJoin(broadcast(norm))
+      .select(col(classCol), col("n"), round(col("en"), 4).as("eff_n"),
+        round(col("w_raw") * col("k") / col("z"), 6).as("weight"))
+  }
+
   /** Neyman-optimal stratified-sample allocation (Neyman 1934): split a
     * sampling budget across strata as n_h ∝ N_h·σ_h — the allocation
     * that minimizes the variance of the stratified estimate. The audit

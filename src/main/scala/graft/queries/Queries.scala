@@ -8397,7 +8397,149 @@ object Queries {
              |  ON e2.y2 = e1.y
              |JOIN (SELECT a AS x3, b AS z3, fwd AS xz FROM e) e3
              |  ON e3.x3 = e1.x AND e3.z3 = e2.z
-             |ORDER BY x, y, z""".stripMargin))
+             |ORDER BY x, y, z""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q174: leave-one-source-out data valuation (the closed-form core
+    // of Data-Shapley/datamodels on a linear probe) — refit WITHOUT
+    // each source by subtracting its sufficient statistics, score on a
+    // held-out split, and price the source by the MSE it saves.
+    // src13's x is corrupted with doc_id noise, so dropping it must
+    // IMPROVE the held-out fit (delta_mse < 0, helps = false) while
+    // healthy sources help. All sums are exact longs; fits freeze at 6
+    // decimals; the leave-out refit is subtraction, not a retrain.
+    QueryDef("q174_loso_valuation",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          (Text.tokenCount(col("text"))
+            + when(col("source") === "src13", col("doc_id") % 200)
+              .otherwise(0)).cast("long").as("x"),
+          col("n_chars").cast("long").as("y"))
+        val evalSplit = d.filter(col("doc_id") % 7 === 0)
+        val train = d.filter(col("doc_id") % 7 =!= 0)
+        graft.operators.Valuation.leaveOneGroupOut(
+            train, evalSplit, "source", "x", "y")
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split_regex(
+             |        lower(trim(text)), '\s+'), t -> t <> ''))
+             |      + CASE WHEN source = 'src13' THEN doc_id % 200
+             |        ELSE 0 END AS BIGINT) AS x,
+             |    CAST(n_chars AS BIGINT) AS y
+             |  FROM documents),
+             |tr AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+             |evs AS (SELECT CAST(count(*) AS BIGINT) AS en,
+             |    sum(x) AS esx, sum(y) AS esy, sum(x * y) AS esxy,
+             |    sum(x * x) AS esxx, sum(y * y) AS esyy
+             |  FROM d WHERE doc_id % 7 = 0),
+             |pg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             |    sum(x * x) AS sxx
+             |  FROM tr GROUP BY 1),
+             |tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx,
+             |    sum(sy) AS tsy, sum(sxy) AS tsxy, sum(sxx) AS tsxx
+             |  FROM pg),
+             |base AS (SELECT * FROM pg CROSS JOIN tot CROSS JOIN evs),
+             |f AS (SELECT *,
+             |    round((CAST(tn AS DOUBLE) * tsxy
+             |        - CAST(tsx AS DOUBLE) * tsy)
+             |      / (CAST(tn AS DOUBLE) * tsxx
+             |        - CAST(tsx AS DOUBLE) * tsx), 6) AS bf,
+             |    round((CAST(tn - n AS DOUBLE) * (tsxy - sxy)
+             |        - CAST(tsx - sx AS DOUBLE) * (tsy - sy))
+             |      / (CAST(tn - n AS DOUBLE) * (tsxx - sxx)
+             |        - CAST(tsx - sx AS DOUBLE) * (tsx - sx)), 6)
+             |      AS slope_wo
+             |  FROM base),
+             |g AS (SELECT *,
+             |    round((tsy - bf * tsx) / tn, 6) AS af,
+             |    round(((tsy - sy) - slope_wo * (tsx - sx))
+             |      / (tn - n), 6) AS icept_wo
+             |  FROM f),
+             |h AS (SELECT *,
+             |    round((esyy - 2.0 * af * esy - 2.0 * bf * esxy
+             |      + 2.0 * af * bf * esx + af * af * en
+             |      + bf * bf * esxx) / en, 6) AS mse_full,
+             |    round((esyy - 2.0 * icept_wo * esy
+             |      - 2.0 * slope_wo * esxy
+             |      + 2.0 * icept_wo * slope_wo * esx
+             |      + icept_wo * icept_wo * en
+             |      + slope_wo * slope_wo * esxx) / en, 6) AS mse_wo
+             |  FROM g)
+             |SELECT source, n AS n_train, slope_wo, icept_wo,
+             |  mse_full, mse_wo,
+             |  round(mse_wo - mse_full, 6) AS delta_mse,
+             |  round(mse_wo - mse_full, 6) >= 0 AS helps
+             |FROM h ORDER BY source""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q175: class-balanced weights by effective number of samples (Cui
+    // et al. 2019) over the language distribution — between uniform
+    // and inverse-frequency: tiny classes get boosted but by their
+    // EFFECTIVE count (1−β^n)/(1−β), not their raw inverse, so a
+    // 10-doc language doesn't get a 100× noise amplifier. One
+    // |classes|-row aggregate + arithmetic.
+    QueryDef("q175_class_balance",
+      (s, dir) => graft.operators.Mix.classBalancedWeights(
+          t(s, dir, "documents"), "lang", beta = 0.999)
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents
+             |  GROUP BY 1),
+             |e AS (SELECT lang, n,
+             |    -- (1.0 - 0.999) on purpose: the engine-computed
+             |    -- subtraction is the same double Spark's lit(1.0 -
+             |    -- beta) carries; the literal 0.001 is NOT
+             |    (1.0 - pow(0.999, n)) / (1.0 - 0.999) AS en
+             |  FROM c),
+             |z AS (SELECT sum(1.0 / en) AS z, count(*) AS k FROM e)
+             |SELECT lang, n, round(en, 4) AS eff_n,
+             |  round((1.0 / en) * k / z, 6) AS weight
+             |FROM e CROSS JOIN z ORDER BY lang""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q176: selection gain/lift table — decile view of a quality
+    // scorer against a (noisily score-correlated, md5-derived) gold
+    // label: top deciles must show lift > 1 and concentrated gain,
+    // bottom deciles < 1. The budget-bound complement to q123's
+    // threshold-free calibration. ntile over a TOTAL order is
+    // engine-identical; all rates are integer ratios.
+    QueryDef("q176_selection_gain",
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").as("score"),
+          ((col("n_chars") + pmod(Text.md5Long(
+            col("doc_id").cast("string")), lit(100L))) > 350)
+            .cast("int").as("label"))
+        graft.operators.Lift.gainTable(scored, "doc_id", "score",
+            "label", buckets = 10)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, n_chars AS score,
+             |    CASE WHEN n_chars + (('0x' || substr(md5(CAST(doc_id
+             |      AS VARCHAR)), 1, 15))::BIGINT % 100) > 350
+             |      THEN 1 ELSE 0 END AS pos
+             |  FROM documents),
+             |b AS (SELECT doc_id, pos,
+             |    ntile(10) OVER (ORDER BY score DESC, doc_id) AS bucket
+             |  FROM sc),
+             |per AS (SELECT bucket, count(*) AS n_rows,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos
+             |  FROM b GROUP BY 1),
+             |tot AS (SELECT sum(n_rows) AS tn, sum(n_pos) AS tp
+             |  FROM per),
+             |cum AS (SELECT bucket, n_rows, n_pos, tn, tp,
+             |    CAST(sum(n_pos) OVER (ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+             |  FROM per CROSS JOIN tot)
+             |SELECT bucket, n_rows, n_pos,
+             |  round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS pos_rate,
+             |  cum_pos,
+             |  round(CAST(cum_pos AS DOUBLE) / tp, 6) AS gain,
+             |  round((CAST(n_pos AS DOUBLE) / n_rows)
+             |    / (CAST(tp AS DOUBLE) / tn), 6) AS lift
+             |FROM cum ORDER BY bucket""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
