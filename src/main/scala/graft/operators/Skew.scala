@@ -89,4 +89,25 @@ object Skew {
       .orderBy(col("out_rows").desc, col(key))
       .limit(topK)
   }
+
+  /** The replicated-salt rewrite [[joinSkewPlan]] plans for: an
+    * equi-join whose FACT side carries a hot key. The fact row gets a
+    * deterministic salt in [0, numSalts); the dim side is replicated
+    * once per salt value; joining on (key, salt) spreads the hot key's
+    * rows over numSalts reducers. Result set is IDENTICAL to the
+    * plain equi-join for ANY salt assignment (the salt only routes) —
+    * the graded query's oracle is therefore the UNSALTED join, pinning
+    * the rewrite's semantic equivalence. The salt must be
+    * deterministic under task retry (see [[saltedAggregate]]'s note);
+    * derive it from row content, never from row order. Cost: dim side
+    * ships numSalts× — the rewrite pays off when the hot key's reducer
+    * is the bottleneck, i.e. exactly when joinSkewPlan flags it. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      factSalt: Column, numSalts: Int): DataFrame = {
+    val f = fact.withColumn("__salt",
+      pmod(factSalt.cast("long"), lit(numSalts.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -8539,7 +8539,120 @@ object Queries {
              |  round(CAST(cum_pos AS DOUBLE) / tp, 6) AS gain,
              |  round((CAST(n_pos AS DOUBLE) / n_rows)
              |    / (CAST(tp AS DOUBLE) / tn), 6) AS lift
-             |FROM cum ORDER BY bucket""".stripMargin))
+             |FROM cum ORDER BY bucket""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q177: salted skew-join EXECUTION — the rewrite q139 plans, run:
+    // the q139-planted hot key (5% of lineitem collapses onto part 1)
+    // joins the part dim through Skew.saltedJoin (fact salt in [0,8),
+    // dim replicated 8x, join on (key, salt)). The ORACLE IS THE
+    // UNSALTED JOIN: identical group totals pin the rewrite's semantic
+    // equivalence — the salt may only route rows, never change them.
+    QueryDef("q177_salted_join",
+      (s, dir) => {
+        val fact = t(s, dir, "lineitem").select(
+          when(col("l_orderkey") % 20 === 0, lit(1L))
+            .otherwise(col("l_partkey")).cast("long").as("part"),
+          col("l_extendedprice"), col("l_discount"),
+          col("l_orderkey"), col("l_linenumber"))
+        val dim = t(s, dir, "part").select(
+          col("p_partkey").cast("long").as("part"), col("p_brand"))
+        graft.operators.Skew.saltedJoin(fact, dim, "part",
+            xxhash64(col("l_orderkey"), col("l_linenumber")), 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")
+              * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 20 = 0 THEN 1
+             |    ELSE l_partkey END AS part,
+             |    l_extendedprice, l_discount
+             |  FROM lineitem)
+             |SELECT p_brand, count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2)
+             |    AS revenue
+             |FROM f JOIN part ON p_partkey = part
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q178: per-document keyword extraction — top-3 smoothed-TF-IDF
+    // terms per doc (the q71 corpus statistic turned into the per-doc
+    // feature RAG metadata and faceted search need). One token explode
+    // feeds both the tf table and the df table; ranking partitions by
+    // doc (per-doc vocab-sized windows, never global) on the ROUNDED
+    // score with term tie-break.
+    QueryDef("q178_keywords",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tf = d.select(col("doc_id"),
+            explode(Text.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("tfidf", round(col("tf")
+            * (log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+              + 1), 6))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(
+             |      lower(trim(text)), '\s+'), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |nn AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, term,
+             |    round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+             |      + 1), 6) AS tfidf
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+             |r AS (SELECT doc_id, term, tfidf, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+             |  FROM sc)
+             |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q179: language-ID confusion matrix — the marker-vote predictor
+    // (q15's lang_pred) audited against the corpus's gold lang column:
+    // per (gold, predicted) cell counts and within-gold shares. The
+    // eval loop every heuristic classifier in the stack should get;
+    // 'und' rows show where the marker lists lack coverage. Reuses the
+    // q15 oracle restatement for the predictor, so the twin and the
+    // engine share one definition of the classifier.
+    QueryDef("q179_langid_confusion",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val prof = graft.operators.TextProfile.profile(d, "doc_id",
+          "text").select(col("doc_id"), col("lang_pred"))
+        prof.join(d.select(col("doc_id"), col("lang").as("gold")),
+            Seq("doc_id"))
+          .groupBy(col("gold"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share", round(col("n") / sum(col("n"))
+            .over(Window.partitionBy(col("gold"))), 6))
+          .withColumn("correct", col("gold") === col("lang_pred"))
+          .orderBy(col("gold"), col("lang_pred"))
+      },
+      Some(s"""WITH prof AS (
+              |${docStatsOracle.stripSuffix(" ORDER BY doc_id")}),
+              |j AS (SELECT d.lang AS gold, p.lang_pred
+              |  FROM prof p JOIN documents d ON d.doc_id = p.doc_id),
+              |c AS (SELECT gold, lang_pred, count(*) AS n FROM j
+              |  GROUP BY 1, 2)
+              |SELECT gold, lang_pred, n,
+              |  round(CAST(n AS DOUBLE) / sum(n) OVER
+              |    (PARTITION BY gold), 6) AS share,
+              |  gold = lang_pred AS correct
+              |FROM c ORDER BY gold, lang_pred""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
