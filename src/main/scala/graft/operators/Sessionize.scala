@@ -60,4 +60,58 @@ object Sessionize {
         concat_ws(" ", transform(array_sort(collect_list(
             struct(ts.as("t"), tieBreak.as("tb"), token.as("tok")))),
           s => s.getField("tok"))).as("trajectory"))
+
+  /** Inter-arrival traffic-model audit: per group, fit an exponential
+    * to the per-subject event gaps (MLE λ̂ = 1/mean) and test the fit
+    * with a one-sample Kolmogorov–Smirnov statistic against the fitted
+    * CDF 1 − e^(−λx). The pipeline use: capacity models, synthetic
+    * load generators, and anomaly baselines all assume Poisson
+    * arrivals — this measures where that assumption actually holds
+    * (bursty/sessionized traffic rejects it). Classic caveat applies:
+    * testing against a FITTED λ makes the KS threshold conservative
+    * (Lilliefors); the cut is still the standard comparison bar.
+    *
+    * Determinism: gaps are exact integer microseconds converted by a
+    * /1e6 terminating division; λ̂ freezes at 6 decimals before the
+    * CDF (the q163 stance); ECDF rides group-partitioned prefix
+    * windows over DISTINCT gap values (q157's shape).
+    *
+    * Output per group: n_gaps, mean_gap_s, lambda, d_stat (rounded 6),
+    * ks_stat (√n·D, rounded 4), exp_ok (ks ≤ 1.358). */
+  def interArrivalExpFit(df: DataFrame, groupCol: String, key: Column,
+      ts: Column, tieBreak: Column): DataFrame = {
+    val wSeq = Window.partitionBy(col(groupCol), key)
+      .orderBy(ts.asc, tieBreak.asc)
+    val gaps = df
+      .withColumn("__gap_us",
+        unix_micros(ts) - lag(unix_micros(ts), 1).over(wSeq))
+      .filter(col("__gap_us").isNotNull && col("__gap_us") > 0)
+      .select(col(groupCol), col("__gap_us").as("gus"))
+    // mean from EXACT integer-microsecond sums — a float mean's
+    // summation order would put the 6-dp round at engine mercy
+    val fit = gaps.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_gaps"), sum(col("gus")).as("__sus"))
+      .withColumn("mean_gap_s",
+        round(col("__sus") / (col("n_gaps") * lit(1e6)), 6))
+      .withColumn("lambda", round(lit(1.0) / col("mean_gap_s"), 6))
+      .drop("__sus")
+    val perV = gaps.groupBy(col(groupCol), col("gus"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val wUpTo = Window.partitionBy(col(groupCol)).orderBy(col("gus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = perV
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("femp", sum(col("c")).over(wUpTo) / col("n"))
+      .join(broadcast(fit), Seq(groupCol))
+      .withColumn("fmod", lit(1.0)
+        - exp(-col("lambda") * (col("gus") / 1e6)))
+      .groupBy(col(groupCol))
+      .agg(max(abs(col("femp") - col("fmod"))).as("__d"))
+    fit.join(d, Seq(groupCol))
+      .select(col(groupCol), col("n_gaps"), col("mean_gap_s"),
+        col("lambda"), round(col("__d"), 6).as("d_stat"),
+        round(sqrt(col("n_gaps")) * col("__d"), 4).as("ks_stat"),
+        (sqrt(col("n_gaps")) * col("__d") <= 1.358).as("exp_ok"))
+  }
 }

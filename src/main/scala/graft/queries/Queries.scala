@@ -8652,7 +8652,52 @@ object Queries {
               |  round(CAST(n AS DOUBLE) / sum(n) OVER
               |    (PARTITION BY gold), 6) AS share,
               |  gold = lang_pred AS correct
-              |FROM c ORDER BY gold, lang_pred""".stripMargin))
+              |FROM c ORDER BY gold, lang_pred""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q180: inter-arrival traffic-model audit — per event type, the
+    // exponential MLE fit to per-user event gaps plus a one-sample KS
+    // goodness-of-fit against the fitted CDF (Lilliefors caveat noted
+    // in the operator). Where Poisson-arrival assumptions (capacity
+    // models, anomaly baselines, load generators) actually hold. The
+    // mean comes from exact integer-microsecond sums; lambda freezes
+    // at 6 decimals; ECDF rides type-partitioned prefix windows over
+    // distinct integer gaps.
+    QueryDef("q180_interarrival_fit",
+      (s, dir) => graft.operators.Sessionize.interArrivalExpFit(
+          t(s, dir, "events"), "event_type", col("user_id"), col("ts"),
+          col("event_id"))
+        .orderBy(col("event_type")),
+      Some("""WITH g0 AS (SELECT event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY event_type, user_id
+             |      ORDER BY ts, event_id) AS gus
+             |  FROM events),
+             |g AS (SELECT event_type, gus FROM g0
+             |  WHERE gus IS NOT NULL AND gus > 0),
+             |fit AS (SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_gaps,
+             |    round(sum(gus) / (count(*) * 1e6), 6) AS mean_gap_s
+             |  FROM g GROUP BY 1),
+             |fit2 AS (SELECT *, round(1.0 / mean_gap_s, 6) AS lambda
+             |  FROM fit),
+             |pv AS (SELECT event_type, gus, count(*) AS c FROM g
+             |  GROUP BY 1, 2),
+             |ec AS (SELECT event_type, gus,
+             |    CAST(sum(c) OVER w2 AS DOUBLE)
+             |      / sum(c) OVER (PARTITION BY event_type) AS femp
+             |  FROM pv WINDOW w2 AS (PARTITION BY event_type
+             |    ORDER BY gus ROWS UNBOUNDED PRECEDING)),
+             |dd AS (SELECT e.event_type,
+             |    max(abs(femp - (1.0 - exp(-lambda * (gus / 1e6)))))
+             |      AS d
+             |  FROM ec e JOIN fit2 USING (event_type) GROUP BY 1)
+             |SELECT f.event_type, n_gaps, mean_gap_s, lambda,
+             |  round(d, 6) AS d_stat,
+             |  round(sqrt(n_gaps) * d, 4) AS ks_stat,
+             |  sqrt(n_gaps) * d <= 1.358 AS exp_ok
+             |FROM fit2 f JOIN dd USING (event_type)
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

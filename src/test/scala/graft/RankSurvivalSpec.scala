@@ -92,6 +92,34 @@ class RankSurvivalSpec extends AnyFunSuite {
     assert(out("far")._2 == 1.0 && out("far")._3)
   }
 
+  test("inter-arrival fit: exponential sample passes, clockwork fails") {
+    import graft.operators.Sessionize
+    def mkEvents(grp: String, gapsSec: Seq[Double]) = {
+      var t = 0.0
+      gapsSec.zipWithIndex.map { case (g, i) =>
+        t += g
+        (grp, 1L, new java.sql.Timestamp(1700000000000L
+          + (t * 1000).toLong), i.toLong)
+      }
+    }
+    // inverse-CDF exponential grid at rate 0.1 -> near-perfect fit
+    val n = 200
+    val expGaps = (0 until n).map(i =>
+      -math.log(1.0 - (i + 0.5) / n) / 0.1)
+    // constant 10s gaps -> maximally non-exponential
+    val clock = Seq.fill(n)(10.0)
+    val df = (mkEvents("exp", expGaps) ++ mkEvents("clock", clock))
+      .toDF("g", "uid", "ts", "eid")
+    val out = Sessionize.interArrivalExpFit(df, "g", col("uid"),
+        col("ts"), col("eid"))
+      .select("g", "n_gaps", "ks_stat", "exp_ok")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("exp")._2 == (n - 1).toLong && out("exp")._4,
+      s"exponential sample rejected: ${out("exp")}")
+    assert(!out("clock")._4 && out("clock")._3 > 4.0)
+  }
+
   // --------------------------------------------------------- attribution
 
   test("multi-touch: all five models split one conversion correctly") {
