@@ -114,4 +114,46 @@ object Sessionize {
         round(sqrt(col("n_gaps")) * col("__d"), 4).as("ks_stat"),
         (sqrt(col("n_gaps")) * col("__d") <= 1.358).as("exp_ok"))
   }
+
+  /** Arrival burstiness — the index of dispersion (Fano factor)
+    * var/mean of per-bucket event counts, the one-number complement to
+    * [[interArrivalExpFit]]: a Poisson stream scores ≈ 1, clumped
+    * traffic (flash crowds, batch replays, scraper bursts) scores ≫ 1,
+    * clockwork (metronomic bots) ≪ 1. Buckets are fixed-width windows
+    * on a dense integer grid INCLUDING empty buckets — deriving
+    * buckets only from observed events silently drops the zeros and
+    * understates the variance.
+    *
+    * Fully integer-deterministic: fano = (n·Σc² − (Σc)²)/(n·Σc) from
+    * exact long aggregates; both engines divide identical doubles.
+    *
+    * Scale posture: one bucket-keyed count aggregate over the stream;
+    * the dense grid is |groups|·|buckets| generated rows (sequence
+    * explode off a 1-row min/max aggregate — never a scan); the stats
+    * are a |groups|-row rollup. */
+  def burstiness(df: DataFrame, groupCol: String, tsCol: String,
+      bucketSeconds: Long = 3600L, threshold: Double = 1.5): DataFrame = {
+    val busUs = bucketSeconds * 1000000L
+    val mn = df.agg(min(unix_micros(col(tsCol))).as("t0"),
+      max(unix_micros(col(tsCol))).as("t1"))
+    val counts = df.crossJoin(broadcast(mn))
+      .select(col(groupCol),
+        expr(s"(unix_micros($tsCol) - t0) div ${busUs}L").as("h"))
+      .groupBy(col(groupCol), col("h")).agg(count(lit(1)).as("c"))
+    val hours = mn.select(explode(sequence(lit(0L),
+      expr(s"(t1 - t0) div ${busUs}L"))).as("h"))
+    val grid = df.select(col(groupCol)).distinct().crossJoin(hours)
+    val st = grid.join(counts, Seq(groupCol, "h"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("__s2"))
+    val fano = ((col("n_buckets").cast("double") * col("__s2")
+      - col("n_events").cast("double") * col("n_events"))
+      / (col("n_buckets").cast("double") * col("n_events")))
+    st.select(col(groupCol), col("n_buckets"), col("n_events"),
+      round(col("n_events").cast("double") / col("n_buckets"), 6)
+        .as("mean_per_bucket"),
+      round(fano, 6).as("fano"), (fano > threshold).as("bursty"))
+  }
 }

@@ -8841,7 +8841,111 @@ object Queries {
              |SELECT bin, n_rows, n_pos, pos_share, neg_share, woe,
              |  iv_contrib,
              |  round(sum(iv_contrib) OVER (), 6) AS iv
-             |FROM iv ORDER BY bin""".stripMargin))
+             |FROM iv ORDER BY bin""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q184: per-source lexical divergence — Jensen-Shannon between each
+    // source's unigram distribution and the REST of the corpus (the
+    // data-mixing similarity measure; rest-of-corpus so a big source
+    // isn't compared against itself). src17 carries planted off-topic
+    // vocabulary and must take jsd_rank 1. Laplace smoothing over the
+    // global vocab gives shared support; the evaluation frame is
+    // |sources|x|vocab|-bounded, never corpus-row-bounded.
+    QueryDef("q184_source_divergence",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"),
+          when(col("source") === "src17", concat(col("text"),
+            lit(" quantum flux capacitor tachyon quantum flux")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.Divergence.sourceJsd(d, "source", "text")
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source,
+             |    CASE WHEN source = 'src17' THEN text ||
+             |      ' quantum flux capacitor tachyon quantum flux'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |tok AS (SELECT source AS src,
+             |    unnest(list_filter(string_split_regex(
+             |      lower(trim(text)), '\s+'), x -> x <> '')) AS w
+             |  FROM d),
+             |sc AS (SELECT src, w, count(*) AS n_sw FROM tok
+             |  GROUP BY 1, 2),
+             |gc AS (SELECT w, count(*) AS n_w FROM tok GROUP BY 1),
+             |vn AS (SELECT count(*) AS v,
+             |    CAST(sum(n_w) AS BIGINT) AS t_all FROM gc),
+             |stt AS (SELECT src, CAST(sum(n_sw) AS BIGINT) AS t_s,
+             |    count(*) AS n_types FROM sc GROUP BY 1),
+             |grid AS (SELECT s2.src, s2.t_s, vn.v, vn.t_all, gc.w,
+             |    gc.n_w, coalesce(sc.n_sw, 0) AS n_sw
+             |  FROM stt s2 CROSS JOIN vn CROSS JOIN gc
+             |  LEFT JOIN sc ON sc.src = s2.src AND sc.w = gc.w),
+             |pq AS (SELECT src,
+             |    (n_sw + 0.5) / (t_s + v * 0.5) AS p,
+             |    ((n_w - n_sw) + 0.5) / ((t_all - t_s) + v * 0.5) AS q
+             |  FROM grid),
+             |ct AS (SELECT src,
+             |    0.5 * p * ln(p / ((p + q) / 2))
+             |      + 0.5 * q * ln(q / ((p + q) / 2)) AS c
+             |  FROM pq),
+             |j AS (SELECT src, round(sum(c), 6) AS jsd FROM ct
+             |  GROUP BY 1)
+             |SELECT s2.src AS source, t_s AS n_tokens,
+             |  CAST(n_types AS BIGINT) AS n_types, jsd,
+             |  dense_rank() OVER (ORDER BY jsd DESC) AS jsd_rank
+             |FROM stt s2 JOIN j USING (src)
+             |ORDER BY source""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q185: arrival burstiness (Fano factor) per event type over a
+    // DENSE hourly grid (empty buckets included — deriving buckets
+    // from observed events silently understates variance). Planted
+    // flash crowd: early-days click events tripled, so 'click' must
+    // flag bursty (fano >> 1) while organic types sit near Poisson 1.
+    // Fully integer-deterministic from exact long aggregates.
+    QueryDef("q185_burstiness",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val burst = e.filter(col("event_type") === "click"
+          && dayofmonth(col("ts")) <= 3)
+          .select(col("event_type"), col("ts"))
+        val aug = e.select(col("event_type"), col("ts"))
+          .unionByName(burst).unionByName(burst)
+        graft.operators.Sessionize.burstiness(aug, "event_type", "ts",
+            bucketSeconds = 3600L, threshold = 1.5)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH burst AS (SELECT event_type, ts FROM events
+             |  WHERE event_type = 'click' AND day(ts) <= 3),
+             |aug AS (SELECT event_type, ts FROM events
+             |  UNION ALL SELECT * FROM burst
+             |  UNION ALL SELECT * FROM burst),
+             |mn AS (SELECT min(epoch_us(ts)) AS t0,
+             |    max(epoch_us(ts)) AS t1 FROM aug),
+             |c AS (SELECT event_type AS g,
+             |    (epoch_us(ts) - t0) // 3600000000 AS h, count(*) AS c
+             |  FROM aug CROSS JOIN mn GROUP BY 1, 2),
+             |hrs AS (SELECT unnest(range(0,
+             |    (t1 - t0) // 3600000000 + 1)) AS h FROM mn),
+             |gs AS (SELECT DISTINCT event_type AS g FROM aug),
+             |grid AS (SELECT g, h FROM gs CROSS JOIN hrs),
+             |f AS (SELECT grid.g, coalesce(c.c, 0) AS c FROM grid
+             |  LEFT JOIN c ON c.g = grid.g AND c.h = grid.h),
+             |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
+             |    CAST(sum(c) AS BIGINT) AS n_events,
+             |    CAST(sum(c * c) AS BIGINT) AS s2
+             |  FROM f GROUP BY 1)
+             |SELECT g AS event_type, n_buckets, n_events,
+             |  round(CAST(n_events AS DOUBLE) / n_buckets, 6)
+             |    AS mean_per_bucket,
+             |  round((CAST(n_buckets AS DOUBLE) * s2
+             |    - CAST(n_events AS DOUBLE) * n_events)
+             |    / (CAST(n_buckets AS DOUBLE) * n_events), 6) AS fano,
+             |  (CAST(n_buckets AS DOUBLE) * s2
+             |    - CAST(n_events AS DOUBLE) * n_events)
+             |    / (CAST(n_buckets AS DOUBLE) * n_events) > 1.5
+             |    AS bursty
+             |FROM st ORDER BY event_type""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

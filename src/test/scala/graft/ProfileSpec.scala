@@ -50,6 +50,35 @@ class ProfileSpec extends AnyFunSuite {
     assert(out._7 == 4.0)              // tokens 4,4,2,6 -> median 4
   }
 
+  test("source jsd: symmetric twins tie, the alien source ranks first") {
+    import graft.operators.Divergence
+    val docs = (Seq.fill(10)(("a", "x y z")) ++
+      Seq.fill(10)(("b", "x y z")) ++ Seq.fill(10)(("c", "q r s")))
+      .toDF("source", "text")
+    val out = Divergence.sourceJsd(docs, "source", "text")
+      .select("source", "n_tokens", "jsd", "jsd_rank")
+      .as[(String, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a")._3 == out("b")._3) // identical dists, same rest
+    assert(out("c")._3 > out("a")._3 && out("c")._4 == 1)
+    assert(out.values.forall(_._2 == 30L))
+  }
+
+  test("burstiness: clockwork scores 0, a flash crowd scores 99") {
+    import graft.operators.Sessionize
+    def ts(h: Int) = new java.sql.Timestamp(1700000000000L
+      + h * 3600000L)
+    val uniform = (0 until 100).map(h => ("u", ts(h)))
+    val crowd = Seq.fill(100)(("b", ts(0)))
+    val out = Sessionize.burstiness(
+        (uniform ++ crowd).toDF("g", "ts"), "g", "ts")
+      .select("g", "n_buckets", "fano", "bursty")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("u") == (("u", 100L, 0.0, false)))
+    assert(out("b") == (("b", 100L, 99.0, true)))
+  }
+
   test("embedding outlier composition: far constant vector is flagged") {
     val near = (1 to 20).map(i =>
       (i.toLong, 0, Array(1.0, 0.0, 0.1 * (i % 3))))
