@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every registry query on
-  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query times
+  * (integer centiseconds, keyed by query number — see the stdout-budget
+  * notes below; full names + 3-decimal raw samples in BENCH_RUNS.json).
   *
   * Each query is materialized through a noop-format write — unlike count(),
   * that computes every output column (count() would let Catalyst prune the
@@ -98,10 +100,14 @@ object Bench {
     }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // 2-decimal minima on the stdout line: with 70+ queries, 3 decimals plus
-    // the nruns field would push the line against the driver's 2000-char
-    // tail window (1,820 chars at r4 with 68 queries x 3 decimals).
-    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // integer CENTISECONDS on the stdout line (same 2-decimal precision,
+    // minus the ".": at 185 queries, "q44":1.23 style entries total ~2,300
+    // chars and the driver's ~2000-char stdout tail truncated the line's
+    // head — BENCH_r08 landed with parsed:null, 167/185 times surviving
+    // only inside the raw tail string). "44":123 keeps the full registry
+    // under ~1,800 chars; -1 stays the every-pass-failed sentinel
+    def cs(v: Double): String =
+      if (v < 0) "-1" else Math.round(v * 100.0).toString
 
     // full-precision per-pass samples -> audit file (committed by the driver)
     val runsJson = samples.map { case (k, ss) =>
@@ -112,27 +118,25 @@ object Bench {
       s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6","runs":$runsJson}\n""")
     finally fw.close()
 
-    // Short keys (q44, not q44_dup_clusters) on the stdout line: at 75
-    // queries the full-name map alone is ~1,900 chars and the driver keeps
-    // only the final ~2000 chars of output — a truncated head loses the
-    // line's opening brace and fails the parse. The qNN prefix is unique
-    // per query; BENCH_RUNS.json carries the full names and raw samples.
-    def shortKey(n: String): String = n.takeWhile(_ != '_')
-    // a qNN prefix collision would emit duplicate JSON keys and silently
-    // drop a query from the parsed artifact — fall back to full names
+    // Shortest-possible unique keys ("44", not "q44_dup_clusters") on the
+    // stdout line: the driver keeps only the final ~2000 chars of output —
+    // a truncated head loses the line's opening brace and fails the parse.
+    // The NN number is unique per query; BENCH_RUNS.json carries the full
+    // names and raw 3-decimal samples.
+    def shortKey(n: String): String = n.takeWhile(_ != '_').drop(1)
+    // a key collision would emit duplicate JSON keys and silently drop a
+    // query from the parsed artifact — fall back to full names
     val collide = results.map(r => shortKey(r._1)).groupBy(identity)
       .exists(_._2.size > 1)
     val keyOf: String => String = if (collide) identity else shortKey
-    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + r2(v) }
+    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // "policy" names the aggregation so the artifact is self-describing
-    // (r5's driver header said n=5 while parsed.nruns was 3 — ambiguous);
-    // kept terse to protect the driver's ~2000-char tail window.
-    // "cleanup untimed since r6": the timing window stops before
-    // clearCache/unpersist, so r1-r5 totals (which timed cleanup) are not
-    // directly comparable — treat r6 as the baseline for cross-round deltas
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"policy":"min of $nRuns interleaved sweeps; cleanup untimed since r6","queries":$qs,"sf":"$sfDir"}""")
+    // "qunit" makes the centisecond encoding self-describing; prose policy
+    // lives in BENCH_RUNS.json to protect the ~2000-char tail window.
+    // Cleanup has been untimed since r6 — treat r6 as the baseline for
+    // cross-round deltas (r1-r5 totals timed cleanup)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"qunit":"centisec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

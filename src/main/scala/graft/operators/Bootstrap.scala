@@ -32,29 +32,41 @@ import graft.functions.Text
 object Bootstrap {
 
   /** 95% percentile-bootstrap CI of the per-group mean of `metric`
-    * (an integer-valued column; scale/quantize first otherwise).
+    * (a NON-NEGATIVE integer-valued column; scale/quantize first
+    * otherwise — negative values raise, because the exact integer
+    * HALF_UP rounding below is floor-division-based and only
+    * half-up-correct for non-negative num/den).
     * Output per group: n_rows, mean, ci_lo, ci_hi, ci_width (all
     * means rounded 6 by exact integer HALF_UP). */
   def poissonMeanCi(df: DataFrame, groupCol: String, idCol: String,
       metric: Column, b: Int = 200): DataFrame = {
     // exact HALF_UP 6-dp rounding of num/den in pure long arithmetic
-    // (both positive here, so truncating and floor division agree)
+    // (both non-negative — guarded at scan below — so truncating and
+    // floor division agree)
     def r6(numC: String, denC: String): Column =
       expr(s"($numC * 2000000L + $denC) div ($denC * 2)")
         .cast("double") / 1e6
 
+    val xv = metric.cast("long")
     val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-      metric.cast("long").as("x"))
+      when(xv < 0, raise_error(concat(
+          lit("Bootstrap.poissonMeanCi: metric must be non-negative "
+            + "(integer HALF_UP rounding is floor-based); got "),
+          xv.cast("string"))))
+        .otherwise(xv).as("x"))
     val reps = base
       .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("u", pmod(Text.md5Long(
         concat(col("id").cast("string"), lit("_"),
           col("b").cast("string"))), lit(1000000L)))
-      // Poisson(1) inverse CDF at 1e-6 resolution
+      // Poisson(1) inverse CDF at 1e-6 resolution, carried to w=6
+      // (remaining tail mass P(w>=7) ≈ 8.3e-5 collapses into 6 — at
+      // 1e-6 u-resolution only the <1e-4 tail is quantized away)
       .withColumn("w",
         when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
           .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
-          .otherwise(4L))
+          .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
+          .otherwise(6L))
     val perRep = reps.groupBy(col("g"), col("b"))
       .agg(sum(col("w") * col("x")).as("num"), sum(col("w")).as("den"))
       .filter(col("den") > 0)

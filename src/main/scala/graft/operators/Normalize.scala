@@ -22,12 +22,21 @@ import org.apache.spark.sql.functions._
   * scores the same rank and therefore the same normalized value.
   *
   * Scale posture: per-source rank is a group-partitioned window; the
-  * pooled lookup table is built over DISTINCT score values (one hash
-  * aggregate + a prefix window over the distinct-value frame — the
-  * operator assumes a discrete or pre-bucketed score; quantize first
-  * if it is continuous) and broadcast for the range join. Nothing
-  * global touches corpus-sized data. */
+  * pooled distinct-value ladder's cumulative counts come from
+  * [[Budget.cumulativeSum]]'s two-phase distributed prefix sum (the
+  * ladder is distinct-value-sized — corpus-sized for a continuous
+  * score — so NO unpartitioned window and NO broadcast of it is
+  * allowed), and the idx→value lookup is a bucketed equi-join: probe
+  * rows key on idx div B, ladder spans replicate onto the ≤ span/B+1
+  * buckets they cover, and the exact (cum_lo, cum_hi] containment
+  * filters after the bucket match. Nothing corpus-derived is
+  * broadcast, windowed globally, or collected. */
 object Normalize {
+
+  /** Bucket width for the idx→ladder-span equi-join: spans replicate
+    * once per B-wide bucket they cover, so build-side inflation is
+    * ≤ N/B + |ladder| rows while each bucket's join stays local. */
+  private val BucketWidth = 65536L
 
   /** Output: (idCol, groupCol, score, norm_score) — norm_score is the
     * idx-th smallest pooled score. Groups of size 1 map to the pooled
@@ -42,12 +51,11 @@ object Normalize {
       .withColumn("r", rank().over(wSrc))
       .withColumn("n_h", count(lit(1)).over(wSrcN))
     val nPool = s.agg(count(lit(1)).as("n_pool"))
-    // pooled distinct-value ladder with cumulative counts
-    val wVal = Window.orderBy(col("pv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ladder = s.groupBy(col("score").as("pv"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("cum_hi", sum(col("c")).over(wVal))
+    // pooled distinct-value ladder; cumulative counts via the two-phase
+    // distributed prefix sum (ladder may be corpus-sized)
+    val ladder = Budget.cumulativeSum(
+        s.groupBy(col("score").as("pv")).agg(count(lit(1)).as("c")),
+        Seq(col("pv")), col("c"), "cum_hi")
       .withColumn("cum_lo", col("cum_hi") - col("c"))
       .select(col("pv"), col("cum_lo"), col("cum_hi"))
     val ix = ranked.crossJoin(broadcast(nPool))
@@ -55,8 +63,14 @@ object Normalize {
         when(col("n_h") === 1, expr("(n_pool + 1) div 2"))
           .otherwise(
             expr("(r - 1) * (n_pool - 1) div (n_h - 1)") + 1))
-    ix.join(broadcast(ladder),
-        col("idx") > col("cum_lo") && col("idx") <= col("cum_hi"))
+      .withColumn("__pb", expr(s"(idx - 1) div $BucketWidth"))
+    // span (cum_lo, cum_hi] covers idx-1 in [cum_lo, cum_hi-1] — one
+    // replica per covered bucket
+    val spans = ladder.withColumn("__lb",
+      explode(sequence(expr(s"cum_lo div $BucketWidth"),
+        expr(s"(cum_hi - 1) div $BucketWidth"))))
+    ix.join(spans, col("__pb") === col("__lb")
+        && col("idx") > col("cum_lo") && col("idx") <= col("cum_hi"))
       .select(col(idCol), col(groupCol), col("score"),
         col("pv").as("norm_score"))
   }

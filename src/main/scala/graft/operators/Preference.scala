@@ -33,19 +33,41 @@ import org.apache.spark.sql.types._
   * distributed joins on a 20-row frame costs ~30 join stages of pure
   * overhead (measured 7.5 s vs ~1 s for this shape at sf0.1).
   * Identifiability is fixed by normalizing strengths to shares
-  * (Σ π = 1), not by anchoring a reference player. */
+  * (Σ π = 1), not by anchoring a reference player.
+  *
+  * The driver-side stance is only sound while the player universe is
+  * model-eval-sized, so it is GUARDED: before anything is collected,
+  * the distinct-player count is checked against `maxPlayers` and the
+  * fit fails loudly (the q112/q113 raise-don't-poison stance) rather
+  * than letting a caller who passes a data-sized item catalog OOM the
+  * driver with a |players|²-bounded collect. */
 object Preference {
 
   /** Fit BT strengths from a frame of (winnerCol, loserCol) rows.
     * Output per player: games, wins, strength (normalized share,
     * rounded 6), rnk (1-based dense rank by strength desc; ties after
-    * rounding share a rank). */
+    * rounding share a rank). `maxPlayers` bounds the driver-side MM
+    * state: the collect is ≤ maxPlayers² rows (the default keeps it
+    * well under driver memory); exceeding it throws instead of
+    * collecting. */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
-      loserCol: String, iters: Int = 3): DataFrame = {
+      loserCol: String, iters: Int = 3,
+      maxPlayers: Int = 4096): DataFrame = {
     val spark = comparisons.sparkSession
-    // corpus-sized input -> directed win counts (the one real shuffle)
+    // corpus-sized input -> directed win counts (the one real shuffle).
+    // persist: the guard count and the pair-frame collect below must
+    // not re-scan the corpus twice
     val d = comparisons.groupBy(col(winnerCol).as("p"),
       col(loserCol).as("q")).agg(count(lit(1)).as("w"))
+      .persist()
+    val nPlayers = d.select(col("p"))
+      .unionByName(d.select(col("q").as("p"))).distinct().count()
+    require(nPlayers <= maxPlayers,
+      s"Preference.bradleyTerry: $nPlayers players exceed the " +
+        s"driver-safe bound maxPlayers=$maxPlayers — the pair frame " +
+        "and MM state would no longer be metadata-sized; reduce the " +
+        "player universe (players are sources/models/arms, not items) " +
+        "or raise maxPlayers with driver memory to match")
     // every ordered pair that played, with its (possibly 0) win count
     val sym = d.select(col("p"), col("q"), col("w"))
       .unionByName(d.select(col("q").as("p"), col("p").as("q"),

@@ -1,10 +1,7 @@
 package graft.operators
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
   * SIGIR 1998) — greedy diversity-aware selection over a retrieved
@@ -17,12 +14,12 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: candidate generation (ANN top-N per query) and the
   * candidate–candidate similarity matrix (N² per query) stay
-  * distributed and bounded by |queries|·N²; the greedy loop itself is
-  * inherently sequential PER QUERY with O(k·N) state, so it runs
-  * driver-side on the collected candidate/similarity frames — the
-  * Lloyd/PQ/Bradley–Terry driver-side-model stance. For a production
-  * fan-out over millions of queries the same greedy runs as a
-  * per-query grouped map; the relational prep is identical. */
+  * distributed and bounded by |queries|·N²; the greedy loop is
+  * inherently sequential PER QUERY but queries are independent, so it
+  * runs EXECUTOR-LOCAL as a per-query co-group (candidates and sims
+  * shuffled once on qid, each group's O(k·N) greedy in one task's
+  * memory). Nothing query-spanning ever reaches the driver — a
+  * million-query fan-out is a million independent groups. */
 object Rerank {
 
   /** Greedy MMR over precomputed per-query candidates and pairwise
@@ -40,50 +37,44 @@ object Rerank {
       relCol: String, sims: DataFrame, simCol: String,
       lambda: Double = 0.7, k: Int = 5): DataFrame = {
     val spark = candidates.sparkSession
-    def r7(x: Double): Double =
-      BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
 
     val cand = candidates
       .select(col(qidCol).cast("long"), col(cidCol).cast("long"),
         col(relCol).cast("double"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val simMap = sims
+      .as[(Long, Long, Double)]
+    val sim = sims
       .select(col(qidCol).cast("long"), col("a").cast("long"),
         col("b").cast("long"), col(simCol).cast("double"))
-      .collect().flatMap { r =>
-        val (q, a, b, s) = (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getDouble(3))
-        Seq((q, a, b) -> s, (q, b, a) -> s)
-      }.toMap
+      .as[(Long, Long, Long, Double)]
 
-    val out = cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
-      case (q, rows) =>
+    // one shuffle per side on qid; each group's greedy is executor-local
+    cand.groupByKey(_._1).cogroup(sim.groupByKey(_._1)) {
+      (q, cs, ss) =>
+        def r7(x: Double): Double = BigDecimal(x)
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = cs.toVector
         val rel = rows.map(r => r._2 -> r._3).toMap
-        var remaining = rows.map(_._2).sorted.toVector
+        val simMap = ss.flatMap { case (_, a, b, s0) =>
+          Seq((a, b) -> s0, (b, a) -> s0)
+        }.toMap
+        var remaining = rows.map(_._2).sorted
         var selected = Vector.empty[Long]
-        val picks = Seq.newBuilder[(Long, Int, Long, Double, Double)]
+        val picks = Vector.newBuilder[(Long, Int, Long, Double, Double)]
         for (step <- 1 to math.min(k, remaining.size)) {
           val scored = remaining.map { c =>
             val maxSim =
               if (selected.isEmpty) 0.0
-              else selected.map(s0 =>
-                simMap.getOrElse((q, c, s0), 0.0)).max
+              else selected.map(s1 =>
+                simMap.getOrElse((c, s1), 0.0)).max
             c -> r7(lambda * rel(c) - (1 - lambda) * maxSim)
           }
-          val (bestC, bestS) = scored.maxBy { case (c, s0) => (s0, -c) }
+          val (bestC, bestS) = scored.maxBy { case (c, s1) => (s1, -c) }
           picks += ((q, step, bestC, rel(bestC), bestS))
           selected :+= bestC
           remaining = remaining.filterNot(_ == bestC)
         }
-        picks.result()
-    }
-    val schema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
-      StructField("sel_rank", IntegerType, nullable = false),
-      StructField("cand_id", LongType, nullable = false),
-      StructField("rel", DoubleType, nullable = false),
-      StructField("mmr_score", DoubleType, nullable = false)))
-    spark.createDataFrame(
-      out.map(t => Row(t._1, t._2, t._3, t._4, t._5)).asJava, schema)
+        picks.result().iterator
+    }.toDF("query_id", "sel_rank", "cand_id", "rel", "mmr_score")
   }
 }

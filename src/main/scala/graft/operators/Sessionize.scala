@@ -100,14 +100,22 @@ object Sessionize {
     val wAll = Window.partitionBy(col(groupCol))
     val wUpTo = Window.partitionBy(col(groupCol)).orderBy(col("gus"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col(groupCol)).orderBy(col("gus"))
+    // one-sample KS needs BOTH sides of each ECDF jump: D⁺ from the
+    // step top |F_emp(x_i) − F(x_i)| and D⁻ from the left limit
+    // |F(x_i) − F_emp(x_{i−1})| (F_emp before the first jump is 0) —
+    // step tops alone understate D by up to 1/n and over-accept
     val d = perV
       .withColumn("n", sum(col("c")).over(wAll))
       .withColumn("femp", sum(col("c")).over(wUpTo) / col("n"))
+      .withColumn("femp_prev",
+        coalesce(lag(col("femp"), 1).over(wLag), lit(0.0)))
       .join(broadcast(fit), Seq(groupCol))
       .withColumn("fmod", lit(1.0)
         - exp(-col("lambda") * (col("gus") / 1e6)))
       .groupBy(col(groupCol))
-      .agg(max(abs(col("femp") - col("fmod"))).as("__d"))
+      .agg(max(greatest(abs(col("femp") - col("fmod")),
+        abs(col("fmod") - col("femp_prev")))).as("__d"))
     fit.join(d, Seq(groupCol))
       .select(col(groupCol), col("n_gaps"), col("mean_gap_s"),
         col("lambda"), round(col("__d"), 6).as("d_stat"),

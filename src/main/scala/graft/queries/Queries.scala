@@ -8114,7 +8114,8 @@ object Queries {
              |wt AS (SELECT g, b, x,
              |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
              |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
-             |      ELSE 4 END AS w
+             |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |      ELSE 6 END AS w
              |  FROM reps),
              |pr AS (SELECT g, b, sum(w * x) AS num, sum(w) AS den
              |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
@@ -8688,10 +8689,16 @@ object Queries {
              |      / sum(c) OVER (PARTITION BY event_type) AS femp
              |  FROM pv WINDOW w2 AS (PARTITION BY event_type
              |    ORDER BY gus ROWS UNBOUNDED PRECEDING)),
+             |ec2 AS (SELECT *, coalesce(lag(femp) OVER (
+             |      PARTITION BY event_type ORDER BY gus), 0.0)
+             |    AS femp_prev
+             |  FROM ec),
              |dd AS (SELECT e.event_type,
-             |    max(abs(femp - (1.0 - exp(-lambda * (gus / 1e6)))))
-             |      AS d
-             |  FROM ec e JOIN fit2 USING (event_type) GROUP BY 1)
+             |    max(greatest(
+             |      abs(femp - (1.0 - exp(-lambda * (gus / 1e6)))),
+             |      abs((1.0 - exp(-lambda * (gus / 1e6)))
+             |        - femp_prev))) AS d
+             |  FROM ec2 e JOIN fit2 USING (event_type) GROUP BY 1)
              |SELECT f.event_type, n_gaps, mean_gap_s, lambda,
              |  round(d, 6) AS d_stat,
              |  round(sqrt(n_gaps) * d, 4) AS ks_stat,

@@ -53,4 +53,66 @@ object ContactsStream {
     q.awaitTermination()
     q
   }
+
+  /** Streaming golden-record maintenance: [[graft.pipeline.GoldenRecord
+    * .upsertIncremental]] as the foreachBatch core. Each micro-batch is
+    * cleaned with the batch `Clean` stage and merged into the golden
+    * table by dedup key — only groups TOUCHED by the batch re-merge;
+    * untouched golden rows pass through (the broadcast semi/anti joins of
+    * the batch operator, unchanged).
+    *
+    * The golden table is a series of versioned parquet snapshots
+    * (`v=<batchId>`): a batch reads the latest snapshot committed BEFORE
+    * its own id and overwrites only its own version directory, so a
+    * batch replayed after a crash between write and checkpoint commit
+    * reads the same predecessor state and lands the same result —
+    * exactly-once by idempotence, the same stance as [[cleanIngest]]'s
+    * per-batch landing. Old snapshots are time-travel state; prune them
+    * with any retention sweep (they are never read once superseded).
+    *
+    * Rows must carry a unique `rowIdCol` (the dedupe tie-break);
+    * uniqueness across batches is the caller's ingest contract. */
+  def goldenUpsertStream(spark: SparkSession, inDir: String,
+      schema: StructType, goldenDir: String, checkpointDir: String,
+      rowIdCol: String,
+      lastUpdatedCol: Option[String] = None): StreamingQuery = {
+    val q = readContacts(spark, inDir, schema)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = Clean(batch)
+        val existing = latestVersionBefore(goldenDir, batchId) match {
+          case Some(v) => spark.read.parquet(s"$goldenDir/v=$v")
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            incoming.schema)
+        }
+        graft.pipeline.GoldenRecord
+          .upsertIncremental(existing, incoming, rowIdCol, lastUpdatedCol)
+          .write.mode("overwrite").parquet(s"$goldenDir/v=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Highest committed snapshot version strictly below `beforeBatchId` —
+    * the replay-idempotence anchor (a re-run batch resolves the same
+    * predecessor it resolved the first time). */
+  def latestVersionBefore(goldenDir: String,
+      beforeBatchId: Long): Option[Long] = {
+    val d = new java.io.File(goldenDir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < beforeBatchId)
+      .sorted.lastOption
+  }
+
+  /** The current golden table (latest snapshot), if any batch committed. */
+  def currentGolden(spark: SparkSession,
+      goldenDir: String): Option[DataFrame] =
+    latestVersionBefore(goldenDir, Long.MaxValue)
+      .map(v => spark.read.parquet(s"$goldenDir/v=$v"))
 }

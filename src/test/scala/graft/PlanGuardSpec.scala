@@ -22,6 +22,63 @@ class PlanGuardSpec extends AnyFunSuite {
     df.queryExecution.sparkPlan.toString
   }
 
+  test("registry sweep: no single-task window over a corpus-sized frame") {
+    assume(new java.io.File(SfDir).isDirectory)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // A Window whose partitionSpec is empty (or all-foldable — a
+    // partitionBy(lit) routes everything to ONE task just the same) is the
+    // defining 100-TB scale-killer when its input is data-sized. The
+    // sanctioned uses all window a frame that a blocking reduction has
+    // already shrunk to metadata: every leaf-ward path below the Window
+    // must cross an Aggregate (groupBy/agg output: per-partition counts,
+    // per-bucket rollups), a GlobalLimit, or end in a literal/1-row leaf.
+    // An unpartitioned window sitting directly on a scan — the old
+    // ntile-over-corpus shape of q176/q183 — fails this structurally, so
+    // reverting the Lift/Budget/RowIds two-phase plans re-breaks this net.
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: OneRowRelation => true
+      case l: LocalRelation => l.data.size <= 1000
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(reduced)
+    }
+    val offenders = Queries.all.flatMap { q =>
+      val plan = q.spark(spark, SfDir).queryExecution.optimizedPlan
+      plan.collect {
+        case w: Window if w.partitionSpec.forall(_.foldable)
+            && !reduced(w.child) =>
+          s"${q.name}: unpartitioned Window over non-reduced input:\n$w"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} single-task window(s) over corpus-sized frames:\n"
+        + offenders.mkString("\n---\n"))
+  }
+
+  test("q162/q167: the round-9 rewrites keep their scale shapes") {
+    assume(new java.io.File(SfDir).isDirectory)
+    // q162 MMR: the per-query greedy must run as a co-group (executor-
+    // local per qid), never as a driver-side collect — the CoGroup node
+    // is the proof the loop ships to the data
+    assert(planOf("q162_mmr_rerank").contains("CoGroup"),
+      "q162's greedy no longer runs executor-local as a co-group")
+    // q167 quantile-norm: the idx→ladder lookup must carry an equi
+    // component on the bucket keys (hash/sort-merge-joinable — the
+    // scale path shuffles on them) — a pure range join over the
+    // corpus-derived ladder is the old broadcast-NLJ shape
+    val p167 = planOf("q167_quantile_norm")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[__pb".r
+        .findFirstIn(p167).nonEmpty,
+      s"q167's ladder lookup lost its bucket-key equi join:\n$p167")
+    // the only nested-loop join allowed is the documented 1-row n_pool
+    // scalar broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p167).size <= 1,
+      s"q167 plans a second nested-loop join:\n$p167")
+    assert(!p167.contains("CartesianProduct"),
+      "q167 plans a cartesian product")
+  }
+
   test("no cartesian or nested-loop joins outside the documented verifiers") {
     assume(new java.io.File(SfDir).isDirectory)
     val guarded = Seq("q1_pricing_summary", "q2_revenue_filter",

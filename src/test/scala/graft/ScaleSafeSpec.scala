@@ -179,4 +179,63 @@ class ScaleSafeSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("Lift.ntileByOrder == SQL-standard ntile window, for every remainder shape") {
+    // the two-phase closed form must be bit-identical to
+    // ntile(n).over(Window.orderBy(...)) — including how the remainder
+    // rows distribute over the first buckets — at every (N, n) shape:
+    // N < n, N divisible by n, and every remainder class in between
+    for (n <- Seq(1, 3, 4, 7, 10); nRows <- Seq(2, 9, 10, 40, 41)) {
+      val df = (1 to nRows).map(i => (i.toLong, (i * 37 % 100).toLong))
+        .toDF("id", "score").repartition(5)
+      val got = graft.operators.Lift
+        .ntileByOrder(df, Seq(col("score").desc, col("id").asc), n, "b")
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      val want = df.withColumn("b", ntile(n).over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      assert(got == want, s"ntile mismatch at N=$nRows n=$n")
+    }
+  }
+
+  test("Rerank.mmr: greedy runs executor-local per query (co-group, no driver collect)") {
+    // two queries with a planted paraphrase pair: c11/c12 are near-dups
+    // (sim .9), so after picking c11 (top rel) MMR must skip c12 for c13
+    // even though rel(c12) > rel(c13)
+    val cands = Seq(
+      (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.5),
+      (2L, 21L, 0.7), (2L, 22L, 0.6)).toDF("qid", "cid", "rel")
+    val sims = Seq(
+      (1L, 11L, 12L, 0.9), (1L, 11L, 13L, 0.0), (1L, 12L, 13L, 0.1),
+      (2L, 21L, 22L, 0.2)).toDF("qid", "a", "b", "sim")
+    val out = graft.operators.Rerank.mmr(cands, "qid", "cid", "rel",
+      sims, "sim", lambda = 0.7, k = 2)
+    // per-qid locality: the plan co-groups on qid — no collect, no
+    // query-spanning state
+    assert(out.queryExecution.optimizedPlan.toString.contains("CoGroup"),
+      "mmr should plan as a per-qid CoGroup")
+    val picks = out.select("query_id", "sel_rank", "cand_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // q1: pick c11 (.63); then c12 scores .7*.8-.3*.9=.29 < c13's
+    // .7*.5-.3*0=.35 -> c13. q2: c21 then c22 (.7*.6-.3*.2=.36)
+    assert(picks == Set((1L, 1, 11L), (1L, 2, 13L),
+      (2L, 1, 21L), (2L, 2, 22L)))
+    // scores survive the 7-dp contract
+    val s13 = out.filter(col("query_id") === 1 && col("sel_rank") === 2)
+      .select("mmr_score").as[Double].head()
+    assert(s13 == 0.35)
+  }
+
+  test("Preference.bradleyTerry refuses a data-sized player universe") {
+    val comps = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("winner", "loser")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Preference.bradleyTerry(comps, "winner", "loser",
+        iters = 3, maxPlayers = 2)
+    }
+    assert(e.getMessage.contains("driver-safe bound"))
+    // at the default bound the same frame fits fine
+    assert(graft.operators.Preference.bradleyTerry(
+      comps, "winner", "loser").count() == 3)
+  }
 }

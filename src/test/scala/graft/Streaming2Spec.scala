@@ -177,6 +177,49 @@ class Streaming2Spec extends AnyFunSuite {
     assert(staged.exceptAll(batch).isEmpty && batch.exceptAll(staged).isEmpty)
   }
 
+  test("streaming golden-record upsert across restarts == one-shot batch dedupe") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("gold-in")
+    val golden = Files.createTempDirectory("gold-out").toString + "/golden"
+    val ckpt = Files.createTempDirectory("gold-ckpt").toString
+    val header = "ROW_ID\tFULLNAME\tEMAIL\tMOBILE\n"
+    Files.writeString(in.resolve("day1.tsv"),
+      header + "1\tann x\tann@x.com\t\n2\tbob y\tbob@x.com\t5551112222\n")
+
+    val schema = graft.streaming.ContactsStream.schemaOf(
+      spark, in.resolve("day1.tsv").toString)
+    graft.streaming.ContactsStream.goldenUpsertStream(
+      spark, in.toString, schema, golden, ckpt, "ROW_ID")
+
+    // day-2 drop + a RESTARTED stream on the same checkpoint: row 3 shares
+    // ann's dedup key (same email) and must re-merge ONLY that group,
+    // filling her missing mobile; bob's golden row passes through untouched
+    Files.writeString(in.resolve("day2.tsv"),
+      header + "3\tann x\tann@x.com\t5559998888\n4\tcid z\t\t\n")
+    graft.streaming.ContactsStream.goldenUpsertStream(
+      spark, in.toString, schema, golden, ckpt, "ROW_ID")
+
+    val got = graft.streaming.ContactsStream.currentGolden(spark, golden).get
+    assert(got.count() == 3, "ann merged, bob untouched, cid new")
+    // ann's merged row carries the day-2 mobile (her day-1 row had none)
+    assert(got.filter(org.apache.spark.sql.functions.col("EMAIL")
+        === "ann@x.com")
+      .select("MOBILE").collect().head.getString(0) == "5559998888")
+    // the streaming path must equal the one-shot batch golden merge over
+    // ALL cleaned rows — the §2.10 stream==batch proof for the upsert
+    val batchAll = graft.pipeline.GoldenRecord.dedupe(
+      Seq("day1.tsv", "day2.tsv").map(f => graft.pipeline.Clean(
+          graft.pipeline.Tsv.readAllString(spark, in.resolve(f).toString)))
+        .reduce(_ unionByName _), "ROW_ID")
+    assert(got.exceptAll(batchAll).isEmpty
+        && batchAll.exceptAll(got).isEmpty,
+      "streaming upsert diverged from the one-shot batch dedupe")
+    // two committed snapshots, and the day-1 snapshot is still readable
+    // (time travel) with bob-and-ann only
+    assert(graft.streaming.ContactsStream
+      .latestVersionBefore(golden, Long.MaxValue).nonEmpty)
+  }
+
   test("streaming CMS + Bloom sketches == batch sketches across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, xxhash64}
