@@ -621,4 +621,41 @@ object Dedup {
         min(substring(col("__tmpl"), 1, 40)).as("template_head"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Cross-source exact-duplicate matrix — for every pair of sources,
+    * how many DISTINCT texts appear in both, plus each side's share.
+    * The dedup-PLANNING statistic: a pair sharing most of its texts is
+    * a mirror (dedup them against each other first, or drop one); a
+    * diagonal-only corpus needs no cross-source pass at all. Run before
+    * committing to a corpus-wide near-dup sweep — the matrix is the
+    * cheap map of where the duplication actually lives.
+    *
+    * Scale posture: texts reduce to DISTINCT (digest, source) pairs in
+    * one map-side-combined aggregate — md5 is computed in the scan
+    * projection, so the shuffle key is a 32-char digest, never the text
+    * (the q90/q140 stance). The pair expansion is a digest-keyed
+    * self-equi-join whose per-digest fan-out is ≤ |sources|² — bounded
+    * by the source universe, not the corpus — and per-source distinct
+    * counts broadcast back onto the |sources|²-bounded matrix. */
+  def crossSourceDupMatrix(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val ds = df.select(md5(col(textCol)).as("d"),
+      col(sourceCol).as("s")).distinct()
+    val perSource = ds.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val a = ds.select(col("d"), col("s").as("source_a"))
+    val b = ds.select(col("d"), col("s").as("source_b"))
+    a.join(b, Seq("d")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .join(broadcast(perSource.select(col("s").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(perSource.select(col("s").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_texts"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared_texts").cast("double") / col("n_a"), 6)
+          .as("share_a"),
+        round(col("n_shared_texts").cast("double") / col("n_b"), 6)
+          .as("share_b"))
+  }
 }

@@ -8952,7 +8952,48 @@ object Queries {
              |    - CAST(n_events AS DOUBLE) * n_events)
              |    / (CAST(n_buckets AS DOUBLE) * n_events) > 1.5
              |    AS bursty
-             |FROM st ORDER BY event_type""".stripMargin))
+             |FROM st ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q186: cross-source exact-duplicate matrix — the dedup-PLANNING
+    // statistic: for each source pair, how many distinct texts they
+    // share and each side's share (a near-1.0 share = mirror; drop or
+    // pair-dedup before any corpus-wide sweep). Planted: every 7th doc
+    // copied into the next ring source, so (srcK, srcK+1) pairs carry
+    // the plant while non-adjacent pairs show only organic repeats.
+    // Digest-keyed self-join (md5 map-side, the q90/q140 stance);
+    // per-digest fan-out ≤ |sources|².
+    QueryDef("q186_cross_source_dups",
+      (s, dir) => {
+        val d0 = t(s, dir, "documents").select(col("doc_id"),
+          col("source"), col("text"))
+        val planted = d0.filter(col("doc_id") % 7 === 0)
+          .withColumn("source", concat(lit("src"),
+            ((col("doc_id") + 1) % 20).cast("string")))
+        graft.operators.Dedup.crossSourceDupMatrix(
+            d0.unionByName(planted), "source", "text")
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH d AS (SELECT source, text FROM documents
+             |  UNION ALL
+             |  SELECT 'src' || CAST((doc_id + 1) % 20 AS VARCHAR), text
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |ds AS (SELECT DISTINCT md5(text) AS dg, source AS s
+             |  FROM d),
+             |ps AS (SELECT s, count(*) AS n FROM ds GROUP BY 1),
+             |m AS (SELECT a.s AS source_a, b.s AS source_b,
+             |    count(*) AS n_shared_texts
+             |  FROM ds a JOIN ds b ON a.dg = b.dg AND a.s < b.s
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_shared_texts,
+             |  pa.n AS n_a, pb.n AS n_b,
+             |  round(CAST(n_shared_texts AS DOUBLE) / pa.n, 6)
+             |    AS share_a,
+             |  round(CAST(n_shared_texts AS DOUBLE) / pb.n, 6)
+             |    AS share_b
+             |FROM m JOIN ps pa ON pa.s = source_a
+             |  JOIN ps pb ON pb.s = source_b
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

@@ -12,6 +12,26 @@ class CoverageSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("bench stdout line stays inside the driver's ~2000-char tail window") {
+    // BENCH_r08 landed unparseable because the per-query map pushed the
+    // JSON line past the driver's captured tail. Reconstruct the line
+    // exactly as graft.Bench prints it, with a pessimistic 999-centisec
+    // (10 s — the slowest real query runs ~4 s) value per query, and keep
+    // headroom below 1950 chars. If this fails, the registry grew past
+    // the stdout budget — shorten the encoding before adding queries.
+    val names = graft.queries.Queries.all.map(_.name)
+    def shortKey(n: String): String = n.takeWhile(_ != '_').drop(1)
+    assert(names.map(shortKey).distinct.size == names.size,
+      "query-number keys must stay collision-free (Bench falls back to "
+        + "full names and blows the line budget)")
+    val qs = names.map(n => "\"" + shortKey(n) + "\":999")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","nruns":3,"qunit":"centisec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length < 1950,
+      s"bench stdout line would be ${line.length} chars at ${names.size} "
+        + "queries — past the driver's ~2000-char tail window")
+  }
+
   test("charShingles: sliding character windows, short-input fallback") {
     val sh = Seq("ab  cd").toDF("t")
       .select(Text.charShingles(col("t"), 3)).head().getSeq[String](0)
