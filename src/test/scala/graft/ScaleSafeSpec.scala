@@ -198,6 +198,26 @@ class ScaleSafeSpec extends AnyFunSuite {
     }
   }
 
+  test("Lift.ntileByOrder: 200k skewed rows, deterministic across re-runs, == ntile") {
+    // heavy ties (a Zipfian score with ~50 distinct values) exercise the
+    // range partitioner's equal-keys-co-located contract and the persist
+    // pin that keeps the count branch and the data branch on ONE sampled
+    // partitioning; two runs must agree with each other and with the
+    // naive window
+    val big = spark.range(0, 200000)
+      .select(col("id"), (col("id") % (col("id") % 223 + 1) % 50)
+        .as("score")).repartition(16)
+    def run() = graft.operators.Lift
+      .ntileByOrder(big, Seq(col("score").desc, col("id").asc), 10, "b")
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    val first = run()
+    assert(run() == first, "re-run produced a different bucket assignment")
+    val want = big.withColumn("b", ntile(10).over(
+        Window.orderBy(col("score").desc, col("id").asc)))
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    assert(first == want, "two-phase ntile diverged from the window at 200k")
+  }
+
   test("Rerank.mmr: greedy runs executor-local per query (co-group, no driver collect)") {
     // two queries with a planted paraphrase pair: c11/c12 are near-dups
     // (sim .9), so after picking c11 (top rel) MMR must skip c12 for c13
