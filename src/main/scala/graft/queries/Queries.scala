@@ -827,12 +827,16 @@ object Queries {
     QueryDef("q29_embed_neardup_lsh",
       (s, dir) => {
         // shares q28's EXACT oracle: rescoring makes precision exact, and
-        // at 12 planes x 8 tables recall is 100% on the planted corpus at
-        // both gate SFs (probed: tables=4 missed 2/100, tables>=6 missed 0)
-        // — a recall regression now fails the hash compare.
+        // at 12 planes x 16 tables recall is 100% on the planted corpus at
+        // sf0.001, sf0.01 AND sf0.1 — a recall regression now fails the
+        // hash compare. (Recall here is DETERMINISTIC: seeded planes +
+        // fixed corpus. Probed: tables=4 missed 2/100 at sf0.01; tables=8
+        // missed the worst planted pair — cosine 0.9871, per-table bucket
+        // collision 0.53 — at sf0.1's 400 pairs; 16 tables put the worst
+        // pair's miss odds at 5e-6.)
         val all = plantedVecs(s, dir)
         Dedup.embeddingNearDupLsh(all, "vec_id", "vec", threshold = 0.98,
-            planes = 12, tables = 8)
+            planes = 12, tables = 16)
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -7609,8 +7613,9 @@ object Queries {
     // greedy picks of argmax 0.7·rel − 0.3·max-sim-to-selected. The
     // candidate and pairwise-sim frames stay distributed (bounded
     // |queries|·N²); the inherently sequential per-query greedy runs
-    // driver-side (BT/Lloyd stance). The twin unrolls all 5 steps, so
-    // a wrong tie-break or a skipped redundancy penalty moves the
+    // EXECUTOR-LOCAL per qid via cogroup (round-9 rewrite — nothing
+    // query-spanning reaches the driver). The twin unrolls all 5 steps,
+    // so a wrong tie-break or a skipped redundancy penalty moves the
     // hash: the top-rel candidate's paraphrase-mates MUST drop.
     QueryDef("q162_mmr_rerank",
       (s, dir) => {
@@ -7989,7 +7994,9 @@ object Queries {
     // distribution (equal ranks → equal normalized values across
     // sources). Target index in INTEGER arithmetic (multiply-then-div,
     // no float at an integer boundary); pooled ladder over DISTINCT
-    // score values, broadcast for the range join.
+    // score values, prefix-summed distributed and looked up through a
+    // bucketed equi-join (round-9 rewrite; nothing corpus-derived is
+    // broadcast or windowed globally).
     QueryDef("q167_quantile_norm",
       (s, dir) => {
         val d = t(s, dir, "documents").select(col("doc_id"),
