@@ -636,12 +636,31 @@ object Dedup {
     * (the q90/q140 stance). The pair expansion is a digest-keyed
     * self-equi-join whose per-digest fan-out is ≤ |sources|² — bounded
     * by the source universe, not the corpus — and per-source distinct
-    * counts broadcast back onto the |sources|²-bounded matrix. */
+    * counts broadcast back onto the |sources|²-bounded matrix.
+    *
+    * `maxSourcesPerText` is the ubiquitous-text skew cap (the
+    * [[shinglePostings]] maxDocFreq stance): with thousands of sources,
+    * one boilerplate text shared by all of them would alone fan out
+    * |sources|²/2 pair rows in a single digest bucket. Texts in more
+    * than the cap's source count are dropped BEFORE pair expansion —
+    * they carry no mirror signal (every pair lights up equally). None
+    * (the default) keeps exact semantics for bounded source universes
+    * like the graded corpus. */
   def crossSourceDupMatrix(df: DataFrame, sourceCol: String,
-      textCol: String): DataFrame = {
-    val ds = df.select(md5(col(textCol)).as("d"),
+      textCol: String, maxSourcesPerText: Option[Int] = None): DataFrame = {
+    val ds0 = df.select(md5(col(textCol)).as("d"),
       col(sourceCol).as("s")).distinct()
-    val perSource = ds.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val ds = maxSourcesPerText match {
+      case None => ds0
+      case Some(cap) =>
+        val wide = ds0.groupBy(col("d"))
+          .agg(count(lit(1)).as("__ns")).filter(col("__ns") > cap)
+          .select(col("d"))
+        ds0.join(wide, Seq("d"), "left_anti")
+    }
+    // share denominators = per-source TOTAL distinct texts (capped texts
+    // still live in the source; the cap only suppresses pair expansion)
+    val perSource = ds0.groupBy(col("s")).agg(count(lit(1)).as("n"))
     val a = ds.select(col("d"), col("s").as("source_a"))
     val b = ds.select(col("d"), col("s").as("source_b"))
     a.join(b, Seq("d")).filter(col("source_a") < col("source_b"))

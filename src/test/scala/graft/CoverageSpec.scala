@@ -32,6 +32,28 @@ class CoverageSpec extends AnyFunSuite {
         + "queries — past the driver's ~2000-char tail window")
   }
 
+  test("crossSourceDupMatrix: ubiquitous-text cap suppresses pairs, keeps denominators") {
+    val docs = Seq(
+      ("s1", "common boilerplate"), ("s2", "common boilerplate"),
+      ("s3", "common boilerplate"),
+      ("s1", "mirrored doc"), ("s2", "mirrored doc"),
+      ("s1", "only in s1"), ("s3", "only in s3"))
+      .toDF("source", "text")
+    val full = Dedup.crossSourceDupMatrix(docs, "source", "text")
+      .select("source_a", "source_b", "n_shared_texts")
+      .as[(String, String, Long)].collect().toSet
+    assert(full == Set(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+    val capped = Dedup.crossSourceDupMatrix(docs, "source", "text",
+      maxSourcesPerText = Some(2))
+    val rows = capped.collect().map(r =>
+      (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_shared_texts"), r.getAs[Long]("n_a"))).toSet
+    // the 3-source boilerplate is suppressed from pair expansion, so only
+    // the true mirror pair survives — but s1's denominator still counts
+    // all 3 of its distinct texts
+    assert(rows == Set(("s1", "s2", 1L, 3L)))
+  }
+
   test("charShingles: sliding character windows, short-input fallback") {
     val sh = Seq("ab  cd").toDF("t")
       .select(Text.charShingles(col("t"), 3)).head().getSeq[String](0)
