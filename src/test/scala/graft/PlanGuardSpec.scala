@@ -56,6 +56,26 @@ class PlanGuardSpec extends AnyFunSuite {
         + offenders.mkString("\n---\n"))
   }
 
+  test("registry sweep: no CartesianProduct outside the documented quadratic verifiers") {
+    assume(new java.io.File(SfDir).isDirectory)
+    // the no-cartesian net, registry-wide (the named-query test below
+    // predates this sweep and stays as belt-and-braces): a physical
+    // CartesianProduct is only ever sanctioned in the exact quadratic
+    // verifiers that ground-truth the LSH paths
+    // (currently NO query plans one — both verifiers broadcast into a
+    // nested-loop join at the test SF; the whitelist only matters if a
+    // scale change ever degrades their BNLJ to a cartesian)
+    val sanctioned = Set("q21_ann_topk", "q28_embed_neardup")
+    val offenders = Queries.all.flatMap { q =>
+      val plan = q.spark(spark, SfDir).queryExecution.sparkPlan.toString
+      if (plan.contains("CartesianProduct") && !sanctioned(q.name))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unsanctioned cartesian product in: ${offenders.mkString(", ")}")
+  }
+
   test("q162/q167: the round-9 rewrites keep their scale shapes") {
     assume(new java.io.File(SfDir).isDirectory)
     // q162 MMR: the per-query greedy must run as a co-group (executor-
