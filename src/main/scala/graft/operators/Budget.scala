@@ -75,6 +75,34 @@ object Budget {
       .drop(PidCol, OffCol, OffCntCol)
   }
 
+  /** Per-group running sum WITHOUT per-group windows — the scale-safe
+    * replacement for `sum(v).over(Window.partitionBy(g).orderBy(...))`
+    * when groups are FEW and HUGE (sources, event types): a partitioned
+    * window processes each group in ONE task, which at 100 TB with 20
+    * sources is a 5-TB task. Instead: one GLOBAL two-phase prefix sum
+    * over the composite (group, order...) key — a normal parallel sort —
+    * then subtract each group's exclusive offset, computed as a prefix
+    * over the |groups|-row totals frame (metadata window) and broadcast
+    * back. Value-identical to the per-group window for non-null values
+    * (the intended use: counts/weights; a null `value` contributes 0
+    * here where the window would skip it). */
+  def groupedCumulativeSum(df: DataFrame, groupCol: String,
+      order: Seq[Column], value: Column, outCol: String): DataFrame = {
+    val global = cumulativeSum(df, col(groupCol) +: order, value, "__gcum")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(coalesce(value, lit(0L))).as("__t"))
+    // exclusive prefix over the |groups|-row frame, group order matching
+    // the composite sort's leading key
+    val offs = totals.withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.orderBy(col(groupCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__off"))
+    global.join(broadcast(offs), Seq(groupCol))
+      .withColumn(outCol, coalesce(col("__gcum"), lit(0L)) - col("__off"))
+      .drop("__gcum")
+  }
+
   /** Token-budget corpus selection: order documents by `order` (best
     * first), keep rows while the running `tokens` total fits `budget`.
     * The data-mixing primitive of training-corpus construction, built on

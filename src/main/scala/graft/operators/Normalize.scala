@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-source quantile normalization (the microarray-era technique,
@@ -21,8 +20,14 @@ import org.apache.spark.sql.functions._
   * integer boundary depending on the engine); rank() gives tied
   * scores the same rank and therefore the same normalized value.
   *
-  * Scale posture: per-source rank is a group-partitioned window; the
-  * pooled distinct-value ladder's cumulative counts come from
+  * Scale posture: NO per-source window either — sources are few and
+  * huge, so `rank().over(Window.partitionBy(source))` would push each
+  * source through ONE task; instead the per-source rank of a row is
+  * its source's strictly-smaller count + 1, read off the per-source
+  * distinct-value ladder built with [[Budget.groupedCumulativeSum]]
+  * (a GLOBAL parallel prefix over (source, score) minus broadcast
+  * per-source offsets) and joined back on (source, score). The pooled
+  * distinct-value ladder's cumulative counts come from
   * [[Budget.cumulativeSum]]'s two-phase distributed prefix sum (the
   * ladder is distinct-value-sized — corpus-sized for a continuous
   * score — so NO unpartitioned window and NO broadcast of it is
@@ -30,7 +35,7 @@ import org.apache.spark.sql.functions._
   * rows key on idx div B, ladder spans replicate onto the ≤ span/B+1
   * buckets they cover, and the exact (cum_lo, cum_hi] containment
   * filters after the bucket match. Nothing corpus-derived is
-  * broadcast, windowed globally, or collected. */
+  * broadcast, windowed globally or per-group, or collected. */
 object Normalize {
 
   /** Bucket width for the idx→ladder-span equi-join: spans replicate
@@ -45,11 +50,20 @@ object Normalize {
       scoreCol: String, idCol: String): DataFrame = {
     val s = df.select(col(idCol), col(groupCol),
       col(scoreCol).cast("long").as("score"))
-    val wSrc = Window.partitionBy(col(groupCol)).orderBy(col("score"))
-    val wSrcN = Window.partitionBy(col(groupCol))
+    // per-source rank without a per-source window: rank() of a row ==
+    // (count of strictly smaller scores in its source) + 1, which is the
+    // source-local cum_lo of its distinct-value ladder entry
+    val perGroupVal = s.groupBy(col(groupCol), col("score").as("pv"))
+      .agg(count(lit(1)).as("gc"))
+    val gLadder = Budget.groupedCumulativeSum(perGroupVal, groupCol,
+        Seq(col("pv")), col("gc"), "g_hi")
+      .select(col(groupCol), col("pv").as("score"),
+        (col("g_hi") - col("gc") + 1).as("r"))
+    val nh = perGroupVal.groupBy(col(groupCol))
+      .agg(sum(col("gc")).as("n_h"))
     val ranked = s
-      .withColumn("r", rank().over(wSrc))
-      .withColumn("n_h", count(lit(1)).over(wSrcN))
+      .join(gLadder, Seq(groupCol, "score"))
+      .join(broadcast(nh), Seq(groupCol))
     val nPool = s.agg(count(lit(1)).as("n_pool"))
     // pooled distinct-value ladder; cumulative counts via the two-phase
     // distributed prefix sum (ladder may be corpus-sized)

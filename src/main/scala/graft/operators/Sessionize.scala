@@ -97,20 +97,24 @@ object Sessionize {
       .drop("__sus")
     val perV = gaps.groupBy(col(groupCol), col("gus"))
       .agg(count(lit(1)).as("c"))
-    val wAll = Window.partitionBy(col(groupCol))
-    val wUpTo = Window.partitionBy(col(groupCol)).orderBy(col("gus"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLag = Window.partitionBy(col(groupCol)).orderBy(col("gus"))
-    // one-sample KS needs BOTH sides of each ECDF jump: D⁺ from the
+    // per-type ECDF without per-type windows: event types are FEW and
+    // HUGE, so a type-partitioned prefix window funnels each type's
+    // distinct-gap ladder through one task; the grouped two-phase
+    // prefix sum keeps it fully parallel. The lagged ECDF needs no lag
+    // either: F_emp at the previous distinct gap == cum_lo/n.
+    //
+    // One-sample KS needs BOTH sides of each ECDF jump: D⁺ from the
     // step top |F_emp(x_i) − F(x_i)| and D⁻ from the left limit
     // |F(x_i) − F_emp(x_{i−1})| (F_emp before the first jump is 0) —
     // step tops alone understate D by up to 1/n and over-accept
-    val d = perV
-      .withColumn("n", sum(col("c")).over(wAll))
-      .withColumn("femp", sum(col("c")).over(wUpTo) / col("n"))
-      .withColumn("femp_prev",
-        coalesce(lag(col("femp"), 1).over(wLag), lit(0.0)))
-      .join(broadcast(fit), Seq(groupCol))
+    val cum = graft.operators.Budget.groupedCumulativeSum(perV, groupCol,
+      Seq(col("gus")), col("c"), "cum_hi")
+    val d = cum
+      .join(broadcast(fit.select(col(groupCol),
+        col("n_gaps").cast("double").as("n"), col("lambda"))),
+        Seq(groupCol))
+      .withColumn("femp", col("cum_hi") / col("n"))
+      .withColumn("femp_prev", (col("cum_hi") - col("c")) / col("n"))
       .withColumn("fmod", lit(1.0)
         - exp(-col("lambda") * (col("gus") / 1e6)))
       .groupBy(col(groupCol))

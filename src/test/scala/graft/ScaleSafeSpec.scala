@@ -198,6 +198,27 @@ class ScaleSafeSpec extends AnyFunSuite {
     }
   }
 
+  test("Budget.groupedCumulativeSum == per-group window, no per-group data window") {
+    // few huge groups — the shape where Window.partitionBy(g) funnels a
+    // whole group through one task; the grouped two-phase prefix must be
+    // value-identical and keep every unpartitioned window metadata-sized
+    val df = (1 to 4000).map { i =>
+      (s"g${i % 3}", (i * 13 % 40).toLong, (i % 7).toLong)
+    }.toDF("g", "k", "v").repartition(8)
+    val perKey = df.groupBy(col("g"), col("k"))
+      .agg(sum(col("v")).as("c"))
+    val got = Budget.groupedCumulativeSum(perKey, "g", Seq(col("k")),
+        col("c"), "cum")
+      .select("g", "k", "cum").as[(String, Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = perKey.withColumn("cum", sum(col("c")).over(w))
+      .select("g", "k", "cum").as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assertGlobalWindowsAreMetadataOnly(
+      Budget.groupedCumulativeSum(perKey, "g", Seq(col("k")), col("c"), "cum"))
+  }
+
   test("Lift.ntileByOrder: 200k skewed rows, deterministic across re-runs, == ntile") {
     // heavy ties (a Zipfian score with ~50 distinct values) exercise the
     // range partitioner's equal-keys-co-located contract and the persist
