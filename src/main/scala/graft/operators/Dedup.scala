@@ -622,6 +622,49 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Dedup threshold-sweep audit — the table that PRICES a near-dup
+    * threshold before the corpus-wide run: for each candidate Jaccard
+    * threshold, how many documents would be flagged as having at least
+    * one near-duplicate, and what fraction of the corpus that is. Pick
+    * the knee (organic text plateaus, template families cliff) instead
+    * of hand-tuning against reruns.
+    *
+    * ONE pair computation at the loosest threshold feeds every row:
+    * the shingle inverted index's candidate set is threshold-
+    * independent, so sweeping costs the same as a single
+    * [[ngramJaccardPairs]] pass. Per-doc max-similarity is a
+    * doc-keyed aggregate over the pair frame; the per-threshold
+    * counts are conditional sums on that (flagged-docs-sized) frame.
+    * Nothing rescans or re-joins per threshold. */
+  def dedupThresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val ts = thresholds.sorted
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleSize, ts.head)
+    val perDoc = pairs.select(col("id_a").as("id"), col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("jaccard")))
+      .groupBy(col("id")).agg(max(col("jaccard")).as("max_j"))
+    val nTot = df.agg(count(lit(1)).as("n_docs"))
+    val counts = perDoc.agg(
+      sum(when(col("max_j") >= ts.head, 1L).otherwise(0L))
+        .as(s"__c0"),
+      ts.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("max_j") >= t, 1L).otherwise(0L)).as(s"__c${i + 1}")
+      }: _*)
+    counts.crossJoin(broadcast(nTot))
+      .select(explode(array(ts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          coalesce(col(s"__c$i"), lit(0L)).as("n_flagged"),
+          col("n_docs"))
+      }: _*)).as("e"))
+      .select(col("e.threshold").as("threshold"),
+        col("e.n_flagged").as("n_flagged"),
+        col("e.n_docs").as("n_docs"),
+        round(col("e.n_flagged").cast("double") / col("e.n_docs"), 6)
+          .as("pct_flagged"))
+  }
+
   /** Cross-source exact-duplicate matrix — for every pair of sources,
     * how many DISTINCT texts appear in both, plus each side's share.
     * The dedup-PLANNING statistic: a pair sharing most of its texts is

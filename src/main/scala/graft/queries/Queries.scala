@@ -9000,7 +9000,70 @@ object Queries {
              |    AS share_b
              |FROM m JOIN ps pa ON pa.s = source_a
              |  JOIN ps pb ON pb.s = source_b
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q187: dedup threshold-sweep audit — price the near-dup threshold
+    // BEFORE the corpus-wide run: per candidate Jaccard threshold, how
+    // many docs carry at least one near-dup and the corpus fraction.
+    // One q19-cost pair pass feeds every row (candidates are
+    // threshold-independent); planted copies (j ≥ 0.8) make the 0.8/0.9
+    // rows step while 0.5/0.6 pick up organic template overlap. Raw
+    // IEEE doubles compare against the same literals in both engines
+    // (the q19 boundary-parity stance).
+    QueryDef("q187_dedup_threshold_sweep",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        graft.operators.Dedup.dedupThresholdSweep(all, "doc_id", "text",
+            shingleSize = 3,
+            thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+          .orderBy(col("threshold"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM all_docs),
+             |sh AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |         THEN list_distinct(list_transform(range(len(toks) - 2),
+             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+             |         ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM tok),
+             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM posts a JOIN posts b
+             |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jac AS (SELECT id_a, id_b,
+             |    CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS j
+             |  FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+             |    >= 0.5),
+             |pd AS (SELECT id, max(j) AS mj FROM (
+             |    SELECT id_a AS id, j FROM jac
+             |    UNION ALL SELECT id_b, j FROM jac) GROUP BY 1),
+             |nt AS (SELECT count(*) AS n_docs FROM all_docs),
+             |th AS (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9]
+             |    AS DOUBLE[])) AS threshold)
+             |SELECT th.threshold,
+             |  CAST(coalesce(sum(CASE WHEN pd.mj >= th.threshold
+             |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+             |  max(nt.n_docs) AS n_docs,
+             |  round(CAST(coalesce(sum(CASE WHEN pd.mj >= th.threshold
+             |    THEN 1 ELSE 0 END), 0) AS DOUBLE) / max(nt.n_docs), 6)
+             |    AS pct_flagged
+             |FROM th CROSS JOIN nt LEFT JOIN pd ON true
+             |GROUP BY th.threshold
+             |ORDER BY th.threshold""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
