@@ -74,6 +74,7 @@ object Bench {
       // frames (Budget/RowIds/CC) bypass the CacheManager and need their
       // own unpersist. Untimed: cleanup cost is harness bookkeeping, not
       // query work.
+      graft.pipeline.Pins.flush()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

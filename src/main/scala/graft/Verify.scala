@@ -41,8 +41,9 @@ object Verify {
         deleteRecursively(target)
       }
       finally {
-        // bound storage across the 61-query run: operator helper caches and
+        // bound storage across the registry run: operator helper caches and
         // localCheckpoint'd frames are per-query scratch, not shared state
+        graft.pipeline.Pins.flush()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

@@ -34,7 +34,7 @@ object Boilerplate {
     * a filter step deciding to DROP docs is a separate policy choice). */
   def strip(df: DataFrame, idCol: String, textCol: String, minDocs: Long,
       outCol: String = "clean_text"): DataFrame = {
-    val ls = lines(df, idCol, textCol).cache()
+    val ls = graft.pipeline.Pins.pin(lines(df, idCol, textCol))
     val frequent = frequentLines(ls, minDocs).select("line")
     val kept = ls.join(frequent, Seq("line"), "left_anti")
       .groupBy("id")

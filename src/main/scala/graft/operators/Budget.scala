@@ -54,10 +54,11 @@ object Budget {
     // materializes at construction), truncates lineage (executor loss =
     // unrecoverable job), and hides the subtree from explain(); the cache
     // is recoverable (lost blocks recompute through the already-bound
-    // partitioner) and is cleared by the per-run cleanup paths.
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-      .withColumn(PidCol, spark_partition_id().cast("long"))
-      .persist()
+    // partitioner) and is released by [[graft.pipeline.Pins.flush]] at run
+    // boundaries.
+    val sorted = graft.pipeline.Pins.pin(
+      df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+        .withColumn(PidCol, spark_partition_id().cast("long")))
     // one row per partition — safe for a global window
     val subtotals = sorted.groupBy(col(PidCol))
       .agg(sum(v0).as(SubCol), sum(vCnt).as(SubCntCol))
@@ -101,6 +102,131 @@ object Budget {
     global.join(broadcast(offs), Seq(groupCol))
       .withColumn(outCol, coalesce(col("__gcum"), lit(0L)) - col("__off"))
       .drop("__gcum")
+  }
+
+  /** One running aggregate for [[Budget.groupedRunning]]: the per-group
+    * prefix value of `value` in the call's order, written to `out`. */
+  sealed trait Running { def out: String }
+  /** Per-group running sum (the `sum(v).over(partitionBy(g).orderBy(o))`
+    * replacement). `value` must be non-null (counts/weights — a null
+    * contributes 0 where the window would skip it). */
+  case class RunSum(value: Column, out: String) extends Running
+  /** Per-group running min of `value`. */
+  case class RunMin(value: Column, out: String) extends Running
+  /** Per-group running max of `value`. */
+  case class RunMax(value: Column, out: String) extends Running
+  /** Per-group running sum of `value` written to `out` PLUS the running
+    * min of that running sum written to `minOut` — the CUSUM closed-form
+    * shape (S_t = C_t − min(0, min_{j≤t} C_j)), which needs the prefix
+    * min of a prefix sum and therefore its own cross-partition offset
+    * algebra: min over prior segments of (segment offset + segment's
+    * local running-min). */
+  case class RunSumWithMin(value: Column, out: String,
+      minOut: String) extends Running
+
+  /** Several per-group running aggregates in ONE pass, without per-group
+    * windows — the scale-safe replacement for
+    * `f(v).over(Window.partitionBy(g).orderBy(...))` when groups are FEW
+    * and HUGE (event types, sources, cohorts): a partitioned window
+    * processes each group in ONE task, which at 100 TB with 20 groups is
+    * a 5-TB task. Generalizes [[groupedCumulativeSum]] (sum-only) to
+    * min/max and to the min-of-running-sum CUSUM shape, and computes all
+    * requested aggregates from a single range partitioning.
+    *
+    * Plan: range-repartition on the composite (group, order...) key — a
+    * normal parallel sort; every (partition, group) SEGMENT is contiguous,
+    * so per-segment running values ride a (pid, group)-partitioned window
+    * (bounded by partition size, never by group size). Per-segment
+    * summaries are METADATA (≤ #partitions + #groups rows — contiguous
+    * ranges), so cross-segment offsets come from windows over that tiny
+    * aggregate only and broadcast back:
+    *   - running sum: exclusive prefix sum of segment totals;
+    *   - running min/max: exclusive prefix min/max of segment extrema,
+    *     combined with `least`/`greatest` (null offset = first segment);
+    *   - min-of-running-sum: exclusive prefix min of (segment sum offset
+    *     + segment local running-min), combined the same way.
+    * Value-identical to the per-group window for non-null values; double
+    * sums may differ in the last ulp from a strictly sequential fold
+    * (association changes at segment boundaries) — callers rounding to
+    * ≤6 decimals (the repo-wide stance) are unaffected. */
+  def groupedRunning(df: DataFrame, groupCol: String, order: Seq[Column],
+      specs: Seq[Running]): DataFrame = {
+    require(order.nonEmpty, "groupedRunning needs an ordering")
+    require(specs.nonEmpty, "groupedRunning needs at least one aggregate")
+    val key = col(groupCol) +: order
+    def locN(o: String) = s"__loc_$o"
+    def totN(o: String) = s"__tot_$o"
+    def offN(o: String) = s"__off_$o"
+    def candN(o: String) = s"__cand_$o"
+    // pinned: the segment-summary branch and the data branch must see ONE
+    // sampled range partitioning (the cumulativeSum determinism contract)
+    val sorted = graft.pipeline.Pins.pin(
+      df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
+        .withColumn(PidCol, spark_partition_id().cast("long")))
+    val wLoc = Window.partitionBy(col(PidCol), col(groupCol))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // pass 1: per-segment running values (one (pid, group) hash exchange;
+    // each segment evaluates inside one task, bounded by partition size)
+    val pass1 = sorted.select(col("*") +: specs.map {
+      case RunSum(v, o) => sum(v).over(wLoc).as(locN(o))
+      case RunMin(v, o) => min(v).over(wLoc).as(locN(o))
+      case RunMax(v, o) => max(v).over(wLoc).as(locN(o))
+      case RunSumWithMin(v, o, _) => sum(v).over(wLoc).as(locN(o))
+    }: _*)
+    // pass 2 (same partitioning + ordering — no extra exchange or sort):
+    // running min OF the pass-1 running sums (windows cannot nest)
+    val sumMins = specs.collect { case s: RunSumWithMin => s }
+    val local =
+      if (sumMins.isEmpty) pass1
+      else pass1.select(col("*") +: sumMins.map(s =>
+        min(col(locN(s.out))).over(wLoc).as(locN(s.minOut))): _*)
+    // per-segment summaries — metadata-sized
+    val segAggs = specs.flatMap {
+      case RunSum(v, o) => Seq(sum(v).as(totN(o)))
+      case RunMin(v, o) => Seq(min(v).as(totN(o)))
+      case RunMax(v, o) => Seq(max(v).as(totN(o)))
+      case RunSumWithMin(v, o, mo) =>
+        Seq(sum(v).as(totN(o)), min(col(locN(o))).as(totN(mo)))
+    }
+    val segs = local.groupBy(col(PidCol), col(groupCol))
+      .agg(segAggs.head, segAggs.tail: _*)
+    val wMeta = Window.partitionBy(col(groupCol)).orderBy(col(PidCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // exclusive per-group segment offsets (two selects: the sum-with-min
+    // candidate needs the sum offset, and windows cannot nest)
+    val withOffs = segs.select(Seq(col(PidCol), col(groupCol)) ++
+      specs.flatMap {
+        case RunSum(_, o) => Seq(sum(col(totN(o))).over(wMeta).as(offN(o)))
+        case RunMin(_, o) => Seq(min(col(totN(o))).over(wMeta).as(offN(o)))
+        case RunMax(_, o) => Seq(max(col(totN(o))).over(wMeta).as(offN(o)))
+        case RunSumWithMin(_, o, mo) => Seq(
+          sum(col(totN(o))).over(wMeta).as(offN(o)), col(totN(mo)))
+      }: _*)
+    val offs = withOffs.select(Seq(col(PidCol), col(groupCol)) ++
+      specs.flatMap {
+        case RunSumWithMin(_, o, mo) => Seq(col(offN(o)),
+          min(coalesce(col(offN(o)), lit(0)) + col(totN(mo)))
+            .over(wMeta).as(offN(mo)))
+        case s => Seq(col(offN(s.out)))
+      }: _*)
+    // combine: offset ⊕ local running value, identity when first segment
+    val outCols = specs.flatMap {
+      case RunSum(_, o) =>
+        Seq((coalesce(col(offN(o)), lit(0)) + col(locN(o))).as(o))
+      case RunMin(_, o) => Seq(when(col(offN(o)).isNull, col(locN(o)))
+        .otherwise(least(col(offN(o)), col(locN(o)))).as(o))
+      case RunMax(_, o) => Seq(when(col(offN(o)).isNull, col(locN(o)))
+        .otherwise(greatest(col(offN(o)), col(locN(o)))).as(o))
+      case RunSumWithMin(_, o, mo) =>
+        val base = coalesce(col(offN(o)), lit(0))
+        Seq((base + col(locN(o))).as(o),
+          when(col(offN(mo)).isNull, base + col(locN(mo)))
+            .otherwise(least(col(offN(mo)), base + col(locN(mo))))
+            .as(mo))
+    }
+    local.join(broadcast(offs), Seq(PidCol, groupCol))
+      .select(df.columns.toSeq.map(n => col(s"`$n`")) ++ outCols: _*)
   }
 
   /** Token-budget corpus selection: order documents by `order` (best

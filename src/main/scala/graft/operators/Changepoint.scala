@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CUSUM mean-shift detection (Page 1954) — the sequential changepoint
@@ -22,12 +21,16 @@ import org.apache.spark.sql.functions._
   *   S_t = C_t − min(0, min_{j≤t} C_j),   C_t = Σ_{i≤t} x_i
   *
   * (subtracting the running minimum of the cumulative sum re-creates
-  * every reset), so the whole detector is two windowed prefix
-  * aggregates over a (group, time) sort — no UDF, no driver loop, no
-  * state store; exactly the shape Spark already distributes (one
-  * shuffle on the group key; each group's window evaluates inside one
-  * partition). The mirrored statistic with x_t = −z_t − slack catches
-  * downward shifts.
+  * every reset), so the whole detector is prefix aggregates over a
+  * (group, time) sort — no UDF, no driver loop, no state store. Both
+  * the cumulative sum and its running minimum ride ONE
+  * [[Budget.groupedRunning]] pass (the `RunSumWithMin` shape): the
+  * two-phase distributed prefix over the composite (group, time)
+  * sort, so NO per-group window exists — a group-partitioned window
+  * would put each monitored series entirely in one task, the
+  * single-task scale shape the q167/q180 rewrites removed (event
+  * types are few; series are corpus-sized). The mirrored statistic
+  * with x_t = −z_t − slack catches downward shifts.
   *
   * Alarm: S exceeds threshold h (conventional h=5, slack k=0.5 — the
   * "detect 1σ shifts" tuning). The changepoint estimate is the first
@@ -61,22 +64,21 @@ object Changepoint {
       stddev_pop(col(valueCol)).as("__sigma"))
     val z = current.join(broadcast(stats), Seq(keyCol))
       .filter(col("__sigma") > 0)
-      .withColumn("__z",
-        round((col(valueCol) - col("__mu")) / col("__sigma"), 6))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // two window passes (cumsum, then running min of it) — window
-    // functions cannot nest, and the second pass reuses the first's
-    // (key, order) sort, so this still costs one shuffle + one sort
-    val withC = z.select(col(keyCol), col(orderCol), col("__mu"),
-      col("__sigma"),
-      sum(col("__z") - lit(slack)).over(w).as("__cpos"),
-      sum(-col("__z") - lit(slack)).over(w).as("__cneg"))
-    def side(c: String, name: String) =
-      round(col(c) - least(lit(0.0), min(col(c)).over(w)), 4).as(name)
+      .select(col(keyCol), col(orderCol), col("__mu"), col("__sigma"),
+        round((col(valueCol) - col("__mu")) / col("__sigma"), 6)
+          .as("__z"))
+    // one grouped-prefix pass computes both one-sided cumulative sums
+    // AND their running minima (the RunSumWithMin shape — windows cannot
+    // nest, but the segment algebra can)
+    val withC = Budget.groupedRunning(z, keyCol, Seq(col(orderCol)),
+      Seq(
+        Budget.RunSumWithMin(col("__z") - lit(slack), "__cpos", "__mpos"),
+        Budget.RunSumWithMin(-col("__z") - lit(slack), "__cneg", "__mneg")))
+    def side(c: String, m: String, name: String) =
+      round(col(c) - least(lit(0.0), col(m)), 4).as(name)
     val scored = withC.select(col(keyCol), col(orderCol), col("__mu"),
-      col("__sigma"), side("__cpos", "s_pos"), side("__cneg", "s_neg"))
+      col("__sigma"), side("__cpos", "__mpos", "s_pos"),
+      side("__cneg", "__mneg", "s_neg"))
     scored.groupBy(col(keyCol)).agg(
         count(lit(1)).as("n"),
         round(first(col("__mu")), 6).as("mu"),

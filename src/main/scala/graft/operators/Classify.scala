@@ -81,7 +81,7 @@ object Classify {
       .groupBy(col("tok")).agg(
         sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("is_pos"), 1L).otherwise(0L)).as("c_neg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(v => graft.pipeline.Pins.pin(v))
 
   def nbTrainScore(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, labelCol: String, posLabel: String, negLabel: String,

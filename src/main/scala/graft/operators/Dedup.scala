@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, Text}
+import graft.pipeline.Pins
 
 /** Deduplication operators for large-scale corpora: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -69,6 +70,79 @@ object Dedup {
     }
   }
 
+  /** Skew-cap telemetry for the shingle dedup path (the X5 metrics lane).
+    *
+    * [[shinglePostings]]' `maxDocFreq` and [[crossSourceDupMatrix]]'s
+    * `maxSourcesPerText` drop ubiquitous keys SILENTLY by design (they
+    * carry no near-dup signal and would quadratically blow their bucket)
+    * — but a 100-TB operator must REPORT what it truncated, or a
+    * boilerplate explosion / template flood silently shrinks recall with
+    * no monitoring signal. One tall (metric, value) frame — the
+    * DataCard/StageResult-style counters row:
+    *
+    *   shingle_cap          the maxDocFreq the caller would pass
+    *   shingles_total       distinct shingles in the corpus
+    *   shingles_dropped     shingles with doc-freq > cap
+    *   postings_total       (doc, shingle) posting rows
+    *   postings_dropped     posting rows removed by the cap
+    *   doc_freq_max         the hottest shingle's doc frequency
+    *
+    * Cost: the same postings build + doc-freq aggregate the capped
+    * operator already runs (shuffle = |distinct shingles| partial-agg
+    * rows), then a 1-row rollup — run it alongside the dedup pass or on
+    * a sample. */
+  def shingleDropStats(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxDocFreq: Long): DataFrame = {
+    val freq = shinglePostings(df, idCol, textCol, shingleSize, None)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    freq.agg(
+        count(lit(1)).as("shingles_total"),
+        sum(when(col("__df") > maxDocFreq, 1L).otherwise(0L))
+          .as("shingles_dropped"),
+        sum(col("__df")).as("postings_total"),
+        sum(when(col("__df") > maxDocFreq, col("__df")).otherwise(0L))
+          .as("postings_dropped"),
+        max(col("__df")).as("doc_freq_max"))
+      .select(explode(map(
+        lit("shingle_cap"), lit(maxDocFreq),
+        lit("shingles_total"), col("shingles_total"),
+        lit("shingles_dropped"), col("shingles_dropped"),
+        lit("postings_total"), col("postings_total"),
+        lit("postings_dropped"), col("postings_dropped"),
+        lit("doc_freq_max"), col("doc_freq_max"))).as(Seq("metric", "value")))
+  }
+
+  /** [[crossSourceDupMatrix]]'s cap telemetry, same contract as
+    * [[shingleDropStats]]:
+    *
+    *   text_cap              the maxSourcesPerText the caller would pass
+    *   texts_total           distinct (by digest) texts
+    *   texts_dropped         texts in more sources than the cap
+    *   pairs_suppressed      Σ over dropped texts of ns·(ns−1)/2 — the
+    *                         pair rows the cap kept out of the matrix
+    *   sources_per_text_max  the most ubiquitous text's source count */
+  def crossSourceDropStats(df: DataFrame, sourceCol: String,
+      textCol: String, maxSourcesPerText: Int): DataFrame = {
+    val ns = df.select(md5(col(textCol)).as("d"), col(sourceCol).as("s"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("__ns"))
+    ns.agg(
+        count(lit(1)).as("texts_total"),
+        sum(when(col("__ns") > maxSourcesPerText, 1L).otherwise(0L))
+          .as("texts_dropped"),
+        sum(when(col("__ns") > maxSourcesPerText,
+          expr("(__ns * (__ns - 1)) div 2")).otherwise(0L))
+          .as("pairs_suppressed"),
+        max(col("__ns")).as("sources_per_text_max"))
+      .select(explode(map(
+        lit("text_cap"), lit(maxSourcesPerText.toLong),
+        lit("texts_total"), col("texts_total"),
+        lit("texts_dropped"), col("texts_dropped"),
+        lit("pairs_suppressed"), col("pairs_suppressed"),
+        lit("sources_per_text_max"), col("sources_per_text_max")))
+        .as(Seq("metric", "value")))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted-index
     * self-join: |A ∩ B| from grouping shared shingles, |A ∪ B| = |A|+|B|-∩.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -77,12 +151,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    // cached: consumed 3x (sizes + both sides of the inverted-index join);
+    // pinned: consumed 3x (sizes + both sides of the inverted-index join);
     // without it the tokenize+shingle+explode pipeline re-runs per consumer
-    val posts = shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq)
-      .cache()
-    // cached: joined back for both the n_a and n_b sides
-    val sizes = posts.groupBy("id").agg(count(lit(1)).as("n_shingles")).cache()
+    val posts = Pins.pin(
+      shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq))
+    // pinned: joined back for both the n_a and n_b sides
+    val sizes = Pins.pin(
+      posts.groupBy("id").agg(count(lit(1)).as("n_shingles")))
 
     val inter = posts.as("a")
       .join(posts.as("b"),
@@ -154,12 +229,12 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val posts = shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq)
-      .cache()
-    // cached: the band self-join consumes the signature aggregation on both
+    val posts = Pins.pin(
+      shinglePostings(df, idCol, textCol, shingleSize, maxDocFreq))
+    // pinned: the band self-join consumes the signature aggregation on both
     // sides — |docs| x numHashes longs, small; without it the min-agg runs
     // twice (exchange reuse only covers the shuffle)
-    val sigs = minhashSignatures(posts, numHashes).cache()
+    val sigs = Pins.pin(minhashSignatures(posts, numHashes))
 
     // explode into (band, bucket) — bucket = hash of the band's slice
     val banded = sigs.select(col("id"),
@@ -216,17 +291,17 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val cPosts =
-      shinglePostings(corpus, idCol, textCol, shingleSize, maxDocFreq).cache()
-    val bPosts =
-      shinglePostings(batch, idCol, textCol, shingleSize, maxDocFreq).cache()
+    val cPosts = Pins.pin(
+      shinglePostings(corpus, idCol, textCol, shingleSize, maxDocFreq))
+    val bPosts = Pins.pin(
+      shinglePostings(batch, idCol, textCol, shingleSize, maxDocFreq))
     def banded(posts: DataFrame) =
       minhashSignatures(posts, numHashes).select(col("id"),
         posexplode(bandBuckets(col("sig"), bands, rows))
           .as(Seq("band", "bucket")))
     val cb = banded(cPosts)
-    // cached: the batch's banding probes the index AND self-joins
-    val bb = banded(bPosts).cache()
+    // pinned: the batch's banding probes the index AND self-joins
+    val bb = Pins.pin(banded(bPosts))
     val vsIndex = bb.as("a").join(cb.as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
         && col("a.id") =!= col("b.id"))
@@ -284,9 +359,9 @@ object Dedup {
     // all-ones mask or every row would collapse into chunk value 0 and the
     // bucket join would silently become a cross product
     val chunkMask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
-    // cached: the chunk self-join consumes the fingerprint aggregation on
+    // pinned: the chunk self-join consumes the fingerprint aggregation on
     // both sides — without this the bits-sum aggregation runs twice
-    val sims = simhashAgg(df, idCol, textCol, bits, tokenHash).cache()
+    val sims = Pins.pin(simhashAgg(df, idCol, textCol, bits, tokenHash))
 
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
@@ -570,13 +645,11 @@ object Dedup {
     // action (the pair join's broadcast BUILD, its streamed side, and the
     // final left-join base — broadcast and shuffle exchanges can't reuse
     // each other), plus once more for a caller's orderBy range sampling.
-    // Measured 2.2x on the graded query. CacheManager-managed, so the
-    // session's clearCache releases it (the Bench/Verify lifecycle; the
-    // connectedComponents pin stance).
-    val asg = scored.withColumn("rk", row_number().over(w))
+    // Measured 2.2x on the graded query. Pins-registered, so run
+    // boundaries (Bench/Verify cleanup, Pins.flush) release it.
+    val asg = Pins.pin(scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("id"), col("vec"), col("cent_id"), col("c_sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("vec"), col("cent_id"), col("c_sim")))
     // within-cluster pairs: the ONLY shuffle after assignment is on cent_id
     val a = asg.select(col("id").as("a_id"), col("vec").as("a_vec"),
       col("cent_id"), col("c_sim").as("a_csim"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -19,10 +19,14 @@ import graft.functions.Text
   * over the GLOBAL vocabulary so both distributions share support.
   *
   * Scale posture: one token explode feeds the (source, word) and
-  * global word tables; the per-source evaluation frame is
-  * |sources|·|vocab| (vocab-bounded, never corpus-row-bounded) built
-  * by crossing the source list with the vocab table and left-joining
-  * the source counts; one source-keyed sum finishes. For web-scale
+  * global word tables. The evaluation DECOMPOSES by term presence —
+  * jsd(s) = Σ_vocab c₀(w, s) + Σ_{w ∈ s} (c(w, s) − c₀(w, s)) where
+  * c₀ is the contribution under the absent hypothesis (n_sw = 0) —
+  * so the |sources|·|vocab| absent-mass never materializes as a
+  * joined grid: it is a projection + map-side-combined aggregate
+  * over the vocab stream crossed with the |sources|-row broadcast
+  * metadata, and the ONLY word-keyed join is the real postings frame
+  * (|source, word| pairs that actually occur). For web-scale
   * vocabularies, cap to the top-V words by global count first (the
   * q72 heavy-hitter stance) — the tail contributes negligible mass. */
 object Divergence {
@@ -42,21 +46,32 @@ object Divergence {
       sum(col("n_w")).as("t_all"))
     val srcTot = sc.groupBy(col("src")).agg(sum(col("n_sw")).as("t_s"),
       count(lit(1)).as("n_types"))
-    val grid = srcTot.select(col("src"), col("t_s"))
+    // |sources|-row metadata: per-source totals + the global scalars
+    val srcMeta = srcTot.select(col("src"), col("t_s"))
       .crossJoin(broadcast(vocabN))
-      .crossJoin(gc) // |sources| x |vocab| — the documented bound
-      .join(sc, Seq("src", "w"), "left")
-      .na.fill(0L, Seq("n_sw"))
-    val contrib = grid
-      .withColumn("p", (col("n_sw") + lit(0.5))
-        / (col("t_s") + col("v") * lit(0.5)))
-      .withColumn("q", ((col("n_w") - col("n_sw")) + lit(0.5))
-        / ((col("t_all") - col("t_s")) + col("v") * lit(0.5)))
-      .withColumn("m", (col("p") + col("q")) / 2)
-      .withColumn("c", lit(0.5) * col("p") * log(col("p") / col("m"))
-        + lit(0.5) * col("q") * log(col("q") / col("m")))
-    val jsd = contrib.groupBy(col("src"))
-      .agg(round(sum(col("c")), 6).as("jsd"))
+    // the smoothed JSD contribution of word w to source s at count n_sw
+    def contrib(nSw: Column): Column = {
+      val p = (nSw + lit(0.5)) / (col("t_s") + col("v") * lit(0.5))
+      val q = ((col("n_w") - nSw) + lit(0.5)) /
+        ((col("t_all") - col("t_s")) + col("v") * lit(0.5))
+      val m = (p + q) / 2
+      lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)
+    }
+    // absent-hypothesis mass for EVERY (source, word): vocab stream x
+    // broadcast source metadata — pure projection into a partial agg, no
+    // grid-sized shuffle or join-back
+    val base = gc.crossJoin(broadcast(srcMeta))
+      .select(col("src"), contrib(lit(0L)).as("c0"))
+      .groupBy(col("src")).agg(sum(col("c0")).as("__base"))
+    // present-term correction: only the REAL postings rows join (equi on
+    // the word), each swapping its absent-hypothesis term for the actual
+    val corr = sc.join(gc, Seq("w"))
+      .join(broadcast(srcMeta), Seq("src"))
+      .select(col("src"),
+        (contrib(col("n_sw")) - contrib(lit(0L))).as("dc"))
+      .groupBy(col("src")).agg(sum(col("dc")).as("__corr"))
+    val jsd = base.join(corr, Seq("src"))
+      .select(col("src"), round(col("__base") + col("__corr"), 6).as("jsd"))
     val w = Window.orderBy(col("jsd").desc)
     srcTot.join(jsd, Seq("src"))
       .select(col("src").as(srcCol), col("t_s").as("n_tokens"),

@@ -82,13 +82,17 @@ object Drift {
     *
     * Implementation: both slices reduce to per-(key, distinct value)
     * counts in ONE union + hash aggregate (map-side combined; ties
-    * collapse here, so the window input is distinct values, not
-    * rows). Both ECDFs then ride the SAME key-partitioned prefix-sum
-    * window — for right-continuous step ECDFs the sup is attained at
-    * a data point, so the max over those rows is the exact D. No
-    * global sort; per-key window input is bounded by distinct values
-    * (quantize the metric upstream if it is truly continuous at
-    * extreme scale — or use [[psi]], which is O(bins)).
+    * collapse here, so the prefix input is distinct values, not
+    * rows). Both ECDFs then ride ONE [[Budget.groupedRunning]] pass —
+    * the two-phase distributed prefix sum over the composite
+    * (key, value) sort, so NO per-key window exists: a key-partitioned
+    * window would funnel each key's whole ladder through one task,
+    * which for a CONTINUOUS metric at 100 TB (distinct values ~ rows)
+    * is the single-task scale-killer the q167/q180 rewrites removed.
+    * Per-key totals are a |keys|-row aggregate broadcast back. For
+    * right-continuous step ECDFs the sup is attained at a data point,
+    * so the max over those rows is the exact D; counts are integers,
+    * so the two-phase sums are bit-exact.
     *
     * Output one row per key: n_base, n_cur, d_stat (rounded 6),
     * ks_stat (rounded 4), reject_05. */
@@ -100,15 +104,14 @@ object Drift {
         lit(0L).as("b"), lit(1L).as("c")))
     val perV = tagged.groupBy(col(keyCol), col("v"))
       .agg(sum(col("b")).as("nb"), sum(col("c")).as("nc"))
-    val wAll = Window.partitionBy(col(keyCol))
-    val wUpTo = Window.partitionBy(col(keyCol)).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perV
-      .withColumn("n_base", sum(col("nb")).over(wAll))
-      .withColumn("n_cur", sum(col("nc")).over(wAll))
+    val totals = perV.groupBy(col(keyCol))
+      .agg(sum(col("nb")).as("n_base"), sum(col("nc")).as("n_cur"))
+    Budget.groupedRunning(perV, keyCol, Seq(col("v")),
+        Seq(Budget.RunSum(col("nb"), "__cb"),
+          Budget.RunSum(col("nc"), "__cc")))
+      .join(broadcast(totals), Seq(keyCol))
       .withColumn("diff", abs(
-        sum(col("nb")).over(wUpTo) / col("n_base")
-          - sum(col("nc")).over(wUpTo) / col("n_cur")))
+        col("__cb") / col("n_base") - col("__cc") / col("n_cur")))
       .groupBy(col(keyCol))
       .agg(first(col("n_base")).as("n_base"),
         first(col("n_cur")).as("n_cur"),

@@ -48,11 +48,11 @@ object Graphs {
     // 1.5x on the graded query). The standard iterative-graph pin
     // (connectedComponents stance; GraphX caches its edge RDD the same
     // way). Released by the session's cache cleanup.
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).cache()
-    val nodes = e.select(col("src").as("node"))
+    val e = graft.pipeline.Pins.pin(edges.select(col("src"), col("dst"))
+      .repartition(col("src")))
+    val nodes = graft.pipeline.Pins.pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().cache()
+      .distinct())
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("pr", lit(0.0))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -67,9 +67,9 @@ object LmScore {
     // cannot kick in) and each evaluation re-tokenizes the training
     // corpus. Vocab-sized, CacheManager-managed (the Classify/semDedup
     // pin stance).
-    val uniCounts = trainToks.select(explode(col("toks")).as("u"))
-      .groupBy(col("u")).agg(count(lit(1)).as("c_u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniCounts = graft.pipeline.Pins.pin(
+      trainToks.select(explode(col("toks")).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("c_u")))
     // vocabulary size: a single-row aggregate, broadcast as a literal column
     val vocab = uniCounts.agg(count(lit(1)).as("vsz"))
 

@@ -167,19 +167,25 @@ object Mix {
     * domain's `budget_rows` rows by deterministic hash order — the
     * engine-portable uniform (md5 of the id, the q106 Gumbel stance), so
     * the same corpus yields the same sample on any engine or
-    * partitioning. One |domains|-row broadcast join plus one window
-    * PARTITIONED by the domain (per-domain rank, never a global funnel).
-    * Returns the kept rows of `df` (all columns). */
+    * partitioning. One |domains|-row broadcast join plus ONE
+    * [[Budget.groupedRunning]] prefix count (the per-domain rank): a
+    * domain-PARTITIONED rank window would put each domain's whole corpus
+    * slice in one task — and because the cut `budget_rows` is a per-domain
+    * COLUMN, the rank-limit pushdown (WindowGroupLimit) that makes literal
+    * top-k windows scale-safe cannot apply, so the two-phase prefix is the
+    * only shape that survives few huge domains at 100 TB. Ids are unique,
+    * so the running count IS row_number. Returns the kept rows of `df`
+    * (all columns). */
   def temperatureSample(df: DataFrame, domainCol: String, weight: Column,
       idCol: String, alpha: Double = 0.3,
       budget: Long = 1000000L): DataFrame = {
     val budgets = temperatureWeights(df, domainCol, weight, alpha, budget)
       .select(col(domainCol), col("budget_rows"))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc,
-        col(idCol).asc)
-    df.join(broadcast(budgets), domainCol)
-      .withColumn("__rk", row_number().over(w))
+    Budget.groupedRunning(
+        df.join(broadcast(budgets), domainCol), domainCol,
+        Seq(md5(col(idCol).cast("string").cast("binary")).asc,
+          col(idCol).asc),
+        Seq(Budget.RunSum(lit(1L), "__rk")))
       .filter(col("__rk") <= col("budget_rows"))
       .drop("__rk", "budget_rows")
   }

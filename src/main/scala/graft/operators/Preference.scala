@@ -60,29 +60,32 @@ object Preference {
     val d = comparisons.groupBy(col(winnerCol).as("p"),
       col(loserCol).as("q")).agg(count(lit(1)).as("w"))
       .persist()
-    val nPlayers = d.select(col("p"))
-      .unionByName(d.select(col("q").as("p"))).distinct().count()
-    require(nPlayers <= maxPlayers,
-      s"Preference.bradleyTerry: $nPlayers players exceed the " +
-        s"driver-safe bound maxPlayers=$maxPlayers — the pair frame " +
-        "and MM state would no longer be metadata-sized; reduce the " +
-        "player universe (players are sources/models/arms, not items) " +
-        "or raise maxPlayers with driver memory to match")
-    // every ordered pair that played, with its (possibly 0) win count
-    val sym = d.select(col("p"), col("q"), col("w"))
-      .unionByName(d.select(col("q").as("p"), col("p").as("q"),
-        lit(0L).as("w")))
-      .groupBy(col("p"), col("q")).agg(sum(col("w")).as("w"))
-    val n = sym.select(col("p"), col("q"), col("w"))
-      .unionByName(sym.select(col("q").as("p"), col("p").as("q"),
-        col("w")))
-      .groupBy(col("p"), col("q")).agg(sum(col("w")).as("n"))
-    val ps = sym.join(n, Seq("p", "q"))
-
-    val playerType = ps.schema("p").dataType
-    // (p, q, wins of p over q, games p-vs-q) — |players|^2-bounded
-    val pr = ps.collect()
-      .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
+    // every action on d happens inside this block, so the pin is released
+    // on EVERY exit path (including the maxPlayers require-failure) — a
+    // long-lived caller must not accumulate one cached frame per fit
+    val (playerType, pr) = try {
+      val nPlayers = d.select(col("p"))
+        .unionByName(d.select(col("q").as("p"))).distinct().count()
+      require(nPlayers <= maxPlayers,
+        s"Preference.bradleyTerry: $nPlayers players exceed the " +
+          s"driver-safe bound maxPlayers=$maxPlayers — the pair frame " +
+          "and MM state would no longer be metadata-sized; reduce the " +
+          "player universe (players are sources/models/arms, not items) " +
+          "or raise maxPlayers with driver memory to match")
+      // every ordered pair that played, with its (possibly 0) win count
+      val sym = d.select(col("p"), col("q"), col("w"))
+        .unionByName(d.select(col("q").as("p"), col("p").as("q"),
+          lit(0L).as("w")))
+        .groupBy(col("p"), col("q")).agg(sum(col("w")).as("w"))
+      val n = sym.select(col("p"), col("q"), col("w"))
+        .unionByName(sym.select(col("q").as("p"), col("p").as("q"),
+          col("w")))
+        .groupBy(col("p"), col("q")).agg(sum(col("w")).as("n"))
+      val ps = sym.join(n, Seq("p", "q"))
+      // (p, q, wins of p over q, games p-vs-q) — |players|^2-bounded
+      (ps.schema("p").dataType, ps.collect()
+        .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3))))
+    } finally d.unpersist(blocking = false)
     val byP = pr.groupBy(_._1)
     val players = byP.keys.toSeq.sortBy(_.toString)
     val wins = byP.map { case (p, rs) => p -> rs.map(_._3).sum }

@@ -19,7 +19,13 @@ object Pipeline {
   case class RunResult(cleaned: DataFrame, changeLog: DataFrame,
       validationErrors: DataFrame, stages: Seq[StageResult], passed: Boolean,
       pinned: Seq[DataFrame] = Nil) {
-    def release(): Unit = pinned.foreach(_.unpersist(false))
+    def release(): Unit = {
+      pinned.foreach(_.unpersist(false))
+      // operator-internal pins created during the run (RowIds' sampled
+      // exchange, any composed operator scratch) — the run boundary is
+      // the scoped lifecycle for those too
+      Pins.flush()
+    }
   }
 
   private def timed[T](name: String, out: scala.collection.mutable.Buffer[StageResult])

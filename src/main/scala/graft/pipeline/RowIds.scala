@@ -92,9 +92,9 @@ object RowIds {
     // localCheckpoint: lazy under AQE (no construction-time jobs), lineage
     // kept (executor loss recomputes through the already-bound partitioner
     // instead of failing on a missing checkpoint block), subtree still
-    // visible to explain(); cleared by the per-run cleanup paths.
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-      .persist()
+    // visible to explain(); released by [[Pins.flush]] at run boundaries.
+    val sorted = Pins.pin(
+      df.repartitionByRange(order: _*).sortWithinPartitions(order: _*))
     denseInPartitionOrder(sorted, idCol)
   }
 }

@@ -1282,7 +1282,7 @@ object Queries {
       (s, dir) => {
         // consumed 3x (pair generation, CC nodes, quality profile): cache
         // the planted corpus once instead of re-reading + perturbing per use
-        val all = plantedNearDups(s, dir, 7).cache()
+        val all = graft.pipeline.Pins.pin(plantedNearDups(s, dir, 7))
         val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
           shingleSize = 3, threshold = 0.7)
         val cc = Dedup.connectedComponents(
@@ -1771,7 +1771,8 @@ object Queries {
         // shingle ONCE for the whole corpus, cache, split train/eval by
         // filter — halves the tokenize+explode work vs two posting builds
         val d = t(s, dir, "documents")
-        val posts = Dedup.shinglePostings(d, "doc_id", "text", 3).cache()
+        val posts = graft.pipeline.Pins.pin(
+          Dedup.shinglePostings(d, "doc_id", "text", 3))
         val isEval = pmod(col("id"), lit(50)) === 0
         val trainPosts = posts.filter(!isEval)
           .select(col("id").as("train_id"), col("shingle"))
@@ -1841,19 +1842,21 @@ object Queries {
     // ---------------------------------------------------------------------
     // q60: data-mixture construction — an INDEPENDENT token budget per
     // domain (language), the per-source quota step of training-corpus
-    // mixing. The cumulative sum is a PARTITIONED window (one partition
-    // per domain), so unlike the global q46 budget it is scale-safe as
-    // written: no cross-partition prefix needed, one shuffle on lang.
+    // mixing. Languages are FEW, so a lang-partitioned cumulative window
+    // would run each domain's corpus slice in ONE task; the per-domain
+    // prefix rides Budget.groupedCumulativeSum instead (two-phase
+    // distributed prefix over the composite (lang, n_chars desc, doc_id)
+    // sort — the q167/q180 plan), value-identical in exact long
+    // arithmetic.
     QueryDef("q60_domain_mix",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("n_chars").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        d.select(col("doc_id"), col("lang"),
-            Text.tokenCount(col("text")).cast("long").as("n_tokens"),
-            col("n_chars"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        graft.operators.Budget.groupedCumulativeSum(
+            d.select(col("doc_id"), col("lang"),
+              Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+              col("n_chars")),
+            "lang", Seq(col("n_chars").desc, col("doc_id")),
+            col("n_tokens"), "cum_tokens")
           .filter(col("cum_tokens") <= 8000)
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("cum_tokens"))
@@ -4903,9 +4906,9 @@ object Queries {
     QueryDef("q127_leakage_safe_split",
       (s, dir) => {
         val all = plantedNearDups(s, dir, 7)
-        val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
-            shingleSize = 3, threshold = 0.7)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = graft.pipeline.Pins.pin(
+          Dedup.ngramJaccardPairs(all, "doc_id", "text",
+            shingleSize = 3, threshold = 0.7))
         val cc = Dedup.connectedComponents(
           all.select(col("doc_id").as("id")), pairs)
         val h = pmod(Text.md5Long(col("cluster")), lit(10))
@@ -9063,7 +9066,82 @@ object Queries {
              |    AS pct_flagged
              |FROM th CROSS JOIN nt LEFT JOIN pd ON true
              |GROUP BY th.threshold
-             |ORDER BY th.threshold""".stripMargin))
+             |ORDER BY th.threshold""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q188: skew-cap telemetry for the dedup path — the counters the
+    // silent maxDocFreq / maxSourcesPerText caps must surface at 100 TB
+    // (a boilerplate explosion shrinks recall with no signal otherwise).
+    // A planted corpus-wide boilerplate (every %5 doc's text replaced by
+    // one constant string) makes both caps fire deterministically: its
+    // shingles' doc-freq (~n/5) blows shingle_cap=20, and the text lands
+    // in every source, blowing text_cap=3. One tall (metric, value)
+    // frame: the shingle lane's postings/doc-freq rollup plus the
+    // cross-source lane's text/pair-suppression rollup.
+    QueryDef("q188_dedup_drop_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0,
+            lit("subscribe to our newsletter for updates and exclusive "
+              + "offers available today"))
+            .otherwise(col("text")).as("text"))
+        Dedup.shingleDropStats(planted, "doc_id", "text",
+            shingleSize = 3, maxDocFreq = 20L)
+          .unionByName(Dedup.crossSourceDropStats(planted, "source",
+            "text", maxSourcesPerText = 3))
+          .orderBy(col("metric"))
+      },
+      Some("""WITH pl AS (SELECT doc_id, source,
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      'subscribe to our newsletter for updates and exclusive offers available today'
+             |    ELSE text END AS text
+             |  FROM documents),
+             |tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM pl),
+             |sh AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |         THEN list_distinct(list_transform(range(len(toks) - 2),
+             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+             |         ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM tok),
+             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |fr AS (SELECT shingle, count(*) AS df FROM posts GROUP BY 1),
+             |shs AS (SELECT
+             |    count(*) AS shingles_total,
+             |    CAST(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS shingles_dropped,
+             |    CAST(sum(df) AS BIGINT) AS postings_total,
+             |    CAST(sum(CASE WHEN df > 20 THEN df ELSE 0 END) AS BIGINT)
+             |      AS postings_dropped,
+             |    max(df) AS doc_freq_max
+             |  FROM fr),
+             |nsrc AS (SELECT text, count(*) AS ns
+             |  FROM (SELECT DISTINCT text, source FROM pl) GROUP BY 1),
+             |css AS (SELECT
+             |    count(*) AS texts_total,
+             |    CAST(sum(CASE WHEN ns > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS texts_dropped,
+             |    CAST(sum(CASE WHEN ns > 3 THEN (ns * (ns - 1)) // 2
+             |      ELSE 0 END) AS BIGINT) AS pairs_suppressed,
+             |    max(ns) AS sources_per_text_max
+             |  FROM nsrc)
+             |SELECT metric, value FROM (
+             |  SELECT 'shingle_cap' AS metric, CAST(20 AS BIGINT) AS value
+             |  UNION ALL SELECT 'shingles_total', shingles_total FROM shs
+             |  UNION ALL SELECT 'shingles_dropped', shingles_dropped FROM shs
+             |  UNION ALL SELECT 'postings_total', postings_total FROM shs
+             |  UNION ALL SELECT 'postings_dropped', postings_dropped FROM shs
+             |  UNION ALL SELECT 'doc_freq_max', doc_freq_max FROM shs
+             |  UNION ALL SELECT 'text_cap', CAST(3 AS BIGINT) FROM css
+             |  UNION ALL SELECT 'texts_total', texts_total FROM css
+             |  UNION ALL SELECT 'texts_dropped', texts_dropped FROM css
+             |  UNION ALL SELECT 'pairs_suppressed', pairs_suppressed FROM css
+             |  UNION ALL SELECT 'sources_per_text_max', sources_per_text_max
+             |    FROM css)
+             |ORDER BY metric""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

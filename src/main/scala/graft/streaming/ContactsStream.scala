@@ -81,7 +81,7 @@ object ContactsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val incoming = Clean(batch)
-        val existing = latestVersionBefore(goldenDir, batchId) match {
+        val existing = latestVersionBefore(spark, goldenDir, batchId) match {
           case Some(v) => spark.read.parquet(s"$goldenDir/v=$v")
           case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -97,22 +97,42 @@ object ContactsStream {
     q
   }
 
-  /** Highest committed snapshot version strictly below `beforeBatchId` —
+  /** Highest COMMITTED snapshot version strictly below `beforeBatchId` —
     * the replay-idempotence anchor (a re-run batch resolves the same
-    * predecessor it resolved the first time). */
-  def latestVersionBefore(goldenDir: String,
+    * predecessor it resolved the first time).
+    *
+    * Snapshots resolve through the Hadoop FileSystem API, so the scheme the
+    * snapshot was written with (HDFS/S3/abfs/local) is the scheme it is
+    * read with — a `java.io.File` listing returns null for every non-local
+    * URI, which would silently read as "no snapshots" and let the next
+    * micro-batch merge against an EMPTY golden frame (a silent golden-table
+    * reset). Only a MISSING directory maps to None (the legitimate
+    * first-batch state); any other filesystem failure raises — the
+    * raise-don't-poison stance of Preference/Bootstrap.
+    *
+    * Commitment: the parquet overwrite is not atomic, so a `v=N` directory
+    * alone may be a partial crash artifact. Only directories carrying the
+    * committer's `_SUCCESS` marker count as committed — a half-written
+    * snapshot is never resolved (the replaying batch overwrites it). */
+  def latestVersionBefore(spark: SparkSession, goldenDir: String,
       beforeBatchId: Long): Option[Long] = {
-    val d = new java.io.File(goldenDir)
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(goldenDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries =
+      try fs.listStatus(root).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
       .filter(_ < beforeBatchId)
       .sorted.lastOption
   }
 
-  /** The current golden table (latest snapshot), if any batch committed. */
+  /** The current golden table (latest committed snapshot), if any. */
   def currentGolden(spark: SparkSession,
       goldenDir: String): Option[DataFrame] =
-    latestVersionBefore(goldenDir, Long.MaxValue)
+    latestVersionBefore(spark, goldenDir, Long.MaxValue)
       .map(v => spark.read.parquet(s"$goldenDir/v=$v"))
 }

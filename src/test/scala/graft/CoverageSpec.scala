@@ -15,21 +15,61 @@ class CoverageSpec extends AnyFunSuite {
   test("bench stdout line stays inside the driver's ~2000-char tail window") {
     // BENCH_r08 landed unparseable because the per-query map pushed the
     // JSON line past the driver's captured tail. Reconstruct the line
-    // exactly as graft.Bench prints it, with a pessimistic 999-centisec
-    // (10 s — the slowest real query runs ~4 s) value per query, and keep
-    // headroom below 1950 chars. If this fails, the registry grew past
-    // the stdout budget — shorten the encoding before adding queries.
+    // exactly as graft.Bench prints it, modeling digit growth from slow
+    // queries: every query at 999 centiseconds (~10 s — 2.5x the slowest
+    // real query) PLUS a 40-query allowance at 9999 (100 s — a severe
+    // regression tier), and keep headroom below 1950 chars. An
+    // all-4-digit registry would not fit, so a regression pushing MORE
+    // than 40 queries past 10 s still blows the line — but that registry
+    // total (>400 s vs ~130 s today) fails the bench-vs-baseline grade
+    // long before the stdout budget is the problem. If this fails, the
+    // registry grew past the stdout budget — shorten the encoding before
+    // adding queries.
     val names = graft.queries.Queries.all.map(_.name)
     def shortKey(n: String): String = n.takeWhile(_ != '_').drop(1)
     assert(names.map(shortKey).distinct.size == names.size,
       "query-number keys must stay collision-free (Bench falls back to "
         + "full names and blows the line budget)")
-    val qs = names.map(n => "\"" + shortKey(n) + "\":999")
-      .mkString("{", ",", "}")
+    val qs = names.zipWithIndex.map { case (n, i) =>
+      "\"" + shortKey(n) + "\":" + (if (i < 40) "9999" else "999")
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","nruns":3,"qunit":"centisec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length < 1950,
       s"bench stdout line would be ${line.length} chars at ${names.size} "
         + "queries — past the driver's ~2000-char tail window")
+  }
+
+  test("dedup skew-cap telemetry: planted hot shingle / ubiquitous text counters") {
+    // hot-shingle fixture: "alpha beta gamma" occurs in 3 of 4 docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "alpha beta gamma zeta"),
+      (4L, "unique text one here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleDropStats(docs, "doc_id", "text",
+        shingleSize = 3, maxDocFreq = 2)
+      .as[(String, Long)].collect().toMap
+    // distinct shingles: abg(df=3) bgd bge bgz uto toh (df=1 each) plus
+    // doc 4's second shingle -> totals below; only abg crosses cap=2
+    assert(sh("shingle_cap") == 2L)
+    assert(sh("shingles_total") == 6L)
+    assert(sh("shingles_dropped") == 1L)
+    assert(sh("postings_total") == 8L)
+    assert(sh("postings_dropped") == 3L)
+    assert(sh("doc_freq_max") == 3L)
+
+    // ubiquitous-text fixture: "promo" lives in 3 sources, cap=2
+    val srcs = Seq(("s1", "promo"), ("s2", "promo"), ("s3", "promo"),
+      ("s1", "solo"), ("s2", "other")).toDF("source", "text")
+    val cs = Dedup.crossSourceDropStats(srcs, "source", "text",
+        maxSourcesPerText = 2)
+      .as[(String, Long)].collect().toMap
+    assert(cs("text_cap") == 2L)
+    assert(cs("texts_total") == 3L)
+    assert(cs("texts_dropped") == 1L)
+    assert(cs("pairs_suppressed") == 3L) // 3 sources -> 3 suppressed pairs
+    assert(cs("sources_per_text_max") == 3L)
   }
 
   test("crossSourceDupMatrix: ubiquitous-text cap suppresses pairs, keeps denominators") {

@@ -351,6 +351,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(raw.getLong(1) == 2L && raw.getLong(2) == 5L)
   }
 
+  test("bpeTrain merge batching == sequential on non-interacting and shared-symbol heads") {
+    // non-interacting heads: the top pairs touch disjoint symbols, so one
+    // batched round must learn exactly what three sequential rounds learn
+    // (same pairs, same iter order, same recorded weights)
+    val disjoint = Seq((1L,
+      (Seq.fill(3)("ab") ++ Seq.fill(2)("cd") ++ Seq.fill(1)("ef"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val seqR = graft.operators.BpeTrain.train(disjoint, "text", 3)
+    val batR = graft.operators.BpeTrain.train(disjoint, "text", 3,
+      mergeBatch = 3)
+    assert(seqR.merges == batR.merges)
+    assert(batR.merges.map(m => (m.iter, m.left, m.right, m.weight)) ==
+      Seq((1, "a", "b", 3L), (2, "c", "d", 2L), (3, "e", "f", 1L)))
+
+    // interacting heads: (a,b) and (b,c) share b — the batch must DEFER
+    // (b,c) to the next round's fresh counts (here unchanged, since no
+    // word contains "abc"), landing on the same merges as sequential
+    val shared = Seq((1L, "ab bc ab bc")).toDF("doc_id", "text")
+    val seqS = graft.operators.BpeTrain.train(shared, "text", 2)
+    val batS = graft.operators.BpeTrain.train(shared, "text", 2,
+      mergeBatch = 2)
+    assert(seqS.merges == batS.merges)
+    assert(batS.merges.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("b", "c")))
+
+    // the Sennrich fixture (ties + cascading "es"->"est") under batching
+    // still matches sequential: (es,t) only exists AFTER (e,s), so the
+    // round-1 batch cannot select it early
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower")
+        ++ Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = graft.operators.BpeTrain.train(docs, "text", 3)
+    val b = graft.operators.BpeTrain.train(docs, "text", 3, mergeBatch = 2)
+    assert(a.merges == b.merges)
+  }
+
   test("simhashPairs maxHamming=0: exact-duplicate buckets, no mask wrap") {
     val df = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different text here"))

@@ -56,6 +56,82 @@ class PlanGuardSpec extends AnyFunSuite {
         + offenders.mkString("\n---\n"))
   }
 
+  test("registry sweep: no few-key-partitioned window over a non-reduced frame") {
+    assume(new java.io.File(SfDir).isDirectory)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // The empty-partitionSpec sweep above catches the single-task window;
+    // this closes the q167-class hole it left open: a window PARTITIONED
+    // by a few-valued domain key (event type, source, cohort — tens of
+    // values) still funnels each group's corpus-sized slice through one
+    // task at 100 TB. Such a window is only sanctioned when its input is
+    // METADATA-bounded: every leaf-ward path crosses an Aggregate whose
+    // grouping keys are themselves few-valued domain keys and/or a
+    // physical partition id (the Budget.groupedRunning segment-summary
+    // shape — #partitions x #groups rows), a GlobalLimit, or a small
+    // literal relation. An Aggregate keyed by a DATA column (distinct
+    // values, distinct durations) does NOT qualify — for a continuous
+    // metric that frame is corpus-sized, exactly the shape the
+    // q151/q156/q157 groupedRunning rewrites removed.
+    // "bin" qualifies: derived bucket indexes are |bins|-valued by
+    // construction (Drift.psi's grid is |keys| x |bins| — metadata)
+    val lowCard = Set("event_type", "source", "src", "cohort", "lang",
+      "__lang", "label", "event_date", "side", "slice", "variant", "arm",
+      "bin")
+    val pidLike = Set(graft.pipeline.RowIds.PidCol)
+    def boundedKey(name: String) = lowCard(name) || pidLike(name)
+    def metaBounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.forall(e => e.foldable ||
+          e.references.forall(r => boundedKey(r.name))) ||
+          metaBounded(a.child)
+      // rank-limit pushdown: each map task pre-trims every group to the
+      // LITERAL limit before the shuffle, so the per-group input of the
+      // window above is <= limit x #partitions rows — metadata. (A
+      // non-literal per-group cut cannot push this node, so q121-style
+      // column-limit rank windows still need the groupedRunning plan.)
+      case _: WindowGroupLimit => true
+      case _: GlobalLimit => true
+      case _: OneRowRelation => true
+      case l: LocalRelation => l.data.size <= 1000
+      // a literal axis generator (spark.range(bins)) is metadata by
+      // construction
+      case r: Range => r.numElements <= BigInt(10000)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(metaBounded)
+    }
+    def fewKeyWindow(w: Window): Boolean = {
+      val nonFoldable = w.partitionSpec.filterNot(_.foldable)
+      nonFoldable.nonEmpty &&
+        nonFoldable.forall(_.references.forall(r => lowCard(r.name)))
+    }
+    val offenders = Queries.all.flatMap { q =>
+      val plan = q.spark(spark, SfDir).queryExecution.optimizedPlan
+      plan.collect {
+        case w: Window if fewKeyWindow(w) && !metaBounded(w.child) =>
+          s"${q.name}: few-key window over non-reduced input:\n$w"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} few-key-partitioned window(s) over corpus-sized "
+        + s"frames:\n${offenders.mkString("\n---\n")}")
+
+    // the net itself must catch the pre-r10 shape: a window partitioned
+    // by a domain key over a distinct-VALUE aggregate (the old ksTest
+    // ladder) is an offense — so reverting a groupedRunning rewrite
+    // re-breaks this test, not just the operator's own spec
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val oldShape = spark.read.parquet(s"$SfDir/events.parquet")
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("n"))
+      .withColumn("c", sum(col("n")).over(
+        W.partitionBy(col("event_type")).orderBy(col("value"))))
+    val caught = oldShape.queryExecution.optimizedPlan.collect {
+      case w: Window if fewKeyWindow(w) && !metaBounded(w.child) => w
+    }
+    assert(caught.nonEmpty,
+      "the few-key sweep no longer detects the per-group ladder window")
+  }
+
   test("registry sweep: no CartesianProduct outside the documented quadratic verifiers") {
     assume(new java.io.File(SfDir).isDirectory)
     // the no-cartesian net, registry-wide (the named-query test below
@@ -267,9 +343,15 @@ class PlanGuardSpec extends AnyFunSuite {
         + s"\n$p140")
     assert(p140.contains("REPARTITION_BY_NUM"),
       "q140 lost its explicit CPU-spread repartition")
-    // q157 KS: union + windows, NO join of any kind
+    // q157 KS: since the r10 groupedRunning rewrite the ECDF prefix is
+    // the two-phase plan — its only joins are metadata broadcasts
+    // (segment offsets + per-key totals); a data-sized shuffle join or
+    // a return of the per-key window would change this shape
     val p157 = planOf("q157_ks_drift")
-    assert(!p157.contains("Join"), s"q157 must be join-free:\n$p157")
+    assert(!p157.contains("SortMergeJoin")
+        && !p157.contains("ShuffledHashJoin")
+        && !p157.contains("CartesianProduct"),
+      s"q157's joins must all be metadata broadcasts:\n$p157")
     // q159 winnowing: selection is one sliding window over ONE
     // positions explode, appearing 4x in the plan text (planted-union
     // fps feeding the df-cap filter and both pair sides) — a w-fold

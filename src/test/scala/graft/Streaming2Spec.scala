@@ -217,7 +217,20 @@ class Streaming2Spec extends AnyFunSuite {
     // two committed snapshots, and the day-1 snapshot is still readable
     // (time travel) with bob-and-ann only
     assert(graft.streaming.ContactsStream
-      .latestVersionBefore(golden, Long.MaxValue).nonEmpty)
+      .latestVersionBefore(spark, golden, Long.MaxValue).nonEmpty)
+    // commit-marker filter: a crash-torn snapshot directory (v=99 with no
+    // _SUCCESS) must never resolve as the latest golden state
+    val torn = new java.io.File(golden, "v=99")
+    torn.mkdirs()
+    try {
+      Files.writeString(torn.toPath.resolve("part-zzz.parquet"), "torn")
+      assert(graft.streaming.ContactsStream
+        .latestVersionBefore(spark, golden, Long.MaxValue).get < 99,
+        "uncommitted snapshot (no _SUCCESS) resolved as latest")
+    } finally {
+      new java.io.File(torn, "part-zzz.parquet").delete()
+      torn.delete()
+    }
   }
 
   test("streaming CMS + Bloom sketches == batch sketches across micro-batches") {

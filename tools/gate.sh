@@ -21,11 +21,40 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $out" >/tmp/gate_sbt.log
   echo "[gate] sbt Verify failed — tail of log:"; tail -20 /tmp/gate_sbt.log; exit 1; }
 python3 tools/check_oracle.py /root/testdata/sf0.001 "$out"
 
+# Recall lane (every gate run): the recall-bearing ANN/LSH queries verified
+# at the BENCH scale (sf0.1). Their probabilistic parameters (bands, tables,
+# nprobe) are tuned so the candidate set provably covers the oracle's exact
+# answer — but coverage degrades with corpus size, so a parameter trade that
+# stays green at sf0.001/sf0.01 can silently lose recall at sf0.1 (the r9
+# q29 tables=8 miss, caught only by a voluntary sweep). This lane makes that
+# failure mode mechanical: GATE_NO_RECALL=1 skips it for inner-loop
+# iteration but then NO stamp is written, so a skipped-recall tree cannot
+# be committed (the pre-commit hook requires a current stamp).
+if [ "${GATE_NO_RECALL:-0}" != "1" ]; then
+  RECALL_QS="q20_minhash_lsh_pairs,q29_embed_neardup_lsh,q34_ann_lsh"
+  RECALL_QS="$RECALL_QS,q35_ann_ivf,q87_quantized_ivf,q93_pq_ann"
+  RECALL_QS="$RECALL_QS,q95_pq_residual,q97_ann_binary,q100_incremental_lsh"
+  RECALL_QS="$RECALL_QS,q117_bitext_margin"
+  outr=/tmp/gate_out_recall
+  SPARK_GRAFT_ONLY="$RECALL_QS" sbt -batch \
+    "runMain graft.Verify /root/testdata/sf0.1 $outr" \
+    >/tmp/gate_sbt_recall.log 2>&1 || {
+    echo "[gate] sbt Verify (sf0.1 recall lane) failed — tail of log:"
+    tail -20 /tmp/gate_sbt_recall.log; exit 1; }
+  GRAFT_ALLOW_SUBSET=1 python3 tools/check_oracle.py /root/testdata/sf0.1 "$outr"
+  echo "[gate] sf0.1 recall lane green"
+fi
+
 if [ "${GATE_FULL:-0}" = "1" ]; then
   out01=/tmp/gate_out_01
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out01" >/tmp/gate_sbt01.log 2>&1 || {
     echo "[gate] sbt Verify (sf0.01) failed — tail of log:"; tail -20 /tmp/gate_sbt01.log; exit 1; }
   python3 tools/check_oracle.py /root/testdata/sf0.01 "$out01"
+fi
+
+if [ "${GATE_NO_RECALL:-0}" = "1" ]; then
+  echo "[gate] green EXCEPT skipped recall lane — NOT stamping; run the full gate before committing"
+  exit 0
 fi
 
 # stamp = digest of the working-tree src/main that just verified green;
