@@ -98,6 +98,18 @@ object Cleaning {
     * whitespace-only `initcap`. See [[graft.expressions.PyTitleCase]]. */
   def pyTitle(c: Column): Column = graft.expressions.PyTitleCase.column(c)
 
+  /** Python `str.strip()` parity: strips the characters `str.isspace()`
+    * accepts — Unicode whitespace including NBSP (U+00A0), NEL (U+0085),
+    * the U+2000-200A block, and the file/group/record/unit separators —
+    * where Spark's `trim` strips ASCII 0x20 only. The reference's name
+    * and address cleaning both end in `.str.strip()`, and real CRM
+    * exports carry NBSP-led names (caught by the tools/parity.py field
+    * diff against the reference's own run). */
+  private val PyWs = "[\\t\\n\\u000B\\f\\r\\u001C-\\u001F \\u0085\\u00A0" +
+    "\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+  def pyStrip(c: Column): Column =
+    regexp_replace(c, s"^$PyWs+|$PyWs+$$", "")
+
   /** Dedup key (clean_contacts.py:164-179): lower(email) when present, else
     * lower(fullname) + "-" + mobile. Implements the INTENDED semantics with
     * case-insensitive role resolution (the observed run no-ops due to the

@@ -158,11 +158,9 @@ object Budget {
     def totN(o: String) = s"__tot_$o"
     def offN(o: String) = s"__off_$o"
     def candN(o: String) = s"__cand_$o"
-    // pinned: the segment-summary branch and the data branch must see ONE
-    // sampled range partitioning (the cumulativeSum determinism contract)
-    val sorted = graft.pipeline.Pins.pin(
-      df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
-        .withColumn(PidCol, spark_partition_id().cast("long")))
+    val sorted = df.repartitionByRange(key: _*)
+      .sortWithinPartitions(key: _*)
+      .withColumn(PidCol, spark_partition_id().cast("long"))
     val wLoc = Window.partitionBy(col(PidCol), col(groupCol))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -177,10 +175,18 @@ object Budget {
     // pass 2 (same partitioning + ordering — no extra exchange or sort):
     // running min OF the pass-1 running sums (windows cannot nest)
     val sumMins = specs.collect { case s: RunSumWithMin => s }
-    val local =
+    val local2 =
       if (sumMins.isEmpty) pass1
       else pass1.select(col("*") +: sumMins.map(s =>
         min(col(locN(s.out))).over(wLoc).as(locN(s.minOut))): _*)
+    // pinned AT THE FORK: the segment-summary branch and the data branch
+    // below both consume this frame, and its lineage contains the SAMPLED
+    // range partitioning plus the pid stamp — two un-pinned executions
+    // could place rows in different partitions and the offsets would no
+    // longer line up with the data (the cumulativeSum determinism
+    // contract). Pinning here (not at `sorted`) also runs the window
+    // exchange once instead of once per consumer.
+    val local = graft.pipeline.Pins.pin(local2)
     // per-segment summaries — metadata-sized
     val segAggs = specs.flatMap {
       case RunSum(v, o) => Seq(sum(v).as(totN(o)))

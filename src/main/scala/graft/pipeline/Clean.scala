@@ -20,15 +20,20 @@ import graft.functions.Cleaning
   */
 object Clean {
 
-  /** The 25 explicitly-unused fields nulled by the cleaner
-    * (clean_contacts.py:16-23). */
+  /** The 25 explicitly-unused fields nulled by the cleaner — the
+    * reference's exact UNUSED_FIELDS list (clean_contacts.py:16-23),
+    * byte-for-byte. An earlier transcription drifted (it nullified
+    * TITLE/ADVERTSOURCE/X_XS_* which the reference keeps, and missed
+    * DIRECTPHONE/X_EMAIL2/X_PHONE1-3/X_TT_EXTENSION which it nulls);
+    * the tools/parity.py field diff against the reference's own run
+    * caught it — TITLE is a NAME field (title-cased), never nulled. */
   val UnusedFields: Seq[String] = Seq(
-    "SALUTATION", "TITLE", "DIRECTFAX", "HOMEPHONE", "ADVERTSOURCE",
-    "CAMPAIGN_WAVE_SEQNO", "MSN_ID", "YAHOO_ID", "SKYPE_ID", "LINKEDIN",
-    "TWITTER", "FACEBOOK", "SYNC_CONTACTS", "LATITUDE", "LONGITUDE",
-    "GEOCODE_STATUS", "X_REGION", "X_XS_LOGIN", "X_XS_PASSWORD",
-    "X_XS_SECURITY_GROUP", "X_TT_CUSTOMER_GROUP", "X_STORE", "X_PHONE4",
-    "X_PHONE5", "X_EMAIL3")
+    "SALUTATION", "DIRECTPHONE", "DIRECTFAX", "HOMEPHONE",
+    "MSN_ID", "YAHOO_ID", "SKYPE_ID", "SYNC_CONTACTS", "LINKEDIN",
+    "TWITTER", "FACEBOOK", "CAMPAIGN_WAVE_SEQNO", "LATITUDE", "LONGITUDE",
+    "GEOCODE_STATUS", "X_STORE", "X_EMAIL2", "X_EMAIL3",
+    "X_PHONE1", "X_PHONE2", "X_PHONE3", "X_PHONE4", "X_PHONE5",
+    "X_TT_EXTENSION", "X_REGION")
 
   /** Boolean Y/N columns (clean_contacts.py:129: ISACTIVE, OPTOUT_EMARKETING,
     * SUB1..SUB26). */
@@ -58,6 +63,10 @@ object Clean {
     val names = NameFields.flatMap(Roles.exact(df, _)).toSet -- unused
     val emails = notHelper(Roles.bySubstring(df, "EMAIL")).toSet -- unused
     val phones = notHelper(Roles.bySubstring(df, "PHONE", "MOBILE")).toSet -- unused
+    // address/postcode strip (clean_contacts.py:123-126); names take
+    // precedence (disjoint on the real schema — defensive only)
+    val addresses = notHelper(Roles.bySubstring(df, "ADDRESS", "POST_CODE"))
+      .toSet -- unused -- names -- emails -- phones
     val lastUpdated = Roles.exact(df, "LAST_UPDATED").toSet
 
     val cleaned: Seq[Column] = df.columns.toSeq.map { c =>
@@ -66,7 +75,10 @@ object Clean {
         if (unused(c)) lit(null).cast("string")           // P1
         else if (emails(c)) Cleaning.cleanEmail(v)        // F1 + C1
         else if (phones(c)) Cleaning.digitsOnly(v.cast("string")) // C3
-        else if (names(c)) Cleaning.pyTitle(trim(v.cast("string"))) // C5
+        // C5: title() THEN strip(), the reference's order, with Python's
+        // Unicode strip set (an NBSP-led name must come out stripped)
+        else if (names(c)) Cleaning.pyStrip(Cleaning.pyTitle(v.cast("string")))
+        else if (addresses(c)) Cleaning.pyStrip(v.cast("string"))
         else if (bools(c)) Cleaning.ynFlag(v)             // booleans
         else if (lastUpdated(c)) Cleaning.parseTs(v.cast("string")) // C8
         else v

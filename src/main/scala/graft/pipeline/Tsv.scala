@@ -72,6 +72,13 @@ object Tsv {
       .option("sep", "\t").option("header", true)
       .option("quote", "\"").option("escape", "\"") // doubled-quote escaping, matching the readers
       .option("emptyValue", "").option("nullValue", "")
+      // Spark's CSV WRITER trims cell whitespace by default (the write-side
+      // defaults of ignore*WhiteSpace are true, unlike the read side) —
+      // pandas to_csv preserves it, and so must this sink (caught by the
+      // tools/parity.py field diff: raw export cells like "Director "
+      // lost their trailing space)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
       // reference timestamp shape, e.g. 2010-12-13 14:54:49.000
       // (output/MergedDatabase.tsv:2), not ISO-8601
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")

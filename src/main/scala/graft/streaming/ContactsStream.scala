@@ -25,12 +25,20 @@ object ContactsStream {
   def schemaOf(spark: SparkSession, samplePath: String): StructType =
     graft.pipeline.Tsv.readAllString(spark, samplePath).schema
 
-  def readContacts(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream
+  /** `maxFilesPerTrigger` is the file-source backpressure bound: each
+    * micro-batch admits at most that many files, so one giant directory
+    * drop cannot balloon a single batch's state/merge work — the batch
+    * size stays operator-chosen at any backlog (AvailableNow respects the
+    * bound too, draining the backlog as a SEQUENCE of bounded batches
+    * instead of one unbounded one). */
+  def readContacts(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .option("sep", "\t").option("header", true)
       .option("quote", "\"").option("escape", "\"")
-      .schema(schema)
-      .csv(dir)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.schema(schema).csv(dir)
+  }
 
   /** Clean each micro-batch with the batch `Clean` stage and append to
     * parquet. AvailableNow drains what's present and stops; a production
@@ -75,8 +83,9 @@ object ContactsStream {
   def goldenUpsertStream(spark: SparkSession, inDir: String,
       schema: StructType, goldenDir: String, checkpointDir: String,
       rowIdCol: String,
-      lastUpdatedCol: Option[String] = None): StreamingQuery = {
-    val q = readContacts(spark, inDir, schema)
+      lastUpdatedCol: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val q = readContacts(spark, inDir, schema, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -31,6 +31,44 @@ class FunctionsSpec extends AnyFunSuite {
       assert(evalStr(v, Cleaning.isMissing) == false, s"expected present: $v")
   }
 
+  test("pyStrip matches Python str.strip(): Unicode whitespace, both ends") {
+    // str.isspace() characters that Spark's ASCII-only trim leaves
+    // behind: NBSP, thin space, ideographic space + NEL, unit separator
+    val cases = Seq(
+      "\u00a0John Tourloukis" -> "John Tourloukis",
+      "\u2009lead and trail \t\n\u2009" -> "lead and trail",
+      "\u3000\u0085x" -> "x",
+      "\u001fsep\u001f" -> "sep",
+      "inner\u00a0kept" -> "inner\u00a0kept", // only ENDS are stripped
+      "" -> "")
+    for ((in0, want) <- cases)
+      assert(evalStr(Some(in0), Cleaning.pyStrip) == want,
+        s"pyStrip(${in0.map(c => f"\\u${c.toInt}%04x").mkString}) mismatch")
+    assert(evalStr(None, Cleaning.pyStrip) == null)
+    // more of Python's strip set: ogham space, en-quad..hair-space block,
+    // narrow no-break, medium math space, line/paragraph separators
+    for (ws <- Seq('\u1680', '\u2000', '\u200a', '\u202f', '\u205f',
+        '\u2028', '\u2029', '\u000b', '\u000c', '\u001c'))
+      assert(evalStr(Some(s"${ws}x$ws"), Cleaning.pyStrip) == "x",
+        f"\\u${ws.toInt}%04x not stripped")
+    // NOT in Python's set: zero-width space stays
+    assert(evalStr(Some("\u200bx"), Cleaning.pyStrip) == "\u200bx")
+  }
+
+  test("Clean.UnusedFields is the reference's exact UNUSED_FIELDS list") {
+    // clean_contacts.py:16-23 verbatim — a transcription drift here nulls
+    // fields the reference keeps (or keeps fields it nulls) and only the
+    // parity lane would notice; pin it
+    val reference = Seq(
+      "SALUTATION", "DIRECTPHONE", "DIRECTFAX", "HOMEPHONE",
+      "MSN_ID", "YAHOO_ID", "SKYPE_ID", "SYNC_CONTACTS", "LINKEDIN",
+      "TWITTER", "FACEBOOK", "CAMPAIGN_WAVE_SEQNO", "LATITUDE",
+      "LONGITUDE", "GEOCODE_STATUS", "X_STORE", "X_EMAIL2", "X_EMAIL3",
+      "X_PHONE1", "X_PHONE2", "X_PHONE3", "X_PHONE4", "X_PHONE5",
+      "X_TT_EXTENSION", "X_REGION")
+    assert(graft.pipeline.Clean.UnusedFields == reference)
+  }
+
   test("normPhone keeps last 10 digits only when >= 10 (fill:14-21)") {
     assert(evalStr(Some("+1 (555) 123-4567"), Cleaning.normPhone) == "5551234567")
     assert(evalStr(Some("123-4567"), Cleaning.normPhone) == "1234567")

@@ -233,6 +233,48 @@ class Streaming2Spec extends AnyFunSuite {
     }
   }
 
+  test("golden upsert under file-source backpressure: bounded batches, same result") {
+    import java.nio.file.Files
+    // maxFilesPerTrigger=1 forces a 4-file backlog through FOUR bounded
+    // micro-batches instead of one unbounded drain — the 100-TB ingest
+    // posture (a giant directory drop must not balloon one batch's merge).
+    // Proof: one committed snapshot per batch, and the final golden equals
+    // the one-shot batch dedupe over everything.
+    val in = Files.createTempDirectory("bp-in")
+    val golden = Files.createTempDirectory("bp-out").toString + "/golden"
+    val ckpt = Files.createTempDirectory("bp-ckpt").toString
+    val header = "ROW_ID\tFULLNAME\tEMAIL\tMOBILE\n"
+    val days = Seq(
+      "1\tann x\tann@x.com\t\n2\tbob y\tbob@x.com\t5551112222\n",
+      "3\tann x\tann@x.com\t5559998888\n",
+      "4\tcid z\tcid@x.com\t\n",
+      "5\tbob y\tbob@x.com\t\n6\tdee w\t\t5550001111\n")
+    days.zipWithIndex.foreach { case (body, i) =>
+      Files.writeString(in.resolve(s"day$i.tsv"), header + body)
+    }
+    val schema = graft.streaming.ContactsStream.schemaOf(
+      spark, in.resolve("day0.tsv").toString)
+    graft.streaming.ContactsStream.goldenUpsertStream(
+      spark, in.toString, schema, golden, ckpt, "ROW_ID",
+      maxFilesPerTrigger = Some(1))
+    // one committed (_SUCCESS-marked) snapshot per bounded batch
+    val versions = Option(new java.io.File(golden).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")
+        && new java.io.File(f, "_SUCCESS").isFile)
+    assert(versions.length == days.length,
+      s"expected ${days.length} bounded batches, got ${versions.length}")
+    val got = graft.streaming.ContactsStream.currentGolden(spark, golden).get
+    val batchAll = graft.pipeline.GoldenRecord.dedupe(
+      days.indices.map(i => graft.pipeline.Clean(
+          graft.pipeline.Tsv.readAllString(spark,
+            in.resolve(s"day$i.tsv").toString)))
+        .reduce(_ unionByName _), "ROW_ID")
+    assert(got.exceptAll(batchAll).isEmpty
+        && batchAll.exceptAll(got).isEmpty,
+      "backpressured streaming upsert diverged from one-shot batch dedupe")
+  }
+
   test("streaming CMS + Bloom sketches == batch sketches across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, xxhash64}
