@@ -37,3 +37,44 @@ object ParityDump {
     spark.stop()
   }
 }
+
+/** Fill-stage twin of [[ParityDump]] for the parity lane's fill
+  * comparison: the engine's J2 multi-source record-linkage fill over one
+  * master TSV + a source directory, exporting the filled master (with its
+  * file-order `row_id` — the positional join key; the reference logs
+  * `row` = position + 1 over the same file order) and the provenance
+  * change log.
+  *
+  * Usage: runMain graft.ParityFillDump <masterTsv> <sourcesDir> <outPrefix>
+  * Writes <outPrefix>.filled.tsv and <outPrefix>.filllog.tsv. */
+object ParityFillDump {
+  def main(args: Array[String]): Unit = {
+    val Array(masterTsv, sourcesDir, outPrefix) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val master = pipeline.ContactsApp.withResolvedKeys(
+      pipeline.ContactsApp.withRowIds(
+        pipeline.Tsv.readAllString(spark, masterTsv)))
+    val sources = pipeline.Tsv.listTsv(sourcesDir).flatMap { path =>
+      val src = pipeline.ContactsApp.loadSource(spark, path)
+      val fm = pipeline.ContactsApp.fieldMap(master, src)
+      val roles = pipeline.Roles.resolve(src)
+      if (!roles.usable || fm.isEmpty) None
+      else Some((new java.io.File(path).getName, src, fm))
+    }
+    val r = pipeline.Fill.fillFromSources(master, sources)
+    pipeline.Tsv.write(r.filled.drop("_name", "_email", "_phone"),
+      s"$outPrefix.filled.tsv", singleFile = true)
+    pipeline.Tsv.write(r.changeLog, s"$outPrefix.filllog.tsv",
+      singleFile = true)
+    r.unpersist()
+    pipeline.Pins.flush()
+    spark.stop()
+  }
+}

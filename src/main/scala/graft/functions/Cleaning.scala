@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
-  /** Null-ish sentinel zoo observed in the reference
-    * (clean_contacts.py:206: values excluded from the golden-record merge). */
-  val MissingSentinels: Seq[String] = Seq("", "nan", "None", "NaN")
+  /** Null-ish sentinel zoo: the reference's explicit list
+    * (clean_contacts.py:206: values excluded from the golden-record merge)
+    * PLUS the realistic subset of pandas' default `na_values` — every
+    * reference stage reads through `pd.read_csv`, which nulls "N/A",
+    * "NA", "NULL", "#N/A", "<NA>" (etc.) BEFORE any code runs, so these
+    * strings are missing under reference semantics even though no line of
+    * reference code names them. Caught by the tools/parity.py fill lane:
+    * real export rows carry literal "N/A" names that the reference can
+    * never observe but a naive string reader would copy around as data.
+    * Matching is exact-after-trim (pandas' list is case-sensitive:
+    * "Null" is data, "NULL" is not). */
+  val MissingSentinels: Seq[String] = Seq("", "nan", "None", "NaN",
+    "N/A", "n/a", "NA", "#N/A", "NULL", "null", "<NA>")
 
   /** True when a value is missing under reference semantics: SQL null, empty /
     * whitespace-only string, or a string null-sentinel (clean_contacts.py:206,

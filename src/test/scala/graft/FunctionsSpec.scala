@@ -21,10 +21,16 @@ class FunctionsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- Cleaning
 
-  test("isMissing covers the sentinel zoo (clean_contacts.py:206)") {
+  test("isMissing covers the sentinel zoo (clean_contacts.py:206 + pandas na_values)") {
     val missing = Seq(None, Some(""), Some("  "), Some("nan"), Some("None"),
-      Some("NaN"), Some(" nan "))
-    val present = Seq(Some("x"), Some("0"), Some("Nanette"))
+      Some("NaN"), Some(" nan "),
+      // pandas' default na_values subset: nulled by every reference read
+      // BEFORE any reference code runs (the fill-lane 'N/A' finding)
+      Some("N/A"), Some("n/a"), Some("NA"), Some("#N/A"), Some("NULL"),
+      Some("null"), Some("<NA>"), Some(" N/A "))
+    // pandas' list is case-sensitive: these are DATA
+    val present = Seq(Some("x"), Some("0"), Some("Nanette"), Some("Null"),
+      Some("Na"), Some("n/A"))
     for (v <- missing)
       assert(evalStr(v, Cleaning.isMissing) == true, s"expected missing: $v")
     for (v <- present)

@@ -103,6 +103,258 @@ def read_tsv_str(path):
     return pd.read_csv(path, sep="\t", dtype=str, keep_default_na=False)
 
 
+# ---------------------------------------------------------------- fill lane
+
+# pandas' default na_values: every reference read nulls these BEFORE any
+# reference code runs — part of the reference's effective semantics
+PANDAS_NA = {"", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN",
+             "-nan", "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL",
+             "NaN", "None", "n/a", "nan", "null"}
+# the engine's Cleaning.MissingSentinels view (exact-after-trim)
+ENG_SENTINELS = {"", "nan", "None", "NaN", "N/A", "n/a", "NA", "#N/A",
+                 "NULL", "null", "<NA>"}
+
+
+def ref_view(v):
+    """What the reference sees after pd.read_csv(...).fillna('')."""
+    return "" if str(v) in PANDAS_NA else str(v)
+
+
+def eng_missing(v):
+    return str(v).strip() in ENG_SENTINELS
+
+
+def norm_value(v):
+    if v == "" or pd.isna(v):
+        return ""
+    return re.sub(r"\s+", " ", str(v).strip().lower())
+
+
+def norm_phone_key(v):
+    d = digits(str(v))
+    return d[-10:] if len(d) >= 10 else d
+
+
+def row_keys(first, last, full, email, phone, side):
+    """One row's (name, email, phone) match keys under `side` semantics.
+
+    ref: get_full_name/normalize over the pandas-NA-nulled view, email =
+    X_EMAIL2-or-Email role value, missing == exactly ''.
+    eng: Cleaning.fullName — first+last concatenated RAW (no sentinel
+    filter), FULLNAME fallback only when that is empty AND the fallback is
+    sentinel-present; email lower+trim of the raw value."""
+    if side == "ref":
+        first, last, full, email, phone = map(ref_view,
+                                              (first, last, full, email,
+                                               phone))
+        f0, l0 = norm_value(first), norm_value(last)
+        name = f"{f0} {l0}".strip() if (f0 or l0) else norm_value(full)
+        return name, norm_value(email), norm_phone_key(phone)
+    fl = re.sub(r"\s+", " ", f"{first} {last}").strip()
+    name = fl if fl else (str(full) if not eng_missing(full) else "")
+    return (norm_value(name), str(email).strip().lower(),
+            norm_phone_key(phone))
+
+
+def master_keys(fixture, email_col, side):
+    return [row_keys(r["FIRSTNAME"], r["LASTNAME"], r["FULLNAME"],
+                     r[email_col], r["MOBILE"], side)
+            for _, r in fixture.iterrows()]
+
+
+def cell_missing(v, side):
+    return ref_view(v) == "" if side == "ref" else eng_missing(v)
+
+
+def value_fills(v, side):
+    """Can `v` be copied into a missing target under `side` semantics?"""
+    if side == "ref":
+        v2 = ref_view(v)
+        return (v2 != "" and v2 != "nan", v2)
+    return (not eng_missing(v), str(v))
+
+
+def fillable_cells(fixture, keys, fields, side):
+    """(row_position, field) -> candidate fill values: a row is fillable
+    from SOME source row matching >=2 of (name, email, phone) with a
+    fillable value in a mapped source field — the order-independent union
+    over sources and candidates, i.e. everything first-match-wins could
+    ever have picked under either source ordering."""
+    out = {}
+    missing = {
+        (i, f)
+        for i, (_, r) in enumerate(fixture.iterrows())
+        for f in fields
+        if cell_missing(r[f], side)
+    }
+    for fname in sorted(os.listdir(os.path.join(REF, "data_files"))):
+        if not fname.endswith(".tsv"):
+            continue
+        src = pd.read_csv(os.path.join(REF, "data_files", fname),
+                          sep="\t", dtype=str, keep_default_na=False)
+        s_first = next((c for c in src.columns
+                        if c in ["First Name", "FirstName", "firstname"]),
+                       None)
+        s_last = next((c for c in src.columns
+                       if c in ["Last Name", "LastName", "lastname"]), None)
+        s_name = next((c for c in src.columns
+                       if c in ["Name", "Full Name", "FullName",
+                                "fullname"]), None)
+        s_email = next((c for c in src.columns
+                        if c in ["Email Address", "Email", "email"]), None)
+        s_phones = [c for c in src.columns
+                    if any(p in c for p in ["Phone Number", "Mobile Number",
+                                            "Phone", "Mobile", "mobile",
+                                            "phone"])]
+        if not (s_first and s_last or s_name) or \
+                (not s_email and not s_phones):
+            continue
+        src_field_of = {"FIRSTNAME": s_first, "LASTNAME": s_last,
+                        "MOBILE": s_phones[0] if s_phones else None}
+        src_rows = list(src.iterrows())
+        skeys = [row_keys(r[s_first] if s_first else "",
+                          r[s_last] if s_last else "",
+                          r[s_name] if s_name else "",
+                          r[s_email] if s_email else "",
+                          r[s_phones[0]] if s_phones else "", side)
+                 for _, r in src_rows]
+        by_name, by_email, by_phone = {}, {}, {}
+        for j, (n, e, p) in enumerate(skeys):
+            if n:
+                by_name.setdefault(n, []).append(j)
+            if e:
+                by_email.setdefault(e, []).append(j)
+            if p:
+                by_phone.setdefault(p, []).append(j)
+        for i, (n, e, p) in enumerate(keys):
+            cands = set()
+            cands.update(by_name.get(n, []) if n else [])
+            cands.update(by_email.get(e, []) if e else [])
+            cands.update(by_phone.get(p, []) if p else [])
+            for j in cands:
+                sn, se, sp = skeys[j]
+                score = sum([bool(n) and sn == n, bool(e) and se == e,
+                             bool(p) and sp == p])
+                if score < 2:
+                    continue
+                for f, sc in src_field_of.items():
+                    if sc is None or (i, f) not in missing:
+                        continue
+                    ok, v = value_fills(src_rows[j][1][sc], side)
+                    if ok:
+                        out.setdefault((i, f), set()).add(v)
+    return out
+
+
+def fill_lane(fixture, failures):
+    """Reference fill_missing_contacts.py vs engine Fill.fillFromSources on
+    the same fixture + the reference's real data_files sources. Fill
+    results are ordering-dependent (#5 listdir vs sorted sources, #6
+    first-match-wins candidate order) and key-surface-dependent (#9
+    X_EMAIL2 vs EMAIL; FULLNAME never a reference fill target), so the
+    lane compares the common fill surface {FIRSTNAME, LASTNAME, MOBILE}
+    against the order-independent FILLABLE closure under each side's own
+    key semantics: every fill must be fillable under its side's keys
+    (else UNDOCUMENTED), asymmetries and value differences must sit
+    inside the candidate sets (#5/#6) or the email-role split (#9)."""
+    import json
+    cwd = os.getcwd()
+    sb = tempfile.mkdtemp(prefix="parityfill_")
+    os.symlink(os.path.join(REF, "cleaning"), os.path.join(sb, "cleaning"))
+    os.symlink(os.path.join(REF, "data_files"),
+               os.path.join(sb, "data_files"))
+    os.makedirs(os.path.join(sb, "output"))
+    master_path = os.path.join(sb, "output", "MergedDatabase.tsv")
+    pristine = os.path.join(sb, "master_orig.tsv")
+    fixture.to_csv(master_path, sep="\t", index=False)
+    fixture.to_csv(pristine, sep="\t", index=False)  # ref overwrites master
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_fill", os.path.join(sb, "cleaning",
+                                 "fill_missing_contacts.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # main() is __main__-guarded: no side run
+    os.chdir(sb)
+    try:
+        mod.main()
+    finally:
+        os.chdir(cwd)
+    ref_log = json.load(open(os.path.join(sb, "output",
+                                          "fill_missing_log.json")))
+    print(f"[parity] fill lane: reference made {len(ref_log)} fills")
+
+    eng_prefix = os.path.join(sb, "engine")
+    r = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.ParityFillDump {pristine} "
+         f"{os.path.join(sb, 'data_files')} {eng_prefix}"],
+        cwd=REPO, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit("[parity] engine ParityFillDump failed")
+    eng_log = read_tsv_str(eng_prefix + ".filllog.tsv")
+    print(f"[parity] fill lane: engine made {len(eng_log)} fills")
+
+    common_fields = ["FIRSTNAME", "LASTNAME", "MOBILE"]
+    ref_fills = {(int(e["row"]) - 1, e["field"]): str(e["new_value"])
+                 for e in ref_log if e["field"] in common_fields}
+    eng_fills = {(int(row["row_id"]) - 1, row["field"]): row["new_value"]
+                 for _, row in eng_log.iterrows()
+                 if row["field"] in common_fields}
+    n_ref9 = sum(1 for e in ref_log if e["field"] not in common_fields)
+    n_eng9 = sum(1 for _, row in eng_log.iterrows()
+                 if row["field"] not in common_fields)
+
+    fillable_ref = fillable_cells(
+        fixture, master_keys(fixture, "X_EMAIL2", "ref"), common_fields,
+        "ref")
+    fillable_eng = fillable_cells(
+        fixture, master_keys(fixture, "EMAIL", "eng"), common_fields,
+        "eng")
+    counts = {"equal": 0, "divergence_5_6": 0, "divergence_9": n_ref9
+              + n_eng9, "UNDOCUMENTED": 0}
+    bad = []
+    for cell in set(ref_fills) | set(eng_fills):
+        rv, ev = ref_fills.get(cell), eng_fills.get(cell)
+        if rv is not None and cell not in fillable_ref:
+            counts["UNDOCUMENTED"] += 1
+            bad.append(("ref fill not fillable", cell, rv))
+        elif ev is not None and cell not in fillable_eng:
+            counts["UNDOCUMENTED"] += 1
+            bad.append(("eng fill not fillable", cell, ev))
+        elif rv is not None and ev is not None:
+            if rv == ev:
+                counts["equal"] += 1
+            elif ev in fillable_eng.get(cell, set()) and \
+                    rv in fillable_ref.get(cell, set()):
+                counts["divergence_5_6"] += 1  # different winning candidate
+            else:
+                counts["UNDOCUMENTED"] += 1
+                bad.append(("values outside candidates", cell, rv, ev))
+        elif rv is None and cell in fillable_ref:
+            counts["divergence_5_6"] += 1  # ref's winner skipped this field
+        elif ev is None and cell in fillable_eng:
+            counts["divergence_5_6"] += 1
+        else:
+            counts["divergence_9"] += 1  # fillable under one side's keys only
+    print("[parity] fill lane cell classes:", counts)
+    for b in bad[:10]:
+        print("[parity]   UNDOCUMENTED:", b)
+    if counts["UNDOCUMENTED"] > 0:
+        failures.append(
+            f"fill lane: {counts['UNDOCUMENTED']} fill(s) outside the "
+            "documented divergence classes")
+    if len(eng_log) == 0:
+        failures.append("fill lane: engine made no fills — vacuous")
+    if len(ref_log) == 0:
+        # not a failure — the measured divergence-#9 evidence: keyed on
+        # the ~empty X_EMAIL2, the reference's fill stage is a NO-OP on
+        # its own master + its own sources even with working headers
+        print("[parity] fill lane: reference made ZERO fills on its own "
+              "data (X_EMAIL2 keying) — divergence #9, measured")
+
+
 def main():
     sandbox = tempfile.mkdtemp(prefix="parity_")
     os.symlink(os.path.join(REF, "cleaning"),
@@ -248,6 +500,9 @@ def main():
         failures.append(
             f"stage 2: {g_counts['UNDOCUMENTED']} golden cell(s) differ "
             "outside the documented divergence classes")
+
+    # ---- stage 3: the fill stage against the reference's own run ----
+    fill_lane(fixture, failures)
 
     if failures:
         for f in failures:
