@@ -46,6 +46,7 @@ object ApiMain {
     // or return lazily-consumed frames from stages without revisiting it.
     def cleanedUp(f: () => String): () => String =
       () => try f() finally {
+        graft.pipeline.Pins.flush() // drain the scoped-pin registry too
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

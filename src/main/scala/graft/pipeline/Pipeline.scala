@@ -31,11 +31,13 @@ object Pipeline {
   private def timed[T](name: String, out: scala.collection.mutable.Buffer[StageResult])
       (f: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    // cache the stage boundary BEFORE counting: without it each stage's
+    // pin the stage boundary BEFORE counting: without it each stage's
     // count (and every later stage, and the artifact writes) re-executes
     // the whole upstream DAG, making the per-stage timings cumulative and
-    // the pipeline body run O(stages) times
-    val df = f.cache()
+    // the pipeline body run O(stages) times. Pins-registered, so
+    // RunResult.release() drops the stage caches along with the operator
+    // pins once the caller has consumed the outputs.
+    val df = Pins.pin(f)
     val n = df.count() // materialize the stage boundary, like run.py does
     out += StageResult(name, (System.nanoTime() - t0) / 1e9, n)
     df

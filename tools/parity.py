@@ -414,6 +414,7 @@ def main():
     assert len(ref_clean) == len(eng_clean), "clean-stage row counts differ"
     ref1 = ref_clean.copy()
     ref1.columns = [c.upper() for c in ref1.columns]
+    ref_clean_full = ref1.copy()  # unfiltered, for the key accounting
     # the join key must be unique on both sides (.loc would return frames);
     # real exports carry a few duplicated SEQNOs — drop them from the
     # row-level compare and say so
@@ -491,9 +492,44 @@ def main():
                                   sorted(rmembers)[:3]))
     print("[parity] stage 2 (golden, email-keyed) cell classes:",
           {k: v for k, v in sorted(g_counts.items())})
+
+    # golden-total accounting: each side's output row count must equal the
+    # distinct dedup-key count computed from ITS OWN cleaned frame under
+    # ITS OWN key semantics (reference: raw-lower email, 'Nan'-polluted
+    # fullname + raw mobile fallback; engine: sentinel-gated normalized
+    # keys with last-10 phone) — so the 2069-vs-2067-style delta is a
+    # MECHANICAL consequence of divergences #2/#7, not an unexplained gap
+    def ref_key(r):
+        e = cell(r["EMAIL"]).lower()
+        if e:
+            return e
+        return cell(r["FULLNAME"]).lower() + "-" + cell(r["MOBILE"])
+
+    def eng_key(r):
+        e = r["EMAIL"].strip().lower()
+        if e and not eng_missing(r["EMAIL"]):
+            return e
+        fn = r["FULLNAME"]
+        mb = r["MOBILE"]
+        fns = re.sub(r"\s+", " ", fn.strip()).lower() \
+            if not eng_missing(fn) else ""
+        mbs = norm_phone_key(mb) if not eng_missing(mb) else ""
+        return fns + "-" + mbs
+
+    ref_nkeys = len({ref_key(r) for _, r in ref_clean_full.iterrows()})
+    eng_nkeys = len({eng_key(r) for _, r in eng_clean.iterrows()})
     print(f"[parity] golden totals: reference={len(ref_golden)} "
-          f"engine={len(eng_golden)} (fallback-key rows group differently "
-          "by divergence #2 — email-keyed subset compared strictly)")
+          f"(distinct ref-semantics keys: {ref_nkeys}) "
+          f"engine={len(eng_golden)} "
+          f"(distinct eng-semantics keys: {eng_nkeys})")
+    if len(ref_golden) != ref_nkeys:
+        failures.append(
+            f"golden accounting: reference rows {len(ref_golden)} != "
+            f"its own distinct keys {ref_nkeys}")
+    if len(eng_golden) != eng_nkeys:
+        failures.append(
+            f"golden accounting: engine rows {len(eng_golden)} != "
+            f"its own distinct keys {eng_nkeys}")
     if g_counts.get("UNDOCUMENTED", 0) > 0:
         for s in g_samples[:10]:
             print("[parity]   UNDOCUMENTED:", s)
