@@ -52,6 +52,18 @@ if [ "${GATE_FULL:-0}" = "1" ]; then
   python3 tools/check_oracle.py /root/testdata/sf0.01 "$out01"
 fi
 
+# Reference-execution parity (GATE_PARITY=1): run the reference's own
+# clean/fill scripts against the engine on real fixtures and classify
+# every cell difference into DIVERGENCES.md classes (tools/parity.py).
+# Not part of the default gate (it is input-fixture-bound, not
+# registry-bound) — run it whenever pipeline/Clean/Fill/Cleaning
+# semantics change.
+if [ "${GATE_PARITY:-0}" = "1" ]; then
+  python3 tools/parity.py > /tmp/gate_parity.log 2>&1 || {
+    grep '\[parity\]' /tmp/gate_parity.log; exit 1; }
+  grep '\[parity\]' /tmp/gate_parity.log | tail -6
+fi
+
 if [ "${GATE_NO_RECALL:-0}" = "1" ]; then
   echo "[gate] green EXCEPT skipped recall lane — NOT stamping; run the full gate before committing"
   exit 0
