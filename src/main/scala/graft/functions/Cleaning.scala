@@ -73,14 +73,17 @@ object Cleaning {
   /** Phone validity: digits-only length in [7, 15] (validate_fields.py:18-22). */
   def validPhone(c: Column): Column = length(digitsOnly(c)).between(7, 15)
 
-  /** Tri-state Y/N boolean standardization (clean_contacts.py:129-147): map
-    * y/yes/true/1 -> "Y", n/no/false/0 -> "N", everything else -> null. Kept as
-    * StringType {Y, N, null} for byte-exact TSV round-trips (SURVEY.md §1.2). */
+  /** Tri-state Y/N boolean standardization (clean_contacts.py:137-142):
+    * strip + uppercase, then keep ONLY the literals "Y"/"N" — everything
+    * else (including "yes"/"true"/"1"/"0" spellings) becomes null,
+    * exactly like the reference's `x if x in ["Y","N"] else pd.NA`. An
+    * earlier version mapped common boolean spellings onto Y/N — a silent
+    * deviation the full-master parity run caught (a raw "0" cell: null
+    * in the reference, "N" here). Kept as StringType {Y, N, null} for
+    * byte-exact TSV round-trips (SURVEY.md §1.2). */
   def ynFlag(c: Column): Column = {
     val u = upper(trim(c.cast("string")))
-    when(u.isin("Y", "YES", "TRUE", "1"), lit("Y"))
-      .when(u.isin("N", "NO", "FALSE", "0"), lit("N"))
-      .otherwise(lit(null).cast("string"))
+    when(u.isin("Y", "N"), u).otherwise(lit(null).cast("string"))
   }
 
   /** Lenient timestamp parse = pandas `to_datetime(errors="coerce")`

@@ -92,12 +92,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(evalStr(Some("a@b@c.com"), Cleaning.validEmail) == false)
   }
 
-  test("ynFlag tri-state standardization (clean:129-147)") {
-    val cases = Seq("y" -> "Y", "YES" -> "Y", "true" -> "Y", "1" -> "Y",
-      " n " -> "N", "No" -> "N", "false" -> "N", "0" -> "N")
-    for ((in, out) <- cases)
+  test("ynFlag keeps ONLY Y/N after strip+upper (clean:137-142)") {
+    val kept = Seq("y" -> "Y", "Y" -> "Y", " n " -> "N", "N" -> "N")
+    for ((in, out) <- kept)
       assert(evalStr(Some(in), Cleaning.ynFlag) == out, s"$in -> $out")
-    assert(evalStr(Some("maybe"), Cleaning.ynFlag) == null)
+    // reference parity: boolean SPELLINGS are not remapped — the master's
+    // observed '-1'/'0'/'2'/latitude junk in SUB columns all null out
+    for (in <- Seq("yes", "true", "1", "No", "false", "0", "-1", "2",
+        "maybe", "146.0075699"))
+      assert(evalStr(Some(in), Cleaning.ynFlag) == null, s"$in -> null")
     assert(evalStr(None, Cleaning.ynFlag) == null)
   }
 

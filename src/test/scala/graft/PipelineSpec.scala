@@ -290,8 +290,8 @@ class PipelineSpec extends AnyFunSuite {
   test("end-to-end pipeline: fill -> clean -> dedup -> validate") {
     val m = Seq(
       ("Jo", "Do", "jo do", "", "5551234567", "2020-01-01 00:00:00", "y"),
-      ("JO", "DO", "jo do", "jo@x.com", "5551234567", "2021-01-01 00:00:00", "yes"),
-      ("Bo", "Bi", "bo bi", "bo@y.com", "5550000000", "2020-06-01 00:00:00", "no"))
+      ("JO", "DO", "jo do", "jo@x.com", "5551234567", "2021-01-01 00:00:00", "Y"),
+      ("Bo", "Bi", "bo bi", "bo@y.com", "5550000000", "2020-06-01 00:00:00", "n"))
       .toDF("FIRSTNAME", "LASTNAME", "FULLNAME", "EMAIL", "MOBILE",
         "LAST_UPDATED", "ISACTIVE")
     val mk = Fill.withMatchKeys(m, col("FULLNAME"), col("EMAIL"), col("MOBILE"))

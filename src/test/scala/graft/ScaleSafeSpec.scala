@@ -219,6 +219,48 @@ class ScaleSafeSpec extends AnyFunSuite {
       Budget.groupedCumulativeSum(perKey, "g", Seq(col("k")), col("c"), "cum"))
   }
 
+  test("Budget.groupedRunning == per-group windows for sum/min/max/sum-with-min") {
+    // every spec type against its naive per-group window, on a frame with
+    // few huge groups, signed doubles (the CUSUM shape needs negatives so
+    // the running min actually dips), and a long count column
+    val df = (1 to 5000).map { i =>
+      (s"g${i % 4}", i.toLong,
+        ((i * 31 % 19) - 9).toDouble / 4.0, (i % 5).toLong)
+    }.toDF("g", "k", "x", "c").repartition(8)
+    val got = Budget.groupedRunning(df, "g", Seq(col("k")), Seq(
+        Budget.RunSum(col("c"), "rs"),
+        Budget.RunMin(col("x"), "rmin"),
+        Budget.RunMax(col("x"), "rmax"),
+        Budget.RunSumWithMin(col("x"), "cs", "csmin")))
+      .select("g", "k", "rs", "rmin", "rmax", "cs", "csmin")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = sum(col("x")).over(w)
+    val naive1 = df.select(col("g"), col("k"),
+      sum(col("c")).over(w).as("rs"),
+      min(col("x")).over(w).as("rmin"),
+      max(col("x")).over(w).as("rmax"),
+      cs.as("cs"))
+    val want = naive1
+      .withColumn("csmin", min(col("cs")).over(w))
+      .select("g", "k", "rs", "rmin", "rmax", "cs", "csmin")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    // doubles: the two-phase association can differ in the last ulp from
+    // the sequential fold — compare at 9 decimals (callers round to <= 6)
+    def r9(t: (String, Long, Long, Double, Double, Double, Double)) =
+      (t._1, t._2, t._3, BigDecimal(t._4).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(t._5).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(t._6).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(t._7).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    assert(got.map(r9) == want.map(r9),
+      "groupedRunning diverged from the per-group windows")
+    graft.pipeline.Pins.flush()
+  }
+
   test("Lift.ntileByOrder: 200k skewed rows, deterministic across re-runs, == ntile") {
     // heavy ties (a Zipfian score with ~50 distinct values) exercise the
     // range partitioner's equal-keys-co-located contract and the persist

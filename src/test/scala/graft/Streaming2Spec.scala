@@ -121,8 +121,8 @@ class Streaming2Spec extends AnyFunSuite {
     val out = Files.createTempDirectory("ingest-out").toString + "/staged"
     val ckpt = Files.createTempDirectory("ingest-ckpt").toString
     val tsv = "FIRSTNAME\tEMAIL\tISACTIVE\n" +
-      "  jo  \tJO@X.COM junk\tyes\n" +
-      "bo\tnot-an-email\t0\n"
+      "  jo  \tJO@X.COM junk\ty\n" +
+      "bo\tnot-an-email\tn\n"
     Files.writeString(in.resolve("batch1.tsv"), tsv)
 
     val schema = graft.streaming.ContactsStream.schemaOf(
