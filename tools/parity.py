@@ -246,7 +246,7 @@ def fillable_cells(fixture, keys, fields, side):
     return out
 
 
-def fill_lane(fixture, failures):
+def fill_lane(fixture, failures, variant="natural"):
     """Reference fill_missing_contacts.py vs engine Fill.fillFromSources on
     the same fixture + the reference's real data_files sources. Fill
     results are ordering-dependent (#5 listdir vs sorted sources, #6
@@ -281,7 +281,8 @@ def fill_lane(fixture, failures):
         os.chdir(cwd)
     ref_log = json.load(open(os.path.join(sb, "output",
                                           "fill_missing_log.json")))
-    print(f"[parity] fill lane: reference made {len(ref_log)} fills")
+    print(f"[parity] fill lane ({variant}): reference made "
+          f"{len(ref_log)} fills")
 
     eng_prefix = os.path.join(sb, "engine")
     r = subprocess.run(
@@ -294,7 +295,7 @@ def fill_lane(fixture, failures):
         print(r.stderr[-3000:])
         sys.exit("[parity] engine ParityFillDump failed")
     eng_log = read_tsv_str(eng_prefix + ".filllog.tsv")
-    print(f"[parity] fill lane: engine made {len(eng_log)} fills")
+    print(f"[parity] fill lane ({variant}): engine made {len(eng_log)} fills")
 
     common_fields = ["FIRSTNAME", "LASTNAME", "MOBILE"]
     ref_fills = {(int(e["row"]) - 1, e["field"]): str(e["new_value"])
@@ -338,21 +339,34 @@ def fill_lane(fixture, failures):
             counts["divergence_5_6"] += 1
         else:
             counts["divergence_9"] += 1  # fillable under one side's keys only
-    print("[parity] fill lane cell classes:", counts)
+    print(f"[parity] fill lane ({variant}) cell classes:", counts)
     for b in bad[:10]:
         print("[parity]   UNDOCUMENTED:", b)
     if counts["UNDOCUMENTED"] > 0:
         failures.append(
-            f"fill lane: {counts['UNDOCUMENTED']} fill(s) outside the "
-            "documented divergence classes")
+            f"fill lane ({variant}): {counts['UNDOCUMENTED']} fill(s) "
+            "outside the documented divergence classes")
     if len(eng_log) == 0:
-        failures.append("fill lane: engine made no fills — vacuous")
-    if len(ref_log) == 0:
+        failures.append(f"fill lane ({variant}): engine made no fills "
+                        "— vacuous")
+    if variant == "natural" and len(ref_log) == 0:
         # not a failure — the measured divergence-#9 evidence: keyed on
         # the ~empty X_EMAIL2, the reference's fill stage is a NO-OP on
         # its own master + its own sources even with working headers
         print("[parity] fill lane: reference made ZERO fills on its own "
               "data (X_EMAIL2 keying) — divergence #9, measured")
+    if variant == "aligned-email":
+        # with the email roles aligned, BOTH sides fill on the same keys:
+        # the common surface must produce genuinely identical fills, or
+        # the lane is not comparing the J2 match/fill mechanics at all
+        if len(ref_log) == 0:
+            failures.append(
+                "fill lane (aligned-email): reference still made no "
+                "fills — the variant is not exercising matching")
+        if counts["equal"] == 0:
+            failures.append(
+                "fill lane (aligned-email): no identical fills on the "
+                "common surface — vacuous match/fill comparison")
 
 
 def main():
@@ -538,7 +552,14 @@ def main():
             "outside the documented divergence classes")
 
     # ---- stage 3: the fill stage against the reference's own run ----
-    fill_lane(fixture, failures)
+    # natural: the reference's own key surface (measures the #9 no-op)
+    fill_lane(fixture, failures, "natural")
+    # aligned-email: plant X_EMAIL2 := EMAIL so BOTH sides match on the
+    # same email keys — the variant that actually exercises the J2
+    # match + first-match-wins fill mechanics on the common surface
+    aligned = fixture.copy()
+    aligned["X_EMAIL2"] = aligned["EMAIL"]
+    fill_lane(aligned, failures, "aligned-email")
 
     if failures:
         for f in failures:
