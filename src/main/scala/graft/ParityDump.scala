@@ -33,6 +33,14 @@ object ParityDump {
       lastUpdatedCol = pipeline.Roles.exact(cleaned, "LAST_UPDATED"))
     pipeline.Tsv.write(golden.drop("row_id"), s"$outPrefix.golden.tsv",
       singleFile = true)
+    // validation lane: validate the golden TSV read BACK from disk — the
+    // byte-identical file the reference's validate_fields.py reads — with
+    // file-order row ids (== the reference's positional idx+1)
+    val goldenBack = pipeline.ContactsApp.withRowIds(
+      pipeline.Tsv.read(spark, s"$outPrefix.golden.tsv"))
+    pipeline.JsonAudit.writeArray(
+      pipeline.Validate.referenceReport(goldenBack),
+      s"$outPrefix.validation.json")
     pipeline.Pins.flush()
     spark.stop()
   }

@@ -27,6 +27,7 @@ Driver-side tooling only (pandas); the engine library has no Python.
 import importlib.util
 import os
 import re
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -244,6 +245,61 @@ def fillable_cells(fixture, keys, fields, side):
                     if ok:
                         out.setdefault((i, f), set()).add(v)
     return out
+
+
+def validate_lane(eng_prefix, failures):
+    """Reference validate_fields.py vs Validate.referenceReport on the
+    SAME input file — the engine's golden TSV. Unlike the other lanes,
+    both validators read byte-identical bytes, so the reports must agree
+    EXACTLY: same error rows, same composed names, same messages in the
+    same rule order (the message-vocabulary parity SURVEY.md claims)."""
+    import json
+    sbv = tempfile.mkdtemp(prefix="parityval_")
+    os.symlink(os.path.join(REF, "cleaning"), os.path.join(sbv, "cleaning"))
+    os.makedirs(os.path.join(sbv, "output"))
+    shutil.copy(eng_prefix + ".golden.tsv",
+                os.path.join(sbv, "output", "cleaned_contacts.tsv"))
+    spec = importlib.util.spec_from_file_location(
+        "ref_val", os.path.join(sbv, "cleaning", "validate_fields.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # __main__-guarded
+    cwd = os.getcwd()
+    os.chdir(sbv)
+    try:
+        mod.main()
+    finally:
+        os.chdir(cwd)
+    ref = {e["row"]: (e["name"], list(e["errors"]))
+           for e in json.load(open(os.path.join(
+               sbv, "output", "validation_errors.json")))}
+    eng = {e["row"]: (e["name"], list(e["errors"]))
+           for e in json.load(open(eng_prefix + ".validation.json"))}
+    counts = {"equal": 0, "divergence_2": 0, "UNDOCUMENTED": 0}
+    bad = []
+    for r in sorted(set(ref) | set(eng)):
+        rv, ev = ref.get(r), eng.get(r)
+        if rv == ev:
+            counts["equal"] += 1
+        elif (rv is not None and ev is not None and rv[1] == ev[1]
+              and [t for t in rv[0].split(" ") if t not in SENTINELS]
+                  == [t for t in ev[0].split(" ") if t not in SENTINELS]):
+            # the validator's own astype-str pollution: a missing LASTNAME
+            # reads back as the string 'nan' and lands IN THE REPORTED
+            # NAME ("Marty nan" — the ledger's "Charlie Nan" shape); the
+            # error lists themselves are identical
+            counts["divergence_2"] += 1
+        else:
+            counts["UNDOCUMENTED"] += 1
+            bad.append((r, rv, ev))
+    print(f"[parity] validate lane: reference {len(ref)} error rows, "
+          f"engine {len(eng)}; classes: {counts}")
+    for d in bad[:10]:
+        print("[parity]   VALDIFF:", d)
+    if counts["UNDOCUMENTED"] > 0:
+        failures.append(f"validate lane: {counts['UNDOCUMENTED']} row "
+                        "report(s) differ outside the documented classes")
+    if counts["equal"] == 0:
+        failures.append("validate lane: no identical error rows — vacuous")
 
 
 def fill_lane(fixture, failures, variant="natural"):
@@ -550,6 +606,9 @@ def main():
         failures.append(
             f"stage 2: {g_counts['UNDOCUMENTED']} golden cell(s) differ "
             "outside the documented divergence classes")
+
+    # ---- stage 2b: both validators over the engine's golden TSV ----
+    validate_lane(eng_prefix, failures)
 
     # ---- stage 3: the fill stage against the reference's own run ----
     # natural: the reference's own key surface (measures the #9 no-op)
