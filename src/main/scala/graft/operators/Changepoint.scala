@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CUSUM mean-shift detection (Page 1954) — the sequential changepoint
@@ -69,11 +69,20 @@ object Changepoint {
           .as("__z"))
     // one grouped-prefix pass computes both one-sided cumulative sums
     // AND their running minima (the RunSumWithMin shape — windows cannot
-    // nest, but the segment algebra can)
+    // nest, but the segment algebra can). Null-valued rows must carry the
+    // statistic forward unchanged (the window-sum null-skip semantics this
+    // closed form replaces): RunSum requires non-null addends, so a null
+    // z contributes 0 to BOTH sides — no slack charge, no reset movement —
+    // and the row still counts in n and can never be a first-crossing of
+    // its own (its s equals its predecessor's).
+    def addend(x: Column): Column =
+      when(col("__z").isNotNull, x).otherwise(lit(0.0))
     val withC = Budget.groupedRunning(z, keyCol, Seq(col(orderCol)),
       Seq(
-        Budget.RunSumWithMin(col("__z") - lit(slack), "__cpos", "__mpos"),
-        Budget.RunSumWithMin(-col("__z") - lit(slack), "__cneg", "__mneg")))
+        Budget.RunSumWithMin(addend(col("__z") - lit(slack)),
+          "__cpos", "__mpos"),
+        Budget.RunSumWithMin(addend(-col("__z") - lit(slack)),
+          "__cneg", "__mneg")))
     def side(c: String, m: String, name: String) =
       round(col(c) - least(lit(0.0), col(m)), 4).as(name)
     val scored = withC.select(col(keyCol), col(orderCol), col("__mu"),

@@ -99,6 +99,14 @@ object ContactsStream {
         graft.pipeline.GoldenRecord
           .upsertIncremental(existing, incoming, rowIdCol, lastUpdatedCol)
           .write.mode("overwrite").parquet(s"$goldenDir/v=$batchId")
+        // commit marker the STREAM controls: the committer's _SUCCESS
+        // depends on mapreduce.fileoutputcommitter.marksuccessfuljobs
+        // (commonly disabled on object stores), and with it off every
+        // snapshot would read back as uncommitted — the silent golden
+        // reset the marker filter exists to prevent. Writing our own
+        // sentinel AFTER the parquet job returns makes commitment
+        // independent of committer configuration.
+        writeCommitMarker(spark, s"$goldenDir/v=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -120,9 +128,21 @@ object ContactsStream {
     * raise-don't-poison stance of Preference/Bootstrap.
     *
     * Commitment: the parquet overwrite is not atomic, so a `v=N` directory
-    * alone may be a partial crash artifact. Only directories carrying the
-    * committer's `_SUCCESS` marker count as committed — a half-written
-    * snapshot is never resolved (the replaying batch overwrites it). */
+    * alone may be a partial crash artifact. Only directories carrying a
+    * commit marker — the stream's own `_GRAFT_COMMIT` sentinel, or the
+    * committer's `_SUCCESS` for pre-sentinel snapshots — count as
+    * committed; a half-written snapshot is never resolved (the replaying
+    * batch overwrites it).
+    *
+    * If snapshot directories exist below `beforeBatchId` but NONE carries
+    * a marker, this RAISES instead of returning None: under the stream's
+    * own write protocol at most the single newest snapshot can be torn
+    * (a batch never starts before its predecessor's marker landed), so
+    * "every predecessor is uncommitted" means the markers were stripped
+    * or the directory is foreign — and returning None would silently
+    * merge the next batch against an EMPTY golden frame, resetting the
+    * table. None is reserved for a truly empty/missing goldenDir (the
+    * legitimate first-batch state). */
   def latestVersionBefore(spark: SparkSession, goldenDir: String,
       beforeBatchId: Long): Option[Long] = {
     import org.apache.hadoop.fs.Path
@@ -131,12 +151,71 @@ object ContactsStream {
     val entries =
       try fs.listStatus(root).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty }
-    entries
+    val candidates = entries
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filter(_ < beforeBatchId)
-      .sorted.lastOption
+      .map(st => (st.getPath.getName.stripPrefix("v=").toLong, st.getPath))
+      .filter(_._1 < beforeBatchId)
+    val committed = candidates.collect {
+      case (v, p) if fs.exists(new Path(p, CommitMarker)) ||
+        fs.exists(new Path(p, "_SUCCESS")) => v
+    }
+    if (candidates.nonEmpty && committed.isEmpty)
+      throw new IllegalStateException(
+        s"goldenDir $goldenDir has ${candidates.size} snapshot " +
+          s"director(ies) below v=$beforeBatchId but none carries a " +
+          s"commit marker ($CommitMarker or _SUCCESS) — refusing to " +
+          "resolve an empty golden state over existing snapshots")
+    committed.sorted.lastOption
+  }
+
+  /** Commit-marker filename for golden snapshots (see
+    * [[latestVersionBefore]]). */
+  val CommitMarker = "_GRAFT_COMMIT"
+
+  private def writeCommitMarker(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, CommitMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(p, true).close()
+  }
+
+  /** Keep-last-N snapshot retention: delete every COMMITTED golden
+    * snapshot except the `keepLast` newest, plus any uncommitted
+    * (marker-less) crash artifact older than the oldest kept version.
+    * Returns the deleted versions.
+    *
+    * `keepLast >= 2` is a correctness floor, not a tuning default: the
+    * newest batch may have written its snapshot and crashed before its
+    * CHECKPOINT committed, and its replay resolves the latest committed
+    * snapshot strictly below its own id — prune that predecessor and the
+    * replay would raise (or, pre-markers, silently reset). Uncommitted
+    * directories at or above the kept range are left alone: the newest
+    * one may be an in-flight write. */
+  def pruneSnapshots(spark: SparkSession, goldenDir: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 2,
+      s"keepLast must be >= 2 (replay of the newest batch resolves the " +
+        s"second-newest committed snapshot); got $keepLast")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(goldenDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries =
+      try fs.listStatus(root).toSeq
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val versioned = entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(st => (st.getPath.getName.stripPrefix("v=").toLong, st.getPath))
+    val committed = versioned.collect {
+      case (v, p) if fs.exists(new Path(p, CommitMarker)) ||
+        fs.exists(new Path(p, "_SUCCESS")) => v
+    }.sorted
+    if (committed.size <= keepLast) return Seq.empty
+    val keptFloor = committed.takeRight(keepLast).head
+    val doomed = versioned.filter { case (v, p) =>
+      v < keptFloor // committed beyond keepLast, or stale crash artifacts
+    }
+    doomed.foreach { case (_, p) => fs.delete(p, true) }
+    doomed.map(_._1).sorted
   }
 
   /** The current golden table (latest committed snapshot), if any. */

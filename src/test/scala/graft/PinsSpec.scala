@@ -48,4 +48,31 @@ class PinsSpec extends AnyFunSuite {
     assert(leaked.isEmpty,
       s"net-new persisted RDDs survived Pins.flush: $leaked")
   }
+
+  test("concurrent second flow fails loudly; dead owner's pins are adopted") {
+    import spark.implicits._
+    Pins.flush()
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    val pinnedUp = new java.util.concurrent.CountDownLatch(1)
+    @volatile var flowAErr: Throwable = null
+    val flowA = new Thread(() => {
+      try { Pins.pin(Seq(1).toDF("x")); pinnedUp.countDown(); hold.await() }
+      catch { case e: Throwable => flowAErr = e; pinnedUp.countDown() }
+    }, "pins-spec-flow-a")
+    flowA.start()
+    pinnedUp.await()
+    assert(flowAErr == null, s"flow A failed to pin: $flowAErr")
+    // a second LIVE flow may neither pin nor flush while A's pins are live
+    val ePin = intercept[IllegalStateException] { Pins.pin(Seq(2).toDF("y")) }
+    assert(ePin.getMessage.contains("concurrent pin"))
+    val eFlush = intercept[IllegalStateException] { Pins.flush() }
+    assert(eFlush.getMessage.contains("flush"))
+    hold.countDown()
+    flowA.join()
+    // flow A is dead: its orphaned scratch is adoptable — the next flow
+    // flushes (or pins) without deadlocking on a completed thread
+    assert(Pins.activeCount == 1)
+    Pins.flush()
+    assert(Pins.activeCount == 0)
+  }
 }

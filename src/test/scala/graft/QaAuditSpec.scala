@@ -30,6 +30,34 @@ class QaAuditSpec extends AnyFunSuite {
     assert(out("c") == ((false, false, None)))
   }
 
+  test("cusum carries the statistic through null-valued rows (window null-skip)") {
+    // nulls planted INSIDE the monitored series — including a leading run
+    // deep in the frame (the cross-segment case: a null addend must not
+    // poison the carried prefix) — must behave exactly like the window
+    // formulation's null-skipping sum: they contribute nothing to the
+    // statistic, never alarm on their own, and still count in n
+    val vals: Long => Option[Double] = i =>
+      if (i % 7 == 3 || (i >= 45 && i < 50)) None
+      else Some((i % 4).toDouble + (if (i >= 40) 3.0 else 0.0))
+    val cur = (0L until 80L).map(i => ("g", i, vals(i)))
+    val base = cur.filter(_._2 < 40)
+    def run(rows: Seq[(String, Long, Option[Double])]) =
+      Changepoint.cusum(base.toDF("g", "t", "v"),
+          rows.toDF("g", "t", "v"), "g", "t", "v")
+        .select("g", "n", "mu", "sigma", "max_s_pos", "max_s_neg",
+          "cp_pos", "cp_neg", "alarm_pos", "alarm_neg")
+        .collect().head
+    val withNulls = run(cur)
+    val withoutNulls = run(cur.filter(_._3.isDefined))
+    assert(withNulls.getLong(1) == 80L, "n counts null-valued rows")
+    assert(withoutNulls.getLong(1) == cur.count(_._3.isDefined).toLong)
+    // every other column identical: null rows are pure carries
+    for (i <- Seq(2, 3, 4, 5, 6, 7, 8, 9))
+      assert(withNulls.get(i) == withoutNulls.get(i),
+        s"column $i diverged: ${withNulls.get(i)} vs ${withoutNulls.get(i)}")
+    assert(withNulls.getBoolean(8), "the planted step must still alarm")
+  }
+
   test("cusum mirrors for downward shifts; sigma=0 groups dropped") {
     val down = (0 until 80).map(i => ("d", i.toLong,
       if (i < 40) (i % 4).toDouble else (i % 4) - 3.0))

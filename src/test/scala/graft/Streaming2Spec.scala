@@ -275,6 +275,79 @@ class Streaming2Spec extends AnyFunSuite {
       "backpressured streaming upsert diverged from one-shot batch dedupe")
   }
 
+  test("snapshot retention: prune keeps the replay anchor; restart resolves post-compaction") {
+    import java.nio.file.Files
+    import graft.streaming.ContactsStream
+    val in = Files.createTempDirectory("ret-in")
+    val golden = Files.createTempDirectory("ret-out").toString + "/golden"
+    val ckpt = Files.createTempDirectory("ret-ckpt").toString
+    val header = "ROW_ID\tFULLNAME\tEMAIL\tMOBILE\n"
+    val days = Seq(
+      "1\tann x\tann@x.com\t\n",
+      "2\tbob y\tbob@x.com\t5551112222\n",
+      "3\tann x\tann@x.com\t5559998888\n",
+      "4\tcid z\tcid@x.com\t\n")
+    days.zipWithIndex.foreach { case (body, i) =>
+      Files.writeString(in.resolve(s"day$i.tsv"), header + body)
+    }
+    val schema = ContactsStream.schemaOf(
+      spark, in.resolve("day0.tsv").toString)
+    ContactsStream.goldenUpsertStream(spark, in.toString, schema, golden,
+      ckpt, "ROW_ID", maxFilesPerTrigger = Some(1))
+
+    intercept[IllegalArgumentException] {
+      ContactsStream.pruneSnapshots(spark, golden, keepLast = 1)
+    }
+    val pruned = ContactsStream.pruneSnapshots(spark, golden, keepLast = 2)
+    assert(pruned == Seq(0L, 1L), s"expected v=0,v=1 pruned, got $pruned")
+    assert(!new java.io.File(golden, "v=0").exists())
+    assert(ContactsStream.pruneSnapshots(spark, golden, 2).isEmpty,
+      "a second prune at the same bound must be a no-op")
+    // the latest committed snapshot still resolves after compaction
+    assert(ContactsStream
+      .latestVersionBefore(spark, golden, Long.MaxValue).contains(3L))
+
+    // RESTART after compaction: the next batch resolves the kept latest
+    // snapshot (not an empty frame) and the merged result still equals the
+    // one-shot batch dedupe over everything ever ingested
+    Files.writeString(in.resolve("day4.tsv"),
+      header + "5\tbob y\tbob@x.com\t\n6\tdee w\t\t5550001111\n")
+    ContactsStream.goldenUpsertStream(spark, in.toString, schema, golden,
+      ckpt, "ROW_ID")
+    val got = ContactsStream.currentGolden(spark, golden).get
+    val batchAll = graft.pipeline.GoldenRecord.dedupe(
+      (days.indices :+ 4).map(i => graft.pipeline.Clean(
+          graft.pipeline.Tsv.readAllString(spark,
+            in.resolve(s"day$i.tsv").toString)))
+        .reduce(_ unionByName _), "ROW_ID")
+    assert(got.exceptAll(batchAll).isEmpty && batchAll.exceptAll(got).isEmpty,
+      "post-compaction restart diverged from the one-shot batch dedupe")
+  }
+
+  test("latestVersionBefore raises on marker-less snapshots; None only when empty") {
+    import java.nio.file.Files
+    import graft.streaming.ContactsStream
+    val golden = Files.createTempDirectory("raise-out").toString + "/golden"
+    // truly missing dir -> None (the legitimate first-batch state)
+    assert(ContactsStream
+      .latestVersionBefore(spark, golden, Long.MaxValue).isEmpty)
+    // v=* dirs exist but NONE carries a commit marker: the markers-off
+    // (or foreign-directory) regime — must raise, never silently resolve
+    // an empty golden state over existing snapshots
+    val torn = new java.io.File(golden, "v=0")
+    torn.mkdirs()
+    Files.writeString(torn.toPath.resolve("part-abc.parquet"), "data")
+    val e = intercept[IllegalStateException] {
+      ContactsStream.latestVersionBefore(spark, golden, Long.MaxValue)
+    }
+    assert(e.getMessage.contains("commit marker"))
+    // the stream's own sentinel commits it (no _SUCCESS needed)
+    Files.writeString(
+      torn.toPath.resolve(ContactsStream.CommitMarker), "")
+    assert(ContactsStream
+      .latestVersionBefore(spark, golden, Long.MaxValue).contains(0L))
+  }
+
   test("streaming CMS + Bloom sketches == batch sketches across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, xxhash64}
