@@ -110,34 +110,58 @@ object Bench {
     def cs(v: Double): String =
       if (v < 0) "-1" else Math.round(v * 100.0).toString
 
+    // drift-normalized regression detection (BenchDrift): the PRIOR
+    // round's committed BENCH_RUNS.json (read BEFORE this run overwrites
+    // it) supplies last round's minima; the frozen canaries estimate the
+    // host factor; flags land in the new file and on stderr. A restricted
+    // or cross-SF prior yields no factor and no flags.
+    val priorBody =
+      try {
+        val src = scala.io.Source.fromFile("BENCH_RUNS.json")
+        try src.mkString finally src.close()
+      } catch { case _: Exception => "" }
+    val prior = BenchDrift.priorMinima(priorBody, sfDir)
+    val drift = BenchDrift.analyze(prior,
+      results.filter(_._2 >= 0).toMap)
+    drift.flags.foreach { f =>
+      System.err.println(f"[bench] DRIFT-NORMALIZED REGRESSION ${f.name}: " +
+        f"${f.priorSec}%.3f -> ${f.currentSec}%.3f s " +
+        f"(normalized ratio ${f.normRatio}%.3f, host factor " +
+        f"${drift.factor.getOrElse(1.0)}%.3f)")
+    }
+
     // full-precision per-pass samples -> audit file (committed by the driver)
     val runsJson = samples.map { case (k, ss) =>
       "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6","runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; host_factor = median canary current/prior ratio vs the prior committed BENCH_RUNS.json, flagged = normalized ratio > 1.3 and drift-adjusted excess > 0.2s"${drift.jsonFields},"runs":$runsJson}\n""")
     finally fw.close()
 
-    // Shortest-possible unique keys ("44", not "q44_dup_clusters") on the
-    // stdout line: the driver keeps only the final ~2000 chars of output —
-    // a truncated head loses the line's opening brace and fails the parse.
-    // The NN number is unique per query; BENCH_RUNS.json carries the full
-    // names and raw 3-decimal samples.
-    def shortKey(n: String): String = n.takeWhile(_ != '_').drop(1)
-    // a key collision would emit duplicate JSON keys and silently drop a
-    // query from the parsed artifact — fall back to full names
-    val collide = results.map(r => shortKey(r._1)).groupBy(identity)
-      .exists(_._2.size > 1)
-    val keyOf: String => String = if (collide) identity else shortKey
-    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + cs(v) }
-      .mkString("{", ",", "}")
+    // Positional per-query encoding on the stdout line: the driver keeps
+    // only the final ~2000 chars of output — a truncated head loses the
+    // line's opening brace and fails the parse (BENCH_r08). Query numbers
+    // are contiguous 1..N (CoverageSpec pins this), so "queries" is an
+    // ARRAY of centisecond ints indexed by query number ("qkeys":"1-N",
+    // value at position i is query number i+1) — half the chars of the
+    // numbered-key map the registry outgrew at 190 queries. Full names and
+    // raw 3-decimal samples stay in BENCH_RUNS.json.
+    def qnum(n: String): Int = n.takeWhile(_ != '_').drop(1).toInt
+    val byNum = results.sortBy(r => qnum(r._1))
+    val contiguous = byNum.map(r => qnum(r._1)) == (1 to byNum.size)
+    // non-contiguous (a restricted SPARK_GRAFT_ONLY run) -> full-name map
+    val qs =
+      if (contiguous) byNum.map(r => cs(r._2)).mkString("[", ",", "]")
+      else results.map { case (k, v) => "\"" + k + "\":" + cs(v) }
+        .mkString("{", ",", "}")
+    val qkeys = if (contiguous) s""""qkeys":"1-${byNum.size}",""" else ""
     val total = results.map(_._2).filter(_ >= 0).sum
-    // "qunit" makes the centisecond encoding self-describing; prose policy
+    // "qunit"/"qkeys" make the encoding self-describing; prose policy
     // lives in BENCH_RUNS.json to protect the ~2000-char tail window.
     // Cleanup has been untimed since r6 — treat r6 as the baseline for
     // cross-round deltas (r1-r5 totals timed cleanup)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"qunit":"centisec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"qunit":"centisec",$qkeys"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

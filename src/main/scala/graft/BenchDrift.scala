@@ -1,0 +1,95 @@
+package graft
+
+/** Drift-normalized bench regression detection.
+  *
+  * Round-over-round totals on this host move one-sidedly by ~5-10%
+  * (GC/scheduler drift documented since r8), which swamps real per-query
+  * signal: a genuine 1.3x regression on one query is invisible inside a
+  * +8 s whole-registry wobble. The fix is the classic canary design: a
+  * small set of FROZEN queries — plans that never change round to round —
+  * estimates the host factor as the MEDIAN of their current/prior
+  * ratios, and every other query's ratio is normalized by that factor
+  * before the regression bar applies. A uniform host slowdown moves the
+  * canaries and the workload identically (normalized ratios ~1, no
+  * flags); a single-query regression moves only itself (its normalized
+  * ratio stays ~raw and trips the bar). The median keeps one disturbed
+  * canary from poisoning the estimate.
+  *
+  * Bars: normalized ratio > `ratioBar` (1.3 — the bar VERDICT rounds have
+  * used) AND a drift-adjusted absolute excess > `absBar` seconds (0.2 —
+  * sub-200ms wobble on tiny queries is noise at any ratio).
+  *
+  * [[Bench]] wires this against the PRIOR round's committed
+  * BENCH_RUNS.json (read before this run overwrites it) and records the
+  * factor + flags in the new file; restricted (`SPARK_GRAFT_ONLY`) or
+  * cross-SF priors simply yield no factor and no flags. */
+object BenchDrift {
+
+  /** Frozen canary queries: simple scan/agg/join plans untouched since
+    * the early rounds — q1 (lineitem pricing agg), q9 (part text
+    * projection), q10 (date-bucketed agg). Never change these queries'
+    * plans; they are the measurement instrument. */
+  val Canaries = Seq("q1_pricing_summary", "q9_part_text",
+    "q10_orders_by_month")
+
+  case class Flag(name: String, priorSec: Double, currentSec: Double,
+      normRatio: Double)
+
+  case class Report(factor: Option[Double], flags: Seq[Flag]) {
+    /** JSON fragment for BENCH_RUNS.json (comma-prefixed fields). */
+    def jsonFields: String = {
+      def r3(v: Double) =
+        "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val f = factor.map(r3).getOrElse("null")
+      val fl = flags.map(x =>
+        s"""{"q":"${x.name}","prior":${r3(x.priorSec)},""" +
+          s""""min":${r3(x.currentSec)},"norm_ratio":${r3(x.normRatio)}}""")
+        .mkString("[", ",", "]")
+      s""","canaries":${Canaries.map("\"" + _ + "\"").mkString("[", ",", "]")},"host_factor":$f,"flagged":$fl"""
+    }
+  }
+
+  /** Flag every query whose drift-normalized ratio exceeds the bars.
+    * `prior`/`current` are per-query minima in seconds; canaries are
+    * excluded from flagging (they define the factor). No factor — fewer
+    * than one canary present on both sides — means no flags: an
+    * unnormalized compare would re-introduce exactly the false positives
+    * this module removes. */
+  def analyze(prior: Map[String, Double], current: Map[String, Double],
+      canaries: Seq[String] = Canaries, ratioBar: Double = 1.3,
+      absBar: Double = 0.2): Report = {
+    val ratios = canaries.flatMap { c =>
+      for (p <- prior.get(c); u <- current.get(c) if p > 0 && u > 0)
+        yield u / p
+    }.sorted
+    if (ratios.isEmpty) return Report(None, Nil)
+    val factor =
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    val flags = current.toSeq.sortBy(_._1).flatMap { case (n, cur) =>
+      if (canaries.contains(n) || cur <= 0) None
+      else prior.get(n).filter(_ > 0).flatMap { p =>
+        val norm = (cur / p) / factor
+        if (norm > ratioBar && cur - p * factor > absBar)
+          Some(Flag(n, p, cur, math.rint(norm * 1000) / 1000))
+        else None
+      }
+    }
+    Report(Some(factor), flags)
+  }
+
+  /** Per-query minima from a BENCH_RUNS.json body written by [[Bench]]
+    * (`"name":[s1,s2,...]` sample arrays; hand-parsed — no JSON library
+    * on the engine classpath). Returns empty when the body's "sf" is not
+    * `sfDir` (cross-SF timings are not comparable) or nothing parses. */
+  def priorMinima(body: String, sfDir: String): Map[String, Double] = {
+    if (!body.contains("\"sf\":\"" + sfDir + "\"")) return Map.empty
+    val re = "\"(q[0-9]+_[A-Za-z0-9_]+)\":\\[([^\\]]*)\\]".r
+    re.findAllMatchIn(body).flatMap { m =>
+      val ok = m.group(2).split(",").toSeq
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+        .filter(_ >= 0)
+      if (ok.isEmpty) None else Some(m.group(1) -> ok.min)
+    }.toMap
+  }
+}

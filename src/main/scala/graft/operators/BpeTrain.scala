@@ -78,9 +78,12 @@ object BpeTrain {
     * (skipped pairs are re-counted next round), but a merge CREATED by
     * an earlier selection could in principle out-rank a later selection
     * mid-batch — sequential training would reorder those two merges.
-    * The graded queries (q99/q101) train with mergeBatch=1; the spec
-    * proves batched==sequential on non-interacting and
-    * shared-symbol-skip fixtures. */
+    * The graded queries q99/q101 train with mergeBatch=1; q190 grades
+    * the batched path itself (mergeBatch=4) against the sequential
+    * oracle on the ORDER-INDEPENDENT surface — merge set + recorded
+    * weights + applied vocabulary — and the spec proves
+    * batched==sequential on non-interacting and shared-symbol-skip
+    * fixtures (plus set-equality on the real corpus). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       mergeBatch: Int = 1): BpeResult = {
     require(mergeBatch >= 1, s"mergeBatch must be >= 1 (got $mergeBatch)")

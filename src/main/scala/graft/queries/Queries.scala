@@ -9171,7 +9171,186 @@ object Queries {
              |  UNION ALL SELECT 'pairs_suppressed', pairs_suppressed FROM css
              |  UNION ALL SELECT 'sources_per_text_max', sources_per_text_max
              |    FROM css)
-             |ORDER BY metric""".stripMargin))
+             |ORDER BY metric""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q189: q184's divergence with the WEB-SCALE vocabulary cap on — the
+    // top-V heavy-hitter cut (V=24 of the corpus's ~35 words, so the cut
+    // fires at every SF) with per-source dropped_tokens/dropped_types
+    // telemetry in the q188 style: a cap that drops data must say so.
+    // The capped JSD renormalizes totals, type counts and smoothing
+    // support to the kept words (a proper distribution over the capped
+    // support, not a truncated sum); ties at the cut break to the
+    // lexicographically smaller word — a total order, so both engines
+    // keep the identical 24 words.
+    QueryDef("q189_source_divergence_capped",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"),
+          when(col("source") === "src17", concat(col("text"),
+            lit(" quantum flux capacitor tachyon quantum flux")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.Divergence.sourceJsd(d, "source", "text",
+            maxVocab = Some(24))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source,
+             |    CASE WHEN source = 'src17' THEN text ||
+             |      ' quantum flux capacitor tachyon quantum flux'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |tok AS (SELECT source AS src,
+             |    unnest(list_filter(string_split_regex(
+             |      lower(trim(text)), '\s+'), x -> x <> '')) AS w
+             |  FROM d),
+             |sc0 AS (SELECT src, w, count(*) AS n_sw FROM tok
+             |  GROUP BY 1, 2),
+             |keep AS (SELECT w, n_w FROM (
+             |    SELECT w, count(*) AS n_w FROM tok GROUP BY 1)
+             |  ORDER BY n_w DESC, w LIMIT 24),
+             |sc AS (SELECT sc0.src, sc0.w, sc0.n_sw
+             |  FROM sc0 JOIN keep USING (w)),
+             |vn AS (SELECT count(*) AS v,
+             |    CAST(sum(n_w) AS BIGINT) AS t_all FROM keep),
+             |stt AS (SELECT src, CAST(sum(n_sw) AS BIGINT) AS t_s,
+             |    count(*) AS n_types FROM sc GROUP BY 1),
+             |raw AS (SELECT src, CAST(sum(n_sw) AS BIGINT) AS raw_tokens,
+             |    count(*) AS raw_types FROM sc0 GROUP BY 1),
+             |grid AS (SELECT s2.src, s2.t_s, vn.v, vn.t_all, keep.w,
+             |    keep.n_w, coalesce(sc.n_sw, 0) AS n_sw
+             |  FROM stt s2 CROSS JOIN vn CROSS JOIN keep
+             |  LEFT JOIN sc ON sc.src = s2.src AND sc.w = keep.w),
+             |pq AS (SELECT src,
+             |    (n_sw + 0.5) / (t_s + v * 0.5) AS p,
+             |    ((n_w - n_sw) + 0.5) / ((t_all - t_s) + v * 0.5) AS q
+             |  FROM grid),
+             |ct AS (SELECT src,
+             |    0.5 * p * ln(p / ((p + q) / 2))
+             |      + 0.5 * q * ln(q / ((p + q) / 2)) AS c
+             |  FROM pq),
+             |j AS (SELECT src, round(sum(c), 6) AS jsd FROM ct
+             |  GROUP BY 1)
+             |SELECT s2.src AS source, t_s AS n_tokens,
+             |  CAST(n_types AS BIGINT) AS n_types, jsd,
+             |  raw_tokens - t_s AS dropped_tokens,
+             |  CAST(raw_types - n_types AS BIGINT) AS dropped_types,
+             |  dense_rank() OVER (ORDER BY jsd DESC) AS jsd_rank
+             |FROM stt s2 JOIN j USING (src) JOIN raw USING (src)
+             |ORDER BY source""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q190: BPE training on the PRODUCTION-SPEED batched path — 4 merges
+    // learned at mergeBatch=4 (one driver round collects the top-4 pairs
+    // and applies the greedy non-interacting prefix; deferred candidates
+    // re-count next round). Batching may legally REORDER merges relative
+    // to sequential training (on this corpus the shared-symbol deferral
+    // moves one pair to a later round at sf0.001/sf0.1), so the graded
+    // surface is the order-independent one the trade actually preserves:
+    // the merge TABLE sorted by (weight desc, pair) — set AND recorded
+    // weights must equal textbook sequential training's, which the twin
+    // restates as q99's unrolled rounds — plus the top-25 vocabulary
+    // AFTER all merges apply (order-sensitive through application, so a
+    // corpus where deferral stopped commuting would move this hash). A
+    // batched set/weight divergence OR an application-order effect fails
+    // the gate at any SF.
+    QueryDef("q190_bpe_train_batched",
+      (s, dir) => {
+        import s.implicits._
+        val r = graft.operators.BpeTrain.train(
+          t(s, dir, "documents"), "text", numMerges = 4, mergeBatch = 4)
+        val sortedMerges = r.merges
+          .sortBy(mg => (-mg.weight, mg.left, mg.right)).zipWithIndex
+          .map { case (mg, i) =>
+            (i + 1L, "merge", mg.left, mg.right, mg.weight) }
+        val m = sortedMerges.toDF("ord", "kind", "sym_a", "sym_b", "freq")
+        val vw = Window.orderBy(col("freq").desc, col("sym").asc)
+        val v = r.vocab.withColumn("rk", row_number().over(vw))
+          .filter(col("rk") <= 25)
+          .select((col("rk") + 100).as("ord"), lit("vocab").as("kind"),
+            col("sym").as("sym_a"), lit("").as("sym_b"), col("freq"))
+        m.unionByName(v).orderBy(col("ord"))
+      },
+      Some("""WITH w AS (
+             |  SELECT word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS word
+             |    FROM documents)
+             |  GROUP BY word),
+             |s0 AS (
+             |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s, cnt
+             |  FROM w),
+             |p1 AS (
+             |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s0)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m1 AS (SELECT u, v, wt FROM p1 ORDER BY wt DESC, u, v LIMIT 1),
+             |s1 AS (
+             |  SELECT replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s0 CROSS JOIN m1),
+             |p2 AS (
+             |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s1)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m2 AS (SELECT u, v, wt FROM p2 ORDER BY wt DESC, u, v LIMIT 1),
+             |s2 AS (
+             |  SELECT replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s1 CROSS JOIN m2),
+             |p3 AS (
+             |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s2)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m3 AS (SELECT u, v, wt FROM p3 ORDER BY wt DESC, u, v LIMIT 1),
+             |s3 AS (
+             |  SELECT replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s2 CROSS JOIN m3),
+             |p4 AS (
+             |  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+             |    SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |           unnest(toks[2:len(toks)]) AS v, cnt
+             |    FROM (SELECT string_split(trim(s), '  ') AS toks, cnt
+             |          FROM s3)
+             |    WHERE len(toks) >= 2)
+             |  GROUP BY u, v),
+             |m4 AS (SELECT u, v, wt FROM p4 ORDER BY wt DESC, u, v LIMIT 1),
+             |s4 AS (
+             |  SELECT replace(s, ' ' || u || '  ' || v || ' ',
+             |    ' ' || u || v || ' ') AS s, cnt
+             |  FROM s3 CROSS JOIN m4),
+             |mall AS (
+             |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
+             |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4),
+             |ordm AS (
+             |  SELECT row_number() OVER (ORDER BY wt DESC, u, v) AS ord,
+             |    'merge' AS kind, u AS sym_a, v AS sym_b, wt AS freq
+             |  FROM mall),
+             |vocab AS (
+             |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(trim(s), '  ')) AS sym, cnt
+             |    FROM s4)
+             |  GROUP BY sym),
+             |vtop AS (
+             |  SELECT sym, freq,
+             |    row_number() OVER (ORDER BY freq DESC, sym) AS rk
+             |  FROM vocab QUALIFY rk <= 25)
+             |SELECT * FROM (
+             |  SELECT ord, kind, sym_a, sym_b, freq FROM ordm
+             |  UNION ALL SELECT rk + 100, 'vocab', sym, '', freq FROM vtop)
+             |ORDER BY ord""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift-normalized bench regression detection (BenchDrift): the canary
+  * host factor must absorb uniform host drift while a single-query
+  * regression still trips the flag — the exact acceptance pair VERDICT
+  * r10 item 2 specifies. */
+class BenchDriftSpec extends AnyFunSuite {
+  private val canaries = BenchDrift.Canaries
+  // a registry-shaped prior: canaries + a spread of workload queries
+  private val prior: Map[String, Double] = Map(
+    "q1_pricing_summary" -> 0.220, "q9_part_text" -> 0.140,
+    "q10_orders_by_month" -> 0.210,
+    "q44_dup_clusters" -> 2.500, "q47_dedup_keep_best" -> 3.000,
+    "q103_pagerank" -> 2.400, "q121_temperature_sample" -> 0.800,
+    "q150_small" -> 0.050)
+
+  test("uniform +10% host drift: factor ~1.1, zero flags") {
+    val current = prior.map { case (k, v) => k -> v * 1.1 }
+    val r = BenchDrift.analyze(prior, current)
+    assert(r.factor.exists(f => math.abs(f - 1.1) < 1e-9))
+    assert(r.flags.isEmpty,
+      s"uniform drift must not flag anything: ${r.flags}")
+  }
+
+  test("a deliberate 2x slowdown of one query trips the flag through drift") {
+    val current = prior.map { case (k, v) =>
+      k -> (if (k == "q103_pagerank") v * 2.0 else v * 1.1)
+    }
+    val r = BenchDrift.analyze(prior, current)
+    assert(r.flags.map(_.name) == Seq("q103_pagerank"), s"${r.flags}")
+    val f = r.flags.head
+    assert(math.abs(f.normRatio - 2.0 / 1.1) < 1e-2)
+  }
+
+  test("sub-absolute-bar wobble never flags, whatever the ratio") {
+    // q150_small doubles (0.05 -> 0.10s): ratio 1.82 normalized, but the
+    // drift-adjusted excess is ~0.045s — noise, not a regression
+    val current = prior.map { case (k, v) =>
+      k -> (if (k == "q150_small") v * 2.0 else v * 1.1)
+    }
+    assert(BenchDrift.analyze(prior, current).flags.isEmpty)
+  }
+
+  test("a disturbed canary is absorbed by the median and never flagged") {
+    val current = prior.map { case (k, v) =>
+      k -> (if (k == "q9_part_text") v * 3.0 else v * 1.1)
+    }
+    val r = BenchDrift.analyze(prior, current)
+    assert(r.factor.exists(f => math.abs(f - 1.1) < 1e-9),
+      s"median must ignore the one disturbed canary: ${r.factor}")
+    assert(r.flags.isEmpty, "canaries are the instrument, never flagged")
+  }
+
+  test("no usable prior -> no factor, no flags (never an unnormalized compare)") {
+    val r = BenchDrift.analyze(Map.empty, prior)
+    assert(r.factor.isEmpty && r.flags.isEmpty)
+    // canaries missing from the prior (e.g. a restricted run's file)
+    val r2 = BenchDrift.analyze(prior -- canaries,
+      prior.map { case (k, v) => k -> v * 2 })
+    assert(r2.factor.isEmpty && r2.flags.isEmpty)
+  }
+
+  test("priorMinima parses a Bench-written body; cross-SF priors rejected") {
+    val body = """{"nruns":3,"sf":"/root/testdata/sf0.1","policy":"p",""" +
+      """"runs":{"q1_pricing_summary":[0.242,0.207,0.218],""" +
+      """"q44_dup_clusters":[2.638,-1.000,2.541]}}"""
+    val m = BenchDrift.priorMinima(body, "/root/testdata/sf0.1")
+    assert(m == Map("q1_pricing_summary" -> 0.207,
+      "q44_dup_clusters" -> 2.541)) // -1 failure sentinel excluded
+    assert(BenchDrift.priorMinima(body, "/root/testdata/sf0.01").isEmpty)
+    assert(BenchDrift.priorMinima("", "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("report JSON fields are well-formed for both factor states") {
+    val r = BenchDrift.analyze(prior,
+      prior.map { case (k, v) =>
+        k -> (if (k == "q103_pagerank") v * 2 else v * 1.1) })
+    val j = r.jsonFields
+    assert(j.startsWith(""","canaries":["""))
+    assert(j.contains(""""host_factor":1.100"""))
+    assert(j.contains(""""q":"q103_pagerank""""))
+    val empty = BenchDrift.analyze(Map.empty, prior).jsonFields
+    assert(empty.contains(""""host_factor":null"""))
+    assert(empty.contains(""""flagged":[]"""))
+  }
+}

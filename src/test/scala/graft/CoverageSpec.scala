@@ -26,14 +26,17 @@ class CoverageSpec extends AnyFunSuite {
     // registry grew past the stdout budget — shorten the encoding before
     // adding queries.
     val names = graft.queries.Queries.all.map(_.name)
-    def shortKey(n: String): String = n.takeWhile(_ != '_').drop(1)
-    assert(names.map(shortKey).distinct.size == names.size,
-      "query-number keys must stay collision-free (Bench falls back to "
-        + "full names and blows the line budget)")
-    val qs = names.zipWithIndex.map { case (n, i) =>
-      "\"" + shortKey(n) + "\":" + (if (i < 40) "9999" else "999")
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","nruns":3,"qunit":"centisec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    def qnum(n: String): Int = n.takeWhile(_ != '_').drop(1).toInt
+    // the positional array encoding REQUIRES contiguous query numbers
+    // 1..N — a gap or duplicate would silently misattribute every later
+    // query's time to the wrong number
+    assert(names.map(qnum).sorted == (1 to names.size),
+      "query numbers must stay contiguous 1..N (Bench's positional "
+        + "stdout array indexes by number; a gap falls back to the "
+        + "full-name map and blows the line budget)")
+    val qs = names.indices.map(i => if (i < 40) "9999" else "999")
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","nruns":3,"qunit":"centisec","qkeys":"1-${names.size}","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length < 1950,
       s"bench stdout line would be ${line.length} chars at ${names.size} "
         + "queries — past the driver's ~2000-char tail window")

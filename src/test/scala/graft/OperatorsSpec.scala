@@ -388,6 +388,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.merges == b.merges)
   }
 
+  test("bpe mergeBatch=4 vs sequential on the real corpus: same set+weights+vocab (q190's surface)") {
+    // the property q190 oracle-grades: batch-4 training may REORDER
+    // merges relative to sequential (here the shared-'r' deferral moves
+    // (o,r) from round 2 to round 4), but the merge SET, each merge's
+    // recorded weight, AND the vocabulary after applying all merges must
+    // be identical — the order-independent surface the q190 twin
+    // (sequential rounds unrolled in SQL) compares on, re-verified here
+    // on real data rather than hand fixtures
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val seq4 = graft.operators.BpeTrain.train(real, "text", 4)
+    val bat4 = graft.operators.BpeTrain.train(real, "text", 4,
+      mergeBatch = 4)
+    def key(m: graft.operators.BpeTrain.BpeMerge) =
+      (m.left, m.right, m.weight)
+    assert(seq4.merges.map(key).sorted == bat4.merges.map(key).sorted,
+      s"merge set/weights diverged: ${seq4.merges} vs ${bat4.merges}")
+    assert(seq4.merges != bat4.merges ||
+      seq4.merges.map(_.iter) == bat4.merges.map(_.iter)) // sanity
+    def voc(r: graft.operators.BpeTrain.BpeResult) = r.vocab.collect()
+      .map(row => (row.getString(0), row.getLong(1))).sortBy(_._1).toSeq
+    assert(voc(seq4) == voc(bat4), "applied vocabulary diverged")
+  }
+
   test("simhashPairs maxHamming=0: exact-duplicate buckets, no mask wrap") {
     val df = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different text here"))

@@ -64,6 +64,41 @@ class ProfileSpec extends AnyFunSuite {
     assert(out.values.forall(_._2 == 30L))
   }
 
+  test("source jsd maxVocab: top-V cap reports drops and scores the kept support exactly") {
+    import graft.operators.Divergence
+    // planted long tail: three head words dominate (count 30 each);
+    // source c additionally carries six singleton tail words
+    def head(tail: Boolean) = (Seq.fill(10)(("a", "x y z")) ++
+      Seq.fill(10)(("b", "x y y")) ++ Seq.fill(10)(("c", "x z z")) ++
+      (if (tail) Seq(("c", "t1 t2 t3 t4 t5 t6")) else Nil))
+      .toDF("source", "text")
+    val capped = Divergence.sourceJsd(head(tail = true), "source", "text",
+        maxVocab = Some(3))
+      .select("source", "n_tokens", "n_types", "jsd",
+        "dropped_tokens", "dropped_types")
+      .as[(String, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // telemetry: only c dropped anything, and it says exactly what
+    assert(capped("a")._5 == 0L && capped("a")._6 == 0L)
+    assert(capped("b")._5 == 0L && capped("b")._6 == 0L)
+    assert(capped("c")._5 == 6L && capped("c")._6 == 6L)
+    assert(capped("c")._2 == 30L && capped("c")._3 == 2L) // kept totals
+    // the capped score IS the exact uncapped JSD of the kept support:
+    // same postings, same totals, same smoothing V — not a truncated sum
+    val kept = Divergence.sourceJsd(head(tail = false), "source", "text")
+      .select("source", "jsd").as[(String, Double)].collect().toMap
+    for (s <- Seq("a", "b", "c"))
+      assert(capped(s)._4 == kept(s), s"capped jsd for $s: " +
+        s"${capped(s)._4} != uncapped-of-kept ${kept(s)}")
+    // a cap wider than the vocabulary is a no-op with zero telemetry
+    val wide = Divergence.sourceJsd(head(tail = false), "source", "text",
+        maxVocab = Some(100))
+      .select("source", "jsd", "dropped_tokens", "dropped_types")
+      .as[(String, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (s <- Seq("a", "b", "c"))
+      assert(wide(s)._2 == kept(s) && wide(s)._3 == 0L && wide(s)._4 == 0L)
+  }
+
   test("burstiness: clockwork scores 0, a flash crowd scores 99") {
     import graft.operators.Sessionize
     def ts(h: Int) = new java.sql.Timestamp(1700000000000L

@@ -52,6 +52,22 @@ if [ "${GATE_FULL:-0}" = "1" ]; then
   python3 tools/check_oracle.py /root/testdata/sf0.01 "$out01"
 fi
 
+# Round-close lane (GATE_SF01_FULL=1): the ENTIRE registry oracle-verified
+# at sf0.1 — the bench scale the driver never correctness-checks. The
+# default gate's recall lane covers only the ten probabilistic ANN/LSH
+# queries; scale-dependent thresholds elsewhere (doc-freq caps, histogram
+# boundaries, sampling rates) can drift green at sf0.001/sf0.01 and wrong
+# at sf0.1. Run once per round before the closing commit and record the
+# result in STATUS.md (~10 min).
+if [ "${GATE_SF01_FULL:-0}" = "1" ]; then
+  out1=/tmp/gate_out_sf1
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $out1" >/tmp/gate_sbt_sf1.log 2>&1 || {
+    echo "[gate] sbt Verify (sf0.1 FULL) failed — tail of log:"
+    tail -20 /tmp/gate_sbt_sf1.log; exit 1; }
+  python3 tools/check_oracle.py /root/testdata/sf0.1 "$out1"
+  echo "[gate] sf0.1 FULL registry lane green"
+fi
+
 # Reference-execution parity (GATE_PARITY=1): run the reference's own
 # clean/fill scripts against the engine on real fixtures and classify
 # every cell difference into DIVERGENCES.md classes (tools/parity.py).
