@@ -86,3 +86,39 @@ object ParityFillDump {
     spark.stop()
   }
 }
+
+/** J1 twin of [[ParityFillDump]] for the parity lane's Mailchimp
+  * comparison: [[graft.pipeline.ContactsApp.applyMailchimp]] (the
+  * merge_contacts_kindaworks.py equivalent — fill missing email by exact
+  * (name, phone) match, missing phone by (name, email), first source row
+  * wins) over one master TSV + one Mailchimp-export TSV. The filled
+  * master is exported WITH its file-order `row_id` (the positional join
+  * key: the reference preserves pandas row order, so row_id-1 is its
+  * positional index).
+  *
+  * Usage: runMain graft.ParityMailchimpDump <masterTsv> <mailchimpTsv> <outPrefix>
+  * Writes <outPrefix>.mcfilled.tsv. */
+object ParityMailchimpDump {
+  def main(args: Array[String]): Unit = {
+    val Array(masterTsv, mailchimpTsv, outPrefix) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val master = pipeline.ContactsApp.withResolvedKeys(
+      pipeline.ContactsApp.withRowIds(
+        pipeline.Tsv.readAllString(spark, masterTsv)))
+    val mc = pipeline.Tsv.readAllString(spark, mailchimpTsv)
+    val filled = pipeline.ContactsApp.applyMailchimp(master, mc)
+    pipeline.Tsv.write(
+      filled.drop("_name", "_email", "_phone")
+        .orderBy(org.apache.spark.sql.functions.col("row_id").cast("long")),
+      s"$outPrefix.mcfilled.tsv", singleFile = true)
+    pipeline.Pins.flush()
+    spark.stop()
+  }
+}

@@ -81,3 +81,22 @@ object ApiMain {
     Thread.currentThread().join() // serve until killed
   }
 }
+
+/** Shape-parity harness main (tools/rest_parity.py): a [[RestServer]]
+  * with canned stages and NO SparkSession, so the lane compares pure
+  * HTTP/JSON contracts — status codes, key sets, the
+  * stdout/stderr/returncode run answer — against the reference's
+  * backend_api.py executed in-process by the Python harness (Flask test
+  * client). Usage: runMain graft.api.RestParityMain <outDir> [port] */
+object RestParityMain {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val port = args.lift(1).map(_.toInt).getOrElse(0)
+    val srv = new RestServer(port, outDir, Map(
+      "ok_stage" -> (() => "stage completed fine"),
+      "fail_stage" -> (() => sys.error("stage failed"))))
+    srv.start()
+    println(s"[restparity] listening on :${srv.boundPort}")
+    Thread.currentThread().join() // serve until killed by the harness
+  }
+}

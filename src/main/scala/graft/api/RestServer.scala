@@ -90,6 +90,13 @@ class RestServer(port: Int, outputDir: String,
       respond(ex, 200, stages.keys.toSeq.sorted
         .map(jsonStr).mkString("[", ",", "]")))
 
+    // reference-shape alias (backend_api.py:11-14 GET /scripts ->
+    // {"scripts":[...]}): a client written for the Flask API reads the
+    // same key here
+    server.createContext("/scripts", (ex: HttpExchange) =>
+      respond(ex, 200, "{\"scripts\":" + stages.keys.toSeq.sorted
+        .map(jsonStr).mkString("[", ",", "]") + "}"))
+
     server.createContext("/run", (ex: HttpExchange) => {
       if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
       else {
@@ -117,37 +124,51 @@ class RestServer(port: Int, outputDir: String,
               val (ok, log) = fut.get(runTimeoutMs,
                 java.util.concurrent.TimeUnit.MILLISECONDS)
               val sec = (System.nanoTime() - t0) / 1e9
-              respond(ex, if (ok) 200 else 500,
-                s"""{"stage":${jsonStr(n)},"ok":$ok,"timedOut":false,"seconds":$sec,"log":${jsonStr(log)}}""")
+              // backend_api.py:27-31 shape parity: a COMPLETED stage
+              // answers 200 with {stdout, stderr, returncode} — the
+              // reference's subprocess contract, where a failing script is
+              // a normal answer with returncode != 0, not an HTTP error.
+              // The richer stage/ok/timedOut/seconds/log fields ride along.
+              val (stdout, stderr, rc) =
+                if (ok) (log, "", 0) else ("", log, 1)
+              respond(ex, 200,
+                s"""{"stage":${jsonStr(n)},"ok":$ok,"timedOut":false,"seconds":$sec,"log":${jsonStr(log)},"stdout":${jsonStr(stdout)},"stderr":${jsonStr(stderr)},"returncode":$rc}""")
             } catch {
               case _: java.util.concurrent.TimeoutException =>
                 fut.cancel(true)    // interrupt the worker (backend_api.py:26 parity)
                 onRunTimeout(runId) // cancel THIS run's distributed jobs only;
                                     // a no-op if the run was still queued
                 val sec = (System.nanoTime() - t0) / 1e9
+                val msg = s"timed out after ${runTimeoutMs / 1000.0} s"
+                // backend_api.py:32-33: TimeoutExpired falls into the
+                // except branch -> 500 {"error": ...}
                 respond(ex, 500,
-                  s"""{"stage":${jsonStr(n)},"ok":false,"timedOut":true,"seconds":$sec,"log":${jsonStr(s"timed out after ${runTimeoutMs / 1000.0} s")}}""")
+                  s"""{"stage":${jsonStr(n)},"ok":false,"timedOut":true,"seconds":$sec,"log":${jsonStr(msg)},"error":${jsonStr(msg)}}""")
             }
         }
       }
     })
 
+    // backend_api.py:47-52 shape: {"files":[...]}
     server.createContext("/output-files", (ex: HttpExchange) => {
       val files = Option(new java.io.File(outputDir).listFiles())
         .getOrElse(Array.empty).filter(_.isFile).map(_.getName).sorted
-      respond(ex, 200, files.map(jsonStr).mkString("[", ",", "]"))
+      respond(ex, 200,
+        "{\"files\":" + files.map(jsonStr).mkString("[", ",", "]") + "}")
     })
 
+    // backend_api.py:35-45 shape: {"content":"..."} (JSON-wrapped text)
     server.createContext("/output/", (ex: HttpExchange) => {
       val name = ex.getRequestURI.getPath.stripPrefix("/output/")
       val f = new java.io.File(outputDir, name)
       // path-traversal guard (the reference had none)
       if (!f.getCanonicalPath.startsWith(
           new java.io.File(outputDir).getCanonicalPath) || !f.isFile)
-        respond(ex, 404, """{"error":"not found"}""")
+        respond(ex, 404, """{"error":"File not found"}""")
       else respond(ex, 200,
-        new String(java.nio.file.Files.readAllBytes(f.toPath),
-          StandardCharsets.UTF_8), "text/plain")
+        "{\"content\":" + jsonStr(
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            StandardCharsets.UTF_8)) + "}")
     })
 
     server.setExecutor(httpExec)

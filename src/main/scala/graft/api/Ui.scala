@@ -89,7 +89,8 @@ object Ui {
       |  await loadFiles();
       |}
       |async function loadFiles() {
-      |  const files = await (await fetch('output-files')).json();
+      |  // backend_api.py shapes: {"files":[...]} / {"content":"..."}
+      |  const files = (await (await fetch('output-files')).json()).files;
       |  const div = document.getElementById('files');
       |  div.innerHTML = files.length ? '' : 'none yet';
       |  for (const f of files) {
@@ -99,7 +100,8 @@ object Ui {
       |    d.onclick = async () => {
       |      const view = document.getElementById('view');
       |      view.textContent =
-      |        await (await fetch('output/' + encodeURIComponent(f))).text();
+      |        (await (await fetch('output/' + encodeURIComponent(f))).json())
+      |          .content;
       |      view.style.display = 'block';
       |    };
       |    div.appendChild(d);

@@ -38,14 +38,26 @@ class RestServerSpec extends AnyFunSuite {
         page.body().contains("fetch('run'"))
       assert(get("/no-such-path").statusCode() == 404)
       assert(get("/stages").body() == """["boom","clean"]""")
+      // backend_api.py JSON-shape parity (the X3 contract): /scripts
+      // wraps in {"scripts":[...]}, a COMPLETED run answers 200 with
+      // stdout/stderr/returncode (failing stage = returncode 1, not an
+      // HTTP error), /output-files wraps in {"files":[...]}, /output/<f>
+      // in {"content":"..."}
+      assert(get("/scripts").body() == """{"scripts":["boom","clean"]}""")
       val run = post("/run", """{"stage":"clean"}""")
       assert(run.statusCode() == 200 && run.body().contains("cleaned 42 rows"))
+      assert(run.body().contains(""""returncode":0""") &&
+        run.body().contains(""""stdout":"cleaned 42 rows"""") &&
+        run.body().contains(""""stderr":""""))
       assert(ran == 1)
       assert(post("/run", """{"stage":"nope"}""").statusCode() == 400)
       val failed = post("/run", """{"stage":"boom"}""")
-      assert(failed.statusCode() == 500 && failed.body().contains("kaput"))
-      assert(get("/output-files").body() == """["result.txt"]""")
-      assert(get("/output/result.txt").body() == "hello")
+      assert(failed.statusCode() == 200 &&
+        failed.body().contains(""""returncode":1""") &&
+        failed.body().contains(""""ok":false""") &&
+        failed.body().contains("kaput"))
+      assert(get("/output-files").body() == """{"files":["result.txt"]}""")
+      assert(get("/output/result.txt").body() == """{"content":"hello"}""")
       assert(get("/output/../../etc/passwd").statusCode() == 404)
     } finally srv.stop()
   }
@@ -116,6 +128,9 @@ class RestServerSpec extends AnyFunSuite {
     try {
       val run = post("/run", """{"stage":"slow"}""")
       assert(run.statusCode() == 500 && run.body().contains(""""timedOut":true"""))
+      // backend_api.py:32-33 parity: the timeout path is the except branch
+      // -> 500 with an "error" key
+      assert(run.body().contains(""""error":"""))
       // the distributed-cancel hook fired for the run that actually started
       // (ApiMain wires setJobGroup/cancelJobGroup to these ids)
       assert(timedOut.size == 1 && started.contains(timedOut.peek()))

@@ -80,6 +80,16 @@ if [ "${GATE_PARITY:-0}" = "1" ]; then
   grep '\[parity\]' /tmp/gate_parity.log | tail -6
 fi
 
+# REST-contract parity (GATE_REST=1): backend_api.py run in-process vs
+# the engine's RestServer over HTTP, compared on the JSON shapes the
+# reference frontend consumes (tools/rest_parity.py). Run it whenever
+# api/RestServer response shapes change.
+if [ "${GATE_REST:-0}" = "1" ]; then
+  python3 tools/rest_parity.py > /tmp/gate_rest.log 2>&1 || {
+    grep '\[restparity\]' /tmp/gate_rest.log; exit 1; }
+  grep '\[restparity\]' /tmp/gate_rest.log | tail -2
+fi
+
 if [ "${GATE_NO_RECALL:-0}" = "1" ]; then
   echo "[gate] green EXCEPT skipped recall lane — NOT stamping; run the full gate before committing"
   exit 0

@@ -302,32 +302,24 @@ def validate_lane(eng_prefix, failures):
         failures.append("validate lane: no identical error rows — vacuous")
 
 
-def fill_lane(fixture, failures, variant="natural"):
-    """Reference fill_missing_contacts.py vs engine Fill.fillFromSources on
-    the same fixture + the reference's real data_files sources. Fill
-    results are ordering-dependent (#5 listdir vs sorted sources, #6
-    first-match-wins candidate order) and key-surface-dependent (#9
-    X_EMAIL2 vs EMAIL; FULLNAME never a reference fill target), so the
-    lane compares the common fill surface {FIRSTNAME, LASTNAME, MOBILE}
-    against the order-independent FILLABLE closure under each side's own
-    key semantics: every fill must be fillable under its side's keys
-    (else UNDOCUMENTED), asymmetries and value differences must sit
-    inside the candidate sets (#5/#6) or the email-role split (#9)."""
+def run_ref_fill_script(fixture, script):
+    """Run one of the reference's fill scripts (the in-memory
+    fill_missing_contacts.py or the SQLite-staged
+    fill_missing_contacts_large.py — both read output/MergedDatabase.tsv
+    + data_files/ and write output/fill_missing_log.json with identical
+    record shapes) in its own sandbox; returns its change log."""
     import json
     cwd = os.getcwd()
-    sb = tempfile.mkdtemp(prefix="parityfill_")
+    sb = tempfile.mkdtemp(prefix="parityref_")
     os.symlink(os.path.join(REF, "cleaning"), os.path.join(sb, "cleaning"))
     os.symlink(os.path.join(REF, "data_files"),
                os.path.join(sb, "data_files"))
     os.makedirs(os.path.join(sb, "output"))
-    master_path = os.path.join(sb, "output", "MergedDatabase.tsv")
-    pristine = os.path.join(sb, "master_orig.tsv")
-    fixture.to_csv(master_path, sep="\t", index=False)
-    fixture.to_csv(pristine, sep="\t", index=False)  # ref overwrites master
-
+    fixture.to_csv(os.path.join(sb, "output", "MergedDatabase.tsv"),
+                   sep="\t", index=False)
     spec = importlib.util.spec_from_file_location(
-        "ref_fill", os.path.join(sb, "cleaning",
-                                 "fill_missing_contacts.py"))
+        "ref_fill_" + script.replace(".", "_"),
+        os.path.join(sb, "cleaning", script))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)  # main() is __main__-guarded: no side run
     os.chdir(sb)
@@ -335,16 +327,38 @@ def fill_lane(fixture, failures, variant="natural"):
         mod.main()
     finally:
         os.chdir(cwd)
-    ref_log = json.load(open(os.path.join(sb, "output",
-                                          "fill_missing_log.json")))
-    print(f"[parity] fill lane ({variant}): reference made "
-          f"{len(ref_log)} fills")
+    return json.load(open(os.path.join(sb, "output",
+                                       "fill_missing_log.json")))
+
+
+def fill_lane(fixture, failures, variant="natural"):
+    """Reference fill stage vs engine Fill.fillFromSources on the same
+    fixture + the reference's real data_files sources — BOTH reference
+    variants: the in-memory fill_missing_contacts.py AND the
+    SQLite-staged fill_missing_contacts_large.py (identical key
+    semantics — same normalize/normalize_phone/get_full_name, same
+    X_EMAIL2 surface — different iteration direction: per-master-row
+    first-candidate-wins vs per-source-row update-all-matches; the
+    reference's own engine-portability thesis, SURVEY §3.3). Fill
+    results are ordering-dependent (#5 listdir vs sorted sources, #6
+    first-match-wins candidate order) and key-surface-dependent (#9
+    X_EMAIL2 vs EMAIL; FULLNAME never a reference fill target), so the
+    lane compares the common fill surface {FIRSTNAME, LASTNAME, MOBILE}
+    against the order-independent FILLABLE closure under each side's own
+    key semantics: every fill must be fillable under its side's keys
+    (else UNDOCUMENTED), asymmetries and value differences must sit
+    inside the candidate sets (#5/#6) or the email-role split (#9).
+    The closure is shared by both reference variants (same keys), so
+    one engine run and one closure computation grade both."""
+    sb = tempfile.mkdtemp(prefix="parityfill_")
+    pristine = os.path.join(sb, "master_orig.tsv")
+    fixture.to_csv(pristine, sep="\t", index=False)
 
     eng_prefix = os.path.join(sb, "engine")
     r = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.ParityFillDump {pristine} "
-         f"{os.path.join(sb, 'data_files')} {eng_prefix}"],
+         f"{os.path.join(REF, 'data_files')} {eng_prefix}"],
         cwd=REPO, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-3000:])
@@ -354,6 +368,25 @@ def fill_lane(fixture, failures, variant="natural"):
     print(f"[parity] fill lane ({variant}): engine made {len(eng_log)} fills")
 
     common_fields = ["FIRSTNAME", "LASTNAME", "MOBILE"]
+    fillable_ref = fillable_cells(
+        fixture, master_keys(fixture, "X_EMAIL2", "ref"), common_fields,
+        "ref")
+    fillable_eng = fillable_cells(
+        fixture, master_keys(fixture, "EMAIL", "eng"), common_fields,
+        "eng")
+    for script, tag in [("fill_missing_contacts.py", "in-memory"),
+                        ("fill_missing_contacts_large.py",
+                         "sqlite-staged")]:
+        ref_log = run_ref_fill_script(fixture, script)
+        print(f"[parity] fill lane ({variant}/{tag}): reference made "
+              f"{len(ref_log)} fills")
+        classify_fill_logs(fixture, ref_log, eng_log, fillable_ref,
+                           fillable_eng, common_fields, failures,
+                           f"{variant}/{tag}")
+
+
+def classify_fill_logs(fixture, ref_log, eng_log, fillable_ref,
+                       fillable_eng, common_fields, failures, variant):
     ref_fills = {(int(e["row"]) - 1, e["field"]): str(e["new_value"])
                  for e in ref_log if e["field"] in common_fields}
     eng_fills = {(int(row["row_id"]) - 1, row["field"]): row["new_value"]
@@ -362,13 +395,6 @@ def fill_lane(fixture, failures, variant="natural"):
     n_ref9 = sum(1 for e in ref_log if e["field"] not in common_fields)
     n_eng9 = sum(1 for _, row in eng_log.iterrows()
                  if row["field"] not in common_fields)
-
-    fillable_ref = fillable_cells(
-        fixture, master_keys(fixture, "X_EMAIL2", "ref"), common_fields,
-        "ref")
-    fillable_eng = fillable_cells(
-        fixture, master_keys(fixture, "EMAIL", "eng"), common_fields,
-        "eng")
     counts = {"equal": 0, "divergence_5_6": 0, "divergence_9": n_ref9
               + n_eng9, "UNDOCUMENTED": 0}
     bad = []
@@ -405,24 +431,344 @@ def fill_lane(fixture, failures, variant="natural"):
     if len(eng_log) == 0:
         failures.append(f"fill lane ({variant}): engine made no fills "
                         "— vacuous")
-    if variant == "natural" and len(ref_log) == 0:
+    if variant.startswith("natural") and len(ref_log) == 0:
         # not a failure — the measured divergence-#9 evidence: keyed on
         # the ~empty X_EMAIL2, the reference's fill stage is a NO-OP on
         # its own master + its own sources even with working headers
-        print("[parity] fill lane: reference made ZERO fills on its own "
-              "data (X_EMAIL2 keying) — divergence #9, measured")
-    if variant == "aligned-email":
+        print(f"[parity] fill lane ({variant}): reference made ZERO fills "
+              "on its own data (X_EMAIL2 keying) — divergence #9, measured")
+    if variant.startswith("aligned-email"):
         # with the email roles aligned, BOTH sides fill on the same keys:
         # the common surface must produce genuinely identical fills, or
         # the lane is not comparing the J2 match/fill mechanics at all
         if len(ref_log) == 0:
             failures.append(
-                "fill lane (aligned-email): reference still made no "
+                f"fill lane ({variant}): reference still made no "
                 "fills — the variant is not exercising matching")
         if counts["equal"] == 0:
             failures.append(
-                "fill lane (aligned-email): no identical fills on the "
+                f"fill lane ({variant}): no identical fills on the "
                 "common surface — vacuous match/fill comparison")
+
+
+# ---------------------------------------------------------- J1 mailchimp lane
+
+def parsed_view(series):
+    """Model the pandas NON-dtype=str read merge_contacts_kindaworks.py
+    uses: default NA tokens -> '' (post-fillna view), all-numeric columns
+    parse to int64 (no NAs) or float64 (with NAs) and stringify the
+    pandas way ('412345678' / '412345678.0'); anything else stays raw."""
+    vals = [ref_view(v) for v in series]
+    nn = [v for v in vals if v != ""]
+
+    def fnum(s):
+        try:
+            return float(s)
+        except ValueError:
+            return None
+    if nn and all(fnum(v) is not None for v in nn):
+        has_na = len(nn) < len(vals)
+        allint = all("." not in v and "e" not in v.lower() for v in nn)
+        if allint and not has_na:
+            return [str(int(float(v))) for v in vals]
+        return ["" if v == "" else str(float(v)) for v in vals]
+    return vals
+
+
+def j1_norm(v):
+    """merge_contacts_kindaworks.py:22-25 normalize: strip+lower only —
+    no whitespace collapse, phones never digit-normalized."""
+    return str(v).strip().lower()
+
+
+def j1_ref_mc_columns(mc):
+    """(name, mobile, email) raw series under the reference's get_name /
+    get_mobile / get_email probing over LOWERED headers
+    (merge_contacts_kindaworks.py:27-57)."""
+    cols = {c.strip().lower(): c for c in mc.columns}
+
+    def parsed(name):
+        return parsed_view(mc[cols[name]])
+    n = len(mc)
+    if "firstname" in cols and "lastname" in cols:
+        name = [f"{f} {l}".strip() for f, l in
+                zip(parsed("firstname"), parsed("lastname"))]
+    elif "first name" in cols and "last name" in cols:
+        name = [f"{f} {l}".strip() for f, l in
+                zip(parsed("first name"), parsed("last name"))]
+    elif "fullname" in cols:
+        name = [v.strip() for v in parsed("fullname")]
+    elif "name" in cols:
+        name = [v.strip() for v in parsed("name")]
+    else:
+        name = [""] * n
+    if "mobile" in cols:
+        mobile = parsed("mobile")
+    elif "number" in cols:
+        mobile = parsed("number")
+    else:
+        mobile = [""] * n
+    if "email address" in cols:
+        email = parsed("email address")
+    elif "email" in cols:
+        email = parsed("email")
+    else:
+        email = [""] * n
+    return name, mobile, email
+
+
+def j1_expected_ref(fixture, mc):
+    """Exact simulation of merge_contacts_kindaworks.py:59-96 on the
+    fixture master + mc export: {(row_pos, 'EMAIL'|'MOBILE'): value}.
+    Deterministic — one source file, fixed row order, match.iloc[0]."""
+    mc_name, mc_mobile, mc_email = j1_ref_mc_columns(mc)
+    mkeys = [(j1_norm(n), j1_norm(m), j1_norm(e))
+             for n, m, e in zip(mc_name, mc_mobile, mc_email)]
+    by_nm = {}
+    by_ne = {}
+    for j, (n, m, e) in enumerate(mkeys):
+        by_nm.setdefault((n, m), j)  # first row in file order wins
+        by_ne.setdefault((n, e), j)
+    m_first = parsed_view(fixture["FIRSTNAME"])
+    m_last = parsed_view(fixture["LASTNAME"])
+    m_email = parsed_view(fixture["EMAIL"])
+    m_mobile = parsed_view(fixture["MOBILE"])
+    fills = {}
+    for i in range(len(fixture)):
+        name = j1_norm(f"{m_first[i]} {m_last[i]}".strip())
+        if not name:
+            continue
+        email_n, mobile_n = j1_norm(m_email[i]), j1_norm(m_mobile[i])
+        if m_email[i].strip() == "":
+            j = by_nm.get((name, mobile_n))
+            if j is not None and mc_email[j] != "":
+                fills[(i, "EMAIL")] = mc_email[j]
+        if m_mobile[i].strip() == "":
+            j = by_ne.get((name, email_n))
+            if j is not None and mc_mobile[j] != "":
+                fills[(i, "MOBILE")] = mc_mobile[j]
+    return fills
+
+
+# engine role-candidate lists (Roles.scala, case-insensitive; the mc
+# frame's headers are lowered by applyMailchimp before resolution)
+ENG_FIRST = ["first name", "firstname", "first_name"]
+ENG_LAST = ["last name", "lastname", "last_name"]
+ENG_FULL = ["full name", "fullname", "name"]
+ENG_EMAIL = ["email address", "email", "x_email2"]
+ENG_PHONE = ["phone number", "phone", "mobile", "number"]
+
+
+def eng_role(columns, candidates):
+    by_lower = {}
+    for c in columns:
+        by_lower.setdefault(c.strip().lower(), c)
+    for cand in candidates:
+        if cand in by_lower:
+            return by_lower[cand]
+    return None
+
+
+def j1_expected_eng(fixture, mc):
+    """Exact simulation of ContactsApp.applyMailchimp / Fill.mailchimpFill:
+    {(row_pos, 'EMAIL'|'MOBILE'): value}. Keys are the engine's P5 norms
+    (collapse+lower name with sentinel-gated FULLNAME fallback, trim+lower
+    email, digits-last-10 phone); both join keys must be NON-EMPTY; the
+    first mc row (file order) with a PRESENT value wins per key pair."""
+    def mc_col(cands):
+        c = eng_role(mc.columns, cands)
+        return [str(v) for v in mc[c]] if c else [""] * len(mc)
+    mc_first, mc_last = mc_col(ENG_FIRST), mc_col(ENG_LAST)
+    mc_full = mc_col(ENG_FULL)
+    mc_email, mc_phone = mc_col(ENG_EMAIL), mc_col(ENG_PHONE)
+    mkeys = [row_keys(f, l, fu, e, p, "eng") for f, l, fu, e, p in
+             zip(mc_first, mc_last, mc_full, mc_email, mc_phone)]
+    by_np = {}
+    by_ne = {}
+    for j, (n, e, p) in enumerate(mkeys):
+        if n and p and not eng_missing(mc_email[j]):
+            by_np.setdefault((n, p), mc_email[j])
+        if n and e and not eng_missing(mc_phone[j]):
+            by_ne.setdefault((n, e), mc_phone[j])
+    fills = {}
+    for i, (_, r) in enumerate(fixture.iterrows()):
+        n, e, p = row_keys(r["FIRSTNAME"], r["LASTNAME"], r["FULLNAME"],
+                           r["EMAIL"], r["MOBILE"], "eng")
+        if eng_missing(r["EMAIL"]) and n and p:
+            v = by_np.get((n, p))
+            if v is not None:
+                fills[(i, "EMAIL")] = v
+        if eng_missing(r["MOBILE"]) and n and e:
+            v = by_ne.get((n, e))
+            if v is not None:
+                fills[(i, "MOBILE")] = v
+    return fills
+
+
+def j1_value_eq(col, a, b):
+    if a == b or num_equal(a, b):
+        return True
+    # cross-side phone serialization (ref writes the pandas-parsed float,
+    # engine the raw string): same digits = same phone
+    return col == "MOBILE" and digits(a) != "" and digits(a) == digits(b)
+
+
+def mailchimp_lane(fixture, mc_path_or_df, failures, variant):
+    """J1: the reference's merge_contacts_kindaworks.py executed unmodified
+    vs the engine's ContactsApp.applyMailchimp (Fill.mailchimpFill) on the
+    same master fixture + Mailchimp export. BOTH sides are deterministic
+    (single source, fixed row order, first-match-wins), so each side is
+    held to an EXACT simulation of its own semantics; cross-side cell
+    differences then classify into the documented key-surface divergence
+    (#10: 'mobile'/'number' exact-name probing vs candidate-list roles,
+    ''=='' vacuous second key vs two non-empty keys, raw strip-lower
+    phone keys vs digits-last-10) plus the read-formatting classes."""
+    cwd = os.getcwd()
+    sb = tempfile.mkdtemp(prefix="paritymc_")
+    os.symlink(os.path.join(REF, "cleaning"), os.path.join(sb, "cleaning"))
+    os.makedirs(os.path.join(sb, "data_sources"))
+    os.makedirs(os.path.join(sb, "output"))
+    mc_dst = os.path.join(sb, "data_sources", "mailchimpclean.tsv")
+    if isinstance(mc_path_or_df, str):
+        os.symlink(mc_path_or_df, mc_dst)
+        mc = read_tsv_str(mc_path_or_df)
+    else:
+        mc_path_or_df.to_csv(mc_dst, sep="\t", index=False)
+        mc = mc_path_or_df.astype(str)
+    master_path = os.path.join(sb, "output", "MergedDatabase.tsv")
+    pristine = os.path.join(sb, "master_orig.tsv")
+    fixture.to_csv(master_path, sep="\t", index=False)
+    fixture.to_csv(pristine, sep="\t", index=False)
+
+    # the reference script runs at import (module-level main); its paths
+    # are cwd-relative
+    os.chdir(sb)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_mc", os.path.join(sb, "cleaning",
+                                   "merge_contacts_kindaworks.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        os.chdir(cwd)
+    ref_out = read_tsv_str(master_path)  # overwritten in place
+    ref_out.columns = [c.upper() for c in ref_out.columns]
+
+    eng_prefix = os.path.join(sb, "engine")
+    r = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.ParityMailchimpDump {pristine} {mc_dst} "
+         f"{eng_prefix}"],
+        cwd=REPO, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit("[parity] engine ParityMailchimpDump failed")
+    eng_out = read_tsv_str(eng_prefix + ".mcfilled.tsv")
+    eng_out = eng_out.sort_values(
+        by="row_id", key=lambda s: s.astype(int)).reset_index(drop=True)
+    assert len(ref_out) == len(eng_out) == len(fixture), \
+        f"mailchimp lane ({variant}): row counts diverged"
+
+    exp_ref = j1_expected_ref(fixture, mc)
+    exp_eng = j1_expected_eng(fixture, mc)
+    print(f"[parity] mailchimp lane ({variant}): reference expected "
+          f"{len(exp_ref)} fills, engine expected {len(exp_eng)} fills")
+
+    shared = [c for c in fixture.columns if c in eng_out.columns
+              and c in ref_out.columns]
+    counts = {"equal": 0, "fill_equal": 0, "divergence_2": 0,
+              "divergence_10": 0, "format_num": 0, "format_ts": 0,
+              "UNDOCUMENTED": 0}
+    bad = []
+    for i in range(len(fixture)):
+        for c in shared:
+            rv = cell(ref_out.iloc[i][c])
+            ev = str(eng_out.iloc[i][c])
+            orig = str(fixture.iloc[i][c])
+            r_fill = exp_ref.get((i, c))
+            e_fill = exp_eng.get((i, c))
+            # each side must equal ITS OWN simulation on the fill surface
+            if c in ("EMAIL", "MOBILE"):
+                want_r = (str(r_fill) if r_fill is not None
+                          else ref_view(orig))
+                if not (rv == want_r or num_equal(rv, want_r)):
+                    counts["UNDOCUMENTED"] += 1
+                    bad.append(("ref != ref-simulation", i, c, rv, want_r))
+                    continue
+                want_e = str(e_fill) if e_fill is not None else orig
+                if ev != want_e:
+                    counts["UNDOCUMENTED"] += 1
+                    bad.append(("eng != eng-simulation", i, c, ev, want_e))
+                    continue
+            if rv == ev:
+                counts["equal"] += 1
+            elif (r_fill is not None or e_fill is not None) \
+                    and c in ("EMAIL", "MOBILE"):
+                if r_fill is not None and e_fill is not None and \
+                        j1_value_eq(c, str(r_fill), str(e_fill)):
+                    counts["fill_equal"] += 1
+                else:
+                    counts["divergence_10"] += 1  # key-surface split
+            elif rv == "" and orig.strip() in PANDAS_NA | {""} or \
+                    rv == "" and orig.strip() == "":
+                counts["divergence_2"] += 1  # ref's NA-read nulled it
+            elif num_equal(rv, ev):
+                counts["format_num"] += 1
+            elif ts_equal(rv, ev) and rv != "" and ev != "":
+                counts["format_ts"] += 1
+            elif rv == strip_nan_tokens(ev) or \
+                    strip_nan_tokens(rv) == strip_nan_tokens(ev):
+                counts["divergence_2"] += 1
+            else:
+                counts["UNDOCUMENTED"] += 1
+                bad.append(("cell", i, c, rv, ev))
+    print(f"[parity] mailchimp lane ({variant}) cell classes:", counts)
+    for b in bad[:10]:
+        print("[parity]   UNDOCUMENTED:", b)
+    if counts["UNDOCUMENTED"] > 0:
+        failures.append(
+            f"mailchimp lane ({variant}): {counts['UNDOCUMENTED']} "
+            "cell(s) outside the documented classes")
+    if variant == "aligned":
+        if not exp_ref or not exp_eng:
+            failures.append(
+                "mailchimp lane (aligned): a side made no fills — the "
+                "2-key match is not firing")
+        if counts["fill_equal"] + sum(
+                1 for k, v in exp_ref.items()
+                if k in exp_eng and j1_value_eq(k[1], str(v),
+                                                str(exp_eng[k]))) == 0:
+            failures.append(
+                "mailchimp lane (aligned): no identical fills — vacuous")
+
+
+def mailchimp_aligned(fixture):
+    """Aligned J1 fixture: every 3rd master row with a full contact
+    (first, last, email, mobile all present) donates its contact to a
+    synthetic Mailchimp export whose headers BOTH sides resolve
+    ('firstname'/'lastname'/'email'/'mobile'), then has its EMAIL (odd
+    donors) or MOBILE (even donors) blanked in the master — so the 2-key
+    match genuinely fires on both sides and fills must round-trip the
+    donated values."""
+    m = fixture.copy()
+    donors = []
+    k = 0
+    for i in range(len(m)):
+        f, l = str(m.iloc[i]["FIRSTNAME"]), str(m.iloc[i]["LASTNAME"])
+        e, mo = str(m.iloc[i]["EMAIL"]), str(m.iloc[i]["MOBILE"])
+        if any(ref_view(v) == "" or eng_missing(v) for v in (f, l, e, mo)):
+            continue
+        k += 1
+        if k % 3 != 0:
+            continue
+        donors.append({"firstname": f, "lastname": l, "email": e,
+                       "mobile": mo})
+        col = "EMAIL" if k % 2 == 1 else "MOBILE"
+        m.iloc[i, m.columns.get_loc(col)] = ""
+    mc = pd.DataFrame(donors,
+                      columns=["firstname", "lastname", "email", "mobile"])
+    return m, mc
 
 
 def main():
@@ -610,7 +956,8 @@ def main():
     # ---- stage 2b: both validators over the engine's golden TSV ----
     validate_lane(eng_prefix, failures)
 
-    # ---- stage 3: the fill stage against the reference's own run ----
+    # ---- stage 3: the fill stage against the reference's own runs ----
+    # (both the in-memory and the SQLite-staged reference variants)
     # natural: the reference's own key surface (measures the #9 no-op)
     fill_lane(fixture, failures, "natural")
     # aligned-email: plant X_EMAIL2 := EMAIL so BOTH sides match on the
@@ -619,6 +966,17 @@ def main():
     aligned = fixture.copy()
     aligned["X_EMAIL2"] = aligned["EMAIL"]
     fill_lane(aligned, failures, "aligned-email")
+
+    # ---- stage 4: the J1 mailchimp merge against the reference's own run --
+    # natural: the real mailchimpclean.tsv (measures divergence #10's
+    # degenerate mobile key: get_mobile finds no 'mobile'/'number' column)
+    mailchimp_lane(fixture,
+                   os.path.join(REF, "data_sources", "mailchimpclean.tsv"),
+                   failures, "natural")
+    # aligned: headers both sides resolve + donated contacts, so the
+    # (name, phone) -> email and (name, email) -> mobile matches FIRE
+    aligned_m, aligned_mc = mailchimp_aligned(fixture)
+    mailchimp_lane(aligned_m, aligned_mc, failures, "aligned")
 
     if failures:
         for f in failures:
