@@ -87,6 +87,36 @@ object ParityFillDump {
   }
 }
 
+/** Whole-pipeline twin for the parity lane's run.py-ordering comparison:
+  * [[graft.pipeline.ContactsApp.run]] — fill (J2, sorted sources) ->
+  * clean -> golden dedup -> validate, the same stage sequence and
+  * artifact handoff as the reference's cleaning/run.py — over one master
+  * TSV + a sources dir, writing the reference-shaped artifacts
+  * (cleaned_contacts.tsv, fill_missing_log.json, validation_errors.json).
+  *
+  * Usage: runMain graft.ParityRunDump <masterTsv> <sourcesDir> <outDir> */
+object ParityRunDump {
+  def main(args: Array[String]): Unit = {
+    val Array(masterTsv, sourcesDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    pipeline.ContactsApp.run(spark, masterTsv, sourcesDir,
+      Some(pipeline.ContactsApp.Artifacts(
+        s"$outDir/cleaned_contacts.tsv",
+        s"$outDir/fill_missing_log.json",
+        s"$outDir/validation_errors.json")))
+    pipeline.Pins.flush()
+    spark.stop()
+  }
+}
+
 /** J1 twin of [[ParityFillDump]] for the parity lane's Mailchimp
   * comparison: [[graft.pipeline.ContactsApp.applyMailchimp]] (the
   * merge_contacts_kindaworks.py equivalent — fill missing email by exact

@@ -771,6 +771,178 @@ def mailchimp_aligned(fixture):
     return m, mc
 
 
+# ------------------------------------------------------ run.py ordering lane
+
+def pipeline_fixture():
+    """Tie-free synthetic master + one source file for the whole-pipeline
+    lane: every divergence class is engineered OUT (X_EMAIL2 := EMAIL so
+    both fill keys coincide, single-space names, no missing name/address
+    cells to astype-pollute, zero-lead-free all-digit phones so the
+    reference's non-dtype re-read re-serializes identically, unique
+    longest value per merged column) — so the two pipelines must agree
+    EXACTLY, stage handoff included."""
+    cols = ["SEQNO", "FIRSTNAME", "LASTNAME", "FULLNAME", "EMAIL",
+            "X_EMAIL2", "MOBILE", "ADDRESS", "LAST_UPDATED"]
+    rows = [
+        ("1", "Alice", "Price", "Alice Price", "alice@x.com", "",
+         "5550000001", "1 Low St", "2023-01-01 10:00:00"),
+        # missing MOBILE -> fillable from s1 row a by (name, email)
+        ("2", "Bob", "Reed", "Bob Reed", "bob@x.com", "",
+         "", "2 Main St", "2023-01-02 10:00:00"),
+        # missing FIRSTNAME -> fillable from s1 row b by (email, phone)
+        ("3", "", "Smith", "Carol Smith", "carol@x.com", "",
+         "5550000003", "3 Oak St", "2023-01-03 10:00:00"),
+        # invalid email -> nullified by clean, reported by validate;
+        # the formatted phone keeps the MOBILE column object-typed in
+        # the reference's non-dtype re-read — an ALL-numeric MOBILE
+        # column makes clean_contacts.py:175 crash outright on its
+        # str-concat dedup key (int64 + str), a real reference
+        # fragility this lane found
+        ("4", "Dan", "Wu", "Dan Wu", "not-an-email", "",
+         "555-000-0004", "4 Elm St", "2023-01-04 10:00:00"),
+        # missing email + invalid phone -> two validation errors
+        ("5", "Eve", "Yang", "Eve Yang", "", "",
+         "123", "5 Fir St", "2023-01-05 10:00:00"),
+        # dedup pair on frank@x.com: '60' wins SEQNO by length, row 7
+        # wins ADDRESS by length and LAST_UPDATED by recency — no ties
+        ("60", "Frank", "Zhou", "Frank Zhou", "frank@x.com", "",
+         "5550000006", "9 A St", "2023-01-06 10:00:00"),
+        ("7", "Frank", "Zhou", "Frank Zhou", "frank@x.com", "",
+         "5550000006", "99 Arlington Avenue", "2023-05-05 10:00:00"),
+    ]
+    m = pd.DataFrame(rows, columns=cols)
+    m["X_EMAIL2"] = m["EMAIL"]  # align the #9 email-key split away
+    src = pd.DataFrame(
+        [("Bob", "Reed", "bob@x.com", "5550000002"),
+         ("Carol", "Smith", "carol@x.com", "5550000003")],
+        columns=["FirstName", "LastName", "Email", "Mobile"])
+    return m, src
+
+
+def pipeline_lane(failures):
+    """run.py-ordering lane: the reference's full fill -> clean ->
+    validate sequence (its scripts executed unmodified, in run.py's
+    order, against the SAME artifact paths run.py hands off —
+    fill REWRITES output/MergedDatabase.tsv in place, clean reads the
+    rewritten master, validate reads clean's output) vs the engine's
+    ContactsApp.run on the tie-free fixture. On this fixture every
+    artifact must agree: same fills, same cleaned cells, same
+    validation reports."""
+    import json
+    master, src = pipeline_fixture()
+    cwd = os.getcwd()
+    sb = tempfile.mkdtemp(prefix="parityrun_")
+    os.symlink(os.path.join(REF, "cleaning"), os.path.join(sb, "cleaning"))
+    os.makedirs(os.path.join(sb, "data_files"))
+    os.makedirs(os.path.join(sb, "output"))
+    src.to_csv(os.path.join(sb, "data_files", "s1.tsv"), sep="\t",
+               index=False)
+    master_path = os.path.join(sb, "output", "MergedDatabase.tsv")
+    pristine = os.path.join(sb, "master_orig.tsv")
+    master.to_csv(master_path, sep="\t", index=False)
+    master.to_csv(pristine, sep="\t", index=False)
+
+    # the exact run.py step list (cleaning/run.py:83-87), same order, same
+    # artifact handoff; fill/validate expose main(), clean runs at import
+    os.chdir(sb)
+    try:
+        for script in ("fill_missing_contacts.py", "clean_contacts.py",
+                       "validate_fields.py"):
+            spec = importlib.util.spec_from_file_location(
+                "ref_run_" + script.replace(".", "_"),
+                os.path.join(sb, "cleaning", script))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            if hasattr(mod, "main"):
+                mod.main()
+    finally:
+        os.chdir(cwd)
+    ref_fills = json.load(open(os.path.join(sb, "output",
+                                            "fill_missing_log.json")))
+    ref_clean = read_tsv_str(os.path.join(sb, "output",
+                                          "cleaned_contacts.tsv"))
+    ref_val = json.load(open(os.path.join(sb, "output",
+                                          "validation_errors.json")))
+
+    eng_out = os.path.join(sb, "eng_out")
+    r = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.ParityRunDump {pristine} "
+         f"{os.path.join(sb, 'data_files')} {eng_out}"],
+        cwd=REPO, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit("[parity] engine ParityRunDump failed")
+    eng_fills = json.load(open(os.path.join(eng_out,
+                                            "fill_missing_log.json")))
+    eng_clean = read_tsv_str(os.path.join(eng_out, "cleaned_contacts.tsv"))
+    eng_val = json.load(open(os.path.join(eng_out,
+                                          "validation_errors.json")))
+
+    # 1) fills: identical (row, field, value) sets — X_EMAIL2 := EMAIL
+    # collapses the #9 key split, the fixture kills the ordering classes
+    rf = {(int(e["row"]), e["field"], str(e["new_value"]))
+          for e in ref_fills}
+    ef = {(int(e["row"]), e["field"] if e["field"] != "EMAIL"
+           else "X_EMAIL2", str(e["new_value"])) for e in eng_fills}
+    if rf != ef:
+        failures.append(f"pipeline lane: fill logs differ: ref={rf} "
+                        f"eng={ef}")
+    print(f"[parity] pipeline lane: fills ref={sorted(rf)} "
+          f"{'==' if rf == ef else '!='} eng={sorted(ef)}")
+
+    # 2) cleaned artifact: same golden rows, every shared cell equal
+    # (numeric-parse formatting tolerated via num_equal)
+    ref_clean.columns = [c.upper() for c in ref_clean.columns]
+    ok_rows = len(ref_clean) == len(eng_clean)
+    if not ok_rows:
+        failures.append(
+            f"pipeline lane: cleaned row counts differ "
+            f"({len(ref_clean)} vs {len(eng_clean)})")
+    shared = [c for c in ref_clean.columns if c in eng_clean.columns]
+
+    def clean_key(df):
+        return df["FULLNAME"].str.lower() + "|" + df["MOBILE"].map(digits)
+    refc = ref_clean.set_index(clean_key(ref_clean))
+    engc = eng_clean.set_index(clean_key(eng_clean))
+    if sorted(refc.index) != sorted(engc.index):
+        failures.append(
+            f"pipeline lane: golden key sets differ: "
+            f"{sorted(refc.index)} vs {sorted(engc.index)}")
+    else:
+        ncell, nmob = 0, 0
+        for k in refc.index:
+            for c in shared:
+                rv, ev = str(refc.loc[k][c]), str(engc.loc[k][c])
+                if rv == ev or num_equal(rv, ev) or ts_equal(rv, ev):
+                    ncell += 1
+                elif c == "MOBILE" and digits(rv) == ev:
+                    # divergence #7: the reference's "contains PHONE"
+                    # convention skips cleaning the MOBILE column; the
+                    # engine cleans it to digits
+                    nmob += 1
+                else:
+                    failures.append(
+                        f"pipeline lane: cleaned cell differs at "
+                        f"({k}, {c}): {rv!r} vs {ev!r}")
+        print(f"[parity] pipeline lane: cleaned artifact — "
+              f"{len(refc)} golden rows x {len(shared)} cols, "
+              f"{ncell} cells equal, {nmob} divergence_7 (MOBILE)")
+
+    # 3) validation artifact: identical (name, errors) multisets
+    rv = sorted((e["name"], tuple(e["errors"])) for e in ref_val)
+    ev = sorted((e["name"], tuple(e["errors"])) for e in eng_val)
+    if rv != ev:
+        failures.append(
+            f"pipeline lane: validation reports differ: {rv} vs {ev}")
+    print(f"[parity] pipeline lane: validation — ref {len(rv)} error "
+          f"rows {'==' if rv == ev else '!='} eng {len(ev)}")
+    if not rv:
+        failures.append("pipeline lane: zero validation errors — the "
+                        "fixture is not exercising validate")
+
+
 def main():
     sandbox = tempfile.mkdtemp(prefix="parity_")
     os.symlink(os.path.join(REF, "cleaning"),
@@ -977,6 +1149,9 @@ def main():
     # (name, phone) -> email and (name, email) -> mobile matches FIRE
     aligned_m, aligned_mc = mailchimp_aligned(fixture)
     mailchimp_lane(aligned_m, aligned_mc, failures, "aligned")
+
+    # ---- stage 5: run.py ordering — the whole pipeline, same sequence --
+    pipeline_lane(failures)
 
     if failures:
         for f in failures:
