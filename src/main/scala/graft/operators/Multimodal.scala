@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * pipelines: opaque `binary` content columns + typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The actual media codecs are STUBBED behind deterministic fakes (this
-  * container ships no image/audio libraries) — what is real, and what the
-  * tests cover, is the Spark-side plumbing a 100-TB media pipeline needs:
-  * the binary schema, partition-parallel `mapPartitions` batch shape, typed
-  * Encoders, and the column-expression fast paths. Swapping `fakeDecode`
-  * for a JNI/ffmpeg call changes no plan shape.
+  * Codecs: the JDK's OWN media stacks cover the common formats with zero
+  * added dependencies — `javax.imageio` (PNG/JPEG/BMP/GIF header parse +
+  * full decode + re-encode, headless-safe) and `javax.sound.sampled`
+  * (WAV/AIFF headers) — so image metadata, image resize, and audio
+  * duration are REAL decode paths here ([[decodeImageMeta]],
+  * [[decodeAudioMeta]], [[resizeImage]], oracle-graded as q191/q192).
+  * Formats beyond the JDK's readers (video, mp3, webp) fall back to a
+  * clearly-marked deterministic fake ([[decodeMeta]]/[[fakeFeatures]] —
+  * this container ships no ffmpeg); swapping the fallback for a
+  * JNI/ffmpeg call changes no plan shape.
   *
   * Scale notes: binary payloads ride through Spark's unsafe row format;
   * per-partition iteration (not per-row lambdas through Catalyst) is the
@@ -83,6 +87,135 @@ object Multimodal {
         FeatureRow(r.id, fakeFeatures(bytes, dim))
       }
     }
+  }
+
+  // ------------------------------------------------------------ real codecs
+
+  /** REAL image header decode via the JDK's built-in ImageIO readers
+    * (PNG/JPEG/BMP/GIF; headless-safe). Reads the HEADER only — width,
+    * height and the color model's component count come from the reader
+    * without materializing pixels, so a 100-TB metadata pass never
+    * decodes full rasters. None for bytes no installed reader accepts. */
+  def decodeImageMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length == 0) return None
+    var in: javax.imageio.stream.ImageInputStream = null
+    try {
+      in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (in == null) return None
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        val w = r.getWidth(0)
+        val h = r.getHeight(0)
+        val types = r.getImageTypes(0)
+        val ch =
+          if (types.hasNext) types.next().getColorModel.getNumComponents
+          else 0
+        Some(MediaMeta("image", w, h, ch, 0L))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally if (in != null) in.close()
+  }
+
+  /** REAL audio header decode via javax.sound.sampled (WAV/AIFF/AU):
+    * channels from the format, duration from frameLength / frameRate —
+    * header-only, the sample data is never touched. None for bytes the
+    * JDK's audio readers reject. */
+  def decodeAudioMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val durMs =
+        if (frames > 0 && fmt.getFrameRate > 0)
+          math.round(frames * 1000.0 / fmt.getFrameRate)
+        else 0L
+      Some(MediaMeta("audio", 0, 0, fmt.getChannels, durMs))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batch decode in the mapPartitions shape: JDK image readers first,
+    * then JDK audio readers, then an honest `unknown` row (NOT the fake —
+    * a metadata pass must never invent dimensions for bytes it could not
+    * parse). */
+  def decodeMetaBatch(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        val meta = decodeImageMeta(bytes).orElse(decodeAudioMeta(bytes))
+          .getOrElse(MediaMeta("unknown", 0, 0, 0, 0L))
+        DecodedRow(r.id, meta, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** REAL image resize (full decode -> Graphics2D scale -> PNG encode),
+    * headless-safe. None when the bytes don't decode. The per-row cost is
+    * the codec, so callers batch it through mapPartitions like
+    * [[featurize]]. */
+  def resizeImage(bytes: Array[Byte], width: Int,
+      height: Int): Option[Array[Byte]] = {
+    require(width > 0 && height > 0, s"bad target size ${width}x$height")
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, width, height, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic PNG generator (specs + the q191 oracle fixture): a
+    * real encoded image of the given dimensions; channels picks the
+    * buffer type (1 = gray, 3 = RGB, 4 = ARGB). */
+  def encodePng(width: Int, height: Int, channels: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val t = channels match {
+      case 1 => BufferedImage.TYPE_BYTE_GRAY
+      case 4 => BufferedImage.TYPE_INT_ARGB
+      case _ => BufferedImage.TYPE_3BYTE_BGR
+    }
+    val img = new BufferedImage(width, height, t)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (x * 31 + y * 17) | 0xff000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV generator (specs + the q192 oracle fixture):
+    * 16-bit PCM, `nFrames` frames at `sampleRate`. */
+  def encodeWav(nFrames: Int, channels: Int,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * fmt.getFrameSize)
+    var i = 0
+    while (i < data.length) { data(i) = ((i * 37) & 0x7f).toByte; i += 1 }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic fake featurizer: rolling-hash byte histogram folded into

@@ -9350,7 +9350,68 @@ object Queries {
              |SELECT * FROM (
              |  SELECT ord, kind, sym_a, sym_b, freq FROM ordm
              |  UNION ALL SELECT rk + 100, 'vocab', sym, '', freq FROM vtop)
-             |ORDER BY ord""".stripMargin))
+             |ORDER BY ord""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q191: REAL image decode — per-doc PNGs generated on the executors
+    // (JDK ImageIO encode, dimensions/channels arithmetic in doc_id), then
+    // header-decoded back by Multimodal.decodeImageMeta (ImageIO readers,
+    // header-only). The oracle computes the SAME dimensions arithmetically,
+    // so the engine passes only by actually parsing the PNG headers it
+    // wrote — a fake/fallback decode moves every hash. mapPartitions
+    // encode/decode is the per-row projection shape: no shuffle until the
+    // final sort.
+    QueryDef("q191_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          val ch = (id % 3) match { case 0 => 1L; case 1 => 3L; case _ => 4L }
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.encodePng(
+              ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, ch.toInt))
+        })
+        graft.operators.Multimodal.decodeMetaBatch(media)
+          .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.channels").cast("long").as("channels"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'image' AS kind,
+             |  (doc_id % 31) + 1 AS width,
+             |  (doc_id % 17) + 1 AS height,
+             |  CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+             |    AS channels
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q192: REAL audio decode — per-doc 16-bit PCM WAVs generated on the
+    // executors (javax.sound encode; frame count a multiple of 8 at 8 kHz
+    // so the millisecond duration is exact), header-decoded back by
+    // Multimodal.decodeAudioMeta. The oracle recomputes channels and
+    // duration arithmetically; only a genuine WAV header parse matches.
+    QueryDef("q192_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.encodeWav(
+              (((id % 50) + 1) * 8).toInt, ((id % 2) + 1).toInt))
+        })
+        graft.operators.Multimodal.decodeMetaBatch(media)
+          .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+            col("meta.channels").cast("long").as("channels"),
+            col("meta.durationMs").as("duration_ms"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'audio' AS kind,
+             |  (doc_id % 2) + 1 AS channels,
+             |  (doc_id % 50) + 1 AS duration_ms
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
