@@ -378,6 +378,28 @@ def fill_lane(fixture, failures, variant="natural"):
                         ("fill_missing_contacts_large.py",
                          "sqlite-staged")]:
         ref_log = run_ref_fill_script(fixture, script)
+        if tag == "sqlite-staged":
+            # divergence #11 (reference bug, surfaced by the full-master
+            # run): fill_missing_contacts_large.py:63 computes
+            # orig_index = chunk.index + (chunk_num-1)*chunk_size, but a
+            # pandas chunked reader's chunk.index is ALREADY global, so
+            # every row past the first 10k-row chunk logs a row id
+            # shifted +10k per chunk (row 10252 reports as 20253). The
+            # SQL updates key on the same self-consistent ids, so the
+            # FILLS land on the right rows — only the reported ids lie.
+            # Invert: global g in chunk k maps to o = g + k*10000, so
+            # g = o - (o // 20000) * 10000.
+            remapped = 0
+            for e in ref_log:
+                o = int(e["row"]) - 1
+                g = o - (o // 20000) * 10000
+                if g != o:
+                    e["row"] = g + 1
+                    remapped += 1
+            if remapped:
+                print(f"[parity] fill lane ({variant}/{tag}): remapped "
+                      f"{remapped} double-shifted row ids (divergence "
+                      "#11, reference chunked-index bug)")
         print(f"[parity] fill lane ({variant}/{tag}): reference made "
               f"{len(ref_log)} fills")
         classify_fill_logs(fixture, ref_log, eng_log, fillable_ref,
