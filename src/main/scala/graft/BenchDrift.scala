@@ -19,6 +19,16 @@ package graft
   * used) AND a drift-adjusted absolute excess > `absBar` seconds (0.2 —
   * sub-200ms wobble on tiny queries is noise at any ratio).
   *
+  * The drift compare runs on per-query MEDIANS, not the bench's headline
+  * minima: a min-of-3 is the right steady-state timing estimate but a
+  * terrible comparison baseline for high-variance queries — one lucky
+  * fast pass in the PRIOR round makes every honest later round read as a
+  * regression (observed: q107 min 0.478 in a [0.91, 1.02, 0.48] spread,
+  * false-flagging an identical-code re-run at 1.68× normalized). The
+  * median of the same 3 samples is stable against a single outlier in
+  * either direction while a genuine 2× regression still moves it
+  * decisively.
+  *
   * [[Bench]] wires this against the PRIOR round's committed
   * BENCH_RUNS.json (read before this run overwrites it) and records the
   * factor + flags in the new file; restricted (`SPARK_GRAFT_ONLY`) or
@@ -42,8 +52,8 @@ object BenchDrift {
         "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val f = factor.map(r3).getOrElse("null")
       val fl = flags.map(x =>
-        s"""{"q":"${x.name}","prior":${r3(x.priorSec)},""" +
-          s""""min":${r3(x.currentSec)},"norm_ratio":${r3(x.normRatio)}}""")
+        s"""{"q":"${x.name}","prior_med":${r3(x.priorSec)},""" +
+          s""""med":${r3(x.currentSec)},"norm_ratio":${r3(x.normRatio)}}""")
         .mkString("[", ",", "]")
       s""","canaries":${Canaries.map("\"" + _ + "\"").mkString("[", ",", "]")},"host_factor":$f,"flagged":$fl"""
     }
@@ -78,18 +88,26 @@ object BenchDrift {
     Report(Some(factor), flags)
   }
 
-  /** Per-query minima from a BENCH_RUNS.json body written by [[Bench]]
+  /** Median of the successful samples (the drift-compare statistic —
+    * see the scaladoc above for why not the minimum). */
+  def median(samples: Seq[Double]): Option[Double] = {
+    val ok = samples.filter(_ >= 0).sorted
+    if (ok.isEmpty) None
+    else if (ok.size % 2 == 1) Some(ok(ok.size / 2))
+    else Some((ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2)
+  }
+
+  /** Per-query MEDIANS from a BENCH_RUNS.json body written by [[Bench]]
     * (`"name":[s1,s2,...]` sample arrays; hand-parsed — no JSON library
     * on the engine classpath). Returns empty when the body's "sf" is not
     * `sfDir` (cross-SF timings are not comparable) or nothing parses. */
-  def priorMinima(body: String, sfDir: String): Map[String, Double] = {
+  def priorMedians(body: String, sfDir: String): Map[String, Double] = {
     if (!body.contains("\"sf\":\"" + sfDir + "\"")) return Map.empty
     val re = "\"(q[0-9]+_[A-Za-z0-9_]+)\":\\[([^\\]]*)\\]".r
     re.findAllMatchIn(body).flatMap { m =>
-      val ok = m.group(2).split(",").toSeq
+      val ss = m.group(2).split(",").toSeq
         .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
-        .filter(_ >= 0)
-      if (ok.isEmpty) None else Some(m.group(1) -> ok.min)
+      median(ss).map(m.group(1) -> _)
     }.toMap
   }
 }

@@ -62,15 +62,32 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(r2.factor.isEmpty && r2.flags.isEmpty)
   }
 
-  test("priorMinima parses a Bench-written body; cross-SF priors rejected") {
+  test("priorMedians parses a Bench-written body; cross-SF priors rejected") {
     val body = """{"nruns":3,"sf":"/root/testdata/sf0.1","policy":"p",""" +
       """"runs":{"q1_pricing_summary":[0.242,0.207,0.218],""" +
       """"q44_dup_clusters":[2.638,-1.000,2.541]}}"""
-    val m = BenchDrift.priorMinima(body, "/root/testdata/sf0.1")
-    assert(m == Map("q1_pricing_summary" -> 0.207,
-      "q44_dup_clusters" -> 2.541)) // -1 failure sentinel excluded
-    assert(BenchDrift.priorMinima(body, "/root/testdata/sf0.01").isEmpty)
-    assert(BenchDrift.priorMinima("", "/root/testdata/sf0.1").isEmpty)
+    val m = BenchDrift.priorMedians(body, "/root/testdata/sf0.1")
+    assert(m("q1_pricing_summary") == 0.218) // odd count -> middle sample
+    // -1 failure sentinel excluded -> even count -> midpoint
+    assert(math.abs(m("q44_dup_clusters") - 2.5895) < 1e-9)
+    assert(BenchDrift.priorMedians(body, "/root/testdata/sf0.01").isEmpty)
+    assert(BenchDrift.priorMedians("", "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("median compare absorbs a lucky prior minimum (the q107 false positive)") {
+    // OBSERVED between two identical-code sweeps: prior samples
+    // [0.91, 1.024, 0.478] (one lucky fast pass -> min 0.478), current
+    // [0.911, 0.816, 0.795]. A min-based compare flags 1.68x normalized;
+    // the median compare (0.91 -> 0.816) correctly reads ~0.9x.
+    def med(ss: Seq[Double]) = BenchDrift.median(ss).get
+    val prior2 = prior + ("q107_kcenter_coreset"
+      -> med(Seq(0.91, 1.024, 0.478)))
+    val current = prior2.map { case (k, v) =>
+      k -> (if (k == "q107_kcenter_coreset") med(Seq(0.911, 0.816, 0.795))
+            else v)
+    }
+    assert(BenchDrift.analyze(prior2, current).flags.isEmpty,
+      "an identical-code re-run must not flag")
   }
 
   test("report JSON fields are well-formed for both factor states") {
@@ -80,7 +97,8 @@ class BenchDriftSpec extends AnyFunSuite {
     val j = r.jsonFields
     assert(j.startsWith(""","canaries":["""))
     assert(j.contains(""""host_factor":1.100"""))
-    assert(j.contains(""""q":"q103_pagerank""""))
+    assert(j.contains(""""q":"q103_pagerank"""") &&
+      j.contains(""""prior_med":""") && j.contains(""""med":"""))
     val empty = BenchDrift.analyze(Map.empty, prior).jsonFields
     assert(empty.contains(""""host_factor":null"""))
     assert(empty.contains(""""flagged":[]"""))
