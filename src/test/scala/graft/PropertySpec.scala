@@ -37,6 +37,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JDK codecs: PNG/WAV encode->header-decode round-trips any size") {
+    import graft.operators.Multimodal._
+    val pngGen = for {
+      w <- Gen.choose(1, 64)
+      h <- Gen.choose(1, 64)
+      ch <- Gen.oneOf(1, 3, 4)
+    } yield (w, h, ch)
+    for ((w, h, ch) <- samples(pngGen, n = 60)) {
+      assert(decodeImageMeta(encodePng(w, h, ch))
+        .contains(MediaMeta("image", w, h, ch, 0L)), s"png ${w}x$h/$ch")
+      // corrupting the header magic must yield an honest None, not junk
+      val bytes = encodePng(w, h, ch)
+      bytes(1) = 'X'.toByte
+      assert(decodeImageMeta(bytes).isEmpty)
+    }
+    val wavGen = for {
+      k <- Gen.choose(1, 500) // frames = 8k at 8 kHz -> duration = k ms
+      ch <- Gen.oneOf(1, 2)
+    } yield (k, ch)
+    for ((k, ch) <- samples(wavGen, n = 60)) {
+      assert(decodeAudioMeta(encodeWav(k * 8, ch))
+        .contains(MediaMeta("audio", 0, 0, ch, k.toLong)), s"wav $k/$ch")
+    }
+  }
+
   test("fakeFeatures: deterministic, normalized, fixed-dim") {
     val gen = for {
       bytes <- Gen.listOf(Gen.choose(-128, 127).map(_.toByte))
