@@ -133,6 +133,7 @@ object Bench {
     // Re-measure ONLY the flagged queries + canaries with 2 extra
     // interleaved passes minutes later (a different noise window) and
     // keep a flag only if the 5-sample median still trips the bar.
+    var confirmSamples = Map.empty[String, Seq[Double]]
     val drift =
       if (provisional.flags.isEmpty) provisional
       else {
@@ -142,6 +143,7 @@ object Bench {
         val names2 = (provisional.flags.map(_.name) ++ BenchDrift.Canaries)
           .distinct.sorted.filter(byName.contains)
         val extra = (1 to 2).map(_ => names2.map(n => n -> runOnce(n)).toMap)
+        confirmSamples = names2.map(n => n -> extra.map(_(n))).toMap
         val med2 = currentMed ++ names2.flatMap { n =>
           BenchDrift.median(byName(n) ++ extra.map(_(n))).map(n -> _) }
         BenchDrift.analyze(prior, med2)
@@ -153,13 +155,20 @@ object Bench {
         f"${drift.factor.getOrElse(1.0)}%.3f)")
     }
 
-    // full-precision per-pass samples -> audit file (committed by the driver)
+    // full-precision per-pass samples -> audit file (committed by the
+    // driver); confirmation-pass samples recorded separately so confirmed
+    // flags are recomputable from the file alone
     val runsJson = samples.map { case (k, ss) =>
       "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val confirmJson =
+      if (confirmSamples.isEmpty) ""
+      else confirmSamples.toSeq.sortBy(_._1).map { case (k, ss) =>
+        "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
+      }.mkString(""","confirm_runs":{""", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window)"${drift.jsonFields},"runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps

@@ -99,8 +99,11 @@ object BenchDrift {
 
   /** Per-query MEDIANS from a BENCH_RUNS.json body written by [[Bench]]
     * (`"name":[s1,s2,...]` sample arrays; hand-parsed — no JSON library
-    * on the engine classpath). Returns empty when the body's "sf" is not
-    * `sfDir` (cross-SF timings are not comparable) or nothing parses. */
+    * on the engine classpath). A query appearing in both "confirm_runs"
+    * and "runs" resolves to the LATER match (the main "runs" sweep —
+    * Bench writes confirm_runs first). Returns empty when the body's
+    * "sf" is not `sfDir` (cross-SF timings are not comparable) or
+    * nothing parses. */
   def priorMedians(body: String, sfDir: String): Map[String, Double] = {
     if (!body.contains("\"sf\":\"" + sfDir + "\"")) return Map.empty
     val re = "\"(q[0-9]+_[A-Za-z0-9_]+)\":\\[([^\\]]*)\\]".r
