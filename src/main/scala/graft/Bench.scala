@@ -74,10 +74,14 @@ object Bench {
       // frames (Budget/RowIds/CC) bypass the CacheManager and need their
       // own unpersist. Untimed: cleanup cost is harness bookkeeping, not
       // query work.
-      graft.pipeline.Pins.flush()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      try {
+        graft.pipeline.Pins.flush()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case e: Throwable => // cleanup must never abort the bench
+        System.err.println(s"[bench] cleanup after $name: ${e.getMessage}")
+      }
       if (sec >= 0) System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       sec
     }
@@ -146,7 +150,11 @@ object Bench {
         confirmSamples = names2.map(n => n -> extra.map(_(n))).toMap
         val med2 = currentMed ++ names2.flatMap { n =>
           BenchDrift.median(byName(n) ++ extra.map(_(n))).map(n -> _) }
-        BenchDrift.analyze(prior, med2)
+        // confirm() restricts the final set to the provisionally flagged
+        // (= re-measured) queries: the confirm-window factor shift must
+        // not ship an unconfirmed flag (r11: q100 crossed the bar purely
+        // on a 0.835->0.830 factor move, with zero confirmation samples)
+        BenchDrift.confirm(prior, med2, provisional)
       }
     drift.flags.foreach { f =>
       System.err.println(f"[bench] DRIFT-NORMALIZED REGRESSION ${f.name}: " +
@@ -168,7 +176,7 @@ object Bench {
       }.mkString(""","confirm_runs":{""", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window; final flags restricted to the provisionally-flagged = re-measured queries)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps

@@ -72,7 +72,10 @@ object BenchDrift {
       for (p <- prior.get(c); u <- current.get(c) if p > 0 && u > 0)
         yield u / p
     }.sorted
-    if (ratios.isEmpty) return Report(None, Nil)
+    // a single canary ratio IS the factor — one disturbed canary could
+    // mass-flag or mask the whole registry (the median-absorbs-one-outlier
+    // property needs at least 2 ratios to hold at all); no factor, no flags
+    if (ratios.size < 2) return Report(None, Nil)
     val factor =
       if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
@@ -86,6 +89,23 @@ object BenchDrift {
       }
     }
     Report(Some(factor), flags)
+  }
+
+  /** Final flag set after a confirmation pass. Re-analyzes with the
+    * confirm-updated medians, then RESTRICTS the flags to queries that
+    * were provisionally flagged — i.e. that actually received their own
+    * confirmation samples. Without the restriction, the confirm-window
+    * canary factor shift can newly trip a query that was never
+    * re-measured and ship it as a "CONFIRMED" flag with zero
+    * confirmation samples (exactly what happened to q100_incremental_lsh
+    * in the r11 driver run: factor 0.835→0.830 moved its normalized
+    * ratio 1.296→1.303 across the bar). */
+  def confirm(prior: Map[String, Double], confirmedMed: Map[String, Double],
+      provisional: Report, canaries: Seq[String] = Canaries,
+      ratioBar: Double = 1.3, absBar: Double = 0.2): Report = {
+    val re = analyze(prior, confirmedMed, canaries, ratioBar, absBar)
+    val allowed = provisional.flags.map(_.name).toSet
+    re.copy(flags = re.flags.filter(f => allowed(f.name)))
   }
 
   /** Median of the successful samples (the drift-compare statistic —

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
@@ -22,73 +22,94 @@ import org.apache.spark.storage.StorageLevel
   * exactly the operator-internal scratch — without `catalog.clearCache()`'s
   * collateral drop of the caller's OWN cached frames.
   *
-  * Scope: the registry is process-global (one pipeline run at a time — the
-  * driver model of this engine); a flush releases every pin created since
-  * the last flush. Unpersisting a frame another plan still references is
-  * safe in Spark (the dependent plan recomputes through the pinned
-  * lineage), so a too-early flush costs recomputation, never correctness —
-  * except between the two consumers of a sampled-exchange pin, which is
-  * why flush sits at run boundaries, never inside an operator.
+  * Scope: PER DRIVER THREAD. Each flow (a batch run, a streaming query's
+  * execution thread) accumulates pins in its own registry, and [[flush]]
+  * releases (a) the calling thread's own pins and (b) any DEAD thread's
+  * orphaned pins — scratch from completed flows that never reached their
+  * own boundary (e.g. a finished stream-execution thread). Pins of a
+  * still-LIVE foreign thread are left alone: unpersisting them would be
+  * the one correctness-sensitive case (a sampled-exchange pin released
+  * between its two consumers), and with per-thread scope two genuinely
+  * concurrent flows — e.g. two streaming queries whose foreachBatch each
+  * pins — simply never see each other. To close the awaitTermination
+  * race (the stream execution thread unblocks its caller from a finally
+  * block while still briefly alive), flush gives each live foreign owner
+  * a short join before deciding: a terminating thread dies within the
+  * window and its pins release in the SAME flush; a genuinely concurrent
+  * flow survives it and keeps its pins.
   *
-  * The single-run scope is ENFORCED, not just documented: pins record the
-  * driver thread that created them, and a pin from a second LIVE thread
-  * while another thread holds unflushed pins fails loudly — a library
-  * caller composing e.g. a streaming query with a concurrent batch run
-  * would otherwise risk one flow's boundary flush unpersisting the other
-  * flow's sampled-exchange pin mid-consumption (the one correctness-
-  * sensitive case above). A DEAD owner's pins are orphaned scratch from a
-  * completed flow (e.g. a finished stream-execution thread), so the next
-  * flow adopts the registry instead of deadlocking on it; the adopted
-  * pins release at that flow's own flush. */
+  * Unpersisting a frame another plan still references is safe in Spark
+  * (the dependent plan recomputes through the pinned lineage), so a
+  * too-early flush costs recomputation, never correctness — except
+  * between the two consumers of a sampled-exchange pin, which is why
+  * flush sits at run boundaries, never inside an operator, and why live
+  * foreign registries are never touched. */
 object Pins {
 
-  private val active = new ConcurrentLinkedQueue[Dataset[_]]()
-  private var owner: Thread = null
+  /** Per-owner pin queues. Dead owners' entries are reaped by the next
+    * [[flush]] (adoption), so the map cannot grow beyond the set of live
+    * pinning threads plus not-yet-adopted completed flows. */
+  private val registries =
+    new ConcurrentHashMap[Thread, ConcurrentLinkedQueue[Dataset[_]]]()
+
+  /** How long [[flush]] waits for a live foreign owner to terminate
+    * before leaving its pins alone (covers the awaitTermination race —
+    * a stream execution thread's finally unblocks its caller while the
+    * thread is still winding down). */
+  private val TerminatingJoinMillis = 500L
 
   /** Persist `ds` at the Dataset default level (MEMORY_AND_DISK — the same
     * level `.cache()` uses) and register it for the next [[flush]]. */
   def pin[T](ds: Dataset[T]): Dataset[T] = pin(ds, StorageLevel.MEMORY_AND_DISK)
 
-  /** Persist `ds` at `level` and register it for the next [[flush]].
-    * Throws IllegalStateException on a concurrent second flow (see the
-    * scope note above). */
+  /** Persist `ds` at `level` and register it in the calling thread's own
+    * registry (per-flow scope — see above; never throws on concurrency). */
   def pin[T](ds: Dataset[T], level: StorageLevel): Dataset[T] = {
-    synchronized {
-      val me = Thread.currentThread()
-      if (owner != null && owner != me && owner.isAlive && !active.isEmpty)
-        throw new IllegalStateException(
-          s"Pins: concurrent pin from thread '${me.getName}' while " +
-            s"'${owner.getName}' holds ${active.size} unflushed pin(s) — " +
-            "the registry scopes ONE run at a time; flush() at the " +
-            "current flow's boundary before starting another")
-      owner = me
-      ds.persist(level)
-      active.add(ds)
-    }
+    val q = registries.computeIfAbsent(Thread.currentThread(),
+      _ => new ConcurrentLinkedQueue[Dataset[_]]())
+    ds.persist(level)
+    q.add(ds)
     ds
   }
 
-  /** Unpersist (non-blocking) every pin registered since the last flush.
-    * Throws IllegalStateException when a DIFFERENT live thread's pins are
-    * still registered — that flush would be the mid-consumer unpersist the
-    * scope note above calls out; only the owning flow (or a flow adopting
-    * a dead owner's orphans) may release. */
-  def flush(): Unit = synchronized {
+  /** Unpersist (non-blocking) the calling thread's pins plus any dead
+    * owner's orphans. A live foreign owner gets a short join (it may be
+    * mid-termination after awaitTermination); if it survives the window
+    * it is a genuinely concurrent flow and keeps its pins — that flow
+    * flushes at its own boundary. */
+  def flush(): Unit = {
     val me = Thread.currentThread()
-    if (owner != null && owner != me && owner.isAlive && !active.isEmpty)
-      throw new IllegalStateException(
-        s"Pins: flush from thread '${me.getName}' while '${owner.getName}' " +
-          s"holds ${active.size} unflushed pin(s) — a cross-flow flush " +
-          "would unpersist another run's in-flight pins; flush at that " +
-          "flow's own boundary instead")
-    var d = active.poll()
-    while (d != null) {
-      d.unpersist(blocking = false)
-      d = active.poll()
+    release(registries.remove(me))
+    val it = registries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val owner = e.getKey
+      if (owner.isAlive) {
+        try owner.join(TerminatingJoinMillis)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+      if (!owner.isAlive) {
+        it.remove()
+        release(e.getValue)
+      }
     }
-    owner = null
   }
 
-  /** Pins currently registered and not yet flushed (diagnostic). */
-  def activeCount: Int = active.size()
+  private def release(q: ConcurrentLinkedQueue[Dataset[_]]): Unit =
+    if (q != null) {
+      var d = q.poll()
+      while (d != null) {
+        d.unpersist(blocking = false)
+        d = q.poll()
+      }
+    }
+
+  /** Pins currently registered across ALL flows and not yet flushed
+    * (diagnostic). */
+  def activeCount: Int = {
+    var n = 0
+    val it = registries.values().iterator()
+    while (it.hasNext) n += it.next().size()
+    n
+  }
 }

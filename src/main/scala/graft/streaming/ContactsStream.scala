@@ -151,8 +151,10 @@ object ContactsStream {
     val entries =
       try fs.listStatus(root).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty }
+    // strict v=<digits> match: a partial rename or junk dir like v=tmp
+    // must be ignored, not NumberFormatException the micro-batch
     val candidates = entries
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v=\\d+"))
       .map(st => (st.getPath.getName.stripPrefix("v=").toLong, st.getPath))
       .filter(_._1 < beforeBatchId)
     val committed = candidates.collect {
@@ -202,8 +204,8 @@ object ContactsStream {
     val entries =
       try fs.listStatus(root).toSeq
       catch { case _: java.io.FileNotFoundException => return Seq.empty }
-    val versioned = entries
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+    val versioned = entries // strict v=<digits>: see latestVersionBefore
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v=\\d+"))
       .map(st => (st.getPath.getName.stripPrefix("v=").toLong, st.getPath))
     val committed = versioned.collect {
       case (v, p) if fs.exists(new Path(p, CommitMarker)) ||

@@ -90,6 +90,57 @@ class BenchDriftSpec extends AnyFunSuite {
       "an identical-code re-run must not flag")
   }
 
+  test("a single canary ratio never becomes the host factor") {
+    // with only one canary present on both sides, one disturbed canary IS
+    // the factor and can mass-flag (factor low) or mask (factor high) the
+    // whole registry — analyze must refuse to normalize
+    val prior1 = (prior -- canaries) + ("q1_pricing_summary" -> 0.220)
+    val current = prior1.map { case (k, v) =>
+      k -> (if (k == "q1_pricing_summary") v * 0.5 else v) // disturbed
+    }
+    val r = BenchDrift.analyze(prior1, current)
+    assert(r.factor.isEmpty && r.flags.isEmpty,
+      s"one canary must not yield a factor: $r")
+  }
+
+  test("confirmation never ships a flag for a query that was not re-measured") {
+    // the r11 leak, reconstructed: q103 provisionally flags and is
+    // re-measured; the confirm-window canaries run slightly faster,
+    // shifting the factor down, which pushes q44 (normalized ~1.29
+    // provisionally — under the bar) across 1.3x. q44 received zero
+    // confirmation samples, so it must NOT ship.
+    val current = prior.map { case (k, v) => k ->
+      (if (k == "q103_pagerank") v * 2.0
+       else if (k == "q44_dup_clusters") v * 1.29 else v)
+    }
+    val provisional = BenchDrift.analyze(prior, current)
+    assert(provisional.flags.map(_.name) == Seq("q103_pagerank"))
+    // confirm window: canaries come back 2% faster -> factor 0.98; q103's
+    // confirmed median still doubles; q44 was not re-run so its median is
+    // unchanged — but its normalized ratio is now 1.29/0.98 = 1.316 > bar
+    val confirmMed = current.map { case (k, v) =>
+      k -> (if (canaries.contains(k)) v * 0.98 else v)
+    }
+    val leakyReanalysis = BenchDrift.analyze(prior, confirmMed)
+    assert(leakyReanalysis.flags.map(_.name)
+      .contains("q44_dup_clusters"),
+      "test setup must reproduce the leak shape in a raw re-analysis")
+    val confirmed = BenchDrift.confirm(prior, confirmMed, provisional)
+    assert(confirmed.flags.map(_.name) == Seq("q103_pagerank"),
+      s"only re-measured queries may ship as confirmed: ${confirmed.flags}")
+  }
+
+  test("confirmation drops a provisional flag the extra passes absolve") {
+    val current = prior.map { case (k, v) =>
+      k -> (if (k == "q103_pagerank") v * 2.0 else v) }
+    val provisional = BenchDrift.analyze(prior, current)
+    assert(provisional.flags.nonEmpty)
+    // confirm passes bring q103's 5-sample median back under the bar
+    val confirmMed = current + ("q103_pagerank" -> prior("q103_pagerank") * 1.1)
+    val confirmed = BenchDrift.confirm(prior, confirmMed, provisional)
+    assert(confirmed.flags.isEmpty, s"${confirmed.flags}")
+  }
+
   test("report JSON fields are well-formed for both factor states") {
     val r = BenchDrift.analyze(prior,
       prior.map { case (k, v) =>

@@ -49,7 +49,7 @@ class PinsSpec extends AnyFunSuite {
       s"net-new persisted RDDs survived Pins.flush: $leaked")
   }
 
-  test("concurrent second flow fails loudly; dead owner's pins are adopted") {
+  test("concurrent flows are isolated per-thread; dead owner's pins are adopted") {
     import spark.implicits._
     Pins.flush()
     val hold = new java.util.concurrent.CountDownLatch(1)
@@ -62,17 +62,41 @@ class PinsSpec extends AnyFunSuite {
     flowA.start()
     pinnedUp.await()
     assert(flowAErr == null, s"flow A failed to pin: $flowAErr")
-    // a second LIVE flow may neither pin nor flush while A's pins are live
-    val ePin = intercept[IllegalStateException] { Pins.pin(Seq(2).toDF("y")) }
-    assert(ePin.getMessage.contains("concurrent pin"))
-    val eFlush = intercept[IllegalStateException] { Pins.flush() }
-    assert(eFlush.getMessage.contains("flush"))
+    // a second LIVE flow pins into its OWN registry — no exception, no
+    // cross-flow interference (the r11 guard threw here, which both raced
+    // stream shutdown and hard-failed legitimate concurrency)
+    Pins.pin(Seq(2).toDF("y"))
+    assert(Pins.activeCount == 2)
+    // this thread's flush releases ONLY its own pin: flow A is live (held
+    // on the latch past the terminating-join window) and keeps its pin —
+    // a cross-flow flush must never unpersist another run's in-flight
+    // sampled-exchange pin mid-consumption
+    Pins.flush()
+    assert(Pins.activeCount == 1,
+      "live foreign flow's pin must survive another thread's flush")
     hold.countDown()
     flowA.join()
-    // flow A is dead: its orphaned scratch is adoptable — the next flow
-    // flushes (or pins) without deadlocking on a completed thread
-    assert(Pins.activeCount == 1)
+    // flow A is dead: its orphaned scratch is adopted by the next flush
     Pins.flush()
     assert(Pins.activeCount == 0)
+  }
+
+  test("a just-terminating owner's pins release in the same flush (awaitTermination race)") {
+    import spark.implicits._
+    Pins.flush()
+    val pinnedUp = new java.util.concurrent.CountDownLatch(1)
+    val flowB = new Thread(() => {
+      Pins.pin(Seq(3).toDF("z")); pinnedUp.countDown()
+      Thread.sleep(100) // still alive when the main thread calls flush
+    }, "pins-spec-flow-b")
+    flowB.start()
+    pinnedUp.await()
+    // flowB is alive but terminating (the shape of a stream execution
+    // thread whose finally already unblocked awaitTermination): flush
+    // joins it briefly and releases its pins in THIS call
+    Pins.flush()
+    assert(Pins.activeCount == 0,
+      "terminating owner's pins must release within the join window")
+    flowB.join()
   }
 }

@@ -346,6 +346,13 @@ class Streaming2Spec extends AnyFunSuite {
       torn.toPath.resolve(ContactsStream.CommitMarker), "")
     assert(ContactsStream
       .latestVersionBefore(spark, golden, Long.MaxValue).contains(0L))
+    // non-numeric v=* junk (a partial rename, a v=tmp scratch dir) must be
+    // IGNORED, not NumberFormatException the micro-batch — in resolution
+    // AND in retention
+    new java.io.File(golden, "v=tmp").mkdirs()
+    assert(ContactsStream
+      .latestVersionBefore(spark, golden, Long.MaxValue).contains(0L))
+    assert(ContactsStream.pruneSnapshots(spark, golden, 2).isEmpty)
   }
 
   test("streaming CMS + Bloom sketches == batch sketches across micro-batches") {
