@@ -315,6 +315,167 @@ object Dedup {
     jaccardRescore(cand, cPosts.unionByName(bPosts), threshold)
   }
 
+  // ------------------------------------------------------ persisted LSH index
+
+  /** Signature-family parameters a persisted index was built with. Probes
+    * MUST band with the identical family or buckets silently never match —
+    * [[readLshIndex]] replays these from the index's own meta file and
+    * [[probeLshIndex]] uses only them. */
+  case class LshIndexMeta(shingleSize: Int, numHashes: Int, bands: Int,
+      numBuckets: Int, maxDocFreq: Option[Long])
+
+  /** Handle to a persisted LSH index: two BUCKETED tables in the session
+    * catalog + the meta. `bandsTable` (id, band, bucket) is bucketed by
+    * (band, bucket) so an ingest probe joins it with NO exchange on the
+    * index side; `postsTable` (id, shingle) is bucketed by id for the
+    * rescore joins. */
+  case class LshIndex(name: String, path: String, meta: LshIndexMeta) {
+    def bandsTable: String = s"${name}_bands"
+    def postsTable: String = s"${name}_posts"
+  }
+
+  /** Build and PERSIST the corpus side of the incremental-dedup index —
+    * the production ingest shape [[incrementalLshPairs]] recomputes
+    * inline. Writes under `path`:
+    *
+    *   - `{name}_bands` (id, band, bucket): bucketed by (band, bucket)
+    *     into `numBuckets` files — the probe join's index side scans
+    *     pre-partitioned on exactly its join key, so a batch ingest
+    *     shuffles ONLY the batch (at 100 TB the index is the big side;
+    *     re-shuffling it per ingest is the cost this writer removes);
+    *   - `{name}_posts` (id, shingle): bucketed by id for the exact-
+    *     Jaccard rescore joins;
+    *   - `meta.json`: the signature-family parameters, so later sessions
+    *     can only probe with the family the index was built with.
+    *
+    * Tables register in the session catalog as EXTERNAL at `path` (plain
+    * parquet + bucket metadata; no Hive required). Overwrites any prior
+    * index of the same name. */
+  def writeLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, name: String, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, numBuckets: Int = 32,
+      maxDocFreq: Option[Long] = None): LshIndex = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(corpus.schema(corpus.schema.fieldIndex(idCol)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"persisted index ids must be BIGINT (cross-session DDL), got " +
+        corpus.schema(corpus.schema.fieldIndex(idCol)).dataType)
+    val spark = corpus.sparkSession
+    val rows = numHashes / bands
+    // local persist, NOT Pins: both writes are actions completing inside
+    // this call, and a Pins.flush here would release the CALLER's pins
+    val posts = shinglePostings(corpus, idCol, textCol, shingleSize,
+      maxDocFreq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = minhashSignatures(posts, numHashes).select(col("id"),
+        posexplode(bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+      val meta = LshIndexMeta(shingleSize, numHashes, bands, numBuckets,
+        maxDocFreq)
+      val idx = LshIndex(name, path, meta)
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx.postsTable}")
+      banded.write.mode("overwrite")
+        .bucketBy(numBuckets, "band", "bucket")
+        .option("path", s"$path/bands")
+        .saveAsTable(idx.bandsTable)
+      posts.write.mode("overwrite")
+        .bucketBy(numBuckets, "id")
+        .option("path", s"$path/posts")
+        .saveAsTable(idx.postsTable)
+      writeMeta(s"$path/meta.json", meta)
+      idx
+    } finally posts.unpersist(blocking = false)
+  }
+
+  /** Open a persisted LSH index from `path`, registering the bucketed
+    * external tables in THIS session's catalog when absent (the cross-
+    * session ingest path: build once, probe from any later job). The
+    * bucket spec in the DDL must match the writer's for exchange-free
+    * probes — both come from the same meta.json. */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): LshIndex = {
+    val meta = readMeta(spark, s"$path/meta.json")
+    val idx = LshIndex(name, path, meta)
+    if (!spark.catalog.tableExists(idx.bandsTable))
+      spark.sql(
+        s"""CREATE TABLE ${idx.bandsTable} (id BIGINT, band INT, bucket BIGINT)
+           |USING parquet
+           |CLUSTERED BY (band, bucket) INTO ${meta.numBuckets} BUCKETS
+           |LOCATION '$path/bands'""".stripMargin)
+    if (!spark.catalog.tableExists(idx.postsTable))
+      spark.sql(
+        s"""CREATE TABLE ${idx.postsTable} (id BIGINT, shingle BIGINT)
+           |USING parquet
+           |CLUSTERED BY (id) INTO ${meta.numBuckets} BUCKETS
+           |LOCATION '$path/posts'""".stripMargin)
+    idx
+  }
+
+  /** Near-dup pairs introduced by a new `batch` against a PERSISTED index
+    * — [[incrementalLshPairs]] semantics (batch-vs-index ∪ batch-internal,
+    * exact-rescored), but the corpus side comes from the bucketed tables:
+    * the probe join reads `{name}_bands` pre-partitioned on (band, bucket)
+    * with no index-side exchange (LshIndexSpec pins this), and the rescore
+    * reads `{name}_posts` pre-partitioned on id. Only the batch — the
+    * small side of every ingest — is shuffled. Caller contract: batch ids
+    * disjoint from indexed ids. */
+  def probeLshIndex(index: LshIndex, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val m = index.meta
+    val rows = m.numHashes / m.bands
+    val cb = spark.table(index.bandsTable)
+    val cPosts = spark.table(index.postsTable)
+    val bPosts = Pins.pin(
+      shinglePostings(batch, idCol, textCol, m.shingleSize, m.maxDocFreq))
+    val bb = Pins.pin(
+      minhashSignatures(bPosts, m.numHashes).select(col("id"),
+        posexplode(bandBuckets(col("sig"), m.bands, rows))
+          .as(Seq("band", "bucket"))))
+    val vsIndex = bb.as("a").join(cb.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+        && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val inBatch = bb.as("a").join(bb.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = vsIndex.unionByName(inBatch).distinct()
+    jaccardRescore(cand, cPosts.unionByName(bPosts), threshold)
+  }
+
+  /** meta.json codec — fixed field order, no JSON library needed. */
+  private def writeMeta(file: String, m: LshIndexMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"shingleSize":${m.shingleSize},"numHashes":${m.numHashes},""" +
+        s""""bands":${m.bands},"numBuckets":${m.numBuckets},""" +
+        s""""maxDocFreq":${m.maxDocFreq.getOrElse(-1L)}}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      file: String): LshIndexMeta = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(k: String): Long =
+      raw.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
+    val mdf = field("maxDocFreq")
+    LshIndexMeta(field("shingleSize").toInt, field("numHashes").toInt,
+      field("bands").toInt, field("numBuckets").toInt,
+      if (mdf < 0) None else Some(mdf))
+  }
+
   /** SimHash fingerprints as an AGGREGATION (explode tokens -> `bits`
     * codegen'd conditional sums -> pack): computes the same value as the
     * per-row [[Text.simhash]] fold for every tokenized doc, but stays inside

@@ -579,82 +579,95 @@ object Queries {
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // q22: multimodal binary-column plumbing: blob attach, byte stats,
-    // stride byte-sampling (the video frame-sample plan shape) — pure
-    // per-row projection, no shuffle.
-    QueryDef("q22_media_stats",
+    // q22: stride byte-sampling (the video frame-grab plan shape) over a
+    // GENUINELY DECODED raster: per-doc ARGB PNGs encoded on the executors
+    // (dimensions arithmetic in doc_id, pixel p(x,y) = (x*31+y*17)|FF<<24 —
+    // encodePng's formula), pixel-decoded back by Multimodal.decodePixels
+    // (real ImageIO decode to row-major ARGB bytes), then every 97th pixel
+    // byte hex-sampled by the SAME sampleBytes stride projection. The
+    // oracle reconstructs the pixel byte stream arithmetically — only a
+    // real decode of the PNG the engine itself wrote matches. Pure per-row
+    // projection; no shuffle until the final sort. (Until r12 this query
+    // sampled UTF-8 text blobs — real plumbing, but no codec in the loop.)
+    QueryDef("q22_pixel_sample",
       (s, dir) => {
-        val d = Multimodal.withBlob(t(s, dir, "documents"), "text")
-        d.select(col("doc_id"),
-            octet_length(col("content")).cast("long").as("n_bytes"),
-            md5(col("text")).as("text_md5"),
-            upper(Multimodal.sampleBytes(col("content"), 97)).as("byte_sample"))
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val px = ids.mapPartitions(_.map { id =>
+          val blob = graft.operators.Multimodal.encodePng(
+            ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
+          val bytes = graft.operators.Multimodal.decodePixels(blob)
+            .getOrElse(Array.empty[Byte])
+          graft.operators.Multimodal.MediaRow(id, bytes)
+        }).toDF("doc_id", "pixels")
+        px.select(col("doc_id"),
+            octet_length(col("pixels")).cast("long").as("n_pixel_bytes"),
+            upper(Multimodal.sampleBytes(col("pixels"), 97)).as("pixel_sample"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  md5(text) AS text_md5,
-             |  upper(array_to_string(list_transform(
-             |    range(1, length(text) + 1, 97),
-             |    i -> lpad(to_hex(ascii(substr(text, CAST(i AS INT), 1))),
-             |              2, '0')), ''))
-             |    AS byte_sample
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      // pixel byte stream: index i (0-based) -> component i%4 of pixel
+      // i//4 = (y*w+x); A=255, R=(v>>16)&255 = 0 (v <= 30*31+16*17 = 1202),
+      // G=v//256, B=v%256 for v = x*31+y*17. Sampled at 0,97,194,...
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h
+             |  FROM documents),
+             |samp AS (
+             |  SELECT doc_id, w * h * 4 AS n_pixel_bytes,
+             |    list_transform(range(0, CAST(w * h * 4 AS BIGINT), 97), i ->
+             |      CASE CAST(i % 4 AS INT)
+             |        WHEN 0 THEN 255
+             |        WHEN 1 THEN 0
+             |        WHEN 2 THEN (((i // 4) % w) * 31 + ((i // 4) // w) * 17) // 256
+             |        ELSE (((i // 4) % w) * 31 + ((i // 4) // w) * 17) % 256
+             |      END) AS vals
+             |  FROM dims)
+             |SELECT doc_id, CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes,
+             |  upper(array_to_string(list_transform(vals,
+             |    v -> lpad(to_hex(v), 2, '0')), '')) AS pixel_sample
+             |FROM samp ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q23: mapPartitions feature extraction over binary media blobs — the
-    // batch shape a codec-backed featurizer needs (deterministic fake
-    // features; real plumbing). Even this imperative path is oracle-held:
-    // the feature vector is un-normalized back to exact integer bucket
-    // COUNTS (count = round(f_i * n_bytes), exact since n < 2^24 at float32
-    // precision), and the DuckDB twin replays the rolling-hash byte loop
-    // with a recursive CTE over HUGEINT (2^64 wrap-around = Java long
-    // overflow semantics). A featurizer change fails the hash compare.
-    // NOTE: the twin iterates characters (ascii/substr) while the Spark
-    // side iterates UTF-8 bytes — equivalent ONLY because the documents
-    // corpus is pure ASCII (verified; q22's byte_sample relies on the
-    // same property). A non-ASCII corpus needs a byte-level twin.
-    QueryDef("q23_media_features",
+    // batch shape a codec-backed featurizer needs — answering from a
+    // GENUINE parse since r12: per-doc ARGB PNGs encoded on the executors,
+    // fully pixel-decoded back by Multimodal.pixelStats (real ImageIO
+    // decode, exact per-channel byte sums — integer features, so the
+    // compare is exact, no float rounding seam). The oracle recomputes the
+    // channel sums arithmetically from encodePng's pixel formula
+    // p(x,y) = (x*31+y*17)|FF<<24, so a fake featurizer, a channel-order
+    // slip, or a colorspace-converting decode all move every hash. (The
+    // rolling-hash fake featurizer q23 graded until r12 remains spec-only
+    // plumbing for ffmpeg-class formats — outside the registry.)
+    QueryDef("q23_pixel_features",
       (s, dir) => {
         import s.implicits._
-        val media = Multimodal.withBlob(t(s, dir, "documents"), "text")
-          .select(col("doc_id").as("id"), col("content"))
-        val dim = 8
-        val lens = media.select(col("id"),
-          greatest(octet_length(col("content")), lit(1)).as("__n"))
-        Multimodal.featurize(media.as[Multimodal.MediaRow], dim).toDF()
-          .join(lens, "id")
-          .select(col("id") +: (0 until dim).map(i =>
-            round(element_at(col("features"), i + 1) * col("__n"))
-              .cast("long").as(s"f$i")): _*)
-          .orderBy(col("id"))
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.encodePng(
+              ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4))
+        })
+        graft.operators.Multimodal.pixelStats(media).toDF()
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE
-             |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
-             |step(doc_id, pos, n, h) AS (
-             |  SELECT doc_id, 0, n, CAST(1125899906842597 AS HUGEINT) FROM b
-             |  UNION ALL
-             |  SELECT s.doc_id, s.pos + 1, s.n,
-             |    (31 * s.h + ascii(substr(b.text, s.pos + 1, 1)))
-             |      % 18446744073709551616
-             |  FROM step s JOIN b USING (doc_id) WHERE s.pos < s.n),
-             |buckets AS (
-             |  SELECT doc_id,
-             |    CAST((((CASE WHEN h >= 9223372036854775808
-             |             THEN h - 18446744073709551616 ELSE h END) % 8) + 8)
-             |         % 8 AS INT) AS bkt
-             |  FROM step WHERE pos > 0)
-             |SELECT b.doc_id AS id,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 0 THEN 1 END), 0) AS BIGINT) AS f0,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 1 THEN 1 END), 0) AS BIGINT) AS f1,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 2 THEN 1 END), 0) AS BIGINT) AS f2,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 3 THEN 1 END), 0) AS BIGINT) AS f3,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 4 THEN 1 END), 0) AS BIGINT) AS f4,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 5 THEN 1 END), 0) AS BIGINT) AS f5,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 6 THEN 1 END), 0) AS BIGINT) AS f6,
-             |  CAST(coalesce(sum(CASE WHEN bkt = 7 THEN 1 END), 0) AS BIGINT) AS f7
-             |FROM b LEFT JOIN buckets USING (doc_id)
-             |GROUP BY b.doc_id ORDER BY id""".stripMargin)),
+      // v = x*31+y*17 <= 1202 < 2^16, so R=(v>>16)&255 = 0, G=v//256,
+      // B=v%256, A=255 per pixel; sums over the w x h raster.
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |    unnest(range(0, CAST(w * h AS BIGINT))) AS p
+             |  FROM dims),
+             |v AS (SELECT doc_id, (p % w) * 31 + (p // w) * 17 AS val FROM px)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_pixels,
+             |  CAST(255 * count(*) AS BIGINT) AS sum_a,
+             |  CAST(0 AS BIGINT) AS sum_r,
+             |  CAST(sum(val // 256) AS BIGINT) AS sum_g,
+             |  CAST(sum(val % 256) AS BIGINT) AS sum_b
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q24: gap-based sessionization (30-min inactivity) + per-session
@@ -9411,7 +9424,74 @@ object Queries {
              |  (doc_id % 2) + 1 AS channels,
              |  (doc_id % 50) + 1 AS duration_ms
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q193: REAL image resize round-trip — per-doc PNGs at (doc_id-derived)
+    // source dims, resized by Multimodal.resizeImage (full ImageIO decode ->
+    // Graphics2D scale -> PNG re-encode) to doc_id-derived TARGET dims, then
+    // header-decoded back. The oracle computes the target dims
+    // arithmetically, so a pass-through (source dims), a failed decode
+    // (honest None -> kind 'unknown'), or a broken re-encode all move every
+    // hash. Per-row projection shape; the codec is the cost, the plan has
+    // no shuffle until the final sort.
+    QueryDef("q193_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val resized = ids.mapPartitions(_.map { id =>
+          val src = graft.operators.Multimodal.encodePng(
+            ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
+          val out = graft.operators.Multimodal.resizeImage(src,
+            ((id % 13) + 1).toInt, ((id % 11) + 1).toInt)
+          graft.operators.Multimodal.MediaRow(id,
+            out.getOrElse(Array.empty[Byte]))
+        })
+        graft.operators.Multimodal.decodeMetaBatch(resized)
+          .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.channels").cast("long").as("channels"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'image' AS kind,
+             |  (doc_id % 13) + 1 AS width,
+             |  (doc_id % 11) + 1 AS height,
+             |  4 AS channels
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q194: incremental LSH dedup against a PERSISTED index — the q100
+    // ingest path with the corpus side actually written once
+    // (Dedup.writeLshIndex: bands bucketed by (band,bucket), postings
+    // bucketed by id) and probed through the catalog tables
+    // (readLshIndex/probeLshIndex): the probe join's index side scans
+    // pre-partitioned with NO exchange (LshIndexSpec pins the plan), only
+    // the batch shuffles. Same exact-Jaccard oracle as q100 — identical
+    // output through a different storage path is the equivalence evidence.
+    QueryDef("q194_lsh_index",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val name = "q194_idx_" + path.takeRight(12)
+        Dedup.writeLshIndex(d, "doc_id", "text", path, name,
+          shingleSize = 3, numHashes = 64, bands = 16)
+        val idx = Dedup.readLshIndex(s, path, name)
+        Dedup.probeLshIndex(idx, batch, "doc_id", "text", threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle.replace(
+        "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
+        "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
+          "  AND id_b >= 10000")))
   )
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.pipeline.Pins
+
+/** Persisted LSH index (Dedup.writeLshIndex / readLshIndex /
+  * probeLshIndex): output equivalence with the inline incremental path,
+  * cross-session catalog re-registration from meta.json, and the plan
+  * contract — the probe join's index side scans the bucketed table with
+  * NO exchange (only the batch shuffles). */
+class LshIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ~30 corpus docs, 8 of them with a near-dup variant in the batch (drop
+  // the first word of 12 -> high Jaccard on 3-shingles), batch ids +1000
+  private def corpus = (0L until 30L).map { i =>
+    (i, (0 until 12).map(k => s"w${(i * 7 + k * 3) % 50}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def batch = corpus.filter(col("doc_id") % 4 === 0)
+    .select((col("doc_id") + 1000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("lshidx").toString
+
+  test("probe over the persisted index == inline incrementalLshPairs") {
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "lshspec_eq", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val viaIndex = Dedup.probeLshIndex(idx, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6))).sorted.toSeq
+    Pins.flush()
+    val inline = Dedup.incrementalLshPairs(corpus, batch, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6))).sorted.toSeq
+    Pins.flush()
+    assert(viaIndex.nonEmpty, "fixture must plant near-dup pairs")
+    assert(viaIndex == inline)
+    // every pair has a batch-side member (ids are disjoint by contract)
+    assert(viaIndex.forall(_._2 >= 1000L))
+  }
+
+  test("readLshIndex re-registers the bucketed tables from meta.json (cross-session)") {
+    val path = tmp()
+    val written = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "lshspec_xs", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4, maxDocFreq = Some(25L))
+    val expected = Dedup.probeLshIndex(written, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Pins.flush()
+    // simulate a later session: the catalog entries are gone, only the
+    // files + meta.json remain
+    spark.sql(s"DROP TABLE ${written.bandsTable}")
+    spark.sql(s"DROP TABLE ${written.postsTable}")
+    val idx = Dedup.readLshIndex(spark, path, "lshspec_xs")
+    assert(idx.meta == written.meta &&
+      idx.meta.maxDocFreq.contains(25L), s"meta round-trip: ${idx.meta}")
+    val got = Dedup.probeLshIndex(idx, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Pins.flush()
+    assert(got == expected)
+  }
+
+  test("probe join: the index side contributes NO exchange (bucketed scan)") {
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "lshspec_plan", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    // disable broadcast so the join must co-partition — the real shape at
+    // index scale, where neither side broadcasts
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bb = batch.select(col("doc_id").as("id"),
+        (col("doc_id") % 16).cast("int").as("band"),
+        xxhash64(col("text")).as("bucket"))
+      val j = bb.as("a").join(spark.table(idx.bandsTable).as("b"),
+        Seq("band", "bucket"))
+      val plan = j.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange hashpartitioning".r
+        .findAllMatchIn(plan).size
+      assert(nExchanges == 1,
+        s"expected exactly ONE exchange (the batch side only):\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index side must read as a bucketed scan:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("writeLshIndex refuses non-BIGINT ids (cross-session DDL contract)") {
+    val bad = Seq((1, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.writeLshIndex(bad, "doc_id", "text", tmp(), "lshspec_bad")
+    }
+    assert(e.getMessage.contains("BIGINT"))
+  }
+}

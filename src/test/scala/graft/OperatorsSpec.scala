@@ -980,15 +980,39 @@ class OperatorsSpec extends AnyFunSuite {
     q.collect()
   }
 
-  test("multimodal: decodeMeta stub yields plausible typed metadata") {
-    val df = Multimodal.withBlob(Seq((1L, "some content")).toDF("id", "text"), "text")
-      .select(Multimodal.decodeMeta(col("content")).as("m"))
-      .select("m.kind", "m.width", "m.height", "m.channels")
-    val r = df.head()
-    assert(Set("image", "audio", "video").contains(r.getString(0)))
-    assert(r.getInt(1) >= 1 && r.getInt(1) <= 1920)
-    assert(r.getInt(2) >= 1 && r.getInt(2) <= 1080)
-    assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+  test("multimodal: decodePixels recovers the exact ARGB raster; pixelStats sums it") {
+    import Multimodal._
+    // ARGB PNG round-trip is lossless: byte i of the decoded raster is
+    // component i%4 of pixel i/4 under encodePng's p(x,y)=(x*31+y*17)|FF<<24
+    val (w, h) = (5, 3)
+    val px = decodePixels(encodePng(w, h, 4)).get
+    assert(px.length == w * h * 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 31 + y * 17
+      val i = (y * w + x) * 4
+      assert((px(i) & 0xff) == 255 && (px(i + 1) & 0xff) == ((v >> 16) & 0xff)
+        && (px(i + 2) & 0xff) == ((v >> 8) & 0xff)
+        && (px(i + 3) & 0xff) == (v & 0xff), s"pixel ($x,$y)")
+    }
+    // undecodable bytes: honest None, and pixelStats marks n_pixels = -1
+    // with zero sums — never invented statistics
+    assert(decodePixels("not an image".getBytes).isEmpty)
+    val stats = pixelStats(Seq(
+        MediaRow(1L, encodePng(w, h, 4)),
+        MediaRow(2L, "junk".getBytes),
+        MediaRow(3L, null)).toDS())
+      .collect().sortBy(_.id)
+    val vs = for (y <- 0 until h; x <- 0 until w) yield x * 31 + y * 17
+    assert(stats(0) == PixelStatsRow(1L, (w * h).toLong, 255L * w * h,
+      vs.map(v => (v >> 16) & 0xff).sum.toLong,
+      vs.map(v => (v >> 8) & 0xff).sum.toLong,
+      vs.map(_ & 0xff).sum.toLong))
+    assert(stats(1) == PixelStatsRow(2L, -1L, 0L, 0L, 0L, 0L))
+    assert(stats(2) == PixelStatsRow(3L, -1L, 0L, 0L, 0L, 0L))
+    // partitioning-independence of the mapPartitions batch shape
+    val re = pixelStats(Seq(MediaRow(1L, encodePng(w, h, 4))).toDS()
+      .repartition(3)).collect()
+    assert(re.toSeq == Seq(stats(0)))
   }
 
   test("multimodal: REAL JDK codecs — PNG/WAV round-trip, resize, honest unknown") {
