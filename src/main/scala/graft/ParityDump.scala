@@ -2,20 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Parity-lane dump (tools/parity.py): run the engine's clean and
-  * golden-record stages over ONE master TSV and export both stages as
-  * single-file TSVs, so the Python harness can diff them field-by-field
-  * against the output of the reference's own `clean_contacts.py` executed
-  * on the same fixture — the executable pin of DIVERGENCES.md (every
-  * mismatch must fall into a documented divergence class; anything else
-  * fails the lane).
-  *
-  * Usage: runMain graft.ParityDump <masterTsv> <outPrefix>
-  * Writes <outPrefix>.clean.tsv (post-Clean, pre-dedup, original row set)
-  * and <outPrefix>.golden.tsv (post golden-record merge). */
-object ParityDump {
-  def main(args: Array[String]): Unit = {
-    val Array(inTsv, outPrefix) = args
+/** Parity-lane engine dumps (tools/parity.py). Each lane's body lives in
+  * a `run(spark, ...)` method; the per-lane mains remain for ad-hoc use,
+  * and [[ParityAll]] executes a whole MANIFEST of lanes in ONE
+  * SparkSession — the parity harness used to pay full sbt + Spark
+  * startup (~70s) per lane, ~8 launches per run; one JVM cuts the lane
+  * wall time to roughly the sum of the actual stage work. */
+private[graft] object ParitySession {
+  def build(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +18,21 @@ object ParityDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Clean + golden-record + validation dump over one master TSV, so the
+  * Python harness can diff them field-by-field against the output of the
+  * reference's own `clean_contacts.py` executed on the same fixture — the
+  * executable pin of DIVERGENCES.md (every mismatch must fall into a
+  * documented divergence class; anything else fails the lane).
+  *
+  * Usage: runMain graft.ParityDump <masterTsv> <outPrefix>
+  * Writes <outPrefix>.clean.tsv (post-Clean, pre-dedup, original row set)
+  * and <outPrefix>.golden.tsv (post golden-record merge). */
+object ParityDump {
+  def run(spark: SparkSession, inTsv: String, outPrefix: String): Unit = {
     val master = pipeline.ContactsApp.withRowIds(
       pipeline.Tsv.read(spark, inTsv))
     val cleaned = pipeline.Clean(master)
@@ -42,6 +51,12 @@ object ParityDump {
       pipeline.Validate.referenceReport(goldenBack),
       s"$outPrefix.validation.json")
     pipeline.Pins.flush()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inTsv, outPrefix) = args
+    val spark = ParitySession.build()
+    run(spark, inTsv, outPrefix)
     spark.stop()
   }
 }
@@ -56,16 +71,8 @@ object ParityDump {
   * Usage: runMain graft.ParityFillDump <masterTsv> <sourcesDir> <outPrefix>
   * Writes <outPrefix>.filled.tsv and <outPrefix>.filllog.tsv. */
 object ParityFillDump {
-  def main(args: Array[String]): Unit = {
-    val Array(masterTsv, sourcesDir, outPrefix) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  def run(spark: SparkSession, masterTsv: String, sourcesDir: String,
+      outPrefix: String): Unit = {
     val master = pipeline.ContactsApp.withResolvedKeys(
       pipeline.ContactsApp.withRowIds(
         pipeline.Tsv.readAllString(spark, masterTsv)))
@@ -83,6 +90,12 @@ object ParityFillDump {
       singleFile = true)
     r.unpersist()
     pipeline.Pins.flush()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(masterTsv, sourcesDir, outPrefix) = args
+    val spark = ParitySession.build()
+    run(spark, masterTsv, sourcesDir, outPrefix)
     spark.stop()
   }
 }
@@ -96,16 +109,8 @@ object ParityFillDump {
   *
   * Usage: runMain graft.ParityRunDump <masterTsv> <sourcesDir> <outDir> */
 object ParityRunDump {
-  def main(args: Array[String]): Unit = {
-    val Array(masterTsv, sourcesDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  def run(spark: SparkSession, masterTsv: String, sourcesDir: String,
+      outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     pipeline.ContactsApp.run(spark, masterTsv, sourcesDir,
       Some(pipeline.ContactsApp.Artifacts(
@@ -113,6 +118,12 @@ object ParityRunDump {
         s"$outDir/fill_missing_log.json",
         s"$outDir/validation_errors.json")))
     pipeline.Pins.flush()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(masterTsv, sourcesDir, outDir) = args
+    val spark = ParitySession.build()
+    run(spark, masterTsv, sourcesDir, outDir)
     spark.stop()
   }
 }
@@ -129,16 +140,8 @@ object ParityRunDump {
   * Usage: runMain graft.ParityMailchimpDump <masterTsv> <mailchimpTsv> <outPrefix>
   * Writes <outPrefix>.mcfilled.tsv. */
 object ParityMailchimpDump {
-  def main(args: Array[String]): Unit = {
-    val Array(masterTsv, mailchimpTsv, outPrefix) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  def run(spark: SparkSession, masterTsv: String, mailchimpTsv: String,
+      outPrefix: String): Unit = {
     val master = pipeline.ContactsApp.withResolvedKeys(
       pipeline.ContactsApp.withRowIds(
         pipeline.Tsv.readAllString(spark, masterTsv)))
@@ -149,6 +152,52 @@ object ParityMailchimpDump {
         .orderBy(org.apache.spark.sql.functions.col("row_id").cast("long")),
       s"$outPrefix.mcfilled.tsv", singleFile = true)
     pipeline.Pins.flush()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(masterTsv, mailchimpTsv, outPrefix) = args
+    val spark = ParitySession.build()
+    run(spark, masterTsv, mailchimpTsv, outPrefix)
+    spark.stop()
+  }
+}
+
+/** ALL parity-lane engine dumps in one JVM / one SparkSession.
+  *
+  * Usage: runMain graft.ParityAll <manifestTsv>
+  *
+  * Each manifest line is tab-separated `kind<TAB>arg1<TAB>arg2[<TAB>arg3]`
+  * with kind ∈ {dump, fill, run, mailchimp} and args exactly the
+  * corresponding per-lane main's arguments. Lanes execute sequentially in
+  * manifest order (they are independent — the harness prepares every
+  * sandbox before invoking this); a lane failure aborts with a non-zero
+  * exit naming the lane, so the harness's error surface is unchanged. */
+object ParityAll {
+  def main(args: Array[String]): Unit = {
+    val Array(manifest) = args
+    val lines = scala.io.Source.fromFile(manifest, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    val spark = ParitySession.build()
+    for (line <- lines) {
+      val parts = line.split('\t')
+      System.err.println(s"[parity-all] ${parts.mkString(" ")}")
+      try parts.toList match {
+        case "dump" :: in :: out :: Nil => ParityDump.run(spark, in, out)
+        case "fill" :: in :: src :: out :: Nil =>
+          ParityFillDump.run(spark, in, src, out)
+        case "run" :: in :: src :: out :: Nil =>
+          ParityRunDump.run(spark, in, src, out)
+        case "mailchimp" :: in :: mc :: out :: Nil =>
+          ParityMailchimpDump.run(spark, in, mc, out)
+        case other =>
+          sys.error(s"bad manifest line: ${other.mkString("\t")}")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[parity-all] FAILED: $line — $e")
+          spark.stop()
+          sys.exit(1)
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: times named registry queries at a base SF and
+  * at a replicate-and-perturb ~Rx blow-up of the same corpus, reporting
+  * the time-vs-scale exponent per query (log t_R/t_1 / log R). The 100-TB
+  * posture is proven STRUCTURALLY by PlanGuardSpec (no few-key windows,
+  * bucketed candidate generation); this main is the measured complement:
+  * anything super-linear beyond its algorithmic bound shows up as an
+  * exponent well above 1 and goes to PLANS.md.
+  *
+  * Replication is seed-deterministic and id-shifted: copy r carries
+  * ids + r * 10_000_000 so joins/dedups never collide across replicas,
+  * and string/text columns get a per-replica token appended so replicas
+  * are near- but not exact-duplicates (keeps dedup/LSH selectivity
+  * realistic instead of exploding every bucket with exact clones).
+  *
+  *   runMain graft.ScaleProbe <baseSfDir> <replicas> <outDir> q1,q2,...
+  *
+  * Writes the replicated tables under <outDir>/sfRx once (reused when
+  * present), then prints one line per query per scale plus the exponent
+  * table. */
+object ScaleProbe {
+
+  private val Tables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+
+  /** Columns shifted per replica so cross-replica keys never collide. */
+  private val IdShift = 10000000L
+  private val IdCols = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+  /** One text column per table perturbed so replicas aren't exact dupes. */
+  private val PerturbCols = Map("documents" -> "text", "part" -> "p_name")
+
+  /** Per-replica text rewrite. A suffix APPENDED to the doc is not
+    * enough for the shingle-based dedup family: two replicas of the same
+    * doc would still share almost every 3-gram shingle, handing every
+    * doc ~R near-identical cross-replica copies — the measured "scaling"
+    * would then be the output pair set exploding quadratically in R, not
+    * the engine. Tagging EVERY word (`w -> w·rN`) zeroes cross-replica
+    * shingle overlap while preserving each replica's internal near-dup
+    * structure (both members of a planted pair get the same rewrite). */
+  private def perturbText(c: org.apache.spark.sql.Column, r: Int) =
+    regexp_replace(c, "(\\S+)", "$1" + s"r$r")
+
+  def replicate(spark: SparkSession, baseDir: String, outDir: String,
+      replicas: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (tbl <- Tables) {
+      val dst = new org.apache.hadoop.fs.Path(s"$outDir/$tbl.parquet")
+      if (!fs.exists(dst)) {
+        val base = spark.read.parquet(s"$baseDir/$tbl.parquet")
+        val out =
+          if (!IdCols.contains(tbl)) base // region/nation: tiny dims, as-is
+          else (0 until replicas).map { r =>
+            val shifted = IdCols(tbl).foldLeft(base) { (df, c) =>
+              df.withColumn(c, col(c) + lit(r.toLong * IdShift))
+            }
+            val perturbed = PerturbCols.get(tbl) match {
+              case Some(tc) if r > 0 =>
+                shifted.withColumn(tc, perturbText(col(tc), r))
+              case _ => shifted
+            }
+            // rotate replica embeddings so cross-replica vectors are
+            // DECORRELATED, not exact clones — identical clones would blow
+            // every cosine-threshold pair set quadratically and measure
+            // output explosion, not engine scaling
+            if (tbl == "embeddings" && r > 0) {
+              val a = col("embedding")
+              val rot = pmod(lit(r * 7 + 1), size(a))
+              perturbed.withColumn("embedding",
+                concat(slice(a, rot + 1, size(a) - rot), slice(a, lit(1), rot)))
+            } else perturbed
+          }.reduce(_ unionByName _)
+        out.write.mode("overwrite").parquet(dst.toString)
+        System.err.println(s"[scale] wrote $dst")
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val replicas = args(1).toInt
+    val outDir = args(2)
+    val names = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replicate(spark, baseDir, outDir, replicas)
+
+    val registry = queries.Queries.all.map(q => q.name -> q).toMap
+    def timed(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        registry(name).spark(spark, dir).write.mode("overwrite")
+          .format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[scale] $name FAILED at $dir: ${e.getMessage}")
+          -1.0
+      } finally {
+        try {
+          graft.pipeline.Pins.flush()
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        } catch { case _: Throwable => () }
+      }
+    }
+
+    // one warm-up + min-of-N at each scale, base first (JIT warm for both)
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val rows = names.map { n =>
+      timed(n, baseDir)
+      val t1 = (1 to nRuns).map(_ => timed(n, baseDir)).filter(_ >= 0)
+      timed(n, outDir)
+      val tR = (1 to nRuns).map(_ => timed(n, outDir)).filter(_ >= 0)
+      val (b, r) =
+        (if (t1.nonEmpty) t1.min else -1.0, if (tR.nonEmpty) tR.min else -1.0)
+      val exp =
+        if (b > 0 && r > 0) math.log(r / b) / math.log(replicas.toDouble)
+        else Double.NaN
+      System.err.println(f"[scale] $n%-28s base $b%7.2f s  x$replicas $r%7.2f s  exponent $exp%5.2f")
+      (n, b, r, exp)
+    }
+    val json = rows.map { case (n, b, r, e) =>
+      f"""{"name":"$n","base_s":$b%.3f,"x${replicas}_s":$r%.3f,"exponent":${if (e.isNaN) "null" else f"$e%.3f"}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"replicas":$replicas,"base":"$baseDir","rows":$json}""")
+    spark.stop()
+  }
+}

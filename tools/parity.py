@@ -31,12 +31,35 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import time
 
 import pandas as pd
 
 REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_ROWS = int(os.environ.get("PARITY_ROWS", "2500"))
+
+
+def run_engine_batch(jobs):
+    """ALL engine dumps in ONE sbt/Spark JVM (graft.ParityAll): the lane
+    inputs are independent of each other and of the reference runs, so
+    the harness prepares every sandbox first and pays sbt + Spark
+    startup once instead of per lane (~8 launches before r12)."""
+    sb = tempfile.mkdtemp(prefix="paritymanifest_")
+    manifest = os.path.join(sb, "manifest.tsv")
+    with open(manifest, "w") as f:
+        for job in jobs:
+            f.write("\t".join(job) + "\n")
+    t0 = time.time()
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.ParityAll {manifest}"],
+        cwd=REPO, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-3000:])
+        sys.exit("[parity] engine ParityAll batch failed")
+    print(f"[parity] engine batch: {len(jobs)} dump lanes in one JVM "
+          f"({time.time() - t0:.0f}s)")
 
 NAME_COLS = {"FIRSTNAME", "LASTNAME", "FULLNAME", "TITLE"}
 SENTINELS = {"nan", "Nan", "NaN", "None", "<NA>", "NaT"}
@@ -331,7 +354,17 @@ def run_ref_fill_script(fixture, script):
                                        "fill_missing_log.json")))
 
 
-def fill_lane(fixture, failures, variant="natural"):
+def fill_prepare(fixture):
+    """Sandbox + ParityAll job for one fill lane; returns (job, eng_prefix)."""
+    sb = tempfile.mkdtemp(prefix="parityfill_")
+    pristine = os.path.join(sb, "master_orig.tsv")
+    fixture.to_csv(pristine, sep="\t", index=False)
+    eng_prefix = os.path.join(sb, "engine")
+    job = ("fill", pristine, os.path.join(REF, "data_files"), eng_prefix)
+    return job, eng_prefix
+
+
+def fill_lane(fixture, failures, variant, eng_prefix):
     """Reference fill stage vs engine Fill.fillFromSources on the same
     fixture + the reference's real data_files sources — BOTH reference
     variants: the in-memory fill_missing_contacts.py AND the
@@ -349,21 +382,10 @@ def fill_lane(fixture, failures, variant="natural"):
     (else UNDOCUMENTED), asymmetries and value differences must sit
     inside the candidate sets (#5/#6) or the email-role split (#9).
     The closure is shared by both reference variants (same keys), so
-    one engine run and one closure computation grade both."""
-    sb = tempfile.mkdtemp(prefix="parityfill_")
-    pristine = os.path.join(sb, "master_orig.tsv")
-    fixture.to_csv(pristine, sep="\t", index=False)
+    one engine run and one closure computation grade both.
 
-    eng_prefix = os.path.join(sb, "engine")
-    r = subprocess.run(
-        ["sbt", "-batch",
-         f"runMain graft.ParityFillDump {pristine} "
-         f"{os.path.join(REF, 'data_files')} {eng_prefix}"],
-        cwd=REPO, capture_output=True, text=True)
-    if r.returncode != 0:
-        print(r.stdout[-3000:])
-        print(r.stderr[-3000:])
-        sys.exit("[parity] engine ParityFillDump failed")
+    `eng_prefix` points at the engine dump ALREADY produced by the
+    ParityAll batch ([[fill_prepare]] builds the sandbox + job)."""
     eng_log = read_tsv_str(eng_prefix + ".filllog.tsv")
     print(f"[parity] fill lane ({variant}): engine made {len(eng_log)} fills")
 
@@ -635,17 +657,10 @@ def j1_value_eq(col, a, b):
     return col == "MOBILE" and digits(a) != "" and digits(a) == digits(b)
 
 
-def mailchimp_lane(fixture, mc_path_or_df, failures, variant):
-    """J1: the reference's merge_contacts_kindaworks.py executed unmodified
-    vs the engine's ContactsApp.applyMailchimp (Fill.mailchimpFill) on the
-    same master fixture + Mailchimp export. BOTH sides are deterministic
-    (single source, fixed row order, first-match-wins), so each side is
-    held to an EXACT simulation of its own semantics; cross-side cell
-    differences then classify into the documented key-surface divergence
-    (#10: 'mobile'/'number' exact-name probing vs candidate-list roles,
-    ''=='' vacuous second key vs two non-empty keys, raw strip-lower
-    phone keys vs digits-last-10) plus the read-formatting classes."""
-    cwd = os.getcwd()
+def mailchimp_prepare(fixture, mc_path_or_df):
+    """Sandbox + ParityAll job for one Mailchimp lane; returns
+    (job, ctx) — ctx carries what [[mailchimp_lane]] needs to run the
+    reference and compare."""
     sb = tempfile.mkdtemp(prefix="paritymc_")
     os.symlink(os.path.join(REF, "cleaning"), os.path.join(sb, "cleaning"))
     os.makedirs(os.path.join(sb, "data_sources"))
@@ -661,7 +676,27 @@ def mailchimp_lane(fixture, mc_path_or_df, failures, variant):
     pristine = os.path.join(sb, "master_orig.tsv")
     fixture.to_csv(master_path, sep="\t", index=False)
     fixture.to_csv(pristine, sep="\t", index=False)
+    eng_prefix = os.path.join(sb, "engine")
+    ctx = {"sb": sb, "master_path": master_path, "mc": mc,
+           "eng_prefix": eng_prefix}
+    return ("mailchimp", pristine, mc_dst, eng_prefix), ctx
 
+
+def mailchimp_lane(fixture, ctx, failures, variant):
+    """J1: the reference's merge_contacts_kindaworks.py executed unmodified
+    vs the engine's ContactsApp.applyMailchimp (Fill.mailchimpFill) on the
+    same master fixture + Mailchimp export. BOTH sides are deterministic
+    (single source, fixed row order, first-match-wins), so each side is
+    held to an EXACT simulation of its own semantics; cross-side cell
+    differences then classify into the documented key-surface divergence
+    (#10: 'mobile'/'number' exact-name probing vs candidate-list roles,
+    ''=='' vacuous second key vs two non-empty keys, raw strip-lower
+    phone keys vs digits-last-10) plus the read-formatting classes.
+
+    The engine output already exists at ctx['eng_prefix'] (ParityAll
+    batch); this function runs the reference and classifies."""
+    cwd = os.getcwd()
+    sb, mc = ctx["sb"], ctx["mc"]
     # the reference script runs at import (module-level main); its paths
     # are cwd-relative
     os.chdir(sb)
@@ -673,20 +708,10 @@ def mailchimp_lane(fixture, mc_path_or_df, failures, variant):
         spec.loader.exec_module(mod)
     finally:
         os.chdir(cwd)
-    ref_out = read_tsv_str(master_path)  # overwritten in place
+    ref_out = read_tsv_str(ctx["master_path"])  # overwritten in place
     ref_out.columns = [c.upper() for c in ref_out.columns]
 
-    eng_prefix = os.path.join(sb, "engine")
-    r = subprocess.run(
-        ["sbt", "-batch",
-         f"runMain graft.ParityMailchimpDump {pristine} {mc_dst} "
-         f"{eng_prefix}"],
-        cwd=REPO, capture_output=True, text=True)
-    if r.returncode != 0:
-        print(r.stdout[-3000:])
-        print(r.stderr[-3000:])
-        sys.exit("[parity] engine ParityMailchimpDump failed")
-    eng_out = read_tsv_str(eng_prefix + ".mcfilled.tsv")
+    eng_out = read_tsv_str(ctx["eng_prefix"] + ".mcfilled.tsv")
     eng_out = eng_out.sort_values(
         by="row_id", key=lambda s: s.astype(int)).reset_index(drop=True)
     assert len(ref_out) == len(eng_out) == len(fixture), \
@@ -841,18 +866,10 @@ def pipeline_fixture():
     return m, src
 
 
-def pipeline_lane(failures):
-    """run.py-ordering lane: the reference's full fill -> clean ->
-    validate sequence (its scripts executed unmodified, in run.py's
-    order, against the SAME artifact paths run.py hands off —
-    fill REWRITES output/MergedDatabase.tsv in place, clean reads the
-    rewritten master, validate reads clean's output) vs the engine's
-    ContactsApp.run on the tie-free fixture. On this fixture every
-    artifact must agree: same fills, same cleaned cells, same
-    validation reports."""
-    import json
+def pipeline_prepare():
+    """Sandbox + ParityAll job for the run.py-ordering lane; returns
+    (job, ctx)."""
     master, src = pipeline_fixture()
-    cwd = os.getcwd()
     sb = tempfile.mkdtemp(prefix="parityrun_")
     os.symlink(os.path.join(REF, "cleaning"), os.path.join(sb, "cleaning"))
     os.makedirs(os.path.join(sb, "data_files"))
@@ -863,6 +880,24 @@ def pipeline_lane(failures):
     pristine = os.path.join(sb, "master_orig.tsv")
     master.to_csv(master_path, sep="\t", index=False)
     master.to_csv(pristine, sep="\t", index=False)
+    eng_out = os.path.join(sb, "eng_out")
+    ctx = {"sb": sb, "eng_out": eng_out}
+    return ("run", pristine, os.path.join(sb, "data_files"), eng_out), ctx
+
+
+def pipeline_lane(failures, ctx):
+    """run.py-ordering lane: the reference's full fill -> clean ->
+    validate sequence (its scripts executed unmodified, in run.py's
+    order, against the SAME artifact paths run.py hands off —
+    fill REWRITES output/MergedDatabase.tsv in place, clean reads the
+    rewritten master, validate reads clean's output) vs the engine's
+    ContactsApp.run on the tie-free fixture (already dumped by the
+    ParityAll batch at ctx['eng_out']). On this fixture every
+    artifact must agree: same fills, same cleaned cells, same
+    validation reports."""
+    import json
+    cwd = os.getcwd()
+    sb = ctx["sb"]
 
     # the exact run.py step list (cleaning/run.py:83-87), same order, same
     # artifact handoff; fill/validate expose main(), clean runs at import
@@ -886,16 +921,7 @@ def pipeline_lane(failures):
     ref_val = json.load(open(os.path.join(sb, "output",
                                           "validation_errors.json")))
 
-    eng_out = os.path.join(sb, "eng_out")
-    r = subprocess.run(
-        ["sbt", "-batch",
-         f"runMain graft.ParityRunDump {pristine} "
-         f"{os.path.join(sb, 'data_files')} {eng_out}"],
-        cwd=REPO, capture_output=True, text=True)
-    if r.returncode != 0:
-        print(r.stdout[-3000:])
-        print(r.stderr[-3000:])
-        sys.exit("[parity] engine ParityRunDump failed")
+    eng_out = ctx["eng_out"]
     eng_fills = json.load(open(os.path.join(eng_out,
                                             "fill_missing_log.json")))
     eng_clean = read_tsv_str(os.path.join(eng_out, "cleaned_contacts.tsv"))
@@ -982,6 +1008,21 @@ def main():
     print(f"[parity] fixture: {len(fixture)} rows x "
           f"{len(fixture.columns)} cols -> {fixture_path}")
 
+    # ---- prepare EVERY lane's sandbox, then one engine batch (one JVM) --
+    eng_prefix = os.path.join(sandbox, "engine")
+    fill_nat_job, fill_nat_prefix = fill_prepare(fixture)
+    aligned = fixture.copy()
+    aligned["X_EMAIL2"] = aligned["EMAIL"]
+    fill_ali_job, fill_ali_prefix = fill_prepare(aligned)
+    mc_nat_job, mc_nat_ctx = mailchimp_prepare(
+        fixture, os.path.join(REF, "data_sources", "mailchimpclean.tsv"))
+    aligned_m, aligned_mc = mailchimp_aligned(fixture)
+    mc_ali_job, mc_ali_ctx = mailchimp_prepare(aligned_m, aligned_mc)
+    run_job, run_ctx = pipeline_prepare()
+    run_engine_batch([("dump", fixture_path, eng_prefix),
+                      fill_nat_job, fill_ali_job,
+                      mc_nat_job, mc_ali_job, run_job])
+
     # run the REFERENCE pipeline: importing the module executes its
     # module-level main (reads <sandbox>/output/MergedDatabase.tsv, writes
     # <cwd>/output/cleaned_contacts.tsv)
@@ -1003,16 +1044,7 @@ def main():
     print(f"[parity] reference ran: clean={len(ref_clean)} rows, "
           f"golden={len(ref_golden)} rows")
 
-    # run the ENGINE stages on the same fixture
-    eng_prefix = os.path.join(sandbox, "engine")
-    r = subprocess.run(
-        ["sbt", "-batch",
-         f"runMain graft.ParityDump {fixture_path} {eng_prefix}"],
-        cwd=REPO, capture_output=True, text=True)
-    if r.returncode != 0:
-        print(r.stdout[-3000:])
-        print(r.stderr[-3000:])
-        sys.exit("[parity] engine ParityDump failed")
+    # the ENGINE stages already ran on the same fixture (batch above)
     eng_clean = read_tsv_str(eng_prefix + ".clean.tsv")
     eng_golden = read_tsv_str(eng_prefix + ".golden.tsv")
     print(f"[parity] engine ran: clean={len(eng_clean)} rows, "
@@ -1153,27 +1185,22 @@ def main():
     # ---- stage 3: the fill stage against the reference's own runs ----
     # (both the in-memory and the SQLite-staged reference variants)
     # natural: the reference's own key surface (measures the #9 no-op)
-    fill_lane(fixture, failures, "natural")
+    fill_lane(fixture, failures, "natural", fill_nat_prefix)
     # aligned-email: plant X_EMAIL2 := EMAIL so BOTH sides match on the
     # same email keys — the variant that actually exercises the J2
     # match + first-match-wins fill mechanics on the common surface
-    aligned = fixture.copy()
-    aligned["X_EMAIL2"] = aligned["EMAIL"]
-    fill_lane(aligned, failures, "aligned-email")
+    fill_lane(aligned, failures, "aligned-email", fill_ali_prefix)
 
     # ---- stage 4: the J1 mailchimp merge against the reference's own run --
     # natural: the real mailchimpclean.tsv (measures divergence #10's
     # degenerate mobile key: get_mobile finds no 'mobile'/'number' column)
-    mailchimp_lane(fixture,
-                   os.path.join(REF, "data_sources", "mailchimpclean.tsv"),
-                   failures, "natural")
+    mailchimp_lane(fixture, mc_nat_ctx, failures, "natural")
     # aligned: headers both sides resolve + donated contacts, so the
     # (name, phone) -> email and (name, email) -> mobile matches FIRE
-    aligned_m, aligned_mc = mailchimp_aligned(fixture)
-    mailchimp_lane(aligned_m, aligned_mc, failures, "aligned")
+    mailchimp_lane(aligned_m, mc_ali_ctx, failures, "aligned")
 
     # ---- stage 5: run.py ordering — the whole pipeline, same sequence --
-    pipeline_lane(failures)
+    pipeline_lane(failures, run_ctx)
 
     if failures:
         for f in failures:
