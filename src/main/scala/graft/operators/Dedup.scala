@@ -446,6 +446,38 @@ object Dedup {
     jaccardRescore(cand, cPosts.unionByName(bPosts), threshold)
   }
 
+  /** Absorb a probed batch INTO the persisted index — the second half of
+    * the production ingest loop (probe for pairs, then append the batch's
+    * bands and postings so the NEXT ingest sees it). Appends bucketed
+    * files with the index's own bucket spec: a bucket then holds one file
+    * per append, which Spark's bucketed scan groups back into the same
+    * partition, so probe plans keep their no-index-side-exchange shape
+    * (LshIndexSpec pins probe-after-append == an index rebuilt from
+    * scratch). Caller contract: appended ids disjoint from indexed ids. */
+  def appendToLshIndex(index: LshIndex, batch: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val m = index.meta
+    val rows = m.numHashes / m.bands
+    require(batch.schema(batch.schema.fieldIndex(idCol)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "persisted index ids must be BIGINT")
+    val posts = shinglePostings(batch, idCol, textCol, m.shingleSize,
+      m.maxDocFreq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = minhashSignatures(posts, m.numHashes).select(col("id"),
+        posexplode(bandBuckets(col("sig"), m.bands, rows))
+          .as(Seq("band", "bucket")))
+      banded.write.mode("append")
+        .bucketBy(m.numBuckets, "band", "bucket")
+        .option("path", s"${index.path}/bands")
+        .saveAsTable(index.bandsTable)
+      posts.write.mode("append")
+        .bucketBy(m.numBuckets, "id")
+        .option("path", s"${index.path}/posts")
+        .saveAsTable(index.postsTable)
+    } finally posts.unpersist(blocking = false)
+  }
+
   /** meta.json codec — fixed field order, no JSON library needed. */
   private def writeMeta(file: String, m: LshIndexMeta): Unit = {
     val p = new org.apache.hadoop.fs.Path(file)

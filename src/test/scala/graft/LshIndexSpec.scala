@@ -102,6 +102,61 @@ class LshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probe after append == index rebuilt from scratch (ingest loop)") {
+    // ingest loop: probe batch1 against the corpus index, ABSORB batch1,
+    // then probe batch2 — the second probe must see corpus ∪ batch1
+    // exactly as a from-scratch index over corpus ∪ batch1 would
+    val batch1 = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val batch2 = corpus.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", tmp(),
+      "lshspec_app", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    Dedup.appendToLshIndex(idx, batch1, "doc_id", "text")
+    val got = Dedup.probeLshIndex(idx, batch2, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6))).sorted.toSeq
+    Pins.flush()
+    val full = Dedup.writeLshIndex(corpus.unionByName(batch1), "doc_id",
+      "text", tmp(), "lshspec_app_full", shingleSize = 3, numHashes = 64,
+      bands = 16, numBuckets = 4)
+    val want = Dedup.probeLshIndex(full, batch2, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6))).sorted.toSeq
+    Pins.flush()
+    assert(got.nonEmpty && got == want)
+    // batch2 near-dups both the corpus originals AND batch1's variants
+    assert(got.exists(_._1 < 1000L) && got.exists(p =>
+      p._1 >= 1000L && p._1 < 2000L),
+      s"expected pairs against corpus and against absorbed batch1: $got")
+    // the appended table still joins BUCKETED (multiple files per bucket
+    // group into one partition; no index-side exchange regression) —
+    // asserted on a JOIN because a bare scan auto-disables bucketing
+    // ("disabled by query planner") when nothing benefits
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bb = batch2.select(col("doc_id").as("id"),
+        (col("doc_id") % 16).cast("int").as("band"),
+        xxhash64(col("text")).as("bucket"))
+      val plan = bb.join(spark.table(idx.bandsTable), Seq("band", "bucket"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1
+          && plan.contains("Bucketed: true"),
+        s"append must preserve the exchange-free bucketed join:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("writeLshIndex refuses non-BIGINT ids (cross-session DDL contract)") {
     val bad = Seq((1, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
