@@ -100,6 +100,61 @@ object DocStream {
     q
   }
 
+  /** Full streaming ingest loop over a PERSISTED LSH index
+    * ([[Dedup.writeLshIndex]]): every micro-batch is (1) probed for
+    * near-dup pairs against everything indexed so far — exact-rescored,
+    * so these are verdicts, not just flags — with the pairs appended to
+    * a parquet sink, then (2) ABSORBED into the index
+    * ([[Dedup.appendToLshIndex]]), so later micro-batches dedup against
+    * earlier ones without any corpus re-scan. The index side of every
+    * probe join arrives bucket-partitioned from disk; only the
+    * micro-batch shuffles.
+    *
+    * Replay safety: the file source + checkpoint give at-least-once
+    * micro-batches, and a REPLAYED absorb would double the batch's
+    * postings and corrupt later rescore counts — so each absorbed
+    * batchId leaves a `_absorbed_<id>` marker under the index path and
+    * [[absorbOnce]] skips batches already marked. The pairs sink dedups
+    * on replay the usual way (downstream readers key on (id_a, id_b)).
+    *
+    * Caller contract (same as the batch path): streamed doc_ids disjoint
+    * from indexed ids across the stream's lifetime. */
+  def ingestDedupStream(spark: SparkSession, dir: String,
+      index: Dedup.LshIndex, outDir: String, checkpointDir: String,
+      threshold: Double = 0.5): StreamingQuery = {
+    val q = readDocs(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = Dedup.probeLshIndex(index, batch, "doc_id", "text",
+          threshold)
+        pairs.write.mode("append").parquet(outDir)
+        absorbOnce(index, batch, batchId)
+        graft.pipeline.Pins.flush() // micro-batch = this flow's boundary
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Idempotent absorb: append `batch` to the index unless this batchId
+    * already left its marker (a replayed micro-batch must not double the
+    * postings — duplicate posting rows inflate every later rescore's
+    * intersection counts). Returns true when the append ran. */
+  def absorbOnce(index: Dedup.LshIndex, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(index.path,
+      s"_absorbed_$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      Dedup.appendToLshIndex(index, batch, "doc_id", "text")
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Durable variant: flags land in a parquet sink with a checkpoint, so an
     * ingest that stops and restarts resumes from the file-source offset AND
     * keeps the dropDuplicates state — a doc redelivered in a later batch

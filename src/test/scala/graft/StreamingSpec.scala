@@ -113,6 +113,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(flags.sorted.toSeq == Seq((101L, 1L), (102L, 2L)), flags.toSeq)
   }
 
+  test("streaming ingest loop over the persisted LSH index: probe + absorb") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Dedup
+    // synthetic corpus with derivable near-dups (LshIndexSpec's family)
+    val corpus = (0L until 30L).map { i =>
+      (i, (0 until 12).map(k => s"w${(i * 7 + k * 3) % 50}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def dropFirst(df: org.apache.spark.sql.DataFrame, shift: Long) =
+      df.select((col("doc_id") + shift).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val b1 = dropFirst(corpus.filter(col("doc_id") % 4 === 0), 1000)
+    // b2 near-dups BOTH the corpus (ids 2000+) and b1 (ids 3000+): the
+    // second micro-batch must flag against what the first one ABSORBED
+    val b2 = dropFirst(corpus.filter(col("doc_id") % 4 === 1), 2000)
+      .unionByName(b1.select((col("doc_id") + 2000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+
+    val idxPath = Files.createTempDirectory("lsh-stream-idx").toString
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", idxPath,
+      "lsh_stream_idx", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val in = Files.createTempDirectory("lsh-stream-in")
+    val out = Files.createTempDirectory("lsh-stream-out").toString + "/pairs"
+    val ckpt = Files.createTempDirectory("lsh-stream-ckpt").toString
+    b1.coalesce(1).write.parquet(in.resolve("b1").toString)
+    graft.streaming.DocStream.ingestDedupStream(spark,
+      in.toString + "/*", idx, out, ckpt)
+    b2.coalesce(1).write.parquet(in.resolve("b2").toString)
+    graft.streaming.DocStream.ingestDedupStream(spark,
+      in.toString + "/*", idx, out, ckpt)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // expected = probe(idx(corpus), b1) ∪ probe(idx(corpus ∪ b1), b2),
+    // both rebuilt from scratch
+    val fresh0 = Dedup.writeLshIndex(corpus, "doc_id", "text",
+      Files.createTempDirectory("lsh-x0").toString, "lsh_stream_x0",
+      shingleSize = 3, numHashes = 64, bands = 16, numBuckets = 4)
+    val e1 = Dedup.probeLshIndex(fresh0, b1, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fresh1 = Dedup.writeLshIndex(corpus.unionByName(b1), "doc_id",
+      "text", Files.createTempDirectory("lsh-x1").toString,
+      "lsh_stream_x1", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val e2 = Dedup.probeLshIndex(fresh1, b2, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.pipeline.Pins.flush()
+    assert(got == (e1 ++ e2).sorted.toSeq)
+    // the absorb actually mattered: some b2 pair is against b1's range
+    assert(got.exists(p => p._2 >= 3000L && p._1 >= 1000L && p._1 < 2000L),
+      s"expected a b2-vs-absorbed-b1 pair: $got")
+    // replay safety: both batchIds are marked; a re-absorb is a no-op
+    assert(!graft.streaming.DocStream.absorbOnce(idx, b1, 0L))
+    assert(!graft.streaming.DocStream.absorbOnce(idx, b2, 1L))
+  }
+
   test("streaming dedup drops redelivered events (dropDuplicatesWithinWatermark)") {
     val dir = "/root/testdata/sf0.001"
     // simulate at-least-once upstream delivery: the same file lands twice
