@@ -648,6 +648,35 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** SoftDeDup cluster weights (He et al., 2024 — "SoftDedup: an Efficient
+    * Data Reweighting Method for Speeding Up Language Model Pre-training"):
+    * the keep-everything alternative to hard dedup — retain every document
+    * and DOWN-WEIGHT duplicated content instead, so no text is lost but a
+    * cluster of near-identical documents contributes one document's worth
+    * of loss/sampling mass in total. This variant measures duplication
+    * degree as near-dup CLUSTER size: weight = 1 / |connected component|
+    * over the pair set (singletons keep weight 1.0; a 5-way duplicate
+    * cluster trains at 0.2 each). Feed the weights to a loss-weighting or
+    * sampling stage ([[Mix.temperatureSample]]-style) downstream.
+    *
+    * Scale posture: [[connectedComponents]] dominates (its per-round edge
+    * shuffles); the weighting itself adds one cluster-keyed aggregate and
+    * one cluster-keyed join back — both postings-shaped equi-exchanges,
+    * never corpus×corpus. The giant-cluster hot key (one boilerplate
+    * cluster holding millions of ids) is the same bounded skew shape as
+    * the CC jump join — AQE skew splitting applies.
+    *
+    * Returns (id, cluster, cluster_size, weight). */
+  def softDedupWeights(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(nodes, pairs, maxIter)
+    val sizes = cc.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster")
+      .select(col("id"), col("cluster"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (ids with cosine >= threshold,
     * id_a < id_b). Brute-force variant: a self-join that Spark executes as a
     * (range-partitioned) cartesian product — O(n²) by construction. This is

@@ -189,4 +189,81 @@ object Mix {
       .filter(col("__rk") <= col("budget_rows"))
       .drop("__rk", "budget_rows")
   }
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023 — "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token budget B across languages by
+    * WATERFILLING under a per-language epoch cap c — visit languages in
+    * ascending corpus size T_i; each receives
+    * min(c·T_i, remaining / languagesLeft). Head languages are downsampled
+    * to an equal share; tail languages are never repeated past c epochs —
+    * the paper's fix for temperature sampling's twin failure modes
+    * (α too high starves the tail, α too low loops tiny corpora dozens of
+    * epochs into memorization).
+    *
+    * Closed form used here instead of the sequential loop: c·T_i is
+    * ascending in i, and once a language is uncapped the per-language
+    * uniform share is invariant under removing it from the pool — so the
+    * capped languages form a PREFIX of the ascending order. Language i is
+    * capped iff c·T_i · (n − i + 1) ≤ B − prefix_{i−1}(c·T) (its cap fits
+    * under the uniform share at its step, all in exact long arithmetic),
+    * and every uncapped language receives the same
+    * U = (B − Σ_capped c·T_j) / n_uncapped. That makes the whole
+    * allocation two |domains|-row windows over the post-aggregate frame —
+    * no driver loop, no iteration.
+    *
+    * `budget` is a Column resolved against the per-domain totals frame, so
+    * it may be an absolute literal (`lit(10_000_000_000L)`) or derived
+    * from the corpus itself via the provided `n_total` / `n_domains`
+    * columns (e.g. `expr("n_total * 4 div 5")` = 80% of one corpus pass).
+    * Returns one row per domain: (domain, n_tokens, capped 0/1,
+    * alloc_tokens, epochs = alloc / T_i).
+    *
+    * Scale posture (100 TB): one corpus scan -> domain-keyed partial
+    * aggregate (|domains| rows through the exchange); the ordering windows
+    * run over the |domains|-row frame only (the [[temperatureWeights]]
+    * stance). Long arithmetic bound: c·T_i·n must fit in int64 — at
+    * c ≤ 100 epochs, 10^3 domains and 10^13 tokens/domain the product is
+    * 10^18 < 2^63; beyond that pre-scale `weight`. */
+  def unimax(df: DataFrame, domainCol: String, weight: Column,
+      epochCap: Long, budget: Column): DataFrame = {
+    require(epochCap > 0, "Mix.unimax: epochCap must be positive")
+    val byDom = df.groupBy(col(domainCol))
+      .agg(sum(weight).as("n_weight"))
+      .withColumn("n_weight",
+        when(col("n_weight").isNull || col("n_weight") < 0,
+          raise_error(concat(
+            lit("Mix.unimax: negative or null weight sum for domain "),
+            col(domainCol).cast("string"))))
+          .otherwise(col("n_weight")))
+    val tot = byDom.agg(sum(col("n_weight")).as("n_total"),
+      count(lit(1)).cast("long").as("n_domains"))
+    val w = Window.orderBy(col("cap").asc, col(domainCol).asc)
+    val flagged = byDom.crossJoin(broadcast(tot))
+      .withColumn("cap", col("n_weight") * lit(epochCap))
+      .withColumn("b",
+        when(budget.cast("long").isNull || budget.cast("long") <= 0,
+          raise_error(lit("Mix.unimax: budget must be positive")))
+          .otherwise(budget.cast("long")))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("capped",
+        col("cap") * (col("n_domains") - col("i") + 1L)
+          <= col("b") - col("pfx"))
+    val caps = flagged.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("cap_sum"),
+      sum(when(col("capped"), 0L).otherwise(1L)).as("n_uncapped"))
+    flagged.crossJoin(broadcast(caps))
+      .withColumn("alloc_raw",
+        when(col("capped"), col("cap").cast("double"))
+          .otherwise((col("b") - col("cap_sum")).cast("double")
+            / col("n_uncapped")))
+      .select(col(domainCol), col("n_weight").as("n_tokens"),
+        when(col("capped"), 1L).otherwise(0L).as("capped"),
+        round(col("alloc_raw"), 4).as("alloc_tokens"),
+        when(col("n_weight") > 0,
+          round(col("alloc_raw") / col("n_weight"), 6)).as("epochs"))
+  }
 }

@@ -1203,44 +1203,10 @@ object Queries {
             all.select(col("doc_id").as("id")), pairs)
           .orderBy(col("id"))
       },
-      Some("""WITH RECURSIVE
-             |all_docs AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
-             |  FROM documents WHERE doc_id % 7 = 0),
-             |tok AS (SELECT doc_id,
-             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             |      t -> t <> '') AS toks
-             |  FROM all_docs),
-             |sh AS (SELECT doc_id,
-             |    CASE WHEN len(toks) >= 3
-             |         THEN list_distinct(list_transform(range(len(toks) - 2),
-             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
-             |         ELSE [array_to_string(toks, ' ')] END AS shingles
-             |  FROM tok),
-             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-             |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
-             |inter AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-             |  FROM posts a JOIN posts b
-             |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT id_a, id_b FROM inter
-             |  JOIN sizes sa ON sa.doc_id = id_a
-             |  JOIN sizes sb ON sb.doc_id = id_b
-             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
-             |edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM pairs
-             |  UNION ALL SELECT id_b, id_a FROM pairs),
-             |reach(id, r) AS (
-             |  SELECT doc_id, doc_id FROM all_docs
-             |  UNION
-             |  SELECT reach.id, edges.dst FROM reach
-             |  JOIN edges ON edges.src = reach.r)
-             |SELECT id, min(r) AS cluster FROM reach GROUP BY id
-             |ORDER BY id""".stripMargin)),
+      Some(ccReachCtes7 +
+        """
+          |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+          |ORDER BY id""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // q45: stratified sampling with per-stratum quotas — at most 30 docs per
@@ -9491,8 +9457,128 @@ object Queries {
       Some(jaccardOracle.replace(
         "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
         "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
-          "  AND id_b >= 10000")))
+          "  AND id_b >= 10000"))),
+
+    // ---------------------------------------------------------------------
+    // q195: UniMax language-budget allocation (Chung et al. 2023) — the
+    // waterfilling mixture rule: budget = 80% of one corpus pass, epoch cap
+    // 1, so tail languages train their full corpus once and the head
+    // language is downsampled to the leftover share. The capped-prefix
+    // closed form runs as two |langs|-row windows after ONE domain-keyed
+    // aggregate; the oracle replays the identical exact-long waterfill.
+    QueryDef("q195_unimax_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Mix.unimax(d, "lang",
+            graft.functions.Text.tokenCount(col("text")).cast("long"),
+            epochCap = 1L, budget = expr("n_total * 4 div 5"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tokc AS (
+             |  SELECT lang, len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t <> '')) AS n_tok
+             |  FROM documents),
+             |bylang AS (
+             |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t
+             |  FROM tokc GROUP BY lang),
+             |tot AS (
+             |  SELECT CAST(sum(t) AS BIGINT) AS n_total,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM bylang),
+             |ord AS (
+             |  SELECT lang, t, t AS cap, n,
+             |    (n_total * 4) // 5 AS b,
+             |    CAST(row_number() OVER (ORDER BY t, lang) AS BIGINT) AS i,
+             |    CAST(coalesce(sum(t) OVER (ORDER BY t, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS pfx
+             |  FROM bylang CROSS JOIN tot),
+             |flg AS (
+             |  SELECT *, cap * (n - i + 1) <= b - pfx AS capped FROM ord),
+             |agg AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+             |      AS cap_sum,
+             |    CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+             |      AS n_uncapped
+             |  FROM flg),
+             |fin AS (
+             |  SELECT lang, t, capped,
+             |    CASE WHEN capped THEN CAST(cap AS DOUBLE)
+             |         ELSE CAST(b - cap_sum AS DOUBLE) / n_uncapped
+             |    END AS alloc_raw
+             |  FROM flg CROSS JOIN agg)
+             |SELECT lang, t AS n_tokens,
+             |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
+             |  round(alloc_raw, 4) AS alloc_tokens,
+             |  CASE WHEN t > 0 THEN round(alloc_raw / t, 6) END AS epochs
+             |FROM fin ORDER BY lang""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q196: SoftDeDup weighting (He et al. 2024) — keep every document,
+    // down-weight duplicates: weight = 1/|near-dup cluster| over the q44
+    // connected-component closure (singletons stay 1.0). The oracle extends
+    // the shared recursive-CC chain with a cluster-size window.
+    QueryDef("q196_soft_dedup",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+          shingleSize = 3, threshold = 0.7)
+        Dedup.softDedupWeights(
+            all.select(col("doc_id").as("id")), pairs)
+          .orderBy(col("id"))
+      },
+      Some(ccReachCtes7 +
+        """,
+          |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+          |SELECT id, cluster,
+          |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+          |  round(CAST(1 AS DOUBLE)
+          |    / count(*) OVER (PARTITION BY cluster), 6) AS weight
+          |FROM cl ORDER BY id""".stripMargin))
   )
+
+  /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)
+    * corpus, its 3-gram-Jaccard >= 0.7 pair set, and the recursive
+    * connected-component closure, ending at reach(id, r). */
+  private lazy val ccReachCtes7: String =
+    """WITH RECURSIVE
+      |all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |tok AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM all_docs),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_distinct(list_transform(range(len(toks) - 2),
+      |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+      |         ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM tok),
+      |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM posts a JOIN posts b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM all_docs
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach
+      |  JOIN edges ON edges.src = reach.r)""".stripMargin
 
   /** Oracle CTE chain shared by q101/q130 - the 3-round BPE merge
     * learning unrolled in SQL, ending at wmap(word, n_sym) and

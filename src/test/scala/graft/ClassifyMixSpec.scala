@@ -151,4 +151,76 @@ class ClassifyMixSpec extends AnyFunSuite {
     assert(Classify.calibration(rows.limit(0), "log_odds", "y")
       .collect().isEmpty)
   }
+
+  /** Sequential UniMax waterfill (the paper's loop) — the oracle for the
+    * closed-form implementation: ascending corpus size, each language gets
+    * min(cap, remaining / languagesLeft). */
+  private def waterfill(ts: Seq[(String, Long)], c: Long, b: Long)
+      : Map[String, Double] = {
+    var rem = b.toDouble
+    var left = ts.size
+    ts.sortBy { case (d, t) => (c * t, d) }.map { case (d, t) =>
+      val a = math.min((c * t).toDouble, rem / left)
+      rem -= a; left -= 1
+      d -> a
+    }.toMap
+  }
+
+  private def unimaxOut(ts: Seq[(String, Long)], c: Long, b: Long) =
+    Mix.unimax(ts.toDF("dom", "w"), "dom", col("w"), c, lit(b))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+
+  test("unimax closed form matches the sequential waterfill") {
+    // head/tail mix: caps bind on the tail, the head splits the leftover
+    val ts = Seq(("en", 900L), ("fr", 350L), ("es", 80L), ("sw", 30L),
+      ("yo", 7L))
+    for ((c, b) <- Seq((1L, 800L), (2L, 800L), (4L, 2000L), (1L, 100L))) {
+      val want = waterfill(ts, c, b)
+      val got = unimaxOut(ts, c, b)
+      got.foreach { case (d, t, capped, alloc, epochs) =>
+        assert(math.abs(alloc - want(d)) < 1e-3, s"$d at c=$c b=$b")
+        assert(capped == (if (want(d) == (c * t).toDouble) 1L else 0L),
+          s"capped flag for $d at c=$c b=$b")
+        assert(math.abs(epochs - alloc / t) < 1e-5)
+      }
+      // allocations exhaust the budget unless every language hit its cap
+      val full = ts.map(_._2 * c).sum
+      val expect = math.min(full, b).toDouble
+      assert(math.abs(got.map(_._4).sum - expect) < 1e-2)
+    }
+  }
+
+  test("unimax: all-capped when budget exceeds the capped corpus; " +
+      "uncapped shares equal") {
+    val ts = Seq(("a", 10L), ("b", 20L), ("c", 30L))
+    val all = unimaxOut(ts, 2L, 1000L)
+    assert(all.forall(_._3 == 1L))
+    assert(all.map(_._4).sum == 120.0)
+    assert(all.forall(r => r._5 == 2.0), "capped languages run c epochs")
+    // tight budget: nothing capped, every language gets b/n
+    val none = unimaxOut(ts, 2L, 15L)
+    assert(none.forall(_._3 == 0L))
+    assert(none.forall(_._4 == 5.0))
+  }
+
+  test("unimax guards: non-positive budget and negative weights raise") {
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    val df = Seq(("a", 5L), ("b", 3L)).toDF("dom", "w")
+    val e1 = intercept[Exception] {
+      Mix.unimax(df, "dom", col("w"), 1L, lit(0L)).collect()
+    }
+    assert(chain(e1).exists(t =>
+      Option(t.getMessage).exists(_.contains("budget must be positive"))))
+    val e2 = intercept[Exception] {
+      Mix.unimax(Seq(("a", -1L)).toDF("dom", "w"), "dom", col("w"),
+        1L, lit(10L)).collect()
+    }
+    assert(chain(e2).exists(t =>
+      Option(t.getMessage).exists(_.contains("negative or null"))))
+    intercept[IllegalArgumentException] {
+      Mix.unimax(df, "dom", col("w"), 0L, lit(10L))
+    }
+  }
 }

@@ -821,6 +821,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Seq(8L, 9L, 10L).forall(cc(_) == 8L))
   }
 
+  test("softDedupWeights: 1/|cluster| per member, singletons keep 1.0, " +
+      "total mass = cluster count") {
+    val nodes = (1L to 10L).toDF("id")
+    // same topology as the CC fixture: sizes 4 (ids 1-4), 1 (5), 2 (6-7),
+    // 3 (8-10)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L),
+      (8L, 9L), (9L, 10L), (8L, 10L)).toDF("id_a", "id_b")
+    val out = Dedup.softDedupWeights(nodes, pairs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 4L, 0.25)) && out(4L) == ((1L, 4L, 0.25)))
+    assert(out(5L) == ((5L, 1L, 1.0)))
+    assert(out(6L) == ((6L, 2L, 0.5)) && out(7L) == ((6L, 2L, 0.5)))
+    assert(out(9L) == ((8L, 3L, 0.333333)))
+    // every cluster contributes one document's worth of mass (up to the
+    // 6-decimal rounding on the 1/3 cluster)
+    assert(math.abs(out.values.map(_._3).sum - 4.0) < 1e-5)
+  }
+
   test("connectedComponents: pointer jumping converges deep chains in O(log d) jobs") {
     // a 256-node path has diameter 255: plain neighbor-min propagation would
     // need ~255 rounds (and would THROW at the default maxIter=20); with the
