@@ -89,6 +89,71 @@ object ScaleProbe {
     }
   }
 
+  /** Production operating points for the two super-linear GRADED configs
+    * (PLANS.md round-12 notes on q95/q134): the same operators at the
+    * parameters their own scaladocs/comments prescribe for large corpora.
+    * The graded registry queries deliberately pin scale-hostile parameters
+    * (q95: nprobe = nlist exhaustive probe so only PQ quantization is
+    * under oracle contract; q134: fixed blocking-key cardinality), so their
+    * measured exponents hit their documented algorithmic bounds. These
+    * probe-only twins measure the shapes a deployment would run. */
+  private def extraProbes
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q95's production shape: nprobe << nlist and an EXTERNAL (corpus-size-
+    // independent) query set — the ADC candidate space is Q * n * nprobe /
+    // nlist and the encode n * nlist, both linear in n at fixed parameters.
+    "p95_ivfpq_prod" -> ((s, dir) => {
+      import graft.functions.Vec
+      import graft.operators.Similarity
+      val e = queries.Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+      // replica-0 ids only: the same 200 queries at every scale
+      val q = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < IdShift)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val model = Similarity.pqTrainResidual(e, "vec_id", "vec",
+        m = 8, k = 16, nlist = 64)
+      Similarity.pqTopK(e, "vec_id", "vec", q, "qid", "qvec",
+        k = 3, model, nlist = 64, nprobe = 4)
+    }),
+    // q134's production shape: blocking granularity scales with the corpus
+    // (bucket width ~ 1/n) so block SIZES stay constant and the candidate
+    // pair space stays ~ n. Scoring fields are q134's (the coarse
+    // bal_bucket stays a scored field; only the BLOCKING key is refined).
+    "p134_linkage_scaled" -> ((s, dir) => {
+      import graft.operators.Linkage
+      import graft.operators.Linkage.FsField
+      val base = queries.Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        concat(lit("cust"), col("c_custkey").cast("string")).as("name"),
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+        col("c_acctbal").as("bal"))
+      // one metadata count sets the granularity (the AQE-style stats read
+      // a production pipeline does before choosing blocking keys)
+      val n = base.count()
+      val width = math.max(0.1, 1000.0 * 15000.0 / n.toDouble)
+      val keyed = base
+        .withColumn("blk", floor(col("bal") / lit(width)).cast("long"))
+        .drop("bal")
+      val dirty = keyed.filter(col("id") % 4 === 0)
+        .withColumn("id", col("id") + 100000000L)
+        .withColumn("name", concat(col("name"), lit("x")))
+      val exact = keyed.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 200000000L)
+      val recs = keyed.unionByName(dirty).unionByName(exact)
+      val pairs = recs.select(col("id"), col("nat"), col("blk")).as("a")
+        .join(recs.select(col("id"), col("nat"), col("blk")).as("b"),
+          col("a.nat") === col("b.nat") && col("a.blk") === col("b.blk")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      Linkage.fellegiSunter(recs.drop("blk"), "id", pairs,
+          Seq(FsField("name", 0.95), FsField("seg", 0.9),
+            FsField("bal_bucket", 0.85)),
+          upperT = 4.0, lowerT = 0.0)
+        .filter(col("decision") =!= "non_match")
+    }))
+
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
     val replicas = args(1).toInt
@@ -109,11 +174,12 @@ object ScaleProbe {
 
     replicate(spark, baseDir, outDir, replicas)
 
-    val registry = queries.Queries.all.map(q => q.name -> q).toMap
+    val registry = queries.Queries.all.map(q => q.name -> q.spark).toMap ++
+      extraProbes
     def timed(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
-        registry(name).spark(spark, dir).write.mode("overwrite")
+        registry(name)(spark, dir).write.mode("overwrite")
           .format("noop").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
