@@ -9536,7 +9536,96 @@ object Queries {
           |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
           |  round(CAST(1 AS DOUBLE)
           |    / count(*) OVER (PARTITION BY cluster), 6) AS weight
-          |FROM cl ORDER BY id""".stripMargin))
+          |FROM cl ORDER BY id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q197: distributed logistic regression (2 Newton/IRLS steps, in-plan
+    // Cramer solve) — the parametric quality scorer over engineered
+    // features (here: token count / 100 and stopword ratio, label =
+    // lang == 'en'). Both engines round the gradient/Hessian sums to 6
+    // before the solve and beta to 9 after each step, and state the
+    // cofactor arithmetic in the identical order, so the fitted
+    // coefficients are bit-identical; graded on the per-doc scores AND the
+    // coefficients (repeated per row).
+    QueryDef("q197_logreg_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val prof = graft.operators.TextProfile.profile(d, "doc_id", "text")
+        val feats = prof.join(d.select(col("doc_id"), col("lang")), "doc_id")
+        Classify.logisticTrainScore(feats, "doc_id",
+            round(col("n_tokens") / 100.0, 6),
+            // profile's ratio is unrounded; the operator contract wants
+            // 6-dp features (the q15 grading does the same round)
+            round(col("stopword_ratio"), 6),
+            (col("lang") === "en").cast("int"), iters = 2)
+          .orderBy(col("id"))
+      },
+      Some {
+        val stop = Text.StopwordsEn.map(w => s"'$w'").mkString(",")
+        val sums = """
+          |  SELECT round(sum(y - mu), 6) AS g0,
+          |    round(sum(f1 * (y - mu)), 6) AS g1,
+          |    round(sum(f2 * (y - mu)), 6) AS g2,
+          |    round(sum(mu * (1 - mu)), 6) AS h00,
+          |    round(sum(mu * (1 - mu) * f1), 6) AS h01,
+          |    round(sum(mu * (1 - mu) * f2), 6) AS h02,
+          |    round(sum(mu * (1 - mu) * f1 * f1), 6) AS h11,
+          |    round(sum(mu * (1 - mu) * f1 * f2), 6) AS h12,
+          |    round(sum(mu * (1 - mu) * f2 * f2), 6) AS h22,
+          |    any_value(b0) AS b0, any_value(b1) AS b1,
+          |    any_value(b2) AS b2""".stripMargin
+        val solve = """
+          |  SELECT
+          |    round(b0 + (g0*(h11*h22 - h12*h12) - h01*(g1*h22 - h12*g2)
+          |      + h02*(g1*h12 - h11*g2))
+          |      / (h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)
+          |      + h02*(h01*h12 - h11*h02)), 9) AS b0,
+          |    round(b1 + (h00*(g1*h22 - h12*g2) - g0*(h01*h22 - h12*h02)
+          |      + h02*(h01*g2 - g1*h02))
+          |      / (h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)
+          |      + h02*(h01*h12 - h11*h02)), 9) AS b1,
+          |    round(b2 + (h00*(h11*g2 - g1*h12) - h01*(h01*g2 - g1*h02)
+          |      + g0*(h01*h12 - h11*h02))
+          |      / (h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)
+          |      + h02*(h01*h12 - h11*h02)), 9) AS b2""".stripMargin
+        s"""WITH tok AS (
+           |  SELECT doc_id, lang,
+           |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |      t -> t <> '') AS toks
+           |  FROM documents),
+           |feat AS (
+           |  SELECT doc_id,
+           |    round(CAST(len(toks) AS DOUBLE) / 100.0, 6) AS f1,
+           |    round(CASE WHEN len(toks) > 0
+           |      THEN CAST(len(list_filter(toks, t -> t IN ($stop)))
+           |        AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS f2,
+           |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+           |  FROM tok),
+           |it1 AS (
+           |  SELECT f.*, b.*,
+           |    1.0 / (1.0 + exp(-(b0 + b1 * f1 + b2 * f2))) AS mu
+           |  FROM feat f CROSS JOIN
+           |    (SELECT CAST(0.001 AS DOUBLE) AS b0, 0.0 AS b1,
+           |            0.0 AS b2) b),
+           |s1 AS ($sums
+           |  FROM it1),
+           |bt1 AS ($solve
+           |  FROM s1),
+           |it2 AS (
+           |  SELECT f.*, b.*,
+           |    1.0 / (1.0 + exp(-(b0 + b1 * f1 + b2 * f2))) AS mu
+           |  FROM feat f CROSS JOIN bt1 b),
+           |s2 AS ($sums
+           |  FROM it2),
+           |bt2 AS ($solve
+           |  FROM s2)
+           |SELECT doc_id AS id,
+           |  round(1.0 / (1.0 + exp(-(b0 + b1 * f1 + b2 * f2))), 6) AS p,
+           |  CAST(CASE WHEN (b0 + b1 * f1 + b2 * f2) > 0 THEN 1 ELSE 0 END
+           |    AS BIGINT) AS prediction,
+           |  b0, b1, b2
+           |FROM feat CROSS JOIN bt2 ORDER BY id""".stripMargin
+      })
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

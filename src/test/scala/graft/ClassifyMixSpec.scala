@@ -204,6 +204,90 @@ class ClassifyMixSpec extends AnyFunSuite {
     assert(none.forall(_._4 == 5.0))
   }
 
+  /** Independent IRLS reference: same rounding contract (sums to 6, beta
+    * to 9) but a DIFFERENT solver (Gaussian elimination with partial
+    * pivoting vs the operator's in-plan Cramer), so agreement is not
+    * circular. */
+  private def irlsRef(data: Seq[(Long, Double, Double, Int)], iters: Int)
+      : (Double, Double, Double) = {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    var b = (0.001, 0.0, 0.0) // the operator's off-grid intercept init
+    for (_ <- 1 to iters) {
+      var g = Array(0.0, 0.0, 0.0)
+      val h = Array.ofDim[Double](3, 3)
+      data.foreach { case (_, x1, x2, y) =>
+        val mu = 1.0 / (1.0 + math.exp(-(b._1 + b._2 * x1 + b._3 * x2)))
+        val w = mu * (1 - mu)
+        val xs = Array(1.0, x1, x2)
+        for (j <- 0 to 2) {
+          g(j) += xs(j) * (y - mu)
+          for (k <- 0 to 2) h(j)(k) += w * xs(j) * xs(k)
+        }
+      }
+      g = g.map(r6)
+      for (j <- 0 to 2; k <- 0 to 2) h(j)(k) = r6(h(j)(k))
+      // Gaussian elimination with partial pivoting
+      val a = Array.tabulate(3)(j => h(j) :+ g(j))
+      for (p <- 0 to 2) {
+        val piv = (p to 2).maxBy(r => math.abs(a(r)(p)))
+        val t = a(p); a(p) = a(piv); a(piv) = t
+        for (r <- p + 1 to 2) {
+          val f = a(r)(p) / a(p)(p)
+          for (c <- p to 3) a(r)(c) -= f * a(p)(c)
+        }
+      }
+      val d = Array(0.0, 0.0, 0.0)
+      for (r <- 2 to 0 by -1)
+        d(r) = (a(r)(3) - (r + 1 to 2).map(c => a(r)(c) * d(c)).sum) / a(r)(r)
+      b = (r9(b._1 + d(0)), r9(b._2 + d(1)), r9(b._3 + d(2)))
+    }
+    b
+  }
+
+  test("logisticTrainScore matches an independent IRLS reference") {
+    val data = (1 to 60).map { i =>
+      val x1 = (i % 7).toDouble / 7.0
+      val x2 = (i % 5).toDouble / 5.0
+      // noisy linear rule so the fit is non-degenerate
+      val y = if (2.0 * x1 - 1.5 * x2 + (if (i % 3 == 0) 0.8 else -0.3) > 0)
+        1 else 0
+      (i.toLong, x1, x2, y)
+    }
+    val df = data.toDF("id", "x1", "x2", "y")
+    for (iters <- Seq(1, 2)) {
+      val want = irlsRef(data, iters)
+      val got = Classify.logisticTrainScore(df, "id", col("x1"), col("x2"),
+        col("y"), iters).limit(1).collect()(0)
+      val (b0, b1, b2) =
+        (got.getDouble(3), got.getDouble(4), got.getDouble(5))
+      assert(math.abs(b0 - want._1) < 1e-6, s"b0 at iters=$iters")
+      assert(math.abs(b1 - want._2) < 1e-6, s"b1 at iters=$iters")
+      assert(math.abs(b2 - want._3) < 1e-6, s"b2 at iters=$iters")
+    }
+    // the fitted scorer separates the (mostly) linear rule well
+    val scored = Classify.logisticTrainScore(df, "id", col("x1"), col("x2"),
+      col("y"), 2).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the fixture flips 1-in-3 rows against the linear rule, so the best
+    // achievable linear fit sits well under 1.0; 0.75 = rule recovered
+    val acc = data.count { case (i, _, _, y) => scored(i) == y.toLong }
+      .toDouble / data.size
+    assert(acc >= 0.75, f"training accuracy $acc%.2f")
+  }
+
+  test("logisticTrainScore raises on a singular Hessian") {
+    val df = (1 to 10).map(i => (i.toLong, 0.0, 0.0, i % 2))
+      .toDF("id", "x1", "x2", "y")
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    val e = intercept[Exception] {
+      Classify.logisticTrainScore(df, "id", col("x1"), col("x2"),
+        col("y")).collect()
+    }
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("singular Hessian"))))
+  }
+
   test("unimax guards: non-positive budget and negative weights raise") {
     def chain(t: Throwable): Seq[Throwable] =
       t +: Option(t.getCause).map(chain).getOrElse(Nil)
