@@ -127,6 +127,12 @@ object Bench {
         try src.mkString finally src.close()
       } catch { case _: Exception => "" }
     val prior = BenchDrift.priorMedians(priorBody, sfDir)
+    val host = BenchDrift.hostFingerprint()
+    // a prior recorded on a DIFFERENT machine makes the canary factor
+    // class-biased (see BenchDrift.hostFingerprint) — flags still compute
+    // and record (they seed the new host's baseline conversation) but are
+    // labeled ADVISORY, not regressions
+    val crossHost = BenchDrift.priorHost(priorBody).exists(_ != host)
     val currentMed = samples.flatMap { case (n, ss) =>
       BenchDrift.median(ss).map(n -> _) }.toMap
     val provisional = BenchDrift.analyze(prior, currentMed)
@@ -157,7 +163,9 @@ object Bench {
         BenchDrift.confirm(prior, med2, provisional)
       }
     drift.flags.foreach { f =>
-      System.err.println(f"[bench] DRIFT-NORMALIZED REGRESSION ${f.name}: " +
+      val kind = if (crossHost) "DRIFT (ADVISORY, cross-host prior)"
+        else "DRIFT-NORMALIZED REGRESSION"
+      System.err.println(f"[bench] $kind ${f.name}: " +
         f"${f.priorSec}%.3f -> ${f.currentSec}%.3f s " +
         f"(normalized ratio ${f.normRatio}%.3f, host factor " +
         f"${drift.factor.getOrElse(1.0)}%.3f)")
@@ -176,7 +184,7 @@ object Bench {
       }.mkString(""","confirm_runs":{""", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window; final flags restricted to the provisionally-flagged = re-measured queries)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,"policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window; final flags restricted to the provisionally-flagged = re-measured queries; flags are ADVISORY when the prior's host fingerprint differs — the canary factor is class-biased across machines)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps

@@ -117,6 +117,39 @@ object BenchDrift {
     else Some((ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2)
   }
 
+  /** Stable host fingerprint: CPU model string + logical core count +
+    * arch, SHA-1-shortened. The canary factor corrects a UNIFORM speed
+    * change of the same machine between runs; across different machines
+    * the correction is class-biased — JIT/GC/allocation-heavy plans slow
+    * differently from the scan/agg-shaped canaries (measured r12: a
+    * 1.196-factor host change left 9 allocation-heavy queries at 1.30 to
+    * 1.55x normalized on IDENTICAL code, all 9 surviving confirmation
+    * because the bias is stable on the new host). [[Bench]] records the
+    * fingerprint and downgrades flags to ADVISORY when the prior run's
+    * fingerprint differs — a cross-host compare can seed the new host's
+    * baseline but must not be read as a regression verdict. */
+  def hostFingerprint(): String = {
+    val model =
+      try {
+        val src = scala.io.Source.fromFile("/proc/cpuinfo")
+        try src.getLines().find(_.startsWith("model name"))
+          .map(_.split(":").drop(1).mkString(":").trim).getOrElse("unknown")
+        finally src.close()
+      } catch { case _: Exception => "unknown" }
+    val raw = model + "|" + Runtime.getRuntime.availableProcessors() +
+      "|" + sys.props.getOrElse("os.arch", "")
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The "host" field of a prior BENCH_RUNS.json body (absent in files
+    * written before fingerprinting existed — treated as unknown, which
+    * compares as cross-host-unknown = NOT provably same host, but we keep
+    * pre-fingerprint priors authoritative to avoid flapping: only a
+    * RECORDED different fingerprint downgrades). */
+  def priorHost(body: String): Option[String] =
+    "\"host\":\"([0-9a-f]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+
   /** Per-query MEDIANS from a BENCH_RUNS.json body written by [[Bench]]
     * (`"name":[s1,s2,...]` sample arrays; hand-parsed — no JSON library
     * on the engine classpath). A query appearing in both "confirm_runs"

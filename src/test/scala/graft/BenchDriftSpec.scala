@@ -154,4 +154,17 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(empty.contains(""""host_factor":null"""))
     assert(empty.contains(""""flagged":[]"""))
   }
+
+  test("host fingerprint is stable, hex-shaped, and parsed back from " +
+      "the runs file") {
+    val a = BenchDrift.hostFingerprint()
+    assert(a == BenchDrift.hostFingerprint(), "deterministic per process")
+    assert(a.matches("[0-9a-f]{12}"), s"hex-12, got $a")
+    val body = s"""{"nruns":3,"sf":"/x","host":"$a","cross_host":false,""" +
+      """"runs":{"q1_pricing_summary":[0.1]}}"""
+    assert(BenchDrift.priorHost(body).contains(a))
+    // pre-fingerprint files have no host field: same-host assumed (no
+    // advisory downgrade on the first fingerprinted run)
+    assert(BenchDrift.priorHost("""{"nruns":3,"runs":{}}""").isEmpty)
+  }
 }
