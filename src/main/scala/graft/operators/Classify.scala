@@ -206,6 +206,63 @@ object Classify {
         / sum(col("n")).over(w), 6))
   }
 
+  /** ROC curve + AUC of a binary scorer, tie-aware — the standard
+    * threshold-selection audit before a quality score becomes a data
+    * filter (complements [[calibration]]: ECE asks "is the score a
+    * probability", ROC/AUC asks "does it rank good above bad at all").
+    * AUC is computed by the Mann–Whitney rank formula with AVERAGE ranks
+    * for tied scores (the statistically standard tie treatment, equal to
+    * the trapezoidal area under the tie-diagonal ROC):
+    *
+    *   AUC = (Σ_{positives} avgRank − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+    *
+    * Output: one row per DISTINCT (rounded-6) score, descending —
+    * (threshold, n, tpr, fpr, auc): tpr/fpr are the operating point of
+    * "keep rows scoring ≥ threshold", auc repeats on every row (the
+    * [[calibration]] ece convention).
+    *
+    * Scale posture: one corpus scan -> hash aggregate keyed on the
+    * rounded score (|distinct scores| ≤ 2·10^6 at 6 dp — an aggregate-
+    * frame, never the corpus); both rank windows and the AUC aggregate
+    * run over that frame. Rank sums are exact in doubles up to 2^53
+    * (integer counts times .5-grid ranks). Raises loudly on a
+    * single-class input (AUC undefined) instead of emitting 0/0. */
+  def rocAuc(scored: DataFrame, scoreCol: String, truthCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored
+      .select(round(col(scoreCol), 6).as("threshold"),
+        col(truthCol).cast("int").cast("long").as("y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val asc = Window.orderBy(col("threshold").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g
+      .withColumn("cless", coalesce(sum(col("n")).over(asc), lit(0L)))
+      .withColumn("cum_tp", sum(col("np")).over(desc))
+      .withColumn("cum_fp", sum(col("n") - col("np")).over(desc))
+    val tot = ranked.agg(
+      sum(col("np")).as("n_pos"),
+      sum(col("n") - col("np")).as("n_neg"),
+      sum(col("np").cast("double")
+        * (col("cless") + (col("n") + 1L).cast("double") / 2.0))
+        .as("rank_sum"))
+      .withColumn("n_pos",
+        when(col("n_pos") <= 0 || col("n_neg") <= 0,
+          raise_error(lit("Classify.rocAuc: single-class input — AUC "
+            + "undefined")))
+          .otherwise(col("n_pos")))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n"),
+        round(col("cum_tp").cast("double") / col("n_pos"), 6).as("tpr"),
+        round(col("cum_fp").cast("double") / col("n_neg"), 6).as("fpr"),
+        round((col("rank_sum")
+          - col("n_pos").cast("double") * (col("n_pos") + 1L) / 2.0)
+          / (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+  }
+
   /** Distributed binary logistic regression over two engineered features +
     * intercept, trained by `iters` Newton–Raphson (IRLS) steps and applied
     * back to the corpus — the parametric quality scorer for the case where

@@ -9625,7 +9625,58 @@ object Queries {
            |    AS BIGINT) AS prediction,
            |  b0, b1, b2
            |FROM feat CROSS JOIN bt2 ORDER BY id""".stripMargin
-      })
+      }),
+
+    // ---------------------------------------------------------------------
+    // q198: ROC curve + tie-aware AUC of the heuristic quality score as an
+    // English-document detector — the threshold-selection audit run before
+    // a quality score becomes a data filter. Mann-Whitney average-rank
+    // formula; one row per distinct rounded score with the "keep >=
+    // threshold" operating point; auc repeated per row (q-ece convention).
+    QueryDef("q198_roc_auc",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = graft.operators.TextProfile.profile(d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("quality"), (col("lang") === "en").cast("int").as("y"))
+        Classify.rocAuc(scored, "quality", "y")
+          .orderBy(col("threshold").desc)
+      },
+      Some(s"""WITH stats AS (${docStatsNoOrder.replace("\n", "\n  ")}),
+              |lab AS (
+              |  SELECT round(s.quality, 6) AS threshold,
+              |    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+              |      AS y
+              |  FROM stats s JOIN documents d USING (doc_id)),
+              |g AS (
+              |  SELECT threshold, count(*) AS n, sum(y) AS np
+              |  FROM lab GROUP BY threshold),
+              |r AS (
+              |  SELECT threshold, CAST(n AS BIGINT) AS n,
+              |    CAST(np AS BIGINT) AS np,
+              |    CAST(coalesce(sum(n) OVER (ORDER BY threshold
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS cless,
+              |    CAST(sum(np) OVER (ORDER BY threshold DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS cum_tp,
+              |    CAST(sum(n - np) OVER (ORDER BY threshold DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS cum_fp
+              |  FROM g),
+              |tot AS (
+              |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+              |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+              |    sum(CAST(np AS DOUBLE)
+              |      * (cless + CAST(n + 1 AS DOUBLE) / 2.0)) AS rank_sum
+              |  FROM r)
+              |SELECT threshold, n,
+              |  round(CAST(cum_tp AS DOUBLE) / n_pos, 6) AS tpr,
+              |  round(CAST(cum_fp AS DOUBLE) / n_neg, 6) AS fpr,
+              |  round((rank_sum
+              |    - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+              |    / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+              |FROM r CROSS JOIN tot ORDER BY threshold DESC""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

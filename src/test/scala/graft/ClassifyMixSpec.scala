@@ -275,6 +275,35 @@ class ClassifyMixSpec extends AnyFunSuite {
     assert(acc >= 0.75, f"training accuracy $acc%.2f")
   }
 
+  test("rocAuc: hand-computed tie-aware AUC and ROC operating points") {
+    // scores: 0.9(+), 0.8(-), 0.8(+), 0.3(-). Ascending ranks: 0.3 -> 1,
+    // 0.8 -> avg(2,3) = 2.5 each, 0.9 -> 4. Positive rank sum = 2.5 + 4 =
+    // 6.5; AUC = (6.5 - 2*3/2) / (2*2) = 0.875 (equals the trapezoid
+    // under the tie-diagonal ROC).
+    val df = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.3, 0)).toDF("sc", "y")
+    val out = Classify.rocAuc(df, "sc", "y").orderBy(col("threshold").desc)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0.9, 1L, 0.5, 0.0, 0.875),
+      (0.8, 2L, 1.0, 0.5, 0.875),
+      (0.3, 1L, 1.0, 1.0, 0.875)))
+    // perfect separation -> AUC 1; reversed -> 0
+    val perf = Seq((0.9, 1), (0.1, 0)).toDF("sc", "y")
+    assert(Classify.rocAuc(perf, "sc", "y").collect()(0).getDouble(4) == 1.0)
+    val rev = Seq((0.9, 0), (0.1, 1)).toDF("sc", "y")
+    assert(Classify.rocAuc(rev, "sc", "y").collect()(0).getDouble(4) == 0.0)
+  }
+
+  test("rocAuc raises on single-class input") {
+    val df = Seq((0.9, 1), (0.1, 1)).toDF("sc", "y")
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    val e = intercept[Exception] { Classify.rocAuc(df, "sc", "y").collect() }
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("single-class"))))
+  }
+
   test("logisticTrainScore raises on a singular Hessian") {
     val df = (1 to 10).map(i => (i.toLong, 0.0, 0.0, i % 2))
       .toDF("id", "x1", "x2", "y")
