@@ -156,11 +156,19 @@ object Bench {
         confirmSamples = names2.map(n => n -> extra.map(_(n))).toMap
         val med2 = currentMed ++ names2.flatMap { n =>
           BenchDrift.median(byName(n) ++ extra.map(_(n))).map(n -> _) }
-        // confirm() restricts the final set to the provisionally flagged
-        // (= re-measured) queries: the confirm-window factor shift must
+        // confirm() restricts the final set to (1) provisionally flagged
+        // (= re-measured) queries — the confirm-window factor shift must
         // not ship an unconfirmed flag (r11: q100 crossed the bar purely
-        // on a 0.835->0.830 factor move, with zero confirmation samples)
-        BenchDrift.confirm(prior, med2, provisional)
+        // on a 0.835->0.830 factor move, with zero confirmation samples) —
+        // and (2) queries whose confirm-window median ITSELF still trips:
+        // the later-window re-measurement is the verdict, not a minority
+        // vote inside the combined median (r12: q55's clean 1.68/1.72 s
+        // confirm passes were outvoted 3-2 by the slow main window)
+        val confirmOnlyMed = provisional.flags.map(_.name).flatMap { n =>
+          confirmSamples.get(n).flatMap(BenchDrift.median).map(n -> _)
+        }.toMap
+        BenchDrift.confirm(prior, med2, provisional,
+          confirmOnly = confirmOnlyMed)
       }
     drift.flags.foreach { f =>
       val kind = if (crossHost) "DRIFT (ADVISORY, cross-host prior)"
@@ -184,7 +192,7 @@ object Bench {
       }.mkString(""","confirm_runs":{""", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,"policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window; final flags restricted to the provisionally-flagged = re-measured queries; flags are ADVISORY when the prior's host fingerprint differs — the canary factor is class-biased across machines)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,"policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; flags are ADVISORY when the prior's host fingerprint differs — the canary factor is class-biased across machines)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps

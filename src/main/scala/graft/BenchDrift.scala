@@ -92,20 +92,41 @@ object BenchDrift {
   }
 
   /** Final flag set after a confirmation pass. Re-analyzes with the
-    * confirm-updated medians, then RESTRICTS the flags to queries that
-    * were provisionally flagged — i.e. that actually received their own
-    * confirmation samples. Without the restriction, the confirm-window
-    * canary factor shift can newly trip a query that was never
-    * re-measured and ship it as a "CONFIRMED" flag with zero
-    * confirmation samples (exactly what happened to q100_incremental_lsh
-    * in the r11 driver run: factor 0.835→0.830 moved its normalized
-    * ratio 1.296→1.303 across the bar). */
+    * confirm-updated medians, then RESTRICTS the flags twice:
+    *
+    *  1. to queries that were provisionally flagged — i.e. that actually
+    *     received their own confirmation samples. Without this, the
+    *     confirm-window canary factor shift can newly trip a query that
+    *     was never re-measured and ship it as a "CONFIRMED" flag with
+    *     zero confirmation samples (the r11 q100 artifact: factor
+    *     0.835→0.830 moved its normalized ratio 1.296→1.303).
+    *  2. to queries whose confirm-WINDOW median itself still trips the
+    *     bar (when `confirmOnly` medians are supplied). The combined
+    *     5-sample median is 3-vs-2 dominated by the main sweep: a query
+    *     whose later-window re-measurement lands back at prior level is
+    *     absolved by construction of the design ("keep a flag only if
+    *     the re-measurement still trips") — r12 measured exactly this:
+    *     q55 main sweep [2.27, 2.39, 2.55] s vs confirm [1.68, 1.72] s
+    *     against prior median 1.83 s; the slow main window outvoted the
+    *     clean re-measurement and shipped a noise flag. */
   def confirm(prior: Map[String, Double], confirmedMed: Map[String, Double],
       provisional: Report, canaries: Seq[String] = Canaries,
-      ratioBar: Double = 1.3, absBar: Double = 0.2): Report = {
+      ratioBar: Double = 1.3, absBar: Double = 0.2,
+      confirmOnly: Map[String, Double] = Map.empty): Report = {
     val re = analyze(prior, confirmedMed, canaries, ratioBar, absBar)
     val allowed = provisional.flags.map(_.name).toSet
-    re.copy(flags = re.flags.filter(f => allowed(f.name)))
+    val factor = re.factor.getOrElse(1.0)
+    def confirmWindowTrips(name: String): Boolean =
+      confirmOnly.get(name) match {
+        case None => true // no confirm-only stats supplied — legacy mode
+        case Some(cm) => prior.get(name) match {
+          case Some(p) if p > 0 =>
+            (cm / p) / factor > ratioBar && cm - p * factor > absBar
+          case _ => true
+        }
+      }
+    re.copy(flags = re.flags.filter(f =>
+      allowed(f.name) && confirmWindowTrips(f.name)))
   }
 
   /** Median of the successful samples (the drift-compare statistic —

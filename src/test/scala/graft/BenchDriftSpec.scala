@@ -155,6 +155,34 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(empty.contains(""""flagged":[]"""))
   }
 
+  test("a clean confirm-window median absolves a flag the combined " +
+      "median would keep (the r12 q55 noise flag)") {
+    // the measured r12 shape: canaries ran 7% FASTER (factor 0.93) while
+    // q55's main-sweep window was slow — normalized 1.236/0.93 = 1.329
+    val prior = Map("q1_pricing_summary" -> 1.0, "q9_part_text" -> 1.0,
+      "q10_orders_by_month" -> 1.0, "q55_approx_quantiles" -> 1.834)
+    val fastCanaries = Map("q1_pricing_summary" -> 0.93,
+      "q9_part_text" -> 0.93, "q10_orders_by_month" -> 0.93)
+    val mainMed = prior ++ fastCanaries ++
+      Map("q55_approx_quantiles" -> 2.267)
+    val prov = BenchDrift.analyze(prior, mainMed)
+    assert(prov.flags.map(_.name) == Seq("q55_approx_quantiles"))
+    // combined 5-sample median stays at the slow main level (3-vs-2)…
+    val combined = mainMed
+    // …but the confirm-window's own median is back at prior level
+    val absolved = BenchDrift.confirm(prior, combined, prov,
+      confirmOnly = Map("q55_approx_quantiles" -> 1.7))
+    assert(absolved.flags.isEmpty,
+      "a re-measurement at prior level must absolve the flag")
+    // and a confirm window that STAYS slow ships the flag
+    val kept = BenchDrift.confirm(prior, combined, prov,
+      confirmOnly = Map("q55_approx_quantiles" -> 2.4))
+    assert(kept.flags.map(_.name) == Seq("q55_approx_quantiles"))
+    // legacy mode (no confirm-only medians) keeps the old behavior
+    val legacy = BenchDrift.confirm(prior, combined, prov)
+    assert(legacy.flags.map(_.name) == Seq("q55_approx_quantiles"))
+  }
+
   test("host fingerprint is stable, hex-shaped, and parsed back from " +
       "the runs file") {
     val a = BenchDrift.hostFingerprint()
