@@ -206,6 +206,57 @@ object Classify {
         / sum(col("n")).over(w), 6))
   }
 
+  /** Token–label mutual information — the classic feature-relevance
+    * ranking for text classifiers (Manning/Raghavan/Schütze IR book
+    * §13.5.1 "Mutual information" feature selection): for each token,
+    * the MI between its document-level PRESENCE and a binary label,
+    *
+    *   MI(t) = Σ_{x,y∈{0,1}} (n_xy/N) · ln(N·n_xy / (n_x·n_y)),
+    *
+    * 0·ln 0 cells = 0. Used to audit/shrink the vocabulary a
+    * [[nbTrainScore]]-class filter relies on, and to surface label-leaky
+    * boilerplate tokens before training.
+    *
+    * Scale posture: one scan -> per-doc DISTINCT token explode -> token-
+    * keyed partial aggregate (shuffle = postings, combiner-friendly);
+    * the label totals are a 1-row broadcast; the 4-cell MI arithmetic is
+    * a per-token projection; top-k ends in TakeOrderedAndProject via the
+    * rounded-MI total order (mi desc, token asc). Nothing wider than the
+    * vocabulary ever shuffles.
+    *
+    * Returns the top `k` tokens: (token, n_docs, n_pos, mi). */
+  def tokenMutualInformation(df: DataFrame, idCol: String, textCol: String,
+      label: Column, k: Int = 25): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      label.cast("int").cast("long").as("y"),
+      array_distinct(Text.tokens(col(textCol))).as("toks"))
+    val tot = docs.agg(count(lit(1)).as("nn"), sum(col("y")).as("c1"))
+    val byTok = docs.select(col("y"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("nt"), sum(col("y")).as("a"))
+    // one 4-cell term; nxy > 0 implies nx >= nxy > 0, and ny > 0 because
+    // a positive cell count cannot exceed its label total
+    def cell(nxy: Column, nx: Column, ny: Column, nn: Column): Column =
+      when(nxy > 0,
+        nxy.cast("double") / nn
+          * log(nn.cast("double") * nxy / (nx.cast("double") * ny)))
+        .otherwise(lit(0.0))
+    val scored = byTok.crossJoin(broadcast(tot))
+      .withColumn("b", col("nt") - col("a"))
+      .withColumn("c0", col("nn") - col("c1"))
+      .withColumn("mi", round(
+        cell(col("a"), col("nt"), col("c1"), col("nn"))
+          + cell(col("b"), col("nt"), col("c0"), col("nn"))
+          + cell(col("c1") - col("a"), col("nn") - col("nt"), col("c1"),
+            col("nn"))
+          + cell(col("c0") - col("b"), col("nn") - col("nt"), col("c0"),
+            col("nn")), 6))
+    scored.select(col("token"), col("nt").as("n_docs"),
+        col("a").as("n_pos"), col("mi"))
+      .orderBy(col("mi").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** ROC curve + AUC of a binary scorer, tie-aware — the standard
     * threshold-selection audit before a quality score becomes a data
     * filter (complements [[calibration]]: ECE asks "is the score a

@@ -9676,7 +9676,58 @@ object Queries {
               |  round((rank_sum
               |    - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
               |    / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
-              |FROM r CROSS JOIN tot ORDER BY threshold DESC""".stripMargin))
+              |FROM r CROSS JOIN tot ORDER BY threshold DESC""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q199: token-label mutual information (IR-book §13.5.1 feature
+    // selection) — top-25 tokens by MI between document-level presence and
+    // lang == 'en'. Postings-shaped token aggregate + a 1-row totals
+    // broadcast; the twin restates the identical 4-cell ln arithmetic.
+    QueryDef("q199_token_mi",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Classify.tokenMutualInformation(d, "doc_id", "text",
+          (col("lang") === "en").cast("int"), k = 25)
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+             |      AS y,
+             |    list_distinct(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS toks
+             |  FROM documents),
+             |tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS nn,
+             |         CAST(sum(y) AS BIGINT) AS c1
+             |  FROM docs),
+             |posts AS (SELECT y, unnest(toks) AS token FROM docs),
+             |byt AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS nt,
+             |         CAST(sum(y) AS BIGINT) AS a
+             |  FROM posts GROUP BY token),
+             |mi AS (
+             |  SELECT token, nt, a,
+             |    round(
+             |      (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) / nn
+             |        * ln(CAST(nn AS DOUBLE) * a
+             |          / (CAST(nt AS DOUBLE) * c1)) ELSE 0.0 END)
+             |      + (CASE WHEN nt - a > 0
+             |        THEN CAST(nt - a AS DOUBLE) / nn
+             |        * ln(CAST(nn AS DOUBLE) * (nt - a)
+             |          / (CAST(nt AS DOUBLE) * (nn - c1))) ELSE 0.0 END)
+             |      + (CASE WHEN c1 - a > 0
+             |        THEN CAST(c1 - a AS DOUBLE) / nn
+             |        * ln(CAST(nn AS DOUBLE) * (c1 - a)
+             |          / (CAST(nn - nt AS DOUBLE) * c1)) ELSE 0.0 END)
+             |      + (CASE WHEN (nn - c1) - (nt - a) > 0
+             |        THEN CAST((nn - c1) - (nt - a) AS DOUBLE) / nn
+             |        * ln(CAST(nn AS DOUBLE) * ((nn - c1) - (nt - a))
+             |          / (CAST(nn - nt AS DOUBLE) * (nn - c1)))
+             |        ELSE 0.0 END), 6) AS mi
+             |  FROM byt CROSS JOIN tot)
+             |SELECT token, nt AS n_docs, a AS n_pos, mi
+             |FROM mi ORDER BY mi DESC, token LIMIT 25""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

@@ -295,6 +295,27 @@ class ClassifyMixSpec extends AnyFunSuite {
     assert(Classify.rocAuc(rev, "sc", "y").collect()(0).getDouble(4) == 0.0)
   }
 
+  test("tokenMutualInformation: hand-computed 4-cell MI, presence not " +
+      "frequency") {
+    // d1 "apple banana"(+), d2 "apple apple"(+), d3 "banana"(-),
+    // d4 "cherry"(-): N=4, c1=2. apple: perfectly informative, MI = ln 2.
+    // banana: one doc each side, MI = 0. cherry: only-negative singleton,
+    // MI = .25 ln 2 + .5 ln(4/3) + .25 ln(2/3) = 0.215762. d2's repeated
+    // "apple" counts ONCE (document presence, not term frequency).
+    val df = Seq((1L, "apple banana", 1), (2L, "apple apple", 1),
+      (3L, "banana", 0), (4L, "cherry", 0)).toDF("id", "text", "y")
+    val out = Classify.tokenMutualInformation(df, "id", "text", col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("apple") == ((2L, 2L, 0.693147)))
+    assert(out("banana") == ((2L, 1L, 0.0)))
+    assert(out("cherry") == ((1L, 0L, 0.215762)))
+    // ranking: apple > cherry > banana; k truncates
+    val top2 = Classify.tokenMutualInformation(df, "id", "text", col("y"),
+      k = 2).collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("apple", "cherry"))
+  }
+
   test("rocAuc raises on single-class input") {
     val df = Seq((0.9, 1), (0.1, 1)).toDF("sc", "y")
     def chain(t: Throwable): Seq[Throwable] =
