@@ -328,10 +328,25 @@ object Dedup {
     * catalog + the meta. `bandsTable` (id, band, bucket) is bucketed by
     * (band, bucket) so an ingest probe joins it with NO exchange on the
     * index side; `postsTable` (id, shingle) is bucketed by id for the
-    * rescore joins. */
-  case class LshIndex(name: String, path: String, meta: LshIndexMeta) {
+    * rescore joins.
+    *
+    * `gen` is the compaction generation: generation 0 lives at
+    * `$path/bands` / `$path/posts` (the writer's layout), generation N > 0
+    * at `$path/bands.cN` / `$path/posts.cN`, committed by the
+    * `$path/_compact_cN` marker file ([[compactLshIndex]] — the
+    * ContactsStream snapshot discipline: a generation without its marker
+    * is a torn write and is never resolved). Appends land in the CURRENT
+    * generation's directories; [[readLshIndex]] resolves the newest
+    * committed generation and re-points stale catalog entries. */
+  case class LshIndex(name: String, path: String, meta: LshIndexMeta,
+      gen: Int = 0) {
     def bandsTable: String = s"${name}_bands"
     def postsTable: String = s"${name}_posts"
+    def bandsDir: String =
+      if (gen == 0) s"$path/bands" else s"$path/bands.c$gen"
+    def postsDir: String =
+      if (gen == 0) s"$path/posts" else s"$path/posts.c$gen"
+    def tombstonesDir: String = s"$path/tombstones"
   }
 
   /** Build and PERSIST the corpus side of the incremental-dedup index —
@@ -375,41 +390,92 @@ object Dedup {
       val idx = LshIndex(name, path, meta)
       spark.sql(s"DROP TABLE IF EXISTS ${idx.bandsTable}")
       spark.sql(s"DROP TABLE IF EXISTS ${idx.postsTable}")
+      // "overwrites any prior index": stale compaction generations,
+      // markers, tombstones, and streaming absorb markers
+      // (DocStream.absorbOnce) of a previous index at this path must not
+      // shadow, filter, or skip-absorb against the fresh generation-0 write
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+          val n = st.getPath.getName
+          if (n.matches(
+              "bands\\.c\\d+|posts\\.c\\d+|_compact_c\\d+|_absorbed_\\d+")
+              || n == "tombstones")
+            fs.delete(st.getPath, true)
+        }
       banded.write.mode("overwrite")
         .bucketBy(numBuckets, "band", "bucket")
-        .option("path", s"$path/bands")
+        .option("path", idx.bandsDir)
         .saveAsTable(idx.bandsTable)
       posts.write.mode("overwrite")
         .bucketBy(numBuckets, "id")
-        .option("path", s"$path/posts")
+        .option("path", idx.postsDir)
         .saveAsTable(idx.postsTable)
       writeMeta(s"$path/meta.json", meta)
       idx
     } finally posts.unpersist(blocking = false)
   }
 
-  /** Open a persisted LSH index from `path`, registering the bucketed
-    * external tables in THIS session's catalog when absent (the cross-
-    * session ingest path: build once, probe from any later job). The
-    * bucket spec in the DDL must match the writer's for exchange-free
-    * probes — both come from the same meta.json. */
+  /** Open a persisted LSH index from `path`, resolving the newest
+    * COMMITTED compaction generation (marker files `_compact_cN`; a
+    * generation without its marker is a torn [[compactLshIndex]] write and
+    * is never resolved) and registering the bucketed external tables in
+    * THIS session's catalog — creating them when absent, RE-POINTING them
+    * when a stale entry targets a superseded generation's location (the
+    * cross-session ingest path: build once, compact anywhere, probe from
+    * any later job). The bucket spec in the DDL must match the writer's
+    * for exchange-free probes — both come from the same meta.json. */
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       name: String): LshIndex = {
     val meta = readMeta(spark, s"$path/meta.json")
-    val idx = LshIndex(name, path, meta)
-    if (!spark.catalog.tableExists(idx.bandsTable))
-      spark.sql(
-        s"""CREATE TABLE ${idx.bandsTable} (id BIGINT, band INT, bucket BIGINT)
-           |USING parquet
-           |CLUSTERED BY (band, bucket) INTO ${meta.numBuckets} BUCKETS
-           |LOCATION '$path/bands'""".stripMargin)
-    if (!spark.catalog.tableExists(idx.postsTable))
-      spark.sql(
-        s"""CREATE TABLE ${idx.postsTable} (id BIGINT, shingle BIGINT)
-           |USING parquet
-           |CLUSTERED BY (id) INTO ${meta.numBuckets} BUCKETS
-           |LOCATION '$path/posts'""".stripMargin)
+    val idx = LshIndex(name, path, meta, gen = resolveGen(spark, path))
+    registerTables(spark, idx)
     idx
+  }
+
+  /** Newest committed compaction generation at `path` (0 = the writer's
+    * uncompacted layout). Strict `_compact_c<digits>` match — junk names
+    * never resolve. */
+  private def resolveGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("_compact_c\\d+") =>
+        n.stripPrefix("_compact_c").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** Create (or re-point) the index's catalog tables at ITS generation's
+    * locations. A table registered against a superseded generation is
+    * dropped and recreated — external DDL, so no data moves. */
+  private def registerTables(spark: org.apache.spark.sql.SparkSession,
+      idx: LshIndex): Unit = {
+    def currentLocation(table: String): Option[String] =
+      spark.sql(s"DESCRIBE FORMATTED $table").collect()
+        .find(_.getString(0) == "Location").map(_.getString(1))
+    def ensure(table: String, dir: String, ddl: String): Unit = {
+      if (spark.catalog.tableExists(table)) {
+        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val stale = !currentLocation(table).exists(loc =>
+          new org.apache.hadoop.fs.Path(loc).toUri.getPath == want)
+        if (stale) spark.sql(s"DROP TABLE $table") else return
+      }
+      spark.sql(ddl)
+    }
+    ensure(idx.bandsTable, idx.bandsDir,
+      s"""CREATE TABLE ${idx.bandsTable} (id BIGINT, band INT, bucket BIGINT)
+         |USING parquet
+         |CLUSTERED BY (band, bucket) INTO ${idx.meta.numBuckets} BUCKETS
+         |LOCATION '${idx.bandsDir}'""".stripMargin)
+    ensure(idx.postsTable, idx.postsDir,
+      s"""CREATE TABLE ${idx.postsTable} (id BIGINT, shingle BIGINT)
+         |USING parquet
+         |CLUSTERED BY (id) INTO ${idx.meta.numBuckets} BUCKETS
+         |LOCATION '${idx.postsDir}'""".stripMargin)
   }
 
   /** Near-dup pairs introduced by a new `batch` against a PERSISTED index
@@ -419,14 +485,25 @@ object Dedup {
     * with no index-side exchange (LshIndexSpec pins this), and the rescore
     * reads `{name}_posts` pre-partitioned on id. Only the batch — the
     * small side of every ingest — is shuffled. Caller contract: batch ids
-    * disjoint from indexed ids. */
+    * disjoint from indexed ids.
+    *
+    * RETRACTED ids ([[retractFromLshIndex]]) are filtered out of both
+    * index-side tables via a BROADCAST anti-join — tombstones are
+    * retraction-batch-sized metadata until [[compactLshIndex]] folds them
+    * into the files, and a broadcast anti preserves the index side's
+    * bucketed partitioning, so the no-index-side-exchange plan shape is
+    * unchanged (LshIndexSpec pins both states). When no tombstones exist
+    * the plan is bit-identical to the pre-retraction one. */
   def probeLshIndex(index: LshIndex, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     val m = index.meta
     val rows = m.numHashes / m.bands
-    val cb = spark.table(index.bandsTable)
-    val cPosts = spark.table(index.postsTable)
+    val tombs = tombstones(spark, index)
+    def live(df: DataFrame): DataFrame = tombs.fold(df)(t =>
+      df.join(broadcast(t), df("id") === t("tomb_id"), "left_anti"))
+    val cb = live(spark.table(index.bandsTable))
+    val cPosts = live(spark.table(index.postsTable))
     val bPosts = Pins.pin(
       shinglePostings(batch, idCol, textCol, m.shingleSize, m.maxDocFreq))
     val bb = Pins.pin(
@@ -469,13 +546,140 @@ object Dedup {
           .as(Seq("band", "bucket")))
       banded.write.mode("append")
         .bucketBy(m.numBuckets, "band", "bucket")
-        .option("path", s"${index.path}/bands")
+        .option("path", index.bandsDir)
         .saveAsTable(index.bandsTable)
       posts.write.mode("append")
         .bucketBy(m.numBuckets, "id")
-        .option("path", s"${index.path}/posts")
+        .option("path", index.postsDir)
         .saveAsTable(index.postsTable)
     } finally posts.unpersist(blocking = false)
+  }
+
+  /** Retract documents from a persisted index: append their ids as
+    * TOMBSTONES (`$path/tombstones`, plain parquet). Probes hide
+    * tombstoned ids immediately (broadcast anti-join in
+    * [[probeLshIndex]]); the physical rows leave the bucketed files at
+    * the next [[compactLshIndex]], which also clears the tombstones.
+    * Re-adding a retracted id requires a compaction first — an append
+    * while its tombstone is live stays hidden (the tombstone filters by
+    * id, not by file age). */
+  def retractFromLshIndex(index: LshIndex, ids: DataFrame,
+      idCol: String): Unit = {
+    require(ids.schema(ids.schema.fieldIndex(idCol)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "persisted index ids must be BIGINT")
+    ids.select(col(idCol).as("tomb_id"))
+      .write.mode("append").parquet(index.tombstonesDir)
+  }
+
+  /** Live tombstone set, or None when none have been written (the common
+    * case — keeps the probe plan bit-identical to the tombstone-free
+    * one). */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      index: LshIndex): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(index.tombstonesDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(index.tombstonesDir)
+        .select(col("tomb_id")).distinct())
+    else None
+  }
+
+  /** Compact a persisted index: rewrite both bucketed tables into the
+    * NEXT generation's directories with the SAME bucket spec — one file
+    * per bucket (the repartition below uses bucketing's own hash, so each
+    * task holds exactly one bucket) — applying and then clearing any
+    * tombstones. [[appendToLshIndex]] writes one file per bucket per
+    * append, so a streaming-cadence ingest
+    * ([[graft.streaming.DocStream.ingestDedupStream]]) grows each
+    * bucket's file count without bound; this rewrite is the periodic
+    * counter-move that keeps the exchange-free probe scan from drowning
+    * in small files.
+    *
+    * Crash-safe by the ContactsStream snapshot discipline: the new
+    * generation is written COMPLETELY, then committed with a
+    * `_compact_cN` marker, and only then do the catalog re-point,
+    * tombstone clear, and old-generation retention sweep run. A crash
+    * before the marker leaves the current generation authoritative (the
+    * torn directories are swept by the next compaction); a crash after it
+    * leaves a committed generation that [[readLshIndex]] resolves, with
+    * the remaining steps idempotent (re-applying cleared tombstones to
+    * already-filtered data is a no-op anti-join). Single-writer contract,
+    * like append: don't compact concurrently with appends.
+    *
+    * Returns the handle at the new generation (the session's catalog
+    * tables are re-pointed in place, so existing probe code keeps
+    * working). */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      index: LshIndex): LshIndex = {
+    val m = index.meta
+    val fs = new org.apache.hadoop.fs.Path(index.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // next generation = 1 + max over COMMITTED and torn generation dirs,
+    // so a torn previous attempt is never half-reused
+    val maxSeen = fs.listStatus(new org.apache.hadoop.fs.Path(index.path))
+      .iterator.map(_.getPath.getName)
+      .collect {
+        case n if n.matches("_compact_c\\d+") =>
+          n.stripPrefix("_compact_c").toInt
+        case n if n.matches("(bands|posts)\\.c\\d+") =>
+          n.replaceFirst("^(bands|posts)\\.c", "").toInt
+      }
+      .foldLeft(index.gen)(math.max)
+    val next = index.copy(gen = maxSeen + 1)
+    fs.delete(new org.apache.hadoop.fs.Path(next.bandsDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(next.postsDir), true)
+
+    val tombs = tombstones(spark, index)
+    def live(df: DataFrame): DataFrame = tombs.fold(df)(t =>
+      df.join(broadcast(t), df("id") === t("tomb_id"), "left_anti"))
+    // bucketed writes emit one file per (task, bucket); repartitioning on
+    // the bucket columns uses the same murmur3-pmod hash as the bucket
+    // spec, so every task holds exactly one bucket -> one file per bucket.
+    // The source is read as PLAIN parquet, not through the bucketed
+    // catalog table: a bucketed scan would claim the target partitioning,
+    // the optimizer would then drop the "redundant" repartition, and
+    // DisableUnnecessaryBucketedScan would finally fall back to per-file
+    // splits — reproducing one file per INPUT split instead of per bucket
+    // (observed: a 10-file generation compacting to 10 files).
+    def rewrite(srcDir: String, dir: String, tmpTable: String,
+        bucketCols: Seq[String]): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      live(spark.read.parquet(srcDir))
+        .repartition(m.numBuckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(m.numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .option("path", dir)
+        .saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE $tmpTable") // external: files stay
+    }
+    rewrite(index.bandsDir, next.bandsDir,
+      s"${index.name}_bands_compacting", Seq("band", "bucket"))
+    rewrite(index.postsDir, next.postsDir,
+      s"${index.name}_posts_compacting", Seq("id"))
+
+    // COMMIT: everything below is post-commit housekeeping
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${index.path}/_compact_c${next.gen}")
+    fs.create(marker, true).close()
+
+    spark.sql(s"DROP TABLE IF EXISTS ${index.bandsTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${index.postsTable}")
+    registerTables(spark, next)
+    fs.delete(new org.apache.hadoop.fs.Path(index.tombstonesDir), true)
+    // retention: superseded generations (and their markers) are never
+    // read again once the newer marker exists
+    fs.listStatus(new org.apache.hadoop.fs.Path(index.path)).foreach { st =>
+      val n = st.getPath.getName
+      val gOf = "^(?:bands\\.c|posts\\.c|_compact_c)(\\d+)$".r
+      n match {
+        case gOf(g) if g.toInt < next.gen => fs.delete(st.getPath, true)
+        case "bands" | "posts" if next.gen > 0 => fs.delete(st.getPath, true)
+        case _ =>
+      }
+    }
+    next
   }
 
   /** meta.json codec — fixed field order, no JSON library needed. */

@@ -624,12 +624,14 @@ object Similarity {
           cv.slice(mi * model.ds, (mi + 1) * model.ds)
         def dotd(a: Seq[Double], b: Seq[Double]) =
           a.zip(b).map { case (x, y) => x * y }.sum
-        // list assignment as a pure projection (trainLloyd's argmax trick);
-        // resolved against the projected __v, not the caller's column
-        val assignment = array_max(array(cents.map { case (cid, cv) =>
-          struct(Vec.cosine(col("__v"), array(cv.map(lit): _*)).as("sim"),
-            lit(-cid).as("neg"), lit(cid).as("cent_id"))
-        }: _*)).getField("cent_id")
+        // list assignment as a pure projection (trainLloyd's argmax
+        // semantics), via the native ArgmaxCosine kernel — the unrolled
+        // array_max-over-structs form blew past janino's 64 KB method limit
+        // at nlist = 64 once fused with the scan's cast loops, silently
+        // dropping the encode to interpreted mode (PqCodegenSpec pins the
+        // fix); resolved against the projected __v, not the caller's column
+        val assignment = graft.expressions.ArgmaxCosine.column(col("__v"),
+          array(cents.map { case (_, cv) => array(cv.map(lit): _*) }: _*))
         // per-(list, code) constant ||cb||^2 + 2 c_sub.cb — a foldable 2-D
         // literal; the row's list selects its k-wide const row for PqArgmin
         val constsByList = (mi: Int) => array(cents.map { case (_, cv) =>

@@ -636,8 +636,9 @@ object Queries {
     // channel sums arithmetically from encodePng's pixel formula
     // p(x,y) = (x*31+y*17)|FF<<24, so a fake featurizer, a channel-order
     // slip, or a colorspace-converting decode all move every hash. (The
-    // rolling-hash fake featurizer q23 graded until r12 remains spec-only
-    // plumbing for ffmpeg-class formats — outside the registry.)
+    // rolling-hash fake featurizer q23 graded until r12 was DELETED in
+    // r13; featurize's default is now the real imageFeatures, graded as
+    // q201.)
     QueryDef("q23_pixel_features",
       (s, dir) => {
         import s.implicits._
@@ -9727,7 +9728,270 @@ object Queries {
              |        ELSE 0.0 END), 6) AS mi
              |  FROM byt CROSS JOIN tot)
              |SELECT token, nt AS n_docs, a AS n_pos, mi
-             |FROM mi ORDER BY mi DESC, token LIMIT 25""".stripMargin))
+             |FROM mi ORDER BY mi DESC, token LIMIT 25""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q200: the PRODUCTION IVF-PQ operating point, recall-graded — q95's
+    // residual IVF-PQ at the parameters its scaladoc prescribes for large
+    // corpora (nlist = 64, nprobe = 4 << nlist) with a CORPUS-SIZE-
+    // INDEPENDENT query set (vec_id % 25 = 0 AND < 500: the same 20
+    // queries at every SF). q95 pins nprobe = nlist so only quantization
+    // is under contract; here IVF recall itself is the graded quantity:
+    // both engines restate the full pipeline (coarse assign at 64 lists,
+    // residual encode, 4-list probe, ADC top-10) AND the exact round-6
+    // brute-force truth, and the output is per-query recall@10. The twin
+    // recomputes everything from scratch in SQL, so a routing, encode, or
+    // scoring divergence shows up as a recall mismatch. This operating
+    // point is also the round-12 janino-fallback configuration:
+    // PqCodegenSpec asserts the exact plan graded here compiles
+    // whole-stage with zero interpreted fallbacks. Expected values: the
+    // synthetic embeddings are near-isotropic (no cluster structure for
+    // the coarse quantizer to exploit), so measured recall@10 sits at
+    // 0.12-0.28 mean across SFs — well above the 4/64 random-routing
+    // floor but far below clustered-data recall; the graded contract is
+    // the recall COMPUTATION (routing + encode + ADC + truth), with the
+    // quality/speed trade owned by (nlist, nprobe) per deployment.
+    QueryDef("q200_ivfpq_prod_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val model = Similarity.pqTrainResidual(e, "vec_id", "vec",
+          m = 8, k = 16, nlist = 64)
+        val approx = Similarity.pqTopK(e, "vec_id", "vec", q, "qid", "qvec",
+            k = 10, model, nlist = 64, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"))
+        // exact truth: brute-force round-6 cosine top-10, q95's tie order
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("vec").as("cvec"), Vec.norm(col("vec")).as("cnrm"))
+        val qn = q.select(col("qid").as("query_id"), col("qvec"),
+          Vec.norm(col("qvec")).as("qnrm"))
+        val scored = c.join(broadcast(qn),
+            col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Vec.cosineFromParts(Vec.dot(col("qvec"), col("cvec")),
+              col("qnrm"), col("cnrm")), 6).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        qn.select(col("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 10.0, 4).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+             |    v AS cv
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 64)),
+             |asg AS (
+             |  SELECT vec_id, v, cidx, cv FROM (
+             |    SELECT e.vec_id, e.v, cc.cidx, cc.cv, row_number() OVER (
+             |      PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cidx)
+             |      AS rn
+             |    FROM e CROSS JOIN cc) WHERE rn = 1),
+             |res AS (
+             |  SELECT vec_id, cidx, cv,
+             |    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
+             |  FROM asg),
+             |cbsrc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+             |  FROM (SELECT vec_id, r FROM res
+             |        ORDER BY vec_id LIMIT 16 OFFSET 64)),
+             |cb AS (
+             |  SELECT ms.m, code, r[ms.m*8+1 : ms.m*8+8] AS cbv
+             |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+             |keys AS (
+             |  SELECT d.vec_id, cb.m, cb.code, cb.cbv,
+             |    round(list_inner_product(cb.cbv, cb.cbv)
+             |      - 2 * list_inner_product(d.r[cb.m*8+1 : cb.m*8+8], cb.cbv),
+             |      6) AS key
+             |  FROM res d CROSS JOIN cb),
+             |pick AS (
+             |  SELECT vec_id, m, code, cbv FROM (
+             |    SELECT vec_id, m, code, cbv, row_number() OVER (
+             |      PARTITION BY vec_id, m ORDER BY key, code) AS rn
+             |    FROM keys)
+             |  WHERE rn = 1),
+             |recon AS (
+             |  SELECT p.vec_id, r.cidx,
+             |    list_transform(range(64), i -> r.cv[i+1] + p.rh[i+1])
+             |      AS xhat
+             |  FROM (SELECT vec_id, flatten(list(cbv ORDER BY m)) AS rh
+             |        FROM pick GROUP BY vec_id) p
+             |  JOIN res r USING (vec_id)),
+             |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |       WHERE vec_id % 25 = 0 AND vec_id < 500),
+             |probes AS (
+             |  SELECT query_id, cidx FROM (
+             |    SELECT q.query_id, cc.cidx, row_number() OVER (
+             |      PARTITION BY q.query_id
+             |      ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC, cc.cidx)
+             |      AS rn
+             |    FROM qs q CROSS JOIN cc) WHERE rn <= 4),
+             |approx AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY pq_cosine DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT p.query_id, rc.vec_id AS neighbor_id,
+             |        round(list_cosine_similarity(q.qv, rc.xhat), 6)
+             |          AS pq_cosine
+             |      FROM probes p JOIN qs q USING (query_id)
+             |      JOIN recon rc
+             |        ON rc.cidx = p.cidx AND rc.vec_id <> p.query_id))
+             |  WHERE rank <= 10),
+             |exact AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT q.query_id, e2.vec_id AS neighbor_id,
+             |        round(list_cosine_similarity(q.qv, e2.v), 6) AS cosine
+             |      FROM qs q JOIN e e2 ON e2.vec_id <> q.query_id))
+             |  WHERE rank <= 10),
+             |hits AS (
+             |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+             |  FROM exact x JOIN approx a
+             |    ON a.query_id = x.query_id
+             |    AND a.neighbor_id = x.neighbor_id
+             |  GROUP BY a.query_id)
+             |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+             |  round(coalesce(h.hits, 0) / 10.0, 4) AS recall
+             |FROM qs q LEFT JOIN hits h USING (query_id)
+             |ORDER BY q.query_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q201: the REAL default featurizer (featurize -> imageFeatures),
+    // graded through its integer primitive imageHistogram: executor-
+    // encoded ARGB PNGs (the q22/q23 fixture) are fully raster-decoded
+    // and folded into per-channel 4-bucket value histograms; the twin
+    // recomputes every bucket count arithmetically from encodePng's
+    // pixel formula p(x,y) = (x*31+y*17)|FF<<24. Exact counts — no float
+    // seam — while the normalized float vector divides these counts by
+    // n_pixels (the spec pins that equivalence). Non-zero buckets only
+    // (the oracle's GROUP BY shape). This retires the last fake code
+    // path: fakeFeatures was deleted with this query's landing.
+    QueryDef("q201_image_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val hist = ids.mapPartitions(_.map { id =>
+          val blob = graft.operators.Multimodal.encodePng(
+            ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
+          (id, graft.operators.Multimodal.imageHistogram(blob, 4)
+            .getOrElse(Array.empty[Long]))
+        }).toDF("doc_id", "hist")
+        hist.select(col("doc_id"),
+            posexplode(col("hist")).as(Seq("pos", "cnt")))
+          .filter(col("cnt") > 0)
+          .select(col("doc_id"), (col("pos") / 4).cast("int").as("channel"),
+            pmod(col("pos"), lit(4)).cast("int").as("bucket"), col("cnt"))
+          .orderBy(col("doc_id"), col("channel"), col("bucket"))
+      },
+      // channels A,R,G,B; bucket width 64. v = x*31+y*17 <= 1202:
+      // A = 255 -> bucket 3; R = (v>>16)&255 = 0 -> bucket 0;
+      // G = v//256 <= 4 -> bucket 0; B = v%256 spreads over all buckets.
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |    unnest(range(0, CAST(w * h AS BIGINT))) AS p
+             |  FROM dims),
+             |v AS (SELECT doc_id, (p % w) * 31 + (p // w) * 17 AS val
+             |      FROM px),
+             |comp AS (
+             |  SELECT doc_id, 0 AS channel, 3 AS bucket FROM v
+             |  UNION ALL SELECT doc_id, 1, 0 FROM v
+             |  UNION ALL SELECT doc_id, 2, CAST((val // 256) // 64 AS INT)
+             |    FROM v
+             |  UNION ALL SELECT doc_id, 3, CAST((val % 256) // 64 AS INT)
+             |    FROM v)
+             |SELECT doc_id, channel, bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM comp GROUP BY doc_id, channel, bucket
+             |ORDER BY doc_id, channel, bucket""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q202: the STREAMING ingest loop end-to-end under the oracle gate —
+    // DocStream.ingestDedupStream (probe -> absorb -> probe) over the
+    // persisted q194 index family. Two real Structured Streaming drains
+    // against the same checkpoint: batch1 (drop-first-word variants,
+    // +10000) is probed against the indexed corpus then ABSORBED; batch2
+    // (drop-LAST-word variants, +20000) streams through a RESTARTED query
+    // and must pair against the corpus AND batch1's absorbed docs. The
+    // combined pair-sink equals the exact-Jaccard closure over
+    // corpus ∪ batch1 ∪ batch2 restricted to pairs whose later member is
+    // streamed (id_b >= 10000) — a routing, absorb-replay, checkpoint, or
+    // rescore defect each moves the set. Pair values are exact-rescored
+    // Jaccards, same contract as q194/q100.
+    QueryDef("q202_ingest_stream",
+      (s, dir) => {
+        import graft.streaming.DocStream
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch1 = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        val batch2 = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_q202_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        // deterministic re-runs: the stream's checkpoint, absorb markers,
+        // pair sink and index all restart from scratch
+        def rm(p: String): Unit = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        rm(base)
+        val (idxPath, docsDir, outDir, ckpt) = (s"$base/idx",
+          s"$base/docs", s"$base/pairs", s"$base/ckpt")
+        val name = "q202_idx_" + base.takeRight(12)
+        Dedup.writeLshIndex(d, "doc_id", "text", idxPath, name,
+          shingleSize = 3, numHashes = 64, bands = 16)
+        val idx = Dedup.readLshIndex(s, idxPath, name)
+        // drain 1: batch1 lands, is probed, then absorbed
+        batch1.coalesce(1).write.mode("append").parquet(docsDir)
+        DocStream.ingestDedupStream(s, docsDir, idx, outDir, ckpt,
+          threshold = 0.7)
+        // drain 2: a RESTART — the checkpoint resumes past batch1's files,
+        // and batch2 probes corpus ∪ batch1 through the appended index
+        batch2.coalesce(1).write.mode("append").parquet(docsDir)
+        DocStream.ingestDedupStream(s, docsDir, idx, outDir, ckpt,
+          threshold = 0.7)
+        s.read.parquet(outDir)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle
+        .replace(
+          """|  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),""".stripMargin,
+          """|  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 20000, regexp_replace(text, '\s+\S+$', '')
+             |  FROM documents WHERE doc_id % 7 = 0),""".stripMargin)
+        .replace(
+          "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
+          "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
+            "  AND id_b >= 10000")))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

@@ -157,6 +157,123 @@ class LshIndexSpec extends AnyFunSuite {
     }
   }
 
+  private def pairsOf(idx: Dedup.LshIndex,
+      b: org.apache.spark.sql.DataFrame) = {
+    val got = Dedup.probeLshIndex(idx, b, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6))).sorted.toSeq
+    Pins.flush()
+    got
+  }
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq
+  }
+
+  test("compaction: probe unchanged, one file per bucket, exchange-free join") {
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "lshspec_cpt", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val batch1 = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val batch2 = corpus.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    Dedup.appendToLshIndex(idx, batch1, "doc_id", "text")
+    Dedup.appendToLshIndex(idx, batch2, "doc_id", "text")
+    val probe = corpus.filter(col("doc_id") % 4 === 2)
+      .select((col("doc_id") + 3000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val before = pairsOf(idx, probe)
+    val filesBefore = parquetFiles(idx.bandsDir).size
+    assert(filesBefore > 4,
+      s"two appends must leave >numBuckets band files, got $filesBefore")
+
+    val compacted = Dedup.compactLshIndex(spark, idx)
+    assert(compacted.gen == 1 && compacted.bandsDir.endsWith("bands.c1"))
+    // the small-files counter-move: at most one file per bucket now
+    val filesAfter = parquetFiles(compacted.bandsDir).size
+    assert(filesAfter <= 4 && filesAfter < filesBefore,
+      s"compaction must rewrite to <=numBuckets files, got $filesAfter")
+    assert(parquetFiles(compacted.postsDir).size <= 4)
+    // generation-0 directories are retention-swept after the commit
+    assert(parquetFiles(s"$path/bands").isEmpty)
+    assert(pairsOf(compacted, probe) == before)
+    // the re-pointed catalog tables keep the exchange-free bucketed join
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bb = probe.select(col("doc_id").as("id"),
+        (col("doc_id") % 16).cast("int").as("band"),
+        xxhash64(col("text")).as("bucket"))
+      val plan = bb.join(spark.table(compacted.bandsTable),
+          Seq("band", "bucket"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1
+          && plan.contains("Bucketed: true"),
+        s"compacted table must keep the exchange-free bucketed join:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    // a fresh session (catalog entries gone) resolves the committed
+    // generation from the marker and probes identically
+    spark.sql(s"DROP TABLE ${compacted.bandsTable}")
+    spark.sql(s"DROP TABLE ${compacted.postsTable}")
+    val reopened = Dedup.readLshIndex(spark, path, "lshspec_cpt")
+    assert(reopened.gen == 1)
+    assert(pairsOf(reopened, probe) == before)
+    // and appends keep working against the compacted generation
+    Dedup.appendToLshIndex(reopened, batch1.select(
+      (col("doc_id") + 7000).as("doc_id"), col("text")), "doc_id", "text")
+    assert(pairsOf(reopened, probe).size >= before.size)
+  }
+
+  test("retraction: probe == index rebuilt without the retracted docs") {
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "lshspec_rtr", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    // retract the docs whose near-dup variants the batch contains for
+    // ids % 3 == 0 — those pairs must disappear from the probe
+    val gone = corpus.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    Dedup.retractFromLshIndex(idx, gone, "doc_id")
+    val got = pairsOf(idx, batch)
+    val rebuilt = Dedup.writeLshIndex(
+      corpus.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", tmp(),
+      "lshspec_rtr_ref", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val want = pairsOf(rebuilt, batch)
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must keep some pairs after retraction")
+    // the anti-join is broadcast: still exactly one shuffle exchange in
+    // the full probe plan's index join (tombstones never repartition the
+    // index side)
+    val plan = Dedup.probeLshIndex(idx, batch, "doc_id", "text",
+      threshold = 0.5).queryExecution.executedPlan.toString
+    Pins.flush()
+    assert(plan.contains("BroadcastExchange"),
+      s"tombstone filter must be a broadcast anti-join:\n$plan")
+    // compaction applies the tombstones physically and clears them
+    val compacted = Dedup.compactLshIndex(spark, idx)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear applied tombstones")
+    assert(pairsOf(compacted, batch) == want)
+    // a retracted id can be re-added AFTER compaction
+    val readd = corpus.filter(col("doc_id") === 0)
+    Dedup.appendToLshIndex(compacted, readd, "doc_id", "text")
+    val after = pairsOf(compacted, batch)
+    assert(after.size > want.size,
+      s"re-added doc 0 must pair with its batch variant again: $after")
+  }
+
   test("writeLshIndex refuses non-BIGINT ids (cross-session DDL contract)") {
     val bad = Seq((1, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

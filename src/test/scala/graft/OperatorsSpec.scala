@@ -950,16 +950,28 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("multimodal: featurize is deterministic, batch-shaped, right dims") {
-    val media = Seq((1L, "hello world"), (2L, "abc"))
-      .toDF("id", "text")
-    val ds = Multimodal.withBlob(media, "text")
-      .select(col("id"), col("content")).as[Multimodal.MediaRow]
+    // real PNGs: the default featurizer is a genuine raster decode
+    val ds = Seq(1L, 2L).toDS().map(id =>
+      Multimodal.MediaRow(id, Multimodal.encodePng(
+        (id * 5).toInt, (id * 3).toInt, 4)))
     val a = Multimodal.featurize(ds, dim = 8).collect().sortBy(_.id)
     val b = Multimodal.featurize(ds.repartition(3), dim = 8).collect().sortBy(_.id)
     assert(a.length == 2 && a.forall(_.features.length == 8))
     assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq,
       "features must not depend on partitioning")
-    assert(math.abs(a(0).features.sum - 1.0f) < 1e-5f) // normalized histogram
+    // per-channel normalized histogram: 4 channels, each summing to 1
+    assert(math.abs(a(0).features.sum - 4.0f) < 1e-5f)
+    // A channel of an ARGB PNG is the constant 255 -> all mass in the
+    // last of the 2 A-buckets
+    assert(a(0).features(0) == 0.0f && a(0).features(1) == 1.0f)
+    // undecodable bytes answer EMPTY features, never invented ones
+    val junk = Seq(Multimodal.MediaRow(9L, "not an image".getBytes)).toDS()
+    assert(Multimodal.featurize(junk, dim = 8).collect()
+      .head.features.isEmpty)
+    // the pluggable slot: a custom featurizer rides the same plumbing
+    val custom = Multimodal.featurize(ds, dim = 3,
+      (bytes, d) => Array.fill(d)(bytes.length.toFloat)).collect()
+    assert(custom.forall(r => r.features.length == 3))
   }
 
   test("multimodal: binaryFile source reads media dirs with glob filter") {
@@ -974,10 +986,13 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = df.select("path", "length", "content").collect()
     assert(rows.length == 2)
     assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(2L, 4L))
+    // the raw bytes are not decodable media -> the real default
+    // featurizer answers empty features for every row, but the plumbing
+    // (batching, ids, row count) holds
     val features = Multimodal.featurize(
       df.select(col("length").as("id"), col("content"))
         .as[Multimodal.MediaRow], dim = 4).collect()
-    assert(features.forall(_.features.length == 4))
+    assert(features.length == 2 && features.forall(_.features.isEmpty))
   }
 
   test("partitioned parquet scan prunes partitions (PartitionFilters)") {

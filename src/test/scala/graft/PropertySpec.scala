@@ -62,17 +62,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("fakeFeatures: deterministic, normalized, fixed-dim") {
+  test("imageFeatures: deterministic, per-channel normalized, honest on junk") {
+    import graft.operators.Multimodal
     val gen = for {
-      bytes <- Gen.listOf(Gen.choose(-128, 127).map(_.toByte))
-      dim <- Gen.choose(1, 32)
-    } yield (bytes, dim)
-    for ((bytes, dim) <- samples(gen)) {
-      val a = graft.operators.Multimodal.fakeFeatures(bytes.toArray, dim)
-      val b = graft.operators.Multimodal.fakeFeatures(bytes.toArray, dim)
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 12)
+      dim <- Gen.oneOf(4, 8, 16, 32)
+    } yield (w, h, dim)
+    for ((w, h, dim) <- samples(gen)) {
+      val png = Multimodal.encodePng(w, h, 4)
+      val a = Multimodal.imageFeatures(png, dim)
+      val b = Multimodal.imageFeatures(png, dim)
       assert(a.toSeq == b.toSeq)
       assert(a.length == dim)
-      if (bytes.nonEmpty) assert(math.abs(a.sum - 1.0f) < 1e-4f)
+      // each of the 4 channels' buckets sums to 1 over w*h pixels
+      assert(math.abs(a.sum - 4.0f) < 1e-4f)
+      // counts primitive agrees with the normalization
+      val hist = Multimodal.imageHistogram(png, dim / 4).get
+      assert(hist.sum == 4L * w * h)
+      assert(a.toSeq == hist.map(c => (c.toDouble / (w * h)).toFloat).toSeq)
+    }
+    // undecodable bytes: empty, never invented
+    for (junk <- samples(Gen.listOf(Gen.choose(-128, 127).map(_.toByte)))) {
+      assert(Multimodal.imageFeatures(junk.toArray, 8).isEmpty
+        || Multimodal.decodePixels(junk.toArray).isDefined)
     }
   }
 }
