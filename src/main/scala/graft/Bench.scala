@@ -126,13 +126,25 @@ object Bench {
         val src = scala.io.Source.fromFile("BENCH_RUNS.json")
         try src.mkString finally src.close()
       } catch { case _: Exception => "" }
-    val prior = BenchDrift.priorMedians(priorBody, sfDir)
+    val priorRound = BenchDrift.priorMedians(priorBody, sfDir)
     val host = BenchDrift.hostFingerprint()
     // a prior recorded on a DIFFERENT machine makes the canary factor
     // class-biased (see BenchDrift.hostFingerprint) — flags still compute
     // and record (they seed the new host's baseline conversation) but are
-    // labeled ADVISORY, not regressions
+    // labeled ADVISORY, not regressions. UNLESS this fingerprint has its
+    // own recorded baseline (a host the bench has run on before): then the
+    // compare runs against that host's OWN most-recent medians with full
+    // regression labeling — a real regression landing in the same round
+    // as a host change must not hide behind the advisory downgrade
+    // (VERDICT r13 item 3).
     val crossHost = BenchDrift.priorHost(priorBody).exists(_ != host)
+    val selfBaseline =
+      if (crossHost) BenchDrift.priorBaseline(priorBody, host, sfDir)
+      else Map.empty[String, Double]
+    val (prior, advisory, driftBaseline) =
+      if (!crossHost) (priorRound, false, "prior_round")
+      else if (selfBaseline.nonEmpty) (selfBaseline, false, "self_fingerprint")
+      else (priorRound, true, "cross_host_prior")
     val currentMed = samples.flatMap { case (n, ss) =>
       BenchDrift.median(ss).map(n -> _) }.toMap
     val provisional = BenchDrift.analyze(prior, currentMed)
@@ -164,14 +176,21 @@ object Bench {
         // the later-window re-measurement is the verdict, not a minority
         // vote inside the combined median (r12: q55's clean 1.68/1.72 s
         // confirm passes were outvoted 3-2 by the slow main window)
-        val confirmOnlyMed = provisional.flags.map(_.name).flatMap { n =>
+        // names2 (flags + canaries) all carry confirm-window samples, so
+        // confirm() can derive a confirm-window-only canary factor instead
+        // of normalizing the re-measurements by the main-sweep-dominated
+        // combined factor (ADVICE r12)
+        val confirmOnlyMed = names2.flatMap { n =>
           confirmSamples.get(n).flatMap(BenchDrift.median).map(n -> _)
         }.toMap
         BenchDrift.confirm(prior, med2, provisional,
           confirmOnly = confirmOnlyMed)
       }
     drift.flags.foreach { f =>
-      val kind = if (crossHost) "DRIFT (ADVISORY, cross-host prior)"
+      val kind =
+        if (advisory) "DRIFT (ADVISORY, cross-host prior)"
+        else if (driftBaseline == "self_fingerprint")
+          "DRIFT-NORMALIZED REGRESSION (vs this host's own baseline)"
         else "DRIFT-NORMALIZED REGRESSION"
       System.err.println(f"[bench] $kind ${f.name}: " +
         f"${f.priorSec}%.3f -> ${f.currentSec}%.3f s " +
@@ -190,9 +209,15 @@ object Bench {
       else confirmSamples.toSeq.sortBy(_._1).map { case (k, ss) =>
         "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
       }.mkString(""","confirm_runs":{""", ",", "}")
+    // per-fingerprint baselines: this host's medians become ITS baseline;
+    // every other recorded host's baseline carries forward, so a later
+    // return to any known fingerprint compares against that host's own
+    // history instead of an advisory cross-host read
+    val baselines = (BenchDrift.carryBaselines(priorBody, host) :+
+      BenchDrift.baselineFragment(host, sfDir, currentMed)).mkString(",")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,"policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries in a later noise window; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; flags are ADVISORY when the prior's host fingerprint differs — the canary factor is class-biased across machines)"${drift.jsonFields}$confirmJson,"runs":$runsJson}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,"drift_baseline":"$driftBaseline","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries + canaries in a later noise window whose own canary factor normalizes the re-measurements; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; drift_baseline names the compare target: prior_round = same host as the prior file, self_fingerprint = this host's own recorded baseline after a host change, cross_host_prior = no own baseline -> flags tagged advisory:true — the canary factor is class-biased across machines; baseline_<fp> objects hold each known host's most-recent medians)"${drift.jsonFields(advisory)}$confirmJson,"runs":$runsJson,$baselines}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps

@@ -46,14 +46,19 @@ object BenchDrift {
       normRatio: Double)
 
   case class Report(factor: Option[Double], flags: Seq[Flag]) {
-    /** JSON fragment for BENCH_RUNS.json (comma-prefixed fields). */
-    def jsonFields: String = {
+    /** JSON fragment for BENCH_RUNS.json (comma-prefixed fields).
+      * `advisory = true` tags every flag object with `"advisory":true` so
+      * a downstream consumer keying on a non-empty `flagged` array cannot
+      * misread cross-host advisories as regressions without joining the
+      * top-level `cross_host` field (ADVICE r12). */
+    def jsonFields(advisory: Boolean = false): String = {
       def r3(v: Double) =
         "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val f = factor.map(r3).getOrElse("null")
+      val adv = if (advisory) ""","advisory":true""" else ""
       val fl = flags.map(x =>
         s"""{"q":"${x.name}","prior_med":${r3(x.priorSec)},""" +
-          s""""med":${r3(x.currentSec)},"norm_ratio":${r3(x.normRatio)}}""")
+          s""""med":${r3(x.currentSec)},"norm_ratio":${r3(x.normRatio)}$adv}""")
         .mkString("[", ",", "]")
       s""","canaries":${Canaries.map("\"" + _ + "\"").mkString("[", ",", "]")},"host_factor":$f,"flagged":$fl"""
     }
@@ -115,7 +120,24 @@ object BenchDrift {
       confirmOnly: Map[String, Double] = Map.empty): Report = {
     val re = analyze(prior, confirmedMed, canaries, ratioBar, absBar)
     val allowed = provisional.flags.map(_.name).toSet
-    val factor = re.factor.getOrElse(1.0)
+    // the confirm-window medians are normalized by a CONFIRM-WINDOW canary
+    // factor when `confirmOnly` carries re-measured canaries (Bench's
+    // names2 always includes them): the combined factor is 3-vs-2
+    // dominated by the main sweep, so in the heteroscedastic scenario this
+    // pass exists for — host speed shifting between windows — a clean
+    // confirm median could still trip, or a slow one be absolved, against
+    // the stale factor (ADVICE r12). Fewer than 2 confirm canary ratios
+    // falls back to the combined factor (legacy mode).
+    val confirmRatios = canaries.flatMap { c =>
+      for (p <- prior.get(c); u <- confirmOnly.get(c) if p > 0 && u > 0)
+        yield u / p
+    }.sorted
+    val factor =
+      if (confirmRatios.size < 2) re.factor.getOrElse(1.0)
+      else if (confirmRatios.size % 2 == 1)
+        confirmRatios(confirmRatios.size / 2)
+      else (confirmRatios(confirmRatios.size / 2 - 1) +
+        confirmRatios(confirmRatios.size / 2)) / 2
     def confirmWindowTrips(name: String): Boolean =
       confirmOnly.get(name) match {
         case None => true // no confirm-only stats supplied — legacy mode
@@ -138,17 +160,25 @@ object BenchDrift {
     else Some((ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2)
   }
 
-  /** Stable host fingerprint: CPU model string + logical core count +
-    * arch, SHA-1-shortened. The canary factor corrects a UNIFORM speed
-    * change of the same machine between runs; across different machines
-    * the correction is class-biased — JIT/GC/allocation-heavy plans slow
-    * differently from the scan/agg-shaped canaries (measured r12: a
-    * 1.196-factor host change left 9 allocation-heavy queries at 1.30 to
-    * 1.55x normalized on IDENTICAL code, all 9 surviving confirmation
-    * because the bias is stable on the new host). [[Bench]] records the
-    * fingerprint and downgrades flags to ADVISORY when the prior run's
-    * fingerprint differs — a cross-host compare can seed the new host's
-    * baseline but must not be read as a regression verdict. */
+  /** Stable host fingerprint: CPU model string + machine identity
+    * (/etc/machine-id, falling back to hostname) + arch, SHA-1-shortened.
+    * The canary factor corrects a UNIFORM speed change of the same
+    * machine between runs; across different machines the correction is
+    * class-biased — JIT/GC/allocation-heavy plans slow differently from
+    * the scan/agg-shaped canaries (measured r12: a 1.196-factor host
+    * change left 9 allocation-heavy queries at 1.30 to 1.55x normalized
+    * on IDENTICAL code, all 9 surviving confirmation because the bias is
+    * stable on the new host). [[Bench]] records the fingerprint and
+    * downgrades flags to ADVISORY when the prior run's fingerprint
+    * differs — a cross-host compare can seed the new host's baseline but
+    * must not be read as a regression verdict.
+    *
+    * ADVICE r12: `availableProcessors()` is deliberately NOT hashed — it
+    * varies with container CPU quota / taskset / ActiveProcessorCount on
+    * the SAME machine (spurious downgrades), while the machine-id
+    * component now separates two boxes that share a CPU model (spurious
+    * same-host labeling). Caveat that remains: a re-imaged container on
+    * the same box changes machine-id and costs one advisory round. */
   def hostFingerprint(): String = {
     val model =
       try {
@@ -157,8 +187,15 @@ object BenchDrift {
           .map(_.split(":").drop(1).mkString(":").trim).getOrElse("unknown")
         finally src.close()
       } catch { case _: Exception => "unknown" }
-    val raw = model + "|" + Runtime.getRuntime.availableProcessors() +
-      "|" + sys.props.getOrElse("os.arch", "")
+    val machine =
+      try {
+        val src = scala.io.Source.fromFile("/etc/machine-id")
+        try src.mkString.trim finally src.close()
+      } catch { case _: Exception =>
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Exception => "unknown" }
+      }
+    val raw = model + "|" + machine + "|" + sys.props.getOrElse("os.arch", "")
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
@@ -170,6 +207,42 @@ object BenchDrift {
     * RECORDED different fingerprint downgrades). */
   def priorHost(body: String): Option[String] =
     "\"host\":\"([0-9a-f]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+
+  /** Per-fingerprint baseline medians parsed back from a BENCH_RUNS.json
+    * body: the flat `"baseline_<fp>":{"sf":"...","q..":med,...}` objects
+    * [[Bench]] writes so that RETURNING to a known host compares against
+    * that host's own most-recent medians with full regression labeling —
+    * without this, a real regression landing in the same round as a host
+    * change gets only advisory flags and the new host's first sweep
+    * becomes an unchecked baseline (VERDICT r12 item 3). Returns empty
+    * when no baseline for `host` exists or its "sf" differs. */
+  def priorBaseline(body: String, host: String,
+      sfDir: String): Map[String, Double] = {
+    val frag = ("\"baseline_" + host + "\":\\{([^}]*)\\}").r
+      .findFirstMatchIn(body).map(_.group(1)).getOrElse(return Map.empty)
+    if (!frag.contains("\"sf\":\"" + sfDir + "\"")) return Map.empty
+    "\"(q[0-9]+_[A-Za-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(frag)
+      .flatMap(m => scala.util.Try(m.group(2).toDouble).toOption
+        .map(m.group(1) -> _))
+      .toMap
+  }
+
+  /** All baseline fragments of a prior body EXCEPT `exceptHost`'s, as
+    * ready-to-embed `"baseline_<fp>":{...}` strings — carried forward so
+    * a round on host B preserves host A's baseline for A's next visit. */
+  def carryBaselines(body: String, exceptHost: String): Seq[String] =
+    "\"baseline_([0-9a-f]+)\":\\{[^}]*\\}".r.findAllMatchIn(body)
+      .filter(_.group(1) != exceptHost)
+      .map(_.matched).toSeq
+
+  /** The current host's baseline fragment for the file being written. */
+  def baselineFragment(host: String, sfDir: String,
+      medians: Map[String, Double]): String = {
+    def r3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val ms = medians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
+    s""""baseline_$host":{"sf":"$sfDir"${if (ms.isEmpty) "" else "," + ms}}"""
+  }
 
   /** Per-query MEDIANS from a BENCH_RUNS.json body written by [[Bench]]
     * (`"name":[s1,s2,...]` sample arrays; hand-parsed — no JSON library

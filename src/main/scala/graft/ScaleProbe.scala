@@ -115,6 +115,15 @@ object ScaleProbe {
       Similarity.pqTopK(e, "vec_id", "vec", q, "qid", "qvec",
         k = 3, model, nlist = 64, nprobe = 4)
     }),
+    // q159's production hash swap, as an ISOLATED measured pair: the md5
+    // variant is the graded query's hot loop (kept for oracle
+    // portability; per-gram md5 allocates a hex string per character
+    // window), the xxhash64 variant the production swap the Winnow
+    // scaladoc prescribes. Same fixture, same selection logic — the
+    // base_s difference IS the swap's measured payoff (VERDICT r12
+    // item 4; invariants spec-pinned in WinnowSpec).
+    "p159_winnow_md5" -> ((s, dir) => winnowShape(s, dir, "md5")),
+    "p159_winnow_xxh" -> ((s, dir) => winnowShape(s, dir, "xxhash64")),
     // q134's production shape: blocking granularity scales with the corpus
     // (bucket width ~ 1/n) so block SIZES stay constant and the candidate
     // pair space stays ~ n. Scoring fields are q134's (the coarse
@@ -153,6 +162,23 @@ object ScaleProbe {
           upperT = 4.0, lowerT = 0.0)
         .filter(col("decision") =!= "non_match")
     }))
+
+  /** q159's exact shape parameterized by the per-gram hash function. */
+  private def winnowShape(s: SparkSession, dir: String,
+      hashSql: String): DataFrame = {
+    val d0 = queries.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = d0.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("COPIED WITH A SHIFTED PREFIX >> "), col("text"))
+          .as("text"))
+    val fps = graft.operators.Winnow.fingerprints(
+      d0.unionByName(planted), "doc_id", "text", k = 5, w = 4,
+      hashSql = hashSql)
+    graft.operators.Winnow.sharedFingerprintPairs(
+        fps, "doc_id", minShared = 8, dfCap = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)

@@ -277,7 +277,8 @@ object Classify {
     * frame, never the corpus); both rank windows and the AUC aggregate
     * run over that frame. Rank sums are exact in doubles up to 2^53
     * (integer counts times .5-grid ranks). Raises loudly on a
-    * single-class input (AUC undefined) instead of emitting 0/0. */
+    * single-class OR empty input (AUC undefined) instead of emitting 0/0
+    * or a silent empty frame. */
   def rocAuc(scored: DataFrame, scoreCol: String, truthCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -301,17 +302,36 @@ object Classify {
         * (col("cless") + (col("n") + 1L).cast("double") / 2.0))
         .as("rank_sum"))
       .withColumn("n_pos",
-        when(col("n_pos") <= 0 || col("n_neg") <= 0,
-          raise_error(lit("Classify.rocAuc: single-class input — AUC "
-            + "undefined")))
+        // coalesce(0): an EMPTY input leaves the global agg's sums NULL,
+        // and `null <= 0` is null — the raise would silently not fire and
+        // the cross join would emit an empty frame instead of the promised
+        // loud failure (ADVICE r12)
+        when(coalesce(col("n_pos"), lit(0L)) <= 0
+            || coalesce(col("n_neg"), lit(0L)) <= 0,
+          raise_error(lit("Classify.rocAuc: single-class or empty input — "
+            + "AUC undefined")))
           .otherwise(col("n_pos")))
-    ranked.crossJoin(broadcast(tot))
+    val out = ranked.crossJoin(broadcast(tot))
       .select(col("threshold"), col("n"),
         round(col("cum_tp").cast("double") / col("n_pos"), 6).as("tpr"),
         round(col("cum_fp").cast("double") / col("n_neg"), 6).as("fpr"),
         round((col("rank_sum")
           - col("n_pos").cast("double") * (col("n_pos") + 1L) / 2.0)
           / (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+    // On an EMPTY input `ranked` has no rows, AQE's empty-relation
+    // propagation prunes the cross join before the broadcast side's guard
+    // row ever evaluates, and the raise is silently skipped. This sentinel
+    // branch forces the verdict: the global aggregate ALWAYS yields one
+    // row (never prunable), evaluating its filter evaluates the guarded
+    // n_pos — raising on empty/single-class — and contributes zero rows
+    // otherwise. Its aggregate shares `ranked`'s exchange with the main
+    // branch (ReuseExchange), so the added cost is one pass over the
+    // distinct-score frame, not a second corpus scan.
+    out.unionByName(tot.filter(col("n_pos") < 0L)
+      .select(lit(null).cast("double").as("threshold"),
+        lit(0L).as("n"), lit(null).cast("double").as("tpr"),
+        lit(null).cast("double").as("fpr"),
+        lit(null).cast("double").as("auc")))
   }
 
   /** Distributed binary logistic regression over two engineered features +

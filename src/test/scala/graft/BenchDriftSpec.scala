@@ -145,14 +145,87 @@ class BenchDriftSpec extends AnyFunSuite {
     val r = BenchDrift.analyze(prior,
       prior.map { case (k, v) =>
         k -> (if (k == "q103_pagerank") v * 2 else v * 1.1) })
-    val j = r.jsonFields
+    val j = r.jsonFields()
     assert(j.startsWith(""","canaries":["""))
     assert(j.contains(""""host_factor":1.100"""))
     assert(j.contains(""""q":"q103_pagerank"""") &&
       j.contains(""""prior_med":""") && j.contains(""""med":"""))
-    val empty = BenchDrift.analyze(Map.empty, prior).jsonFields
+    assert(!j.contains("advisory"),
+      "a same-host regression flag must not carry the advisory tag")
+    // ADVICE r12: cross-host advisory flags are tagged IN the flag object,
+    // so a consumer keying on a non-empty flagged array cannot misread
+    // them without joining the top-level cross_host field
+    val adv = r.jsonFields(advisory = true)
+    assert(adv.contains(""""q":"q103_pagerank"""")
+      && adv.contains(""""advisory":true"""))
+    val empty = BenchDrift.analyze(Map.empty, prior).jsonFields()
     assert(empty.contains(""""host_factor":null"""))
     assert(empty.contains(""""flagged":[]"""))
+  }
+
+  test("per-fingerprint baseline: regression on host A fires after an " +
+      "interleaved host-B round (VERDICT r12 item 3)") {
+    // round N on host A: medians = `prior`; round N+1 runs on host B and
+    // carries A's baseline forward in its BENCH_RUNS.json
+    val hostA = "aaaa11112222"
+    val sf = "/root/testdata/sf0.1"
+    val baselineA = BenchDrift.baselineFragment(hostA, sf, prior)
+    val bodyB = s"""{"nruns":3,"sf":"$sf","host":"bbbb33334444",""" +
+      """"cross_host":true,"runs":{"q1_pricing_summary":[0.3,0.3,0.3]},""" +
+      baselineA + "}"
+    // round N+2 returns to host A with a REAL 2x regression in q103: the
+    // prior file's host differs (B), but A's own baseline resolves and the
+    // compare against it fires a full (non-advisory) flag
+    val selfBaseline = BenchDrift.priorBaseline(bodyB, hostA, sf)
+    assert(selfBaseline == prior, s"baseline round-trip: $selfBaseline")
+    val current = prior.map { case (k, v) =>
+      k -> (if (k == "q103_pagerank") v * 2.0 else v * 1.05) }
+    val r = BenchDrift.analyze(selfBaseline, current)
+    assert(r.flags.map(_.name) == Seq("q103_pagerank"),
+      s"the host-A regression must fire against A's own baseline: $r")
+    // cross-SF baselines never resolve (timings are not comparable)
+    assert(BenchDrift.priorBaseline(bodyB, hostA, "/x/sf0.01").isEmpty)
+    // and an unknown fingerprint yields no baseline
+    assert(BenchDrift.priorBaseline(bodyB, "cccc55556666", sf).isEmpty)
+  }
+
+  test("carryBaselines preserves other hosts' baselines, replaces own") {
+    val sf = "/root/testdata/sf0.1"
+    val fragA = BenchDrift.baselineFragment("aaaa11112222", sf,
+      Map("q1_pricing_summary" -> 0.22))
+    val fragB = BenchDrift.baselineFragment("bbbb33334444", sf,
+      Map("q1_pricing_summary" -> 0.31))
+    val body = s"""{"host":"bbbb33334444",$fragA,$fragB}"""
+    val carried = BenchDrift.carryBaselines(body, "bbbb33334444")
+    assert(carried == Seq(fragA),
+      s"must carry A's baseline and drop B's own (it gets rewritten): $carried")
+  }
+
+  test("confirm window normalizes by its OWN canary factor (ADVICE r12)") {
+    // main sweep: canaries at prior level (combined factor ~1.0), q103 at
+    // 1.45x -> provisional flag. The confirm window lands on a uniformly
+    // 40% slower host moment: canaries AND q103 all x1.4 of their
+    // steady-state. Against the stale combined factor q103's confirm
+    // median still reads 1.45x (ships a noise flag); against the
+    // confirm-window canary factor (1.4) it reads 1.04x (absolved).
+    val p = Map("q1_pricing_summary" -> 1.0, "q9_part_text" -> 1.0,
+      "q10_orders_by_month" -> 1.0, "q103_pagerank" -> 2.0)
+    val mainMed = p + ("q103_pagerank" -> 2.9)
+    val prov = BenchDrift.analyze(p, mainMed)
+    assert(prov.flags.map(_.name) == Seq("q103_pagerank"))
+    val confirmOnly = Map("q1_pricing_summary" -> 1.4,
+      "q9_part_text" -> 1.4, "q10_orders_by_month" -> 1.4,
+      "q103_pagerank" -> 2.9)
+    val absolved = BenchDrift.confirm(p, mainMed, prov,
+      confirmOnly = confirmOnly)
+    assert(absolved.flags.isEmpty,
+      s"a uniformly slow confirm window must absolve: ${absolved.flags}")
+    // converse: canaries steady in the confirm window, q103 still slow ->
+    // the flag ships
+    val kept = BenchDrift.confirm(p, mainMed, prov,
+      confirmOnly = confirmOnly.map { case (k, v) =>
+        k -> (if (k == "q103_pagerank") v else 1.0) })
+    assert(kept.flags.map(_.name) == Seq("q103_pagerank"))
   }
 
   test("a clean confirm-window median absolves a flag the combined " +

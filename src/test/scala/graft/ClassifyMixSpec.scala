@@ -325,6 +325,19 @@ class ClassifyMixSpec extends AnyFunSuite {
       Option(t.getMessage).exists(_.contains("single-class"))))
   }
 
+  test("rocAuc raises on EMPTY input too (not a silent empty frame)") {
+    // the scaladoc's loud-failure promise: an empty upstream filter used
+    // to slip past the guard because the global agg's null sums made the
+    // raise condition null (ADVICE r12)
+    val df = Seq((0.9, 1), (0.1, 0)).toDF("sc", "y").filter(col("sc") > 2.0)
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    val e = intercept[Exception] { Classify.rocAuc(df, "sc", "y").collect() }
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("empty input"))),
+      s"expected the loud empty-input raise, got: $e")
+  }
+
   test("logisticTrainScore raises on a singular Hessian") {
     val df = (1 to 10).map(i => (i.toLong, 0.0, 0.0, i % 2))
       .toDF("id", "x1", "x2", "y")

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Recurring scale-regression guard lane (VERDICT r12 item 6).
+
+The round-12 ScaleProbe exponent table was a one-off measurement — a
+future operator change can regress a query to super-linear unnoticed.
+This lane re-measures a reduced probe at round close and ASSERTS each
+time-vs-scale exponent against a per-query documented bound:
+
+  * 3x replicate-and-perturb corpus (cheaper than r12's 10x; exponents
+    are log-base-3, so noise is larger — bounds carry headroom and a
+    noise floor exempts sub-300ms bases),
+  * the top-8 most expensive registry queries + every registry query NEW
+    this round + the two production operating-point probes.
+
+Usage:
+    python3 tools/scale_lane.py [baseSfDir] [outDir]
+
+Prints a PLANS.md-ready markdown table; exits non-zero when any exponent
+exceeds its bound (or a probe fails outright). Record the table in
+PLANS.md and note the lane result in STATUS.md at round close, like the
+oracle sweeps.
+
+Bounds are the r12/r13 measured exponents plus headroom for 3x-replica
+noise — NOT aspirations. A trip means "this query's scaling CLASS
+changed"; re-measure at 10x replicas (the r12 command in PLANS.md)
+before concluding anything, then either fix the regression or document
+the new bound with the same rigor as the q95/q134 grading-pin notes.
+"""
+import json
+import re
+import subprocess
+import sys
+
+# query -> max allowed exponent at 3x replicas.
+# Measured reference points (10x, r12/r13): q141 0.16, q47 0.30,
+# q193 per-row codec ~linear, q196 0.56, q194 ~0.4 (q100 class),
+# q44 0.27, q103 0.28, q159 0.83 (per-char hashing, ~linear),
+# p95 -0.07, p134 0.32. New r13: q200 (fixed query set IVF-PQ,
+# encode-dominated ~linear), q201 (per-row codec ~linear), q202
+# (LSH ingest, q100 class + fixed streaming overhead).
+BOUNDS = {
+    "q141_er_pipeline": 0.7,
+    "q47_dedup_keep_best": 0.8,
+    "q193_image_resize": 1.2,
+    "q196_soft_dedup": 1.0,
+    "q194_lsh_index": 0.9,
+    "q44_dup_clusters": 0.8,
+    "q103_pagerank": 0.8,
+    "q159_winnow_pairs": 1.2,
+    "q200_ivfpq_prod_recall": 1.2,
+    "q201_image_histogram": 1.2,
+    "q202_ingest_stream": 1.0,
+    "p95_ivfpq_prod": 0.5,
+    "p134_linkage_scaled": 0.8,
+}
+# exponents from sub-300ms bases are log-amplified noise, not signal
+NOISE_FLOOR_S = 0.3
+REPLICAS = 3
+
+
+def main(base_dir, out_dir):
+    names = ",".join(sorted(BOUNDS))
+    cmd = ["sbt", "-batch",
+           f"runMain graft.ScaleProbe {base_dir} {REPLICAS} {out_dir} {names}"]
+    print(f"[scale-lane] {' '.join(cmd)}", file=sys.stderr)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    # the probe prints ONE JSON line on stdout; sbt prefixes "[info] "
+    payload = None
+    for line in proc.stdout.splitlines():
+        m = re.search(r'(\{"replicas":.*\})\s*$', line)
+        if m:
+            payload = json.loads(m.group(1))
+    if payload is None:
+        print("[scale-lane] FAIL: no probe JSON found — sbt tail:",
+              file=sys.stderr)
+        print("\n".join(proc.stdout.splitlines()[-15:]), file=sys.stderr)
+        return 1
+
+    fails = 0
+    rows = []
+    for r in payload["rows"]:
+        name, b, x, e = r["name"], r["base_s"], r[f"x{REPLICAS}_s"], r["exponent"]
+        bound = BOUNDS[name]
+        if b < 0 or x < 0 or e is None:
+            verdict = "FAIL (probe errored)"
+            fails += 1
+        elif b < NOISE_FLOOR_S:
+            verdict = f"noise floor (base < {NOISE_FLOOR_S}s), informational"
+        elif e > bound:
+            verdict = f"FAIL (> bound {bound})"
+            fails += 1
+        else:
+            verdict = f"ok (bound {bound})"
+        rows.append((name, b, x, e, verdict))
+
+    missing = sorted(set(BOUNDS) - {r["name"] for r in payload["rows"]})
+    for name in missing:
+        rows.append((name, -1, -1, None, "FAIL (no measurement)"))
+        fails += 1
+
+    print(f"\n| query | sf-base s | x{REPLICAS} s | exponent | verdict |")
+    print("|---|---|---|---|---|")
+    for name, b, x, e, verdict in sorted(rows):
+        es = "n/a" if e is None else f"{e:.2f}"
+        print(f"| {name} | {b:.2f} | {x:.2f} | {es} | {verdict} |")
+    print(f"\n[scale-lane] {'FAIL' if fails else 'green'} "
+          f"({len(rows) - fails}/{len(rows)} within bounds)")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_lane"
+    sys.exit(main(base, out))
