@@ -394,16 +394,7 @@ object Dedup {
       // markers, tombstones, and streaming absorb markers
       // (DocStream.absorbOnce) of a previous index at this path must not
       // shadow, filter, or skip-absorb against the fresh generation-0 write
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
-          val n = st.getPath.getName
-          if (n.matches(
-              "bands\\.c\\d+|posts\\.c\\d+|_compact_c\\d+|_absorbed_\\d+")
-              || n == "tombstones")
-            fs.delete(st.getPath, true)
-        }
+      IndexGen.cleanAll(spark, path, Seq("bands", "posts"))
       banded.write.mode("overwrite")
         .bucketBy(numBuckets, "band", "bucket")
         .option("path", idx.bandsDir)
@@ -429,49 +420,22 @@ object Dedup {
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       name: String): LshIndex = {
     val meta = readMeta(spark, s"$path/meta.json")
-    val idx = LshIndex(name, path, meta, gen = resolveGen(spark, path))
+    val idx = LshIndex(name, path, meta,
+      gen = IndexGen.resolveGen(spark, path))
     registerTables(spark, idx)
     idx
   }
 
-  /** Newest committed compaction generation at `path` (0 = the writer's
-    * uncompacted layout). Strict `_compact_c<digits>` match — junk names
-    * never resolve. */
-  private def resolveGen(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.matches("_compact_c\\d+") =>
-        n.stripPrefix("_compact_c").toInt }
-      .foldLeft(0)(math.max)
-  }
-
   /** Create (or re-point) the index's catalog tables at ITS generation's
-    * locations. A table registered against a superseded generation is
-    * dropped and recreated — external DDL, so no data moves. */
+    * locations ([[IndexGen.ensureTable]] semantics). */
   private def registerTables(spark: org.apache.spark.sql.SparkSession,
       idx: LshIndex): Unit = {
-    def currentLocation(table: String): Option[String] =
-      spark.sql(s"DESCRIBE FORMATTED $table").collect()
-        .find(_.getString(0) == "Location").map(_.getString(1))
-    def ensure(table: String, dir: String, ddl: String): Unit = {
-      if (spark.catalog.tableExists(table)) {
-        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-        val stale = !currentLocation(table).exists(loc =>
-          new org.apache.hadoop.fs.Path(loc).toUri.getPath == want)
-        if (stale) spark.sql(s"DROP TABLE $table") else return
-      }
-      spark.sql(ddl)
-    }
-    ensure(idx.bandsTable, idx.bandsDir,
+    IndexGen.ensureTable(spark, idx.bandsTable, idx.bandsDir,
       s"""CREATE TABLE ${idx.bandsTable} (id BIGINT, band INT, bucket BIGINT)
          |USING parquet
          |CLUSTERED BY (band, bucket) INTO ${idx.meta.numBuckets} BUCKETS
          |LOCATION '${idx.bandsDir}'""".stripMargin)
-    ensure(idx.postsTable, idx.postsDir,
+    IndexGen.ensureTable(spark, idx.postsTable, idx.postsDir,
       s"""CREATE TABLE ${idx.postsTable} (id BIGINT, shingle BIGINT)
          |USING parquet
          |CLUSTERED BY (id) INTO ${idx.meta.numBuckets} BUCKETS
@@ -499,11 +463,9 @@ object Dedup {
     val spark = batch.sparkSession
     val m = index.meta
     val rows = m.numHashes / m.bands
-    val tombs = tombstones(spark, index)
-    def live(df: DataFrame): DataFrame = tombs.fold(df)(t =>
-      df.join(broadcast(t), df("id") === t("tomb_id"), "left_anti"))
-    val cb = live(spark.table(index.bandsTable))
-    val cPosts = live(spark.table(index.postsTable))
+    val tombs = IndexGen.tombstones(spark, index.path)
+    val cb = IndexGen.live(spark.table(index.bandsTable), tombs)
+    val cPosts = IndexGen.live(spark.table(index.postsTable), tombs)
     val bPosts = Pins.pin(
       shinglePostings(batch, idCol, textCol, m.shingleSize, m.maxDocFreq))
     val bb = Pins.pin(
@@ -564,27 +526,8 @@ object Dedup {
     * while its tombstone is live stays hidden (the tombstone filters by
     * id, not by file age). */
   def retractFromLshIndex(index: LshIndex, ids: DataFrame,
-      idCol: String): Unit = {
-    require(ids.schema(ids.schema.fieldIndex(idCol)).dataType ==
-      org.apache.spark.sql.types.LongType,
-      "persisted index ids must be BIGINT")
-    ids.select(col(idCol).as("tomb_id"))
-      .write.mode("append").parquet(index.tombstonesDir)
-  }
-
-  /** Live tombstone set, or None when none have been written (the common
-    * case — keeps the probe plan bit-identical to the tombstone-free
-    * one). */
-  private def tombstones(spark: org.apache.spark.sql.SparkSession,
-      index: LshIndex): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(index.tombstonesDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) &&
-        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(index.tombstonesDir)
-        .select(col("tomb_id")).distinct())
-    else None
-  }
+      idCol: String): Unit =
+    IndexGen.appendTombstones(index.path, ids, idCol)
 
   /** Compact a persisted index: rewrite both bucketed tables into the
     * NEXT generation's directories with the SAME bucket spec — one file
@@ -614,72 +557,43 @@ object Dedup {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       index: LshIndex): LshIndex = {
     val m = index.meta
-    val fs = new org.apache.hadoop.fs.Path(index.path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // next generation = 1 + max over COMMITTED and torn generation dirs,
-    // so a torn previous attempt is never half-reused
-    val maxSeen = fs.listStatus(new org.apache.hadoop.fs.Path(index.path))
-      .iterator.map(_.getPath.getName)
-      .collect {
-        case n if n.matches("_compact_c\\d+") =>
-          n.stripPrefix("_compact_c").toInt
-        case n if n.matches("(bands|posts)\\.c\\d+") =>
-          n.replaceFirst("^(bands|posts)\\.c", "").toInt
-      }
-      .foldLeft(index.gen)(math.max)
-    val next = index.copy(gen = maxSeen + 1)
+    val bases = Seq("bands", "posts")
+    val next = index.copy(
+      gen = IndexGen.nextGen(spark, index.path, bases, index.gen))
+    val fs = IndexGen.fs(spark, index.path)
     fs.delete(new org.apache.hadoop.fs.Path(next.bandsDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(next.postsDir), true)
 
-    val tombs = tombstones(spark, index)
-    def live(df: DataFrame): DataFrame = tombs.fold(df)(t =>
-      df.join(broadcast(t), df("id") === t("tomb_id"), "left_anti"))
-    // bucketed writes emit one file per (task, bucket); repartitioning on
-    // the bucket columns uses the same murmur3-pmod hash as the bucket
-    // spec, so every task holds exactly one bucket -> one file per bucket.
-    // The source is read as PLAIN parquet, not through the bucketed
-    // catalog table: a bucketed scan would claim the target partitioning,
-    // the optimizer would then drop the "redundant" repartition, and
-    // DisableUnnecessaryBucketedScan would finally fall back to per-file
-    // splits — reproducing one file per INPUT split instead of per bucket
-    // (observed: a 10-file generation compacting to 10 files).
-    def rewrite(srcDir: String, dir: String, tmpTable: String,
-        bucketCols: Seq[String]): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
-      live(spark.read.parquet(srcDir))
-        .repartition(m.numBuckets, bucketCols.map(col): _*)
-        .write.mode("overwrite")
-        .bucketBy(m.numBuckets, bucketCols.head, bucketCols.tail: _*)
-        .option("path", dir)
-        .saveAsTable(tmpTable)
-      spark.sql(s"DROP TABLE $tmpTable") // external: files stay
-    }
-    rewrite(index.bandsDir, next.bandsDir,
-      s"${index.name}_bands_compacting", Seq("band", "bucket"))
-    rewrite(index.postsDir, next.postsDir,
-      s"${index.name}_posts_compacting", Seq("id"))
+    val tombs = IndexGen.tombstones(spark, index.path)
+    IndexGen.rewriteBucketed(spark, index.bandsDir, next.bandsDir,
+      s"${index.name}_bands_compacting", m.numBuckets,
+      Seq("band", "bucket"), tombs)
+    IndexGen.rewriteBucketed(spark, index.postsDir, next.postsDir,
+      s"${index.name}_posts_compacting", m.numBuckets, Seq("id"), tombs)
 
     // COMMIT: everything below is post-commit housekeeping
-    val marker = new org.apache.hadoop.fs.Path(
-      s"${index.path}/_compact_c${next.gen}")
-    fs.create(marker, true).close()
-
+    IndexGen.writeMarker(spark, index.path, next.gen)
     spark.sql(s"DROP TABLE IF EXISTS ${index.bandsTable}")
     spark.sql(s"DROP TABLE IF EXISTS ${index.postsTable}")
     registerTables(spark, next)
-    fs.delete(new org.apache.hadoop.fs.Path(index.tombstonesDir), true)
-    // retention: superseded generations (and their markers) are never
-    // read again once the newer marker exists
-    fs.listStatus(new org.apache.hadoop.fs.Path(index.path)).foreach { st =>
-      val n = st.getPath.getName
-      val gOf = "^(?:bands\\.c|posts\\.c|_compact_c)(\\d+)$".r
-      n match {
-        case gOf(g) if g.toInt < next.gen => fs.delete(st.getPath, true)
-        case "bands" | "posts" if next.gen > 0 => fs.delete(st.getPath, true)
-        case _ =>
-      }
-    }
+    IndexGen.clearTombstones(spark, index.path)
+    IndexGen.sweepOld(spark, index.path, bases, next.gen)
     next
+  }
+
+  /** Compact only when an append cadence has actually fragmented the
+    * index: if either table's fullest bucket holds more than
+    * `maxFilesPerBucket` files, run [[compactLshIndex]]; otherwise return
+    * the handle unchanged. The streaming ingest loop
+    * ([[graft.streaming.DocStream.ingestDedupStream]]) calls this after
+    * each absorb so a long-running stream bounds its own small-file
+    * growth instead of waiting for an operator to notice. */
+  def maybeCompactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      index: LshIndex, maxFilesPerBucket: Int): LshIndex = {
+    val worst = math.max(
+      IndexGen.maxFilesPerBucket(spark, index.bandsDir),
+      IndexGen.maxFilesPerBucket(spark, index.postsDir))
+    if (worst > maxFilesPerBucket) compactLshIndex(spark, index) else index
   }
 
   /** meta.json codec — fixed field order, no JSON library needed. */

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for PERSISTED bucketed indexes with compaction
+  * generations and id tombstones — used by the LSH dedup index
+  * ([[Dedup.writeLshIndex]] family) and the IVF-PQ ANN index
+  * ([[Similarity.writeAnnIndex]] family).
+  *
+  * Layout contract at an index `path`:
+  *   - generation 0 table directories live at `$path/<base>` (the
+  *     writer's layout), generation N > 0 at `$path/<base>.cN`;
+  *   - generation N > 0 is COMMITTED by the `$path/_compact_cN` marker,
+  *     written only after every table directory of that generation is
+  *     complete (the ContactsStream snapshot discipline: a generation
+  *     without its marker is a torn write and never resolves);
+  *   - retracted ids accumulate under `$path/tombstones` until a
+  *     compaction folds them into the files and clears them.
+  */
+private[operators] object IndexGen {
+
+  def fs(spark: SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def dirFor(path: String, base: String, gen: Int): String =
+    if (gen == 0) s"$path/$base" else s"$path/$base.c$gen"
+
+  /** Newest COMMITTED generation at `path` (0 = uncompacted layout).
+    * Strict `_compact_c<digits>` match — junk names never resolve. */
+  def resolveGen(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("_compact_c\\d+") =>
+        n.stripPrefix("_compact_c").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** 1 + max over committed AND torn generation artifacts, so a torn
+    * previous compaction attempt is never half-reused. */
+  def nextGen(spark: SparkSession, path: String, bases: Seq[String],
+      currentGen: Int): Int = {
+    val dirRe = ("^(?:" + bases.map(java.util.regex.Pattern.quote)
+      .mkString("|") + ")\\.c(\\d+)$").r
+    val maxSeen = fs(spark, path)
+      .listStatus(new org.apache.hadoop.fs.Path(path))
+      .iterator.map(_.getPath.getName)
+      .collect {
+        case n if n.matches("_compact_c\\d+") =>
+          n.stripPrefix("_compact_c").toInt
+        case dirRe(g) => g.toInt
+      }
+      .foldLeft(currentGen)(math.max)
+    maxSeen + 1
+  }
+
+  /** COMMIT a generation: everything after this call is housekeeping. */
+  def writeMarker(spark: SparkSession, path: String, gen: Int): Unit =
+    fs(spark, path)
+      .create(new org.apache.hadoop.fs.Path(s"$path/_compact_c$gen"), true)
+      .close()
+
+  /** Retention: superseded generations (and their markers, and the
+    * generation-0 dirs once a newer generation is committed) are never
+    * read again. */
+  def sweepOld(spark: SparkSession, path: String, bases: Seq[String],
+      keepGen: Int): Unit = {
+    val f = fs(spark, path)
+    val gOf = ("^(?:" + bases.map(java.util.regex.Pattern.quote)
+      .mkString("|") + "\\.c|_compact_c)(\\d+)$").r
+    f.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case gOf(g) if g.toInt < keepGen => f.delete(st.getPath, true)
+        case _ if bases.contains(n) && keepGen > 0 =>
+          f.delete(st.getPath, true)
+        case _ =>
+      }
+    }
+  }
+
+  /** Overwrite-time clean: a fresh generation-0 write must not be
+    * shadowed by a previous index's generations, filtered by its
+    * tombstones, or skip-absorbed against its streaming markers. */
+  def cleanAll(spark: SparkSession, path: String,
+      bases: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) return
+    val genRe = ("^(?:" + bases.map(java.util.regex.Pattern.quote)
+      .mkString("|") + ")\\.c\\d+$").r
+    f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (genRe.findFirstIn(n).isDefined || n.matches("_compact_c\\d+")
+          || n.matches("_absorbed_\\d+") || n == "tombstones")
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** Append retraction tombstones (`$path/tombstones`, plain parquet,
+    * one BIGINT `tomb_id` column). */
+  def appendTombstones(path: String, ids: DataFrame, idCol: String): Unit = {
+    require(ids.schema(ids.schema.fieldIndex(idCol)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "persisted index ids must be BIGINT")
+    ids.select(col(idCol).as("tomb_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Live tombstone set, or None when none have been written (the common
+    * case — keeps probe plans bit-identical to the tombstone-free ones). */
+  def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val f = fs(spark, path)
+    if (f.exists(p) &&
+        f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(s"$path/tombstones")
+        .select(col("tomb_id")).distinct())
+    else None
+  }
+
+  /** Filter an index-side frame by the live tombstones via a BROADCAST
+    * anti-join — preserves the frame's bucketed partitioning, so probe
+    * plans keep their no-index-side-exchange shape. */
+  def live(df: DataFrame, tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(df)(t =>
+      df.join(broadcast(t), df("id") === t("tomb_id"), "left_anti"))
+
+  def clearTombstones(spark: SparkSession, path: String): Unit =
+    fs(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+
+  /** Max parquet-file count over the buckets of one bucketed table
+    * directory (bucket id = the `_NNNNN` suffix Spark writes into
+    * bucketed file names). The compaction trigger statistic: appends add
+    * one file per bucket per batch, and a probe scan's open/footer
+    * overhead grows with exactly this number. Missing dir counts 0. */
+  def maxFilesPerBucket(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) return 0
+    val re = "_(\\d{5})\\.".r
+    f.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .flatMap(n => re.findFirstMatchIn(n).map(_.group(1)))
+      .toSeq.groupBy(identity).values
+      .foldLeft(0)((m, g) => math.max(m, g.size))
+  }
+
+  /** Rewrite one bucketed table into a generation directory with ONE
+    * file per bucket: bucketed writes emit one file per (task, bucket),
+    * and repartitioning on the bucket columns uses the same
+    * murmur3-pmod hash as the bucket spec, so every task holds exactly
+    * one bucket. The source is read as PLAIN parquet, not through the
+    * bucketed catalog table: a bucketed scan would claim the target
+    * partitioning, the optimizer would drop the "redundant" repartition,
+    * and DisableUnnecessaryBucketedScan would fall back to per-file
+    * splits — reproducing one file per INPUT split instead of per
+    * bucket. */
+  def rewriteBucketed(spark: SparkSession, srcDir: String, dstDir: String,
+      tmpTable: String, numBuckets: Int, bucketCols: Seq[String],
+      tombs: Option[DataFrame]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    live(spark.read.parquet(srcDir), tombs)
+      .repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .option("path", dstDir)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $tmpTable") // external: files stay
+  }
+
+  /** Create (or re-point) a catalog table at a generation's location.
+    * A table registered against a superseded generation is dropped and
+    * recreated — external DDL, so no data moves. */
+  def ensureTable(spark: SparkSession, table: String, dir: String,
+      ddl: String): Unit = {
+    def currentLocation: Option[String] =
+      spark.sql(s"DESCRIBE FORMATTED $table").collect()
+        .find(_.getString(0) == "Location").map(_.getString(1))
+    if (spark.catalog.tableExists(table)) {
+      val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      val stale = !currentLocation.exists(loc =>
+        new org.apache.hadoop.fs.Path(loc).toUri.getPath == want)
+      if (stale) spark.sql(s"DROP TABLE $table") else return
+    }
+    spark.sql(ddl)
+  }
+}

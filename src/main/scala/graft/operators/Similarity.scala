@@ -784,7 +784,20 @@ object Similarity {
         .join(enc, "id")
         .repartition(col("cent_id"))
     }
+    pqProbeLists(c, queries, queryIdCol, queryVecCol, k, model,
+      centroids, nprobe)
+  }
 
+  /** The shared IVF-PQ probe: score `queries` against an encoded,
+    * cent_id-partitioned list frame `c` (id, cent_id, codes, rnorm) —
+    * either [[pqTopK]]'s inline encode behind its repartition barrier or
+    * a persisted [[AnnIndex]] table arriving bucket-partitioned from
+    * disk. One definition so the inline and persisted paths can never
+    * diverge on scoring (the [[coarseCentroids]] single-definition
+    * stance). */
+  private def pqProbeLists(c: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int, model: PqModel,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
     // The k-wide LUTs (and qnrm / the residual dot(q, c_list)) are
     // computed BELOW the routing window, so the window's sort materializes
     // them into rows and the candidate join only READS them. Computing
@@ -819,7 +832,15 @@ object Similarity {
       .orderBy(col("cent_sim").desc, col("cent_id").asc)
     val q = qScored.withColumn("r", row_number().over(wq))
       .filter(col("r") <= nprobe)
-      .select(Seq(col("id"), col("cent_id"), col("qnrm"), col("__qc")) ++
+      // the join key's type must match the LIST side exactly: a widening
+      // cast lands on the list side otherwise, which both disables a
+      // persisted index's bucketed scan (exchange-free probes are the
+      // point of AnnIndex) and made the inline path's cent_id
+      // repartition fail to satisfy the join's distribution — an extra
+      // full-corpus exchange (AnnIndexSpec pins the plan)
+      .select(Seq(col("id"),
+        col("cent_id").cast(c.schema("cent_id").dataType).as("cent_id"),
+        col("qnrm"), col("__qc")) ++
         (0 until model.m).map(mi =>
           col("__luts").getField(s"__lut$mi").as(s"__lut$mi")): _*)
 
@@ -837,6 +858,213 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------- persisted IVF-PQ index
+
+  /** Metadata of a persisted ANN index: the full residual [[PqModel]]
+    * (coarse centroids + per-subspace codebooks — driver-metadata-sized,
+    * the [[trainCentroids]] stance) plus the storage bucket count.
+    * Probes MUST score with the identical model or codes silently decode
+    * against the wrong codebooks — [[readAnnIndex]] replays it from the
+    * index's own meta file, exactly the LshIndexMeta contract. */
+  case class AnnIndexMeta(model: PqModel, numBuckets: Int)
+
+  /** Handle to a persisted IVF-PQ ANN index: ONE bucketed catalog table
+    * `{name}_lists` (id, cent_id, codes, rnorm) CLUSTERED BY cent_id —
+    * the inverted-list layout, so a probe joins it with NO exchange on
+    * the index side (only the query side shuffles) — plus the model
+    * meta. Generations/markers/tombstones follow the [[Dedup.LshIndex]]
+    * discipline ([[IndexGen]]). This is the production ANN shape at
+    * 100 TB: the lists hold m one-byte codes + one double per vector
+    * (64x smaller than float64 at m=8, dim=64), the index is written
+    * once and probed/appended per ingest, and nothing ever re-encodes
+    * or re-shuffles the corpus side. */
+  case class AnnIndex(name: String, path: String, meta: AnnIndexMeta,
+      gen: Int = 0) {
+    def listsTable: String = s"${name}_lists"
+    def listsDir: String = IndexGen.dirFor(path, "lists", gen)
+  }
+
+  /** Build and PERSIST an IVF-PQ index: train the residual model
+    * ([[pqTrainResidual]] — deterministic sampled path), encode the
+    * corpus ([[pqEncode]]), and write the lists bucketed by cent_id
+    * (one file per bucket — the repartition uses bucketing's own hash),
+    * with the model serialized to `meta.json`. Overwrites any prior
+    * index at `path` (including stale generations and tombstones). */
+  def writeAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, name: String, m: Int = 8, k: Int = 16,
+      nlist: Int = 64, numBuckets: Int = 16,
+      coarseTrainIters: Int = 0): AnnIndex = {
+    require(corpus.schema(corpus.schema.fieldIndex(idCol)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "persisted index ids must be BIGINT (cross-session DDL)")
+    val spark = corpus.sparkSession
+    val model = pqTrainResidual(corpus, idCol, vecCol, m, k, nlist,
+      coarseTrainIters)
+    val idx = AnnIndex(name, path, AnnIndexMeta(model, numBuckets))
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.listsTable}")
+    IndexGen.cleanAll(spark, path, Seq("lists"))
+    pqEncode(corpus, idCol, vecCol, model)
+      .repartition(numBuckets, col("cent_id"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cent_id")
+      .option("path", idx.listsDir)
+      .saveAsTable(idx.listsTable)
+    writeAnnMeta(spark, s"$path/meta.json", idx.meta)
+    idx
+  }
+
+  /** Open a persisted ANN index from `path`: replay the model from
+    * meta.json, resolve the newest committed compaction generation, and
+    * register (or re-point) the bucketed catalog table — the
+    * [[Dedup.readLshIndex]] contract. */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): AnnIndex = {
+    val meta = readAnnMeta(spark, s"$path/meta.json")
+    val idx = AnnIndex(name, path, meta,
+      gen = IndexGen.resolveGen(spark, path))
+    registerAnnTable(spark, idx)
+    idx
+  }
+
+  private def registerAnnTable(spark: org.apache.spark.sql.SparkSession,
+      idx: AnnIndex): Unit =
+    IndexGen.ensureTable(spark, idx.listsTable, idx.listsDir,
+      s"""CREATE TABLE ${idx.listsTable}
+         |(id BIGINT, cent_id INT, codes ARRAY<TINYINT>, rnorm DOUBLE)
+         |USING parquet
+         |CLUSTERED BY (cent_id) INTO ${idx.meta.numBuckets} BUCKETS
+         |LOCATION '${idx.listsDir}'""".stripMargin)
+
+  /** Top-k ANN through the PERSISTED index: identical scoring to
+    * [[pqTopK]] (the shared [[pqProbeLists]] — LUT ADC, round-6
+    * ranking), with the corpus side read from the bucketed lists table:
+    * pre-partitioned on exactly the join key, so the probe plan carries
+    * ONE exchange (the query side; AnnIndexSpec pins it). Tombstoned ids
+    * are filtered by a broadcast anti-join that preserves the bucketed
+    * partitioning. */
+  def probeAnnIndex(index: AnnIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val model = index.meta.model
+    val cents = model.residualCentroids.getOrElse(
+      throw new IllegalStateException("AnnIndex meta must carry a " +
+        "residual model"))
+    val centroids = cents.map { case (cid, cv) => (cid.toLong, cv) }
+      .toDF("cent_id", "cent_vec")
+    val c = IndexGen.live(spark.table(index.listsTable),
+      IndexGen.tombstones(spark, index.path))
+    pqProbeLists(c, queries, queryIdCol, queryVecCol, k, model,
+      centroids, nprobe)
+  }
+
+  /** Absorb new vectors INTO the persisted index: encode with the
+    * PERSISTED model (never retrained — codes must stay decodable
+    * against the index's codebooks) and append bucketed files, which the
+    * bucketed scan groups back into the same partitions (no probe-plan
+    * regression; compaction is the small-files counter-move). Caller
+    * contract: appended ids disjoint from indexed ids. */
+  def appendToAnnIndex(index: AnnIndex, batch: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    require(batch.schema(batch.schema.fieldIndex(idCol)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "persisted index ids must be BIGINT")
+    pqEncode(batch, idCol, vecCol, index.meta.model)
+      .repartition(index.meta.numBuckets, col("cent_id"))
+      .write.mode("append")
+      .bucketBy(index.meta.numBuckets, "cent_id")
+      .option("path", index.listsDir)
+      .saveAsTable(index.listsTable)
+  }
+
+  /** Retract vectors: id tombstones hide them from probes immediately
+    * ([[IndexGen.appendTombstones]]); the rows leave the files at the
+    * next [[compactAnnIndex]]. Re-adding a retracted id requires a
+    * compaction first (the tombstone filters by id, not file age). */
+  def retractFromAnnIndex(index: AnnIndex, ids: DataFrame,
+      idCol: String): Unit =
+    IndexGen.appendTombstones(index.path, ids, idCol)
+
+  /** Compact the lists table: rewrite into the next generation with the
+    * same bucket spec — one file per bucket — applying and clearing
+    * tombstones; commit-marker + retention per [[IndexGen]]. Same
+    * crash-safety and single-writer contract as
+    * [[Dedup.compactLshIndex]]. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      index: AnnIndex): AnnIndex = {
+    val next = index.copy(
+      gen = IndexGen.nextGen(spark, index.path, Seq("lists"), index.gen))
+    IndexGen.fs(spark, index.path)
+      .delete(new org.apache.hadoop.fs.Path(next.listsDir), true)
+    IndexGen.rewriteBucketed(spark, index.listsDir, next.listsDir,
+      s"${index.name}_lists_compacting", index.meta.numBuckets,
+      Seq("cent_id"), IndexGen.tombstones(spark, index.path))
+    IndexGen.writeMarker(spark, index.path, next.gen)
+    spark.sql(s"DROP TABLE IF EXISTS ${index.listsTable}")
+    registerAnnTable(spark, next)
+    IndexGen.clearTombstones(spark, index.path)
+    IndexGen.sweepOld(spark, index.path, Seq("lists"), next.gen)
+    next
+  }
+
+  /** Compact only when appends have fragmented the lists: if the
+    * fullest bucket holds more than `maxFilesPerBucket` files, run
+    * [[compactAnnIndex]]; otherwise return the handle unchanged — the
+    * [[Dedup.maybeCompactLshIndex]] trigger for the ANN ingest loop
+    * ([[graft.streaming.VecStream.ingestAnnStream]]). */
+  def maybeCompactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      index: AnnIndex, maxFilesPerBucket: Int): AnnIndex =
+    if (IndexGen.maxFilesPerBucket(spark, index.listsDir)
+        > maxFilesPerBucket)
+      compactAnnIndex(spark, index)
+    else index
+
+  /** meta.json codec for [[AnnIndexMeta]] — hand-rolled like the
+    * LshIndexMeta one (no JSON library on the engine classpath). Doubles
+    * round-trip exactly through Double.toString/parseDouble. Layout:
+    * scalars + `cents` (rows ';'-joined, components ' '-joined; row
+    * index = dense cent_id) + `codebooks` (subspaces '|'-joined, each
+    * k rows ';'-joined; row index = code). */
+  private def writeAnnMeta(spark: org.apache.spark.sql.SparkSession,
+      file: String, meta: AnnIndexMeta): Unit = {
+    val m = meta.model
+    require(m.residualCentroids.nonEmpty,
+      "persisted ANN indexes store residual models")
+    def row(v: Seq[Double]) = v.map(_.toString).mkString(" ")
+    val cents = m.residualCentroids.get.map(c => row(c._2)).mkString(";")
+    val cbs = m.codebooks.map(_.map(c => row(c._2)).mkString(";"))
+      .mkString("|")
+    val body = s"""{"m":${m.m},"ds":${m.ds},""" +
+      s""""numBuckets":${meta.numBuckets},""" +
+      s""""cents":"$cents","codebooks":"$cbs"}"""
+    val p = new org.apache.hadoop.fs.Path(file)
+    val out = IndexGen.fs(spark, file).create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readAnnMeta(spark: org.apache.spark.sql.SparkSession,
+      file: String): AnnIndexMeta = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val in = IndexGen.fs(spark, file).open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(n: String): String =
+      ("\"" + n + "\":\"?([^\",}]*)\"?").r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalArgumentException(
+          s"AnnIndex meta missing field $n in $file")).group(1)
+    def rows(s: String): Seq[Seq[Double]] =
+      s.split(";").toSeq.map(_.split(" ").toSeq.map(_.toDouble))
+    val cents = rows(field("cents")).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    val cbs = field("codebooks").split("\\|").toSeq.map(b =>
+      rows(b).zipWithIndex.map { case (v, i) => (i, v) })
+    AnnIndexMeta(
+      PqModel(field("m").toInt, field("ds").toInt, cbs, Some(cents)),
+      field("numBuckets").toInt)
   }
 
   /** k-center greedy (farthest-point) coreset selection — Gonzalez 1985

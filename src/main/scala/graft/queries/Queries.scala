@@ -9786,92 +9786,7 @@ object Queries {
             round(coalesce(col("hits"), lit(0L)) / 10.0, 4).as("recall"))
           .orderBy(col("query_id"))
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
-             |cc AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
-             |    v AS cv
-             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 64)),
-             |asg AS (
-             |  SELECT vec_id, v, cidx, cv FROM (
-             |    SELECT e.vec_id, e.v, cc.cidx, cc.cv, row_number() OVER (
-             |      PARTITION BY e.vec_id
-             |      ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cidx)
-             |      AS rn
-             |    FROM e CROSS JOIN cc) WHERE rn = 1),
-             |res AS (
-             |  SELECT vec_id, cidx, cv,
-             |    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
-             |  FROM asg),
-             |cbsrc AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
-             |  FROM (SELECT vec_id, r FROM res
-             |        ORDER BY vec_id LIMIT 16 OFFSET 64)),
-             |cb AS (
-             |  SELECT ms.m, code, r[ms.m*8+1 : ms.m*8+8] AS cbv
-             |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
-             |keys AS (
-             |  SELECT d.vec_id, cb.m, cb.code, cb.cbv,
-             |    round(list_inner_product(cb.cbv, cb.cbv)
-             |      - 2 * list_inner_product(d.r[cb.m*8+1 : cb.m*8+8], cb.cbv),
-             |      6) AS key
-             |  FROM res d CROSS JOIN cb),
-             |pick AS (
-             |  SELECT vec_id, m, code, cbv FROM (
-             |    SELECT vec_id, m, code, cbv, row_number() OVER (
-             |      PARTITION BY vec_id, m ORDER BY key, code) AS rn
-             |    FROM keys)
-             |  WHERE rn = 1),
-             |recon AS (
-             |  SELECT p.vec_id, r.cidx,
-             |    list_transform(range(64), i -> r.cv[i+1] + p.rh[i+1])
-             |      AS xhat
-             |  FROM (SELECT vec_id, flatten(list(cbv ORDER BY m)) AS rh
-             |        FROM pick GROUP BY vec_id) p
-             |  JOIN res r USING (vec_id)),
-             |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
-             |       WHERE vec_id % 25 = 0 AND vec_id < 500),
-             |probes AS (
-             |  SELECT query_id, cidx FROM (
-             |    SELECT q.query_id, cc.cidx, row_number() OVER (
-             |      PARTITION BY q.query_id
-             |      ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC, cc.cidx)
-             |      AS rn
-             |    FROM qs q CROSS JOIN cc) WHERE rn <= 4),
-             |approx AS (
-             |  SELECT query_id, neighbor_id FROM (
-             |    SELECT query_id, neighbor_id, row_number() OVER (
-             |        PARTITION BY query_id
-             |        ORDER BY pq_cosine DESC, neighbor_id) AS rank
-             |    FROM (
-             |      SELECT p.query_id, rc.vec_id AS neighbor_id,
-             |        round(list_cosine_similarity(q.qv, rc.xhat), 6)
-             |          AS pq_cosine
-             |      FROM probes p JOIN qs q USING (query_id)
-             |      JOIN recon rc
-             |        ON rc.cidx = p.cidx AND rc.vec_id <> p.query_id))
-             |  WHERE rank <= 10),
-             |exact AS (
-             |  SELECT query_id, neighbor_id FROM (
-             |    SELECT query_id, neighbor_id, row_number() OVER (
-             |        PARTITION BY query_id
-             |        ORDER BY cosine DESC, neighbor_id) AS rank
-             |    FROM (
-             |      SELECT q.query_id, e2.vec_id AS neighbor_id,
-             |        round(list_cosine_similarity(q.qv, e2.v), 6) AS cosine
-             |      FROM qs q JOIN e e2 ON e2.vec_id <> q.query_id))
-             |  WHERE rank <= 10),
-             |hits AS (
-             |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
-             |  FROM exact x JOIN approx a
-             |    ON a.query_id = x.query_id
-             |    AND a.neighbor_id = x.neighbor_id
-             |  GROUP BY a.query_id)
-             |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
-             |  round(coalesce(h.hits, 0) / 10.0, 4) AS recall
-             |FROM qs q LEFT JOIN hits h USING (query_id)
-             |ORDER BY q.query_id""".stripMargin)),
+      Some(ivfpqRecallOracle)),
 
     // ---------------------------------------------------------------------
     // q201: the REAL default featurizer (featurize -> imageFeatures),
@@ -9991,7 +9906,64 @@ object Queries {
         .replace(
           "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
           "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
-            "  AND id_b >= 10000")))
+            "  AND id_b >= 10000"))),
+
+    // ---------------------------------------------------------------------
+    // q203: the PERSISTED IVF-PQ ANN index — q200's exact pipeline with
+    // the encoded lists actually written once (Similarity.writeAnnIndex:
+    // (id, cent_id, codes, rnorm) bucketed by cent_id, model in
+    // meta.json) and probed through the catalog table
+    // (readAnnIndex/probeAnnIndex): the probe joins the lists
+    // pre-partitioned on exactly its key with NO index-side exchange
+    // (AnnIndexSpec pins the plan), only the query side shuffles — the
+    // q194 storage argument applied to ANN. Identical recall output
+    // through the persisted path is the equivalence evidence: the oracle
+    // is q200's verbatim (model training, encode, routing, ADC and the
+    // brute-forced truth all restated from scratch), so a meta.json
+    // round-trip loss, a bucketed-layout slip, or a probe-side scoring
+    // divergence each moves the hash.
+    QueryDef("q203_ann_index",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val name = "q203_idx_" + path.takeRight(12)
+        Similarity.writeAnnIndex(e, "vec_id", "vec", path, name,
+          m = 8, k = 16, nlist = 64, numBuckets = 16)
+        val idx = Similarity.readAnnIndex(s, path, name)
+        val approx = Similarity.probeAnnIndex(idx, q, "qid", "qvec",
+            k = 10, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"))
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("vec").as("cvec"), Vec.norm(col("vec")).as("cnrm"))
+        val qn = q.select(col("qid").as("query_id"), col("qvec"),
+          Vec.norm(col("qvec")).as("qnrm"))
+        val scored = c.join(broadcast(qn),
+            col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Vec.cosineFromParts(Vec.dot(col("qvec"), col("cvec")),
+              col("qnrm"), col("cnrm")), 6).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        qn.select(col("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 10.0, 4).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      // q200's oracle verbatim: the persisted path must land the same
+      // per-query recall as the inline pipeline the twin restates
+      Some(ivfpqRecallOracle))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)
@@ -10292,6 +10264,100 @@ object Queries {
 
   /** Oracle twin of q19 — word-3-gram Jaccard restated over DuckDB list
     * functions + an inverted-index join. */
+  /** Shared oracle of q200 (inline IVF-PQ at the production operating
+    * point) and q203 (the same pipeline through the persisted AnnIndex):
+    * the full residual IVF-PQ at nlist = 64 / nprobe = 4 restated from
+    * scratch — coarse assignment, residual encode, 4-list probe, ADC
+    * top-10 — plus the exact round-6 brute-force truth, emitting
+    * per-query recall@10 over the fixed 20-query set. */
+  private lazy val ivfpqRecallOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |cc AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+      |    v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 64)),
+      |asg AS (
+      |  SELECT vec_id, v, cidx, cv FROM (
+      |    SELECT e.vec_id, e.v, cc.cidx, cc.cv, row_number() OVER (
+      |      PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cidx)
+      |      AS rn
+      |    FROM e CROSS JOIN cc) WHERE rn = 1),
+      |res AS (
+      |  SELECT vec_id, cidx, cv,
+      |    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
+      |  FROM asg),
+      |cbsrc AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+      |  FROM (SELECT vec_id, r FROM res
+      |        ORDER BY vec_id LIMIT 16 OFFSET 64)),
+      |cb AS (
+      |  SELECT ms.m, code, r[ms.m*8+1 : ms.m*8+8] AS cbv
+      |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+      |keys AS (
+      |  SELECT d.vec_id, cb.m, cb.code, cb.cbv,
+      |    round(list_inner_product(cb.cbv, cb.cbv)
+      |      - 2 * list_inner_product(d.r[cb.m*8+1 : cb.m*8+8], cb.cbv),
+      |      6) AS key
+      |  FROM res d CROSS JOIN cb),
+      |pick AS (
+      |  SELECT vec_id, m, code, cbv FROM (
+      |    SELECT vec_id, m, code, cbv, row_number() OVER (
+      |      PARTITION BY vec_id, m ORDER BY key, code) AS rn
+      |    FROM keys)
+      |  WHERE rn = 1),
+      |recon AS (
+      |  SELECT p.vec_id, r.cidx,
+      |    list_transform(range(64), i -> r.cv[i+1] + p.rh[i+1])
+      |      AS xhat
+      |  FROM (SELECT vec_id, flatten(list(cbv ORDER BY m)) AS rh
+      |        FROM pick GROUP BY vec_id) p
+      |  JOIN res r USING (vec_id)),
+      |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+      |       WHERE vec_id % 25 = 0 AND vec_id < 500),
+      |probes AS (
+      |  SELECT query_id, cidx FROM (
+      |    SELECT q.query_id, cc.cidx, row_number() OVER (
+      |      PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC, cc.cidx)
+      |      AS rn
+      |    FROM qs q CROSS JOIN cc) WHERE rn <= 4),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY pq_cosine DESC, neighbor_id) AS rank
+      |    FROM (
+      |      SELECT p.query_id, rc.vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(q.qv, rc.xhat), 6)
+      |          AS pq_cosine
+      |      FROM probes p JOIN qs q USING (query_id)
+      |      JOIN recon rc
+      |        ON rc.cidx = p.cidx AND rc.vec_id <> p.query_id))
+      |  WHERE rank <= 10),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM (
+      |      SELECT q.query_id, e2.vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(q.qv, e2.v), 6) AS cosine
+      |      FROM qs q JOIN e e2 ON e2.vec_id <> q.query_id))
+      |  WHERE rank <= 10),
+      |hits AS (
+      |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+      |  FROM exact x JOIN approx a
+      |    ON a.query_id = x.query_id
+      |    AND a.neighbor_id = x.neighbor_id
+      |  GROUP BY a.query_id)
+      |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+      |  round(coalesce(h.hits, 0) / 10.0, 4) AS recall
+      |FROM qs q LEFT JOIN hits h USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+
   private lazy val jaccardOracle: String =
     """WITH all_docs AS (
       |  SELECT doc_id, text FROM documents

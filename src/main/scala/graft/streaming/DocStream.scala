@@ -118,16 +118,29 @@ object DocStream {
     * on replay the usual way (downstream readers key on (id_a, id_b)).
     *
     * Caller contract (same as the batch path): streamed doc_ids disjoint
-    * from indexed ids across the stream's lifetime. */
+    * from indexed ids across the stream's lifetime.
+    *
+    * `compactAtFilesPerBucket`: with Some(n), each absorb is followed by
+    * [[Dedup.maybeCompactLshIndex]] — appends write one file per bucket
+    * per micro-batch, so a streaming-cadence ingest otherwise grows the
+    * probe scan's file count without bound (the r12 small-files gap).
+    * Compaction re-points the catalog tables in place and later
+    * micro-batches append into the new generation (the handle is
+    * tracked across batches). */
   def ingestDedupStream(spark: SparkSession, dir: String,
       index: Dedup.LshIndex, outDir: String, checkpointDir: String,
-      threshold: Double = 0.5): StreamingQuery = {
+      threshold: Double = 0.5,
+      compactAtFilesPerBucket: Option[Int] = None): StreamingQuery = {
+    var cur = index
     val q = readDocs(spark, dir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = Dedup.probeLshIndex(index, batch, "doc_id", "text",
+        val pairs = Dedup.probeLshIndex(cur, batch, "doc_id", "text",
           threshold)
         pairs.write.mode("append").parquet(outDir)
-        absorbOnce(index, batch, batchId)
+        absorbOnce(cur, batch, batchId)
+        compactAtFilesPerBucket.foreach { n =>
+          cur = Dedup.maybeCompactLshIndex(spark, cur, n)
+        }
         graft.pipeline.Pins.flush() // micro-batch = this flow's boundary
       }
       .option("checkpointLocation", checkpointDir)

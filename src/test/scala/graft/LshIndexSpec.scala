@@ -274,6 +274,26 @@ class LshIndexSpec extends AnyFunSuite {
       s"re-added doc 0 must pair with its batch variant again: $after")
   }
 
+  test("maybeCompactLshIndex triggers only past the files-per-bucket bar") {
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "lshspec_mcpt", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val before = pairsOf(idx, batch)
+    // a fresh write is already packed: below any sane bar -> no-op
+    assert(Dedup.maybeCompactLshIndex(spark, idx, 8) eq idx)
+    Dedup.appendToLshIndex(idx, batch.select(
+      (col("doc_id") + 5000).as("doc_id"), col("text")), "doc_id", "text")
+    // one append adds one file per non-empty bucket: bar 8 still no-op,
+    // bar 1 compacts and preserves the probe
+    assert(Dedup.maybeCompactLshIndex(spark, idx, 8) eq idx)
+    val compacted = Dedup.maybeCompactLshIndex(spark, idx, 1)
+    assert(compacted.gen == 1)
+    assert(pairsOf(compacted, batch).map(p => (p._1, p._2)).toSet
+      .intersect(before.map(p => (p._1, p._2)).toSet)
+      == before.map(p => (p._1, p._2)).toSet)
+  }
+
   test("writeLshIndex refuses non-BIGINT ids (cross-session DDL contract)") {
     val bad = Seq((1, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

@@ -50,6 +50,7 @@ BOUNDS = {
     "q200_ivfpq_prod_recall": 1.2,
     "q201_image_histogram": 1.2,
     "q202_ingest_stream": 1.0,
+    "q203_ann_index": 1.2,
     "p95_ivfpq_prod": 0.5,
     "p134_linkage_scaled": 0.8,
 }
