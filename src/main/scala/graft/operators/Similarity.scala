@@ -201,13 +201,16 @@ object Similarity {
     * reassigns; relationally the empty list never matches a probe).
     * Returns (cent_id, cent_vec) like the sampling path.
     *
-    * DIMENSION LIMIT: the assignment projection embeds nlist x dim literal
-    * doubles into the plan (one `array(lit...)` per centroid). Fine at the
-    * tested sizes, but at production embedding dims (e.g. 768 x 64 lists =
-    * ~50k literals) this bloats analysis/codegen past comfortable limits —
-    * past roughly nlist*dim > 10k switch to broadcasting the centroid
-    * matrix and scoring via a typed map (the MLlib stance), trading the
-    * pure-projection plan for a broadcast variable. */
+    * Dimension note: the assignment embeds nlist x dim literal doubles
+    * into the plan as ONE folded centroid-matrix literal consumed by the
+    * native [[graft.expressions.ArgmaxCosine]] kernel (generated code is
+    * a single static call at any nlist/dim — the old unrolled struct
+    * form hit janino's 64 KB method limit past ~nlist*dim = 10k). The
+    * remaining ceiling is literal/analysis size only; past ~10^6
+    * embedded doubles (e.g. 768-dim x 1000+ lists) switch to
+    * broadcasting the centroid matrix and scoring via a typed map (the
+    * MLlib stance), trading the pure-projection plan for a broadcast
+    * variable. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): DataFrame =
     centroidHistory(corpus, idCol, vecCol, nlist, iters).last
@@ -276,18 +279,29 @@ object Similarity {
     var converged = false
     var lastObj = Double.NaN
     for (_ <- 0 until maxIters if cents.nonEmpty && !converged) {
-      // (cosine, -cent_id, cent_id) structs; array_max's lexicographic
-      // struct order = best similarity, smallest cent_id on ties
-      val candidates = array(cents.map { case (cid, v) =>
-        val centCol = array(v.map(lit): _*)
-        struct(Vec.cosine(col("__v"), centCol).as("sim"),
-          lit(-cid).as("neg"), lit(cid).as("cent_id"))
+      // nearest-centroid assignment via the native ArgmaxCosine kernel
+      // (runtime loop over the literal centroid matrix — bit-identical to
+      // the unrolled array_max-over-(cosine, -cent_id) struct form it
+      // replaced, ties to the smallest index): the unrolled form emitted
+      // O(nlist) codegen'd struct builds per row and hit janino's 64 KB
+      // method limit past ~nlist*dim = 10k (the old DIMENSION LIMIT
+      // note); the kernel's generated code is one static call at any
+      // size. cents is sorted by cent_id, so position order = id order
+      // and the position->id lookup is a literal array. The winner's sim
+      // is recomputed against its centroid row — the same left-to-right
+      // VecDot ops, so the value is bit-identical to the struct field.
+      val centMat = array(cents.map { case (_, v) =>
+        array(v.map(lit): _*)
       }: _*)
+      val centIds = array(cents.map { case (cid, _) => lit(cid) }: _*)
       val assigned = corpus
         .select(Vec.asDouble(col(vecCol)).as("__v"))
-        .select(col("__v"), array_max(candidates).as("best"))
-        .select(col("__v"), col("best.cent_id").as("cent_id"),
-          col("best.sim").as("sim"))
+        .withColumn("__ci",
+          graft.expressions.ArgmaxCosine.column(col("__v"), centMat))
+        .select(col("__v"),
+          element_at(centIds, col("__ci") + 1).as("cent_id"),
+          Vec.cosine(col("__v"),
+            element_at(centMat, col("__ci") + 1)).as("sim"))
       // sorted BEFORE the driver-side folds: collect order is partition
       // order, and a double sum in nondeterministic order could flip the
       // round-4 objective within one ulp of a boundary
