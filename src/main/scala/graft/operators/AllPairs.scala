@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** EXACT all-pairs cosine similarity self-join over sparse term-frequency
+  * vectors, with prefix filtering (Bayardo, Ma & Srikant, WWW'07 "Scaling
+  * Up All Pairs Similarity Search") for candidate generation — the exact
+  * counterpart to the approximate MinHash/SimHash near-dup family in
+  * [[Dedup]]: every pair with cosine ≥ t is returned, no recall loss.
+  *
+  * Why this scales where the naive plans don't:
+  *   - the naive O(n²) cross join is unshippable at corpus scale;
+  *   - the full inverted-index join (pairs sharing ANY term) is exact but
+  *     quadratic in the posting length of COMMON terms — stopword postings
+  *     at 100 TB are billions long, and squaring them is the skew killer.
+  *
+  * Prefix filtering bounds the index side: terms are globally ordered by
+  * ascending document frequency (rarest first, term string tiebreak), and a
+  * document indexes only its PREFIX under that order — the minimal set of
+  * rarest terms such that the unit-norm mass of the remaining (most common)
+  * tail falls below t. Cauchy–Schwarz gives the guarantee: if a pair shares
+  * no indexed term of doc y, every shared term sits in y's tail, so
+  * cos(x,y) ≤ ‖x‖ · ‖y_tail‖ < t — no qualifying pair is missed when the
+  * probe side keeps ALL terms and only the index side is pruned. Common
+  * terms carry most of a typical document's mass, so exactly the postings
+  * that explode are the ones pruned.
+  *
+  * Candidates are then verified with the EXACT cosine computed from
+  * integer term-frequency dot products (Σ tf_a·tf_b and Σ tf² are exact
+  * longs; the only floating-point steps are two sqrt's and one division on
+  * identical inputs in any engine — the determinism discipline the oracle
+  * hash compare needs).
+  *
+  * Plan shape: per-document windows only (the prefix scan partitions by
+  * doc id), one term-keyed candidate join, one pair-keyed verification
+  * aggregate. No cross join, no data-sized unpartitioned window.
+  */
+object AllPairs {
+
+  private val ID = "__ap_id"
+  private val TOK = "__ap_tok"
+  private val TF = "__ap_tf"
+  private val N2 = "__ap_norm2"
+  private val DF = "__ap_df"
+
+  /** Term-frequency postings (id, tok, tf) from (id, text) rows. */
+  private[graft] def postings(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol).cast("long").as(ID),
+        explode(Text.tokens(col(textCol))).as(TOK))
+      .groupBy(col(ID), col(TOK))
+      .agg(count(lit(1)).as(TF))
+
+  /** Squared vector norms (id, norm2 = Σ tf²) — exact longs. */
+  private[graft] def norms(post: DataFrame): DataFrame =
+    post.groupBy(col(ID))
+      .agg(sum(col(TF) * col(TF)).as(N2))
+
+  /** The prefix postings a document must index: its terms in ascending
+    * document-frequency order (term-string tiebreak), kept while the
+    * unit-norm mass of the strictly-more-common tail is still ≥ t.
+    * Emitted ⟺ sqrt(Σ_{k ≥ this term} (tf_k/‖d‖)²) ≥ t, i.e. the
+    * INCLUSIVE tail — dropping a term requires the tail from it on to be
+    * provably below the threshold. */
+  private[graft] def prefixPostings(post: DataFrame, nrm: DataFrame,
+      threshold: Double): DataFrame = {
+    val termDf = post.groupBy(col(TOK)).agg(count(lit(1)).as(DF))
+    val ordered = post.join(termDf, Seq(TOK)).join(nrm, Seq(ID))
+    // per-document frame: bounded by the document's own term count
+    val w = Window.partitionBy(col(ID))
+      .orderBy(col(DF).asc, col(TOK).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tailSq = sum(col(TF) * col(TF)).over(w)
+    ordered
+      .withColumn("__ap_tailsq", tailSq)
+      // tail² / ‖d‖² ≥ t²  ⟺  inclusive tail norm ≥ t (exact longs vs t²)
+      .filter(col("__ap_tailsq").cast("double") >=
+        lit(threshold * threshold) * col(N2).cast("double"))
+      .select(col(ID), col(TOK))
+  }
+
+  /** All unordered pairs (idA < idB) with cosine(tfVec(a), tfVec(b)) ≥ t.
+    * Output (aCol, bCol, cosine) with cosine rounded to 6 dp. */
+  def cosineJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val post = graft.pipeline.Pins.pin(postings(df, idCol, textCol))
+    val nrm = graft.pipeline.Pins.pin(norms(post))
+    val pfx = prefixPostings(post, nrm, threshold)
+
+    // candidate pairs: probe side FULL postings, index side PREFIX only.
+    // The a < b restriction halves the space; the prefix guarantee holds
+    // per-document, so it holds for whichever doc lands on the index side.
+    val probe = post.select(col(ID).as("__ap_a"), col(TOK))
+    val index = pfx.select(col(ID).as("__ap_b"), col(TOK))
+    val cand = probe.join(index, Seq(TOK))
+      .filter(col("__ap_a") < col("__ap_b"))
+      .select(col("__ap_a"), col("__ap_b"))
+      .distinct()
+
+    // verification: exact integer dot product over shared terms
+    val pa = post.select(col(ID).as("__ap_a"), col(TOK),
+      col(TF).as("__ap_tfa"))
+    val pb = post.select(col(ID).as("__ap_b"), col(TOK),
+      col(TF).as("__ap_tfb"))
+    val dots = cand.join(pa, Seq("__ap_a")).join(pb, Seq("__ap_b", TOK))
+      .groupBy(col("__ap_a"), col("__ap_b"))
+      .agg(sum(col("__ap_tfa") * col("__ap_tfb")).as("__ap_dot"))
+    val na = nrm.select(col(ID).as("__ap_a"), col(N2).as("__ap_n2a"))
+    val nb = nrm.select(col(ID).as("__ap_b"), col(N2).as("__ap_n2b"))
+    dots.join(na, Seq("__ap_a")).join(nb, Seq("__ap_b"))
+      .withColumn("__ap_cos",
+        col("__ap_dot").cast("double") /
+          (sqrt(col("__ap_n2a").cast("double")) *
+            sqrt(col("__ap_n2b").cast("double"))))
+      .filter(col("__ap_cos") >= threshold)
+      .select(col("__ap_a").as("id_a"), col("__ap_b").as("id_b"),
+        round(col("__ap_cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.pipeline.{Pins, RowIds}
+
+/** Distributed suffix ranking by prefix doubling (Manber–Myers generalized
+  * to the sort-based/MapReduce formulation, cf. Flick & Aluru SC'15), over
+  * a token-level corpus view: one suffix per (doc, pos), terminating at its
+  * document's end (the Lee et al. 2022 "ExactSubstr" setup — spans never
+  * cross document boundaries).
+  *
+  * Core object: `rank_w(doc, pos)` = the dense rank of the first
+  * min(w, remaining) tokens of the suffix among all suffixes, with
+  * shorter-is-smaller tie semantics (a proper prefix sorts before its
+  * extensions). Doubling builds `rank_2w` from `(rank_w(i), rank_w(i+w))`
+  * with a 0 sentinel for past-end positions, so each level is exactly one
+  * equi-join on the shifted position plus one dense-id assignment over the
+  * DISTINCT key frame — every step a key-partitioned shuffle, nothing
+  * single-task:
+  *
+  *   - the dense ids come from [[RowIds.denseByOrder]] (range-partitioned
+  *     two-phase zipWithIndex), never a global `Window.orderBy`;
+  *   - levels are localCheckpoint-bounded: each round's plan reads the
+  *     previous round's materialization instead of re-running the whole
+  *     chain (lineage — and with it the driver's analysis cost — would
+  *     otherwise grow exponentially in joins);
+  *   - log2(maxDocLen) rounds total — ~14 sort-shuffle rounds at a 10k-token
+  *     document corpus, independent of corpus SIZE, which is the published
+  *     scale recipe for distributed suffix arrays.
+  *
+  * Bounded-depth mode: `maxWidth` stops doubling early; `rank_w` at width w
+  * is still the EXACT w-token-window rank (the invariant holds per level,
+  * not just at convergence), which is all that length-bounded exact
+  * substring dedup needs — rank equality at width w ⟺ identical w-token
+  * windows (for positions with ≥ w tokens remaining).
+  *
+  * Exact-L window keys for arbitrary (non-power-of-two) L come from the
+  * standard two-overlapping-windows trick: with w the largest power of two
+  * ≤ L, `(rank_w(i), rank_w(i + L - w))` equals on two positions with
+  * ≥ L remaining tokens iff their L-token windows are identical
+  * (the windows [i, i+w) ∪ [i+L-w, i+L) cover [i, i+L) since L ≤ 2w).
+  *
+  * The longest repeated span is found by binary search on L over the
+  * monotone predicate "some L-window occurs ≥ 2 times" — O(log maxDocLen)
+  * single-aggregate probes, each a groupBy on the window key. Driver-side
+  * state is two integers (the search bounds): the documented model-sized
+  * driver-loop pattern (BpeTrain, Lloyd).
+  */
+object SuffixArray {
+
+  private val D = "__sa_doc"
+  private val P = "__sa_pos"
+  private val R = "__sa_rank"
+  private val R2 = "__sa_rank2"
+  private val NR = "__sa_nrank"
+  private val TOK = "__sa_tok"
+  private val REM = "__sa_rem"
+
+  /** One row per token: (doc, pos, tok, rem) with pos 0-based and
+    * rem = tokens remaining from pos (inclusive). */
+  def tokenPositions(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as(D),
+      Text.tokens(col(textCol)).as("__sa_toks"))
+    toks.select(col(D), posexplode(col("__sa_toks")).as(Seq(P, TOK)),
+        size(col("__sa_toks")).as("__sa_len"))
+      .withColumn(REM, col("__sa_len") - col(P))
+      .drop("__sa_len")
+  }
+
+  /** Per-document token arrays (doc, toks) — for reconstructing span text. */
+  def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(D),
+      Text.tokens(col(textCol)).as("__sa_toks"))
+
+  /** All rank levels (width, ranksAtWidth) with widths 1, 2, 4, …, each
+    * frame (doc, pos, rank) pinned and materialized. Doubling stops when
+    * every suffix holds a distinct rank (full resolution: rank_w is the
+    * full suffix rank) or when width ≥ stopAtWidth. The returned list is
+    * in increasing width order; the last level is the finest computed. */
+  def rankLevels(tokPos: DataFrame, stopAtWidth: Int = Int.MaxValue)
+      : Seq[(Int, DataFrame)] = {
+    val base = Pins.pin(tokPos.select(col(D), col(P), col(TOK)))
+    val total = base.count()
+
+    // Every level is localCheckpoint-ed (the Classify.scala lineage
+    // discipline): each round's plan reads the previous round TWICE (the
+    // dense-id pass inside denseByOrder forks count + data branches), so
+    // an un-truncated lineage doubles per round — 2^rounds logical-plan
+    // copies OOM the DRIVER during analysis long before any data moves.
+    // The checkpoint bounds the plan at one round; eager, so the early-stop
+    // counts below are reads of materialized partitions.
+    // width 1: order-preserving dense ids over the (small) distinct vocab
+    val vocab = RowIds.denseByOrder(
+      base.select(col(TOK)).distinct(), R, Seq(col(TOK)))
+    var lvl = base.join(vocab, Seq(TOK)).select(col(D), col(P), col(R))
+      .localCheckpoint()
+    var width = 1
+    var distinctKeys = lvl.select(col(R)).distinct().count()
+    val levels = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)](
+      (width, lvl))
+
+    while (distinctKeys < total && width < stopAtWidth) {
+      // rank of the suffix w positions ahead, keyed back to this position
+      val shifted = lvl.select(col(D), (col(P) - lit(width)).as(P),
+        col(R).as(R2))
+      val paired = lvl.join(shifted, Seq(D, P), "left")
+        .withColumn(R2, coalesce(col(R2), lit(0L))) // past-end: sorts first
+      // dense ids over the DISTINCT key frame (≤ n rows), scale-safe
+      val keyIds = RowIds.denseByOrder(
+        paired.select(col(R), col(R2)).distinct(), NR,
+        Seq(col(R), col(R2)))
+      lvl = paired.join(keyIds, Seq(R, R2))
+        .select(col(D), col(P), col(NR).as(R))
+        .localCheckpoint()
+      width *= 2
+      distinctKeys = lvl.select(col(R)).distinct().count()
+      levels += ((width, lvl))
+    }
+    levels.toSeq
+  }
+
+  /** Full-resolution suffix ranks (doc, pos, rank): the dense rank of each
+    * suffix among all suffixes of all documents (cross-document identical
+    * suffixes tie). Requires doubling past the longest document, so pass
+    * the corpus' max doc length (or leave the default to let the
+    * all-distinct stop decide; ties across documents then force doubling
+    * to the first power of two ≥ maxDocLen, after which levels are
+    * stationary — `rankLevels` stops because doubling a stationary level
+    * changes no key). */
+  def suffixRanks(tokPos: DataFrame): DataFrame = {
+    val maxLen = tokPos.agg(max(col(REM))).head().getInt(0)
+    val levels = rankLevels(tokPos, stopAtWidth = maxLen)
+    levels.last._2
+  }
+
+  /** Exact-L window keys: (doc, pos, k1, k2) for every position with
+    * ≥ L tokens remaining; (k1, k2) equality ⟺ identical L-token windows.
+    * `levels` must contain a width w with L ≤ 2w (true whenever levels
+    * were built with stopAtWidth ≥ L/2 … i.e. any full build). */
+  def windowKeys(levels: Seq[(Int, DataFrame)], tokPos: DataFrame, length: Int)
+      : DataFrame = {
+    require(length >= 1, s"window length must be >= 1, got $length")
+    val (w, lvl) = levels.filter(_._1 <= length).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no rank level with width <= $length"))
+    require(length <= 2 * w,
+      s"levels too shallow for L=$length (widest usable width $w)")
+    val eligible = tokPos.filter(col(REM) >= length).select(col(D), col(P))
+    val k1 = lvl.select(col(D), col(P), col(R).as("__sa_k1"))
+    val k2 = lvl.select(col(D), (col(P) - lit(length - w)).as(P),
+      col(R).as("__sa_k2"))
+    eligible.join(k1, Seq(D, P)).join(k2, Seq(D, P))
+  }
+
+  /** Positions whose exact-L token window occurs ≥ minCount times across
+    * the corpus: (doc, pos) plus the shared window-group size `n_occ`. */
+  def repeatedSpans(levels: Seq[(Int, DataFrame)], tokPos: DataFrame,
+      length: Int, minCount: Long = 2L): DataFrame = {
+    val keys = windowKeys(levels, tokPos, length)
+    val groups = keys.groupBy(col("__sa_k1"), col("__sa_k2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+    keys.join(groups, Seq("__sa_k1", "__sa_k2"))
+      .select(col(D), col(P), col("n_occ"))
+  }
+
+  /** Longest L such that some L-token window occurs ≥ 2 times (0 when no
+    * token repeats), and the positions achieving it. Binary search on the
+    * monotone repeated-at-L predicate: O(log maxDocLen) aggregate probes. */
+  def longestRepeatedSpan(tokPos: DataFrame)
+      : (Int, Seq[(Int, DataFrame)]) = {
+    val maxLen = tokPos.agg(max(col(REM))).head().getInt(0)
+    val levels = rankLevels(tokPos, stopAtWidth = maxLen)
+    // all-distinct at final width W proves no repeated W-window: LRS < W.
+    val finalWidth = levels.last._1
+    val nPos = tokPos.count()
+    val finalDistinct =
+      levels.last._2.select(col(R)).distinct().count()
+    val hi0 = if (finalDistinct == nPos) finalWidth - 1 else maxLen
+
+    def repeatedAt(l: Int): Boolean =
+      !repeatedSpans(levels, tokPos, l).isEmpty
+
+    if (hi0 < 1 || !repeatedAt(1)) return (0, levels)
+    var lo = 1
+    var hi = hi0
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (repeatedAt(mid)) lo = mid else hi = mid - 1
+    }
+    (lo, levels)
+  }
+
+  /** Public column names for the corpus-facing wrappers. */
+  private def publicCols(docCol: String, posCol: String): Seq[Column] =
+    Seq(col(D).as(docCol), col(P).cast("long").as(posCol))
+
+  /** Corpus-facing: full suffix ranks with a short preview, over (id, text)
+    * rows. Output (docCol, posCol, srank, preview) for every position. */
+  def suffixArray(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokPos = tokenPositions(df, idCol, textCol)
+    val ranks = suffixRanks(tokPos)
+    val docs = docTokens(df, idCol, textCol)
+    ranks.join(docs, Seq(D))
+      .select(publicCols(idCol, "pos") ++ Seq(
+        col(R).as("srank"),
+        array_join(slice(col("__sa_toks"), col(P) + lit(1), lit(4)), " ")
+          .as("preview")): _*)
+  }
+
+  /** Corpus-facing: exact-substring dedup coverage (Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better", the
+    * ExactSubstr variant): for every document, how many of its tokens sit
+    * inside some length-L window that occurs ≥ 2 times in the corpus —
+    * the mass ExactSubstr dedup would cut. Output (docCol, total_tokens,
+    * covered_tokens, covered_frac) for EVERY document.
+    *
+    * Plan: bounded-depth doubling to width ≥ L/2 (log2 L rounds — corpus-
+    * size-independent), one groupBy on the exact-L key, and a per-start
+    * explode of at most L covered positions — never materializes the
+    * O(n·L) all-window set the naive shingle plan would. */
+  def exactSubstrCoverage(df: DataFrame, idCol: String, textCol: String,
+      length: Int): DataFrame = {
+    val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
+    val levels = rankLevels(tokPos, stopAtWidth = length)
+    val totals = tokPos.groupBy(col(D))
+      .agg(count(lit(1)).as("total_tokens"))
+    // all-distinct stop before width L/2 proves no repeated window of the
+    // final width — hence none of length L ≥ that width either
+    val deepEnough = levels.last._1 * 2 >= length
+    val covered =
+      if (!deepEnough) totals.filter(lit(false))
+        .select(col(D), lit(0L).as("covered_tokens"))
+      else
+        repeatedSpans(levels, tokPos, length)
+          .select(col(D),
+            explode(sequence(col(P), col(P) + lit(length - 1))).as("__sa_cp"))
+          .distinct()
+          .groupBy(col(D))
+          .agg(count(lit(1)).as("covered_tokens"))
+    totals.join(covered, Seq(D), "left")
+      .select(col(D).as(idCol), col("total_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("total_tokens").cast("double"), 6).as("covered_frac"))
+  }
+
+  /** Corpus-facing: the longest repeated token span — its length and every
+    * position (with ≥ LRS tokens remaining) whose LRS-window repeats.
+    * Output (docCol, pos, span, lrs). */
+  def longestRepeatedSpans(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
+    val (lrs, levels) = longestRepeatedSpan(tokPos)
+    val docs = docTokens(df, idCol, textCol)
+    if (lrs == 0) {
+      // no repeated token at all: empty frame with the contract schema
+      return docs.filter(lit(false))
+        .select(col(D).as(idCol), lit(0L).as("pos"), lit("").as("span"),
+          lit(0L).as("lrs"))
+    }
+    repeatedSpans(levels, tokPos, lrs)
+      .join(docs, Seq(D))
+      .select(publicCols(idCol, "pos") ++ Seq(
+        array_join(slice(col("__sa_toks"), col(P) + lit(1), lit(lrs)), " ")
+          .as("span"),
+        lit(lrs.toLong).as("lrs")): _*)
+  }
+}

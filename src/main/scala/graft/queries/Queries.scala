@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, Text, Vec}
-import graft.operators.{Boilerplate, Classify, Dedup, Mix, Multimodal, Sessionize, Similarity}
+import graft.operators.{AllPairs, Boilerplate, Classify, Dedup, Mix, Multimodal, Sessionize, Similarity, SuffixArray}
 import graft.pipeline.{Fill, GoldenRecord, Validate}
 
 /** The driver-graded query registry: every SURVEY.md §2 operator family is
@@ -9963,7 +9963,299 @@ object Queries {
       },
       // q200's oracle verbatim: the persisted path must land the same
       // per-query recall as the inline pipeline the twin restates
-      Some(ivfpqRecallOracle))
+      Some(ivfpqRecallOracle)),
+
+    // ---------------------------------------------------------------------
+    // q204: distributed suffix array by prefix doubling (SuffixArray
+    // scaladoc; Flick & Aluru SC'15 formulation). Every (doc, pos) suffix
+    // gets its dense rank among all suffixes; log2(maxDocLen) sort-shuffle
+    // rounds, each one equi-join + one range-partitioned dense-id pass —
+    // round count scales with DOCUMENT length, not corpus size. The sampled
+    // output still requires the full global ranking to be right. The twin
+    // brute-forces the ranking by sorting materialized suffix strings
+    // (space-joined token comparison == token-sequence comparison when no
+    // token contains whitespace).
+    QueryDef("q204_suffix_array",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SuffixArray.suffixArray(docs, "doc_id", "text")
+          .filter(pmod(col("doc_id") * 101 + col("pos"), lit(37)) === 0)
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |sfx AS (SELECT doc_id, i AS pos,
+             |    array_to_string(toks[i + 1:], ' ') AS s, toks
+             |  FROM tok, unnest(range(len(toks))) AS u(i)),
+             |r AS (SELECT doc_id, pos, dense_rank() OVER (ORDER BY s) AS srank,
+             |    array_to_string(toks[pos + 1:pos + 4], ' ') AS preview
+             |  FROM sfx)
+             |SELECT doc_id, pos, srank, preview FROM r
+             |WHERE (doc_id * 101 + pos) % 37 = 0
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q205: longest repeated token span (the Lee et al. 2022 ExactSubstr
+    // primitive) — binary search over the monotone "some L-window repeats"
+    // predicate using exact-L keys from two overlapping rank levels; each
+    // probe is one groupBy on derived keys. The twin finds max LCP over
+    // adjacent sorted suffixes (the SA theorem) then regroups the
+    // LRS-length windows.
+    QueryDef("q205_longest_repeated_span",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SuffixArray.longestRepeatedSpans(docs, "doc_id", "text")
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |sfx AS (SELECT doc_id, i AS pos, toks[i + 1:] AS stoks,
+             |    array_to_string(toks[i + 1:], ' ') AS s, len(toks) - i AS rem
+             |  FROM tok, unnest(range(len(toks))) AS u(i)),
+             |srt AS (SELECT doc_id, pos, stoks, s,
+             |    lead(stoks) OVER (ORDER BY s, doc_id, pos) AS ntoks
+             |  FROM sfx),
+             |lcp AS (SELECT CASE WHEN ntoks IS NULL THEN 0 ELSE
+             |    coalesce(nullif(list_position(
+             |        list_transform(range(least(len(stoks), len(ntoks))),
+             |          x -> stoks[x + 1] = ntoks[x + 1]), false), 0) - 1,
+             |      least(len(stoks), len(ntoks))) END AS l
+             |  FROM srt),
+             |m AS (SELECT max(l) AS lrs FROM lcp),
+             |win AS (SELECT doc_id, pos,
+             |    array_to_string(stoks[1:(SELECT lrs FROM m)], ' ') AS span
+             |  FROM sfx WHERE rem >= (SELECT lrs FROM m)),
+             |rep AS (SELECT span FROM win GROUP BY span HAVING count(*) >= 2)
+             |SELECT w.doc_id, w.pos, w.span, (SELECT lrs FROM m) AS lrs
+             |FROM win w JOIN rep USING (span)
+             |ORDER BY w.doc_id, w.pos""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q206: EXACT all-pairs cosine similarity self-join with prefix
+    // filtering (Bayardo et al. WWW'07) — the exact counterpart to the
+    // MinHash/SimHash approximate family: candidate generation indexes only
+    // each document's rarest-terms prefix (Cauchy–Schwarz tail bound), so
+    // the common-term postings that square at corpus scale never enter the
+    // join; integer-tf verification recovers the exact pair set. The twin
+    // is the unpruned inverted-index brute force: Spark returning the same
+    // set IS the no-false-negative claim of the pruning.
+    QueryDef("q206_allpairs_cosine",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        AllPairs.cosineJoin(docs, "doc_id", "text", threshold = 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS tk
+             |  FROM documents),
+             |post AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |nrm AS (SELECT doc_id, sum(tf * tf) AS n2 FROM post GROUP BY 1),
+             |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    sum(a.tf * b.tf) AS dot
+             |  FROM post a JOIN post b ON a.tk = b.tk AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |cos AS (SELECT id_a, id_b,
+             |    CAST(dot AS DOUBLE) /
+             |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+             |  FROM dots
+             |  JOIN nrm na ON na.doc_id = id_a
+             |  JOIN nrm nb ON nb.doc_id = id_b)
+             |SELECT id_a, id_b, round(c, 6) AS cosine FROM cos
+             |WHERE c >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q207: ExactSubstr dedup coverage (Lee et al. 2022) — per document,
+    // the token mass inside some 16-token window occurring ≥ 2 times
+    // corpus-wide. The engine side derives repeated windows from the
+    // bounded-depth doubling ranks (log2 16 rounds, corpus-size-
+    // independent) + one exact-L key groupBy; the twin brute-forces the
+    // 16-gram window strings. Covered positions are the interval union of
+    // repeated starts (explode ≤ 16 per start, distinct).
+    QueryDef("q207_exact_substr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SuffixArray.exactSubstrCoverage(docs, "doc_id", "text", length = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |win AS (SELECT doc_id, i AS pos,
+             |    array_to_string(toks[i + 1:i + 16], ' ') AS w
+             |  FROM tok, unnest(range(len(toks) - 15)) AS u(i)
+             |  WHERE len(toks) >= 16),
+             |rep AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+             |starts AS (SELECT doc_id, pos FROM win JOIN rep USING (w)),
+             |cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+             |  FROM starts, unnest(range(16)) AS v(j)),
+             |cnt AS (SELECT doc_id, count(*) AS covered_tokens
+             |  FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id, len(t.toks) AS total_tokens,
+             |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+             |  round(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / len(t.toks), 6)
+             |    AS covered_frac
+             |FROM tok t LEFT JOIN cnt c USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q208: self-supervised-prototypes data pruning (Sorscher et al. 2022,
+    // "Beyond neural scaling laws"): cluster embeddings with the q77 Lloyd
+    // trainer, score each example's prototypicality as its cosine to its
+    // assigned centroid, and prune the EASIEST (most prototypical) 20% of
+    // each cluster — the abundant-data regime of the paper. Per-cluster
+    // frames only (the rank window partitions by cent_id); prune counts in
+    // exact integer arithmetic (n*20/100 — the cross-engine floor trap).
+    // The twin restates the whole chain: seeds, two Lloyd passes, the
+    // per-cluster prototypicality ranking and the cut.
+    QueryDef("q208_prototype_prune",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val hist = graft.operators.Similarity.centroidHistory(
+          e, "vec_id", "vec", nlist = 8, iters = 2)
+        val scored = e.join(broadcast(hist(2)))
+          .select(col("vec_id"), col("cent_id"),
+            Vec.cosine(col("vec"), col("cent_vec")).as("sim"))
+        val wBest = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cent_id").asc)
+        val kept = scored.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1).drop("rk")
+        // per-cluster prototypicality rank: most-similar first
+        val wProto = Window.partitionBy(col("cent_id"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val ranked = kept.withColumn("prank", row_number().over(wProto))
+        val sizes = ranked.groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_members"))
+        ranked.join(sizes, Seq("cent_id"))
+          // `div`, not `/`: Column./ is DOUBLE division; the prune count
+          // must be exact integer floor in both engines
+          .withColumn("pruned", col("prank") <= expr("n_members * 20 div 100"))
+          .groupBy(col("cent_id"))
+          .agg(max(col("n_members")).as("n_members"),
+            sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+            sum(when(!col("pruned"), 1L).otherwise(0L)).as("n_kept"),
+            round(max(when(!col("pruned"), col("sim"))), 6)
+              .as("max_kept_sim"),
+            round(avg(when(!col("pruned"), col("sim"))), 4)
+              .as("kept_avg_sim"))
+          .orderBy(col("cent_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             |      AS cent_id, v
+             |  FROM (SELECT vec_id, v FROM e
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+             |assign0 AS (
+             |  SELECT vec_id, e.v AS v, cent_id, row_number() OVER (
+             |      PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, s.v) DESC, cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN seeds s),
+             |comp1 AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM assign0 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents1 AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp1 GROUP BY cent_id),
+             |assign1 AS (
+             |  SELECT vec_id, e.v AS v, c.cent_id, row_number() OVER (
+             |      PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN cents1 c),
+             |comp2 AS (
+             |  SELECT cent_id, pos, round(avg(val), 6) AS m
+             |  FROM (SELECT cent_id, unnest(v) AS val,
+             |          generate_subscripts(v, 1) AS pos
+             |        FROM assign1 WHERE rk = 1)
+             |  GROUP BY cent_id, pos),
+             |cents2 AS (
+             |  SELECT cent_id, list(m ORDER BY pos) AS cv
+             |  FROM comp2 GROUP BY cent_id),
+             |fin AS (
+             |  SELECT vec_id, c.cent_id,
+             |    list_cosine_similarity(e.v, c.cv) AS sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+             |      AS rk
+             |  FROM e CROSS JOIN cents2 c),
+             |kept AS (SELECT vec_id, cent_id, sim FROM fin WHERE rk = 1),
+             |ranked AS (
+             |  SELECT vec_id, cent_id, sim, row_number() OVER (
+             |      PARTITION BY cent_id ORDER BY sim DESC, vec_id ASC)
+             |      AS prank
+             |  FROM kept),
+             |sizes AS (
+             |  SELECT cent_id, count(*) AS n_members FROM ranked
+             |  GROUP BY cent_id),
+             |flagged AS (
+             |  SELECT r.*, s.n_members,
+             |    (r.prank <= s.n_members * 20 // 100) AS pruned
+             |  FROM ranked r JOIN sizes s USING (cent_id))
+             |SELECT cent_id, max(n_members) AS n_members,
+             |  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pruned,
+             |  CAST(sum(CASE WHEN NOT pruned THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  round(max(CASE WHEN NOT pruned THEN sim END), 6)
+             |    AS max_kept_sim,
+             |  round(avg(CASE WHEN NOT pruned THEN sim END), 4)
+             |    AS kept_avg_sim
+             |FROM flagged GROUP BY cent_id ORDER BY cent_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q209: length-bucketed batch packing stats (the group_by_length
+    // batching every large-scale trainer uses to cut padding waste):
+    // order documents by token count (desc, doc_id tiebreak), cut into
+    // fixed batches of 32, report per-batch padding = n·max_len − Σlen.
+    // The global order comes from RowIds.denseByOrder (range-partitioned
+    // two-phase ids) — NEVER a bare Window.orderBy; everything after is
+    // one batch-keyed aggregate.
+    QueryDef("q209_length_batching",
+      (s, dir) => {
+        val lens = t(s, dir, "documents")
+          .select(col("doc_id"), Text.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        val idx = graft.pipeline.RowIds.denseByOrder(lens, "idx",
+          Seq(col("n_tokens").desc, col("doc_id").asc))
+        idx.withColumn("batch_id", expr("(idx - 1) div 32"))
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("n_tokens")).as("max_len"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens")))
+              .as("padding"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""WITH lens AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS n_tokens
+             |  FROM documents),
+             |idx AS (
+             |  SELECT doc_id, n_tokens, row_number() OVER (
+             |      ORDER BY n_tokens DESC, doc_id ASC) AS idx
+             |  FROM lens)
+             |SELECT (idx - 1) // 32 AS batch_id, count(*) AS n_docs,
+             |  max(n_tokens) AS max_len,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+             |    AS padding
+             |FROM idx GROUP BY 1 ORDER BY batch_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AllPairs, SuffixArray}
+
+/** Suffix ranking by prefix doubling (q204/q205) and the exact all-pairs
+  * cosine join (q206). Both are verified against brute-force references
+  * computed in plain Scala on small corpora — the same contract their
+  * DuckDB oracles state at sf0.01.
+  */
+class SuffixArraySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def toks(s: String): Vector[String] =
+    s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toVector
+
+  /** Brute-force dense suffix ranks: all (doc, pos) suffixes sorted as
+    * token sequences (shorter-prefix-first), identical suffixes tied. */
+  private def bruteRanks(docs: Seq[(Long, String)])
+      : Map[(Long, Int), Long] = {
+    val sfx = for {
+      (id, text) <- docs
+      tk = toks(text)
+      p <- tk.indices
+    } yield ((id, p), tk.drop(p))
+    implicit val ord: Ordering[Vector[String]] =
+      Ordering.Implicits.seqOrdering[Vector, String]
+    val distinct = sfx.map(_._2).distinct.sorted
+    val rankOf = distinct.zipWithIndex.map { case (s, i) => (s, i + 1L) }.toMap
+    sfx.map { case (k, s) => (k, rankOf(s)) }.toMap
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "the quick brown fox naps under the old tree"),
+    (4L, "five dozen liquor jugs the quick brown fox jumps over"),
+    (5L, "zebra"),
+    (6L, "the quick brown fox jumps over the lazy dog")) // full dup of 1
+
+  test("suffixRanks equals brute-force dense suffix ranks") {
+    val df = corpus.toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val got = SuffixArray.suffixRanks(tokPos)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val want = bruteRanks(corpus)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(got(k) == v, s"rank mismatch at $k")
+  }
+
+  test("bounded-depth rank equality <=> identical w-token windows") {
+    val df = corpus.toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val levels = SuffixArray.rankLevels(tokPos, stopAtWidth = 4)
+    val windows = corpus.flatMap { case (id, text) =>
+      val tk = toks(text)
+      tk.indices.map(p => ((id, p), tk.slice(p, p + 4)))
+    }.toMap
+    val lvl4 = levels.find(_._1 == 4).get._2
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // positions with >= 4 remaining tokens: equal rank <=> equal window
+    val full = windows.filter(_._2.size == 4)
+    for ((ka, wa) <- full; (kb, wb) <- full)
+      assert((lvl4(ka) == lvl4(kb)) == (wa == wb), s"$ka vs $kb")
+  }
+
+  test("windowKeys: exact-L key equality <=> identical L-token windows") {
+    val df = corpus.toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val levels = SuffixArray.rankLevels(tokPos, stopAtWidth = 16)
+    for (l <- Seq(1, 3, 5, 6, 7)) {
+      val keys = SuffixArray.windowKeys(levels, tokPos, l)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      val windows = corpus.flatMap { case (id, text) =>
+        val tk = toks(text)
+        tk.indices.filter(p => tk.size - p >= l)
+          .map(p => ((id, p), tk.slice(p, p + l)))
+      }.toMap
+      assert(keys.keySet == windows.keySet, s"eligible set at L=$l")
+      for ((ka, wa) <- windows; (kb, wb) <- windows)
+        assert((keys(ka) == keys(kb)) == (wa == wb), s"L=$l: $ka vs $kb")
+    }
+  }
+
+  test("longestRepeatedSpan matches brute force, incl. the full-dup doc") {
+    val df = corpus.toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val (lrs, _) = SuffixArray.longestRepeatedSpan(tokPos)
+    // brute force: max L with a repeated L-window
+    val allW = for {
+      (id, text) <- corpus; tk = toks(text)
+      p <- tk.indices; l <- 1 to (tk.size - p)
+    } yield (l, tk.slice(p, p + l))
+    val brute = allW.groupBy(identity).filter(_._2.size >= 2)
+      .keys.map(_._1).maxOption.getOrElse(0)
+    assert(lrs == brute)
+    assert(lrs == 9) // docs 1 and 6 are identical 9-token documents
+    val spans = SuffixArray.longestRepeatedSpans(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spans == Set((1L, 0L), (6L, 0L)))
+  }
+
+  test("exactSubstrCoverage matches brute-force window coverage") {
+    val docs = corpus ++ Seq((7L, "one two three")) // shorter than any L
+    val df = docs.toDF("doc_id", "text")
+    for (l <- Seq(3, 5, 9)) {
+      val got = SuffixArray.exactSubstrCoverage(df, "doc_id", "text", l)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      // brute force: repeated L-windows by string, interval-union coverage
+      val wins = docs.flatMap { case (id, text) =>
+        val tk = toks(text)
+        (0 to tk.size - l).map(p => (tk.slice(p, p + l), (id, p)))
+      }
+      val rep: Seq[(Long, Int)] =
+        wins.groupBy(_._1).filter(_._2.size >= 2)
+          .values.flatten.map(_._2).toSeq
+      val coveredPos: Set[(Long, Int)] = rep.flatMap { case (id, p) =>
+        (p until p + l).map(cp => (id, cp))
+      }.toSet
+      val covered: Map[Long, Long] =
+        coveredPos.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      for ((id, text) <- docs) {
+        val want = (toks(text).size.toLong, covered.getOrElse(id, 0L))
+        assert(got(id) == want, s"doc $id at L=$l")
+      }
+    }
+  }
+
+  test("longestRepeatedSpan: no repeated token at all -> 0, empty frame") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val (lrs, _) = SuffixArray.longestRepeatedSpan(tokPos)
+    assert(lrs == 0)
+    assert(SuffixArray.longestRepeatedSpans(df, "doc_id", "text").isEmpty)
+  }
+
+  // ------------------------------------------------------------ all-pairs
+
+  private def bruteCosinePairs(docs: Seq[(Long, String)], t: Double)
+      : Map[(Long, Long), Double] = {
+    val tf = docs.map { case (id, s) =>
+      id -> toks(s).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val n2 = tf.view.mapValues(_.values.map(v => v * v).sum).toMap
+    (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      dot = tf(a).keySet.intersect(tf(b).keySet).toSeq
+        .map(k => tf(a)(k) * tf(b)(k)).sum
+      c = dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+      if c >= t
+    } yield ((a, b), c)).toMap
+  }
+
+  test("cosineJoin returns exactly the brute-force pair set (no recall loss)") {
+    val docs = corpus ++ Seq(
+      (7L, "the quick brown fox jumps over the lazy cat"),
+      (8L, "pack my box with five dozen liquor jugs pack my box"))
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val got = AllPairs.cosineJoin(df, "doc_id", "text", t)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val want = bruteCosinePairs(docs, t)
+      assert(got.keySet == want.keySet, s"pair set at t=$t")
+      for ((k, c) <- want)
+        assert(math.abs(got(k) - c) < 1e-6, s"cosine at $k, t=$t")
+    }
+  }
+
+  test("prefix filtering actually prunes and the plan has no cross join") {
+    val df = corpus.toDF("doc_id", "text")
+    val post = AllPairs.postings(df, "doc_id", "text")
+    val nrm = AllPairs.norms(post)
+    val pruned = AllPairs.prefixPostings(post, nrm, 0.9).count()
+    val full = post.count()
+    assert(pruned < full,
+      s"prefix filter kept all $full postings at t=0.9 — no pruning")
+    val plan = AllPairs.cosineJoin(df, "doc_id", "text", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "all-pairs join must never fall back to a cartesian product")
+  }
+}
