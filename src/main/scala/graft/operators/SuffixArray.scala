@@ -86,21 +86,38 @@ object SuffixArray {
       : Seq[(Int, DataFrame)] = {
     val base = Pins.pin(tokPos.select(col(D), col(P), col(TOK)))
     val total = base.count()
+    if (total == 0)
+      return Seq((1, base.select(col(D), col(P), lit(0L).as(R))))
 
     // Every level is localCheckpoint-ed (the Classify.scala lineage
-    // discipline): each round's plan reads the previous round TWICE (the
-    // dense-id pass inside denseByOrder forks count + data branches), so
-    // an un-truncated lineage doubles per round — 2^rounds logical-plan
-    // copies OOM the DRIVER during analysis long before any data moves.
-    // The checkpoint bounds the plan at one round; eager, so the early-stop
-    // counts below are reads of materialized partitions.
-    // width 1: order-preserving dense ids over the (small) distinct vocab
-    val vocab = RowIds.denseByOrder(
-      base.select(col(TOK)).distinct(), R, Seq(col(TOK)))
-    var lvl = base.join(vocab, Seq(TOK)).select(col(D), col(P), col(R))
+    // discipline): each round's plan reads the previous round through the
+    // dense-rank pass's forked count + data branches, so an un-truncated
+    // lineage doubles per round — 2^rounds logical-plan copies OOM the
+    // DRIVER during analysis long before any data moves. The checkpoint
+    // bounds the plan at one round; eager, so the early-stop reads below
+    // scan materialized partitions.
+    //
+    // Alternate dense/packed rounds (the radix pair-packing trick): after
+    // a dense round the rank values are ≤ K ≤ n, so the next doubling key
+    // r1·(K+1)+r2 is an injective ORDER-PRESERVING long — a pure
+    // projection, no sort. Packing twice would overflow (values ~K²), so
+    // every packed round is followed by a dense one: HALF the sort
+    // exchanges of the naive ladder. Level consumers only ever test rank
+    // EQUALITY (windowKeys), which packing preserves; the final level is
+    // re-densified below so full-rank consumers (q204's oracle parity)
+    // always see dense 1..K ranks.
+    // width 1: in-place dense ranks over the token keys
+    var lvl = RowIds.denseRankByOrder(base, R, Seq(col(TOK)))
+      .select(col(D), col(P), col(R))
       .localCheckpoint()
     var width = 1
-    var distinctKeys = lvl.select(col(R)).distinct().count()
+    var isDense = true
+    // ranks are dense 1..K, so max(rank) IS the distinct-key count — one
+    // scan of the checkpointed level, no extra distinct shuffle
+    var distinctKeys = lvl.agg(max(col(R))).head().getLong(0)
+    var maxKey = distinctKeys
+    // packing is safe while (maxKey+1)² stays within Long
+    val packLimit = 3000000000L
     val levels = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)](
       (width, lvl))
 
@@ -110,16 +127,37 @@ object SuffixArray {
         col(R).as(R2))
       val paired = lvl.join(shifted, Seq(D, P), "left")
         .withColumn(R2, coalesce(col(R2), lit(0L))) // past-end: sorts first
-      // dense ids over the DISTINCT key frame (≤ n rows), scale-safe
-      val keyIds = RowIds.denseByOrder(
-        paired.select(col(R), col(R2)).distinct(), NR,
-        Seq(col(R), col(R2)))
-      lvl = paired.join(keyIds, Seq(R, R2))
+      if (maxKey <= packLimit) {
+        // packed round: projection only (checkpoint job, no exchange)
+        lvl = paired
+          .select(col(D), col(P),
+            (col(R) * lit(maxKey + 1L) + col(R2)).as(R))
+          .localCheckpoint()
+        maxKey = maxKey * (maxKey + 1L) + maxKey
+        isDense = false
+        // distinctKeys is stale on packed rounds (no cheap count); the
+        // next dense round re-evaluates the early stop — at worst one
+        // extra projection round after convergence
+      } else {
+        // dense round: one range exchange + one pid-clustered window, no
+        // pre-distinct frame and no join-back (RowIds.denseRankByOrder)
+        lvl = RowIds.denseRankByOrder(paired, NR, Seq(col(R), col(R2)))
+          .select(col(D), col(P), col(NR).as(R))
+          .localCheckpoint()
+        distinctKeys = lvl.agg(max(col(R))).head().getLong(0)
+        maxKey = distinctKeys
+        isDense = true
+      }
+      width *= 2
+      levels += ((width, lvl))
+    }
+    if (!isDense) {
+      // contract: the FINAL level is dense (suffixRanks grades against
+      // dense_rank; longestRepeatedSpan reads max(rank) as a count)
+      val densified = RowIds.denseRankByOrder(lvl, NR, Seq(col(R)))
         .select(col(D), col(P), col(NR).as(R))
         .localCheckpoint()
-      width *= 2
-      distinctKeys = lvl.select(col(R)).distinct().count()
-      levels += ((width, lvl))
+      levels(levels.size - 1) = (width, densified)
     }
     levels.toSeq
   }
@@ -133,10 +171,15 @@ object SuffixArray {
     * stationary — `rankLevels` stops because doubling a stationary level
     * changes no key). */
   def suffixRanks(tokPos: DataFrame): DataFrame = {
-    val maxLen = tokPos.agg(max(col(REM))).head().getInt(0)
-    val levels = rankLevels(tokPos, stopAtWidth = maxLen)
+    val levels = rankLevels(tokPos, stopAtWidth = maxRemaining(tokPos))
     levels.last._2
   }
+
+  /** Longest document length (max remaining from position 0); 1 on an
+    * empty corpus so rankLevels' stop bound stays positive. */
+  private def maxRemaining(tokPos: DataFrame): Int =
+    Option(tokPos.agg(max(col(REM))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(1).max(1)
 
   /** Exact-L window keys: (doc, pos, k1, k2) for every position with
     * ≥ L tokens remaining; (k1, k2) equality ⟺ identical L-token windows.
@@ -174,13 +217,15 @@ object SuffixArray {
     * monotone repeated-at-L predicate: O(log maxDocLen) aggregate probes. */
   def longestRepeatedSpan(tokPos: DataFrame)
       : (Int, Seq[(Int, DataFrame)]) = {
-    val maxLen = tokPos.agg(max(col(REM))).head().getInt(0)
+    val maxLen = maxRemaining(tokPos)
     val levels = rankLevels(tokPos, stopAtWidth = maxLen)
     // all-distinct at final width W proves no repeated W-window: LRS < W.
     val finalWidth = levels.last._1
     val nPos = tokPos.count()
+    // dense ranks: max(rank) == distinct count (0 on an empty corpus)
     val finalDistinct =
-      levels.last._2.select(col(R)).distinct().count()
+      Option(levels.last._2.agg(max(col(R))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     val hi0 = if (finalDistinct == nPos) finalWidth - 1 else maxLen
 
     def repeatedAt(l: Int): Boolean =

@@ -97,4 +97,39 @@ object RowIds {
       df.repartitionByRange(order: _*).sortWithinPartitions(order: _*))
     denseInPartitionOrder(sorted, idCol)
   }
+
+  /** `dense_rank().over(Window.orderBy(keys))` at scale, computed IN PLACE
+    * on a frame that may repeat keys — no pre-distinct, no join-back (the
+    * denseByOrder-over-distinct-keys route costs two extra key-partitioned
+    * exchanges when the ranks must be mapped back onto the data).
+    *
+    *   1. range-partition on the keys (equal keys land in ONE partition —
+    *      the range partitioner's contract — so no tie straddles a
+    *      boundary), pinned for the same two-consumer determinism reason
+    *      as [[denseByOrder]];
+    *   2. per-partition dense ranks from a PARTITIONED window (frame
+    *      bounded by the partition, never global);
+    *   3. per-partition distinct-key counts are metadata-sized; their
+    *      prefix sum offsets the local ranks.
+    *
+    * Keys must be non-null (range partitioning orders nulls first, which
+    * is fine, but callers here never rank null keys). */
+  def denseRankByOrder(df: DataFrame, idCol: String,
+      keys: Seq[Column]): DataFrame = {
+    val lrk = "__graft_lrk"
+    val sorted = Pins.pin(df.repartitionByRange(keys: _*))
+    val withPid = sorted.withColumn(PidCol,
+      shiftright(monotonically_increasing_id(), 33))
+    // pid-partitioned window: frames bounded by the exchange's partitions
+    val local = withPid.withColumn(lrk, dense_rank()
+      .over(Window.partitionBy(col(PidCol)).orderBy(keys: _*))
+      .cast("long"))
+    // per-partition distinct-key count IS the max local dense rank — no
+    // countDistinct (which would reject .desc-decorated key expressions)
+    val counts = local.groupBy(col(PidCol)).agg(max(col(lrk)).as(CntCol))
+    local
+      .join(broadcast(prefixOffsets(counts, CntCol)), Seq(PidCol))
+      .withColumn(idCol, (col(OffCol) + col(lrk)).cast("long"))
+      .drop(PidCol, OffCol, lrk)
+  }
 }

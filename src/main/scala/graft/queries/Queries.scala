@@ -10042,18 +10042,30 @@ object Queries {
     // the common-term postings that square at corpus scale never enter the
     // join; integer-tf verification recovers the exact pair set. The twin
     // is the unpruned inverted-index brute force: Spark returning the same
-    // set IS the no-false-negative claim of the pruning.
+    // set IS the no-false-negative claim of the pruning. Terms are word
+    // 3-gram shingles (tf-weighted): this corpus' 31-word vocabulary makes
+    // UNIGRAM vectors pairwise-dense (12.5M overlapping pairs at sf0.1 —
+    // no index pruning can save an inherently quadratic candidate space),
+    // while the shingle space is sparse, exactly the regime prefix
+    // filtering is built for. Threshold 0.65 splits the corpus' bimodal
+    // similarity (planted near-dups ≥ 0.8, everything else < 0.5).
     QueryDef("q206_allpairs_cosine",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        AllPairs.cosineJoin(docs, "doc_id", "text", threshold = 0.9)
+        AllPairs.cosineJoin(docs, "doc_id", "text", threshold = 0.65,
+            ngram = 3)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH tok AS (SELECT doc_id,
-             |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             |      t -> t <> '')) AS tk
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
              |  FROM documents),
-             |post AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+             |    THEN list_transform(range(len(toks) - 2),
+             |           i -> array_to_string(toks[i + 1:i + 3], ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS tk
+             |  FROM tok),
+             |post AS (SELECT doc_id, tk, count(*) AS tf FROM sh GROUP BY 1, 2),
              |nrm AS (SELECT doc_id, sum(tf * tf) AS n2 FROM post GROUP BY 1),
              |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    sum(a.tf * b.tf) AS dot
@@ -10066,7 +10078,7 @@ object Queries {
              |  JOIN nrm na ON na.doc_id = id_a
              |  JOIN nrm nb ON nb.doc_id = id_b)
              |SELECT id_a, id_b, round(c, 6) AS cosine FROM cos
-             |WHERE c >= 0.9
+             |WHERE c >= 0.65
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---------------------------------------------------------------------

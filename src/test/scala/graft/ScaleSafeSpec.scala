@@ -73,6 +73,27 @@ class ScaleSafeSpec extends AnyFunSuite {
     assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty)
   }
 
+  test("RowIds.denseRankByOrder == dense_rank over the naive global window") {
+    // duplicated keys + ties are the point: ranks must be dense over the
+    // DISTINCT key order with every duplicate row getting the same rank
+    val keyed = docs.withColumn("k",
+      (col("doc_id") % 17).cast("long")) // 17 distinct keys, heavy ties
+    val naive = keyed.withColumn("rk",
+      dense_rank().over(Window.orderBy(col("k").desc)).cast("long"))
+    val scaled = RowIds.denseRankByOrder(keyed, "rk", Seq(col("k").desc))
+    assertGlobalWindowsAreMetadataOnly(scaled)
+    assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty)
+    // composite keys too (the suffix-array doubling shape)
+    val keyed2 = docs.withColumn("k1", (col("doc_id") % 7).cast("long"))
+      .withColumn("k2", (col("doc_id") % 11).cast("long"))
+    val naive2 = keyed2.withColumn("rk", dense_rank()
+      .over(Window.orderBy(col("k1"), col("k2"))).cast("long"))
+    val scaled2 = RowIds.denseRankByOrder(keyed2, "rk",
+      Seq(col("k1"), col("k2")))
+    assert(scaled2.exceptAll(naive2).isEmpty &&
+      naive2.exceptAll(scaled2).isEmpty)
+  }
+
   test("Budget.cumulativeSum == naive unpartitioned running sum") {
     val naive = docs.withColumn("cum",
       sum(col("n_tokens")).over(

@@ -143,10 +143,20 @@ class SuffixArraySpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ all-pairs
 
-  private def bruteCosinePairs(docs: Seq[(Long, String)], t: Double)
-      : Map[(Long, Long), Double] = {
+  /** Word n-gram shingles with multiplicity, whole-doc fallback for short
+    * docs — mirrors Text.wordShingles. */
+  private def shingles(s: String, n: Int): Seq[String] = {
+    val tk = toks(s)
+    if (n <= 1) tk
+    else if (tk.size >= n) tk.sliding(n).map(_.mkString(" ")).toSeq
+    else Seq(tk.mkString(" "))
+  }
+
+  private def bruteCosinePairs(docs: Seq[(Long, String)], t: Double,
+      ngram: Int = 1): Map[(Long, Long), Double] = {
     val tf = docs.map { case (id, s) =>
-      id -> toks(s).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      id -> shingles(s, ngram).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
     }.toMap
     val n2 = tf.view.mapValues(_.values.map(v => v * v).sum).toMap
     (for {
@@ -168,6 +178,23 @@ class SuffixArraySpec extends AnyFunSuite {
         .collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       val want = bruteCosinePairs(docs, t)
+      assert(got.keySet == want.keySet, s"pair set at t=$t")
+      for ((k, c) <- want)
+        assert(math.abs(got(k) - c) < 1e-6, s"cosine at $k, t=$t")
+    }
+  }
+
+  test("cosineJoin with 3-gram shingle terms matches its brute force") {
+    val docs = corpus ++ Seq(
+      (7L, "the quick brown fox jumps over the lazy cat"),
+      (8L, "pack my box with five dozen liquor jugs pack my box"),
+      (9L, "tiny doc")) // shorter than the shingle width: whole-doc term
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.65)) {
+      val got = AllPairs.cosineJoin(df, "doc_id", "text", t, ngram = 3)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val want = bruteCosinePairs(docs, t, ngram = 3)
       assert(got.keySet == want.keySet, s"pair set at t=$t")
       for ((k, c) <- want)
         assert(math.abs(got(k) - c) < 1e-6, s"cosine at $k, t=$t")

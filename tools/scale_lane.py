@@ -51,6 +51,17 @@ BOUNDS = {
     "q201_image_histogram": 1.2,
     "q202_ingest_stream": 1.0,
     "q203_ann_index": 1.2,
+    # r13 suffix-array family: round count is log(maxDocLen) — constant
+    # under replication — but every round sorts the replicated token set,
+    # so the family is ~linear with sort overhead headroom.
+    "q204_suffix_array": 1.4,
+    "q205_longest_repeated_span": 1.4,
+    "q207_exact_substr": 1.4,
+    # r13 exact all-pairs cosine: replicas share no shingles (ScaleProbe
+    # decorrelates words per replica), so candidates grow linearly.
+    "q206_allpairs_cosine": 1.3,
+    "q208_prototype_prune": 1.2,
+    "q209_length_batching": 1.2,
     "p95_ivfpq_prod": 0.5,
     "p134_linkage_scaled": 0.8,
 }
