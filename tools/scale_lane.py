@@ -52,16 +52,18 @@ BOUNDS = {
     "q202_ingest_stream": 1.0,
     "q203_ann_index": 1.2,
     # r13 suffix-array family: round count is log(maxDocLen) — constant
-    # under replication — but every round sorts the replicated token set,
-    # so the family is ~linear with sort overhead headroom.
-    "q204_suffix_array": 1.4,
-    "q205_longest_repeated_span": 1.4,
-    "q207_exact_substr": 1.4,
+    # under replication — and each sort round is fixed-exchange-count.
+    # Measured at 3x (r13 close): q204 0.44, q205 0.36, q207 0.27.
+    "q204_suffix_array": 1.0,
+    "q205_longest_repeated_span": 0.9,
+    "q207_exact_substr": 0.8,
     # r13 exact all-pairs cosine: replicas share no shingles (ScaleProbe
     # decorrelates words per replica), so candidates grow linearly.
-    "q206_allpairs_cosine": 1.3,
-    "q208_prototype_prune": 1.2,
-    "q209_length_batching": 1.2,
+    # Measured 0.73 at 3x.
+    "q206_allpairs_cosine": 1.2,
+    # measured 0.01 / 0.23 at 3x (both near the noise floor)
+    "q208_prototype_prune": 0.6,
+    "q209_length_batching": 0.7,
     "p95_ivfpq_prod": 0.5,
     "p134_linkage_scaled": 0.8,
 }
