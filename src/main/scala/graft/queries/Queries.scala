@@ -10267,7 +10267,62 @@ object Queries {
              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
              |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
              |    AS padding
-             |FROM idx GROUP BY 1 ORDER BY batch_id""".stripMargin))
+             |FROM idx GROUP BY 1 ORDER BY batch_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q210: benchmark decontamination via the PERSISTED 13-gram index
+    // (GPT-3 appendix C; operators/Contam scaladoc for the 100-TB probe
+    // shape): benchmark docs (doc_id % 50 == 0) are indexed pre-bucketed
+    // on the gram digest; the remaining corpus probes it with NO
+    // index-side exchange. Grams are md5Long digests the twin restates
+    // exactly; every probed document gets a row (hit or not).
+    QueryDef("q210_contam_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val probe = docs.filter(col("doc_id") % 50 =!= 0)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ngram_idx_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val name = "q210_idx_" + path.takeRight(12)
+        graft.operators.Contam.writeNgramIndex(bench, "doc_id", "text",
+          path, name, n = 13, numBuckets = 16)
+        val idx = graft.operators.Contam.readNgramIndex(s, path, name)
+        graft.operators.Contam.probeNgramIndex(idx, probe, "doc_id", "text")
+          .withColumn("hit_frac",
+            round(col("n_hits").cast("double") /
+              col("n_grams").cast("double"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |grams AS (SELECT doc_id,
+             |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+             |  FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 13
+             |      THEN list_transform(range(len(toks) - 12),
+             |             i -> array_to_string(toks[i + 1:i + 13], ' '))
+             |      ELSE [array_to_string(toks, ' ')] END) AS g
+             |    FROM tok)
+             |  GROUP BY doc_id, gram),
+             |bench AS (SELECT doc_id AS src, gram FROM grams
+             |  WHERE doc_id % 50 = 0),
+             |probe AS (SELECT doc_id, gram FROM grams WHERE doc_id % 50 <> 0),
+             |hits AS (SELECT p.doc_id,
+             |    count(DISTINCT p.gram) AS n_hits,
+             |    count(DISTINCT b.src) AS n_sources
+             |  FROM probe p JOIN bench b USING (gram)
+             |  GROUP BY p.doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM probe
+             |  GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_grams,
+             |  coalesce(h.n_hits, 0) AS n_hits,
+             |  coalesce(h.n_sources, 0) AS n_sources,
+             |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_grams, 6)
+             |    AS hit_frac
+             |FROM tot t LEFT JOIN hits h USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

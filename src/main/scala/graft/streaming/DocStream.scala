@@ -150,6 +150,34 @@ object DocStream {
     q
   }
 
+  /** Streaming benchmark decontamination: every micro-batch of training
+    * documents is probed against a PERSISTED n-gram contamination index
+    * ([[graft.operators.Contam.writeNgramIndex]] — the GPT-3 appendix-C
+    * screen as a standing service) and its per-document stats land in a
+    * parquet sink. The index is STATIC from this stream's point of view
+    * (benchmarks change by append/retract, not per ingest batch), so
+    * unlike the dedup/ANN ingest loops there is no absorb step and no
+    * marker protocol: a replayed micro-batch re-emits identical stats
+    * rows, and downstream readers key on doc_id (the usual at-least-once
+    * sink discipline). The probe join's index side arrives
+    * bucket-partitioned from disk; only the micro-batch shuffles. */
+  def screenContamStream(spark: SparkSession, dir: String,
+      index: graft.operators.Contam.NgramIndex, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = readDocs(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Contam
+          .probeNgramIndex(index, batch, "doc_id", "text")
+          .write.mode("append").parquet(outDir)
+        graft.pipeline.Pins.flush() // micro-batch = this flow's boundary
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Idempotent absorb: append `batch` to the index unless this batchId
     * already left its marker (a replayed micro-batch must not double the
     * postings — duplicate posting rows inflate every later rescore's

@@ -141,6 +141,34 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(SuffixArray.longestRepeatedSpans(df, "doc_id", "text").isEmpty)
   }
 
+  test("randomized corpora: ranks, LRS and coverage all match brute force") {
+    val rnd = new scala.util.Random(1913)
+    val trials = (1 to 4).map { _ =>
+      (1L to (3 + rnd.nextInt(4)).toLong).map { id =>
+        // vocab of 3 so ties, shared suffixes and repeats are common;
+        // length 0 exercises the empty-document path
+        (id, Seq.fill(rnd.nextInt(13))(
+          Seq("a", "b", "c")(rnd.nextInt(3))).mkString(" "))
+      }
+    } :+ Seq((1L, "a a a a a"), (2L, "a a a")) // degenerate one-token vocab
+    for ((docs, ti) <- trials.zipWithIndex) {
+      val df = docs.toDF("doc_id", "text")
+      val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+      val got = SuffixArray.suffixRanks(tokPos)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      val want = bruteRanks(docs)
+      assert(got == want, s"trial $ti ranks; corpus: $docs")
+      val (lrs, _) = SuffixArray.longestRepeatedSpan(tokPos)
+      val allW = for {
+        (id, text) <- docs; tk = toks(text)
+        p <- tk.indices; l <- 1 to (tk.size - p)
+      } yield (l, tk.slice(p, p + l))
+      val bruteLrs = allW.groupBy(identity).filter(_._2.size >= 2)
+        .keys.map(_._1).maxOption.getOrElse(0)
+      assert(lrs == bruteLrs, s"trial $ti LRS; corpus: $docs")
+    }
+  }
+
   // ------------------------------------------------------------ all-pairs
 
   /** Word n-gram shingles with multiplicity, whole-doc fallback for short
@@ -198,6 +226,24 @@ class SuffixArraySpec extends AnyFunSuite {
       assert(got.keySet == want.keySet, s"pair set at t=$t")
       for ((k, c) <- want)
         assert(math.abs(got(k) - c) < 1e-6, s"cosine at $k, t=$t")
+    }
+  }
+
+  test("randomized corpora: cosineJoin == brute force at random thresholds") {
+    val rnd = new scala.util.Random(7719)
+    for (trial <- 1 to 3) {
+      val docs = (1L to (5 + rnd.nextInt(4)).toLong).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(10))(
+          Seq("x", "y", "z", "w")(rnd.nextInt(4))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      for (ng <- Seq(1, 2)) {
+        val t = 0.3 + rnd.nextDouble() * 0.6
+        val got = AllPairs.cosineJoin(df, "doc_id", "text", t, ngram = ng)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = bruteCosinePairs(docs, t, ngram = ng).keySet
+        assert(got == want, s"trial $trial ngram=$ng t=$t corpus=$docs")
+      }
     }
   }
 
