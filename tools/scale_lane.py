@@ -64,6 +64,8 @@ BOUNDS = {
     # measured 0.01 / 0.23 at 3x (both near the noise floor)
     "q208_prototype_prune": 0.6,
     "q209_length_batching": 0.7,
+    # persisted-benchmark probe: index side is fixed-size, measured 0.09
+    "q210_contam_index": 0.6,
     "p95_ivfpq_prod": 0.5,
     "p134_linkage_scaled": 0.8,
 }
