@@ -10322,7 +10322,117 @@ object Queries {
              |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_grams, 6)
              |    AS hit_frac
              |FROM tot t LEFT JOIN hits h USING (doc_id)
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q211: recall/precision eval of the APPROXIMATE near-dup path against
+    // exact ground truth, both computed in-engine — the operating-point
+    // curve an engineer reads before picking a SimHash radius. Candidates:
+    // portable md5 SimHash-32 pairs at hamming ≤ 6 via the pigeonhole
+    // bucket join (exhaustive within the radius — the oracle brute-forces
+    // all pairs, so a candidate-generation miss FAILS the compare, not
+    // just lowers a metric). Truth: exact 3-gram Jaccard ≥ 0.7 (the
+    // q19/q44 planted corpus). Output: per radius 0..6, candidates, hits,
+    // recall and precision. Cumulation runs on the ≤7-row hamming
+    // histogram (crossJoin(broadcast) of bounded frames).
+    QueryDef("q211_simhash_recall",
+      (s, dir) => {
+        val all = plantedNearDups(s, dir, 7)
+        val approx = Dedup.simhashPairs(all, "doc_id", "text",
+          maxHamming = 6, bits = 32, tokenHash = Text.md5Long)
+        val exact = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+            shingleSize = 3, threshold = 0.7)
+          .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+        val flagged = approx.join(exact, Seq("id_a", "id_b"), "left")
+          .select(col("hamming"),
+            coalesce(col("is_true"), lit(0L)).as("is_true"))
+        // ≤ 7 rows by construction (hamming ∈ 0..6); the sentinel keeps
+        // the cross join alive on a candidate-free corpus
+        val byH = flagged.groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_cand_h"), sum(col("is_true")).as("n_hit_h"))
+          .unionByName(s.range(1).select(lit(-1).as("hamming"),
+            lit(0L).as("n_cand_h"), lit(0L).as("n_hit_h")))
+        val radii = s.range(7).select(col("id").as("radius"))
+        val tot = exact.agg(count(lit(1)).as("n_true"))
+        radii.crossJoin(broadcast(byH))
+          .groupBy(col("radius"))
+          .agg(
+            sum(when(col("hamming") <= col("radius"), col("n_cand_h"))
+              .otherwise(0L)).as("n_cand"),
+            sum(when(col("hamming") <= col("radius"), col("n_hit_h"))
+              .otherwise(0L)).as("n_hit"))
+          .crossJoin(broadcast(tot))
+          .select(col("radius"), col("n_cand"), col("n_hit"), col("n_true"),
+            round(col("n_hit").cast("double") /
+              col("n_true").cast("double"), 6).as("recall"),
+            when(col("n_cand") === 0, lit(0.0))
+              .otherwise(round(col("n_hit").cast("double") /
+                col("n_cand").cast("double"), 6)).as("precision"))
+          .orderBy(col("radius"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM all_docs),
+             |h AS (SELECT doc_id,
+             |    list_transform(toks,
+             |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+             |  FROM tok),
+             |sim AS (SELECT doc_id,
+             |  CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE
+             |    list_sum(list_transform(range(32), b ->
+             |      CASE WHEN list_sum(list_transform(hs, h ->
+             |             CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+             |  END AS BIGINT) AS s
+             |  FROM h),
+             |ap AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    bit_count(xor(a.s, b.s)) AS hamming
+             |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.s, b.s)) <= 6),
+             |sh AS (SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |         THEN list_distinct(list_transform(range(len(toks) - 2),
+             |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+             |         ELSE [array_to_string(toks, ' ')] END AS shingles
+             |  FROM tok),
+             |posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM posts a JOIN posts b
+             |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |truth AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
+             |flagged AS (SELECT ap.hamming,
+             |    CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+             |  FROM ap LEFT JOIN truth t USING (id_a, id_b)),
+             |byh AS (SELECT hamming, count(*) AS n_cand,
+             |    CAST(sum(is_true) AS BIGINT) AS n_hit
+             |  FROM flagged GROUP BY hamming),
+             |radii AS (SELECT unnest(range(7)) AS radius),
+             |cum AS (SELECT r.radius,
+             |    CAST(coalesce(sum(b.n_cand), 0) AS BIGINT) AS n_cand,
+             |    CAST(coalesce(sum(b.n_hit), 0) AS BIGINT) AS n_hit
+             |  FROM radii r LEFT JOIN byh b ON b.hamming <= r.radius
+             |  GROUP BY r.radius),
+             |tot AS (SELECT count(*) AS n_true FROM truth)
+             |SELECT radius, n_cand, n_hit, n_true,
+             |  round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+             |  CASE WHEN n_cand = 0 THEN 0.0
+             |       ELSE round(CAST(n_hit AS DOUBLE) / n_cand, 6)
+             |       END AS precision
+             |FROM cum CROSS JOIN tot
+             |ORDER BY radius""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

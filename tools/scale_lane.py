@@ -66,6 +66,8 @@ BOUNDS = {
     "q209_length_batching": 0.7,
     # persisted-benchmark probe: index side is fixed-size, measured 0.09
     "q210_contam_index": 0.6,
+    # simhash-vs-exact eval: both pair families bucket-bounded, measured 0.41
+    "q211_simhash_recall": 0.9,
     "p95_ivfpq_prod": 0.5,
     "p134_linkage_scaled": 0.8,
 }
