@@ -63,7 +63,7 @@ object Contam {
       .bucketBy(numBuckets, "gram")
       .option("path", idx.gramsDir)
       .saveAsTable(idx.gramsTable)
-    writeMeta(s"$path/meta.json", meta)
+    writeMeta(spark, s"$path/meta.json", meta)
     idx
   }
 
@@ -161,10 +161,13 @@ object Contam {
       compactNgramIndex(spark, index)
     else index
 
-  private def writeMeta(file: String, m: NgramIndexMeta): Unit = {
+  /** Filesystem resolution through the session conf ([[IndexGen.fs]]) —
+    * the [[readMeta]]/writeAnnMeta contract; a default Configuration()
+    * could write meta.json to a different filesystem than probes read. */
+  private def writeMeta(spark: SparkSession, file: String,
+      m: NgramIndexMeta): Unit = {
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val out = fs.create(p, true)
+    val out = IndexGen.fs(spark, file).create(p, true)
     try out.write(
       s"""{"n":${m.n},"numBuckets":${m.numBuckets}}""".getBytes("UTF-8"))
     finally out.close()

@@ -403,7 +403,7 @@ object Dedup {
         .bucketBy(numBuckets, "id")
         .option("path", idx.postsDir)
         .saveAsTable(idx.postsTable)
-      writeMeta(s"$path/meta.json", meta)
+      writeMeta(spark, s"$path/meta.json", meta)
       idx
     } finally posts.unpersist(blocking = false)
   }
@@ -596,11 +596,16 @@ object Dedup {
     if (worst > maxFilesPerBucket) compactLshIndex(spark, index) else index
   }
 
-  /** meta.json codec — fixed field order, no JSON library needed. */
-  private def writeMeta(file: String, m: LshIndexMeta): Unit = {
+  /** meta.json codec — fixed field order, no JSON library needed. The
+    * filesystem resolves through the SESSION's hadoopConfiguration
+    * ([[IndexGen.fs]]), same as [[readMeta]] and every other index-file
+    * touch: a default `new Configuration()` would ignore a Spark-conf-only
+    * `fs.defaultFS`/object-store credential and write the meta to a
+    * DIFFERENT filesystem than the one probes read it from. */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      file: String, m: LshIndexMeta): Unit = {
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val out = fs.create(p, true)
+    val out = IndexGen.fs(spark, file).create(p, true)
     try out.write(
       (s"""{"shingleSize":${m.shingleSize},"numHashes":${m.numHashes},""" +
         s""""bands":${m.bands},"numBuckets":${m.numBuckets},""" +
@@ -631,7 +636,12 @@ object Dedup {
     * per-row [[Text.simhash]] fold for every tokenized doc, but stays inside
     * whole-stage codegen instead of interpreting bits x tokens lambda calls
     * — ~10x faster at corpus scale. Partial aggregation keeps the shuffle
-    * at |docs| x bits ints. Docs with zero tokens are absent (simhash 0). */
+    * at |docs| x bits ints. Docs with zero tokens get simhash 0 — the
+    * outer explode keeps their row with a null token hash, every vote's
+    * `when` falls to the -1 branch, and all bits land 0: the same value
+    * the per-row [[Text.simhashPortable]] fold yields for an empty doc,
+    * so two empty documents ARE a hamming-0 candidate pair in
+    * [[simhashPairs]] (they are, after all, identical). */
   def simhashAgg(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
@@ -640,8 +650,12 @@ object Dedup {
     // the same column (inlining tokenHash into every sum would hash each
     // token `bits` times)
     val posts = df.select(col(idCol).as("id"),
-        explode(Text.tokens(col(textCol))).as("tok"))
-      .select(col("id"), tokenHash(col("tok")).as("__h"))
+        explode_outer(Text.tokens(col(textCol))).as("tok"))
+      // the empty-doc placeholder row must carry a NULL hash (all votes
+      // -1): Spark's hash functions return their SEED on null input, which
+      // would vote real bits for a token that does not exist
+      .select(col("id"), when(col("tok").isNotNull,
+        tokenHash(col("tok"))).as("__h"))
     val h = col("__h")
     val votes = (0 until bits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -116,18 +116,31 @@ object SuffixArray {
     // scan of the checkpointed level, no extra distinct shuffle
     var distinctKeys = lvl.agg(max(col(R))).head().getLong(0)
     var maxKey = distinctKeys
+    // stationarity stop: doubling refines the rank partition, so a dense
+    // round whose class count did not grow proves NO class split between
+    // the two dense rounds — the partition is closed under doubling and
+    // every further round is a no-op. Without this, a corpus holding two
+    // IDENTICAL suffixes (duplicate documents — routine in a dedup
+    // engine's input) never reaches distinctKeys == total and the default
+    // stopAtWidth spins forever.
+    var prevDense = distinctKeys
+    var stationary = false
     // packing is safe while (maxKey+1)² stays within Long
     val packLimit = 3000000000L
     val levels = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)](
       (width, lvl))
 
-    while (distinctKeys < total && width < stopAtWidth) {
+    while (distinctKeys < total && width < stopAtWidth && !stationary) {
       // rank of the suffix w positions ahead, keyed back to this position
       val shifted = lvl.select(col(D), (col(P) - lit(width)).as(P),
         col(R).as(R2))
       val paired = lvl.join(shifted, Seq(D, P), "left")
         .withColumn(R2, coalesce(col(R2), lit(0L))) // past-end: sorts first
-      if (maxKey <= packLimit) {
+      // strict pack/dense alternation (what the ladder comment promises):
+      // consecutive packs are only possible on tiny corpora (K² under the
+      // pack limit) but would starve the dense rounds the stationarity
+      // stop reads — at corpus scale K² > packLimit makes this moot
+      if (isDense && maxKey <= packLimit) {
         // packed round: projection only (checkpoint job, no exchange)
         lvl = paired
           .select(col(D), col(P),
@@ -147,8 +160,14 @@ object SuffixArray {
         distinctKeys = lvl.agg(max(col(R))).head().getLong(0)
         maxKey = distinctKeys
         isDense = true
+        stationary = distinctKeys == prevDense
+        prevDense = distinctKeys
       }
-      width *= 2
+      // saturating double: 2^31 would wrap Int to a non-positive width and
+      // spin the loop; a saturated width still honors the level contract
+      // (rank_w is exact for min(w, remaining) tokens — at MaxValue that is
+      // the full suffix for every representable document)
+      width = if (width > Int.MaxValue / 2) Int.MaxValue else width * 2
       levels += ((width, lvl))
     }
     if (!isDense) {

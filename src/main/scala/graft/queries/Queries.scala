@@ -966,12 +966,13 @@ object Queries {
              |  FROM tok),
              |sims AS (
              |  SELECT doc_id,
-             |    CAST(list_sum(list_transform(range(64), b ->
+             |    CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE
+             |      list_sum(list_transform(range(64), b ->
              |        CASE WHEN list_sum(list_transform(hs, x ->
              |               CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
              |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
-             |      AS BIGINT) AS s
-             |  FROM h WHERE len(hs) > 0),
+             |    END AS BIGINT) AS s
+             |  FROM h),
              |pairs AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
@@ -10028,7 +10029,8 @@ object Queries {
              |m AS (SELECT max(l) AS lrs FROM lcp),
              |win AS (SELECT doc_id, pos,
              |    array_to_string(stoks[1:(SELECT lrs FROM m)], ' ') AS span
-             |  FROM sfx WHERE rem >= (SELECT lrs FROM m)),
+             |  FROM sfx WHERE rem >= (SELECT lrs FROM m)
+             |    AND (SELECT lrs FROM m) > 0),
              |rep AS (SELECT span FROM win GROUP BY span HAVING count(*) >= 2)
              |SELECT w.doc_id, w.pos, w.span, (SELECT lrs FROM m) AS lrs
              |FROM win w JOIN rep USING (span)

@@ -99,6 +99,24 @@ class ContamSpec extends AnyFunSuite {
     }
   }
 
+  test("index under a file:-qualified URI: meta writes where probes read") {
+    // writeMeta resolves its FileSystem through the session conf
+    // (IndexGen.fs), the same resolution readMeta and the table writers
+    // use — a default `new Configuration()` would drop a Spark-conf-only
+    // fs.defaultFS and write meta.json to a different filesystem. The
+    // qualified URI pins the whole write/read/probe loop to one scheme.
+    val path = "file:" + tmp()
+    val idx = Contam.writeNgramIndex(bench, "doc_id", "text", path,
+      "contam_uri", n = N, numBuckets = 4)
+    val reopened = Contam.readNgramIndex(spark, path, "contam_uri")
+    assert(reopened.meta == idx.meta, "meta.json round-trip under file: URI")
+    val got = probeMap(reopened)
+    Pins.flush()
+    val want = inlineProbe(bench)
+    Pins.flush()
+    assert(got == want)
+  }
+
   test("append == rebuild; retraction == rebuild-without; compaction inert") {
     val path = tmp()
     val extra = bench.select((col("doc_id") + 100).as("doc_id"),

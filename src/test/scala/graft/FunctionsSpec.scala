@@ -296,7 +296,10 @@ class FunctionsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "a b c d e f g h i j k l m"),
-      (3L, "word " * 40)).toDF("doc_id", "text")
+      (3L, "word " * 40),
+      (4L, ""), // zero tokens: BOTH forms must answer simhash 0 (the
+      (5L, "   ")) // aggregation form restores the row via explode_outer)
+      .toDF("doc_id", "text")
     val perRow = docs.select(col("doc_id").as("id"),
       graft.functions.Text.simhashPortable(col("text"), 32).as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -72,6 +72,28 @@ class LshIndexSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("index under a file:-qualified URI: meta writes where probes read") {
+    // writeMeta must resolve its FileSystem from the session conf
+    // (IndexGen.fs) like readMeta and the table writers do — with a
+    // default `new Configuration()` a Spark-conf-only fs.defaultFS would
+    // send meta.json to a different filesystem than the probe reads.
+    val path = "file:" + tmp()
+    val written = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "lshspec_uri", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val expected = Dedup.probeLshIndex(written, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Pins.flush()
+    val idx = Dedup.readLshIndex(spark, path, "lshspec_uri")
+    assert(idx.meta == written.meta, "meta.json round-trip under file: URI")
+    val got = Dedup.probeLshIndex(idx, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Pins.flush()
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("probe join: the index side contributes NO exchange (bucketed scan)") {
     val path = tmp()
     val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,

@@ -141,6 +141,24 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(SuffixArray.longestRepeatedSpans(df, "doc_id", "text").isEmpty)
   }
 
+  test("rankLevels default stopAtWidth terminates on duplicate suffixes") {
+    // docs 1 and 6 are identical, so their suffixes tie at EVERY width and
+    // distinctKeys never reaches the position count: only the stationarity
+    // stop (a dense round that splits no class) ends the ladder. Before the
+    // fix this spun forever (and width *= 2 overflowed Int).
+    val df = corpus.toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val levels = SuffixArray.rankLevels(tokPos) // default = Int.MaxValue
+    // the converged level carries the true full-resolution ranking
+    val got = levels.last._2
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == bruteRanks(corpus))
+    // and the ladder is logarithmic, not runaway: widths 1,2,4,... with at
+    // most one stationary round past the longest document (9 tokens)
+    assert(levels.map(_._1) == levels.map(_._1).sorted)
+    assert(levels.size <= 7, s"ladder too deep: ${levels.map(_._1)}")
+  }
+
   test("randomized corpora: ranks, LRS and coverage all match brute force") {
     val rnd = new scala.util.Random(1913)
     val trials = (1 to 4).map { _ =>
