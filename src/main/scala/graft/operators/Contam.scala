@@ -113,6 +113,37 @@ object Contam {
         coalesce(col("n_sources"), lit(0L)).as("n_sources"))
   }
 
+  /** Decontamination as an ACTION (the GPT-3 appendix-C screen composed
+    * into a corpus filter, the way q118 composes curation verdicts):
+    * probe `corpus` against the indexed benchmark and split it on
+    * `hit_frac = n_hits / n_grams`. Returns
+    *
+    *   - `kept`: the corpus rows (ALL original columns) whose hit_frac
+    *     ≤ `maxHitFrac` — the training-safe survivors, carried through a
+    *     broadcast-friendly anti-join on the dropped ids (drop sets are
+    *     contamination-sized, not corpus-sized);
+    *   - `dropped`: the provenance dataset (idCol, n_grams, n_hits,
+    *     n_sources, hit_frac) for every REMOVED document — the X6
+    *     change-log pattern: a curation decision nobody can audit later
+    *     is a decision that did not happen.
+    *
+    * The decision boundary compares the raw IEEE division (both sides of
+    * any oracle compute the identical double); the emitted hit_frac is
+    * rounded to 6 dp for display only. maxHitFrac = 0.0 is the paper's
+    * conservative screen (any shared 13-gram drops the doc). */
+  def decontaminate(index: NgramIndex, corpus: DataFrame, idCol: String,
+      textCol: String, maxHitFrac: Double): (DataFrame, DataFrame) = {
+    val stats = probeNgramIndex(index, corpus, idCol, textCol)
+      .withColumn("__cf",
+        col("n_hits").cast("double") / col("n_grams").cast("double"))
+    val dropped = stats.filter(col("__cf") > maxHitFrac)
+      .select(col(idCol), col("n_grams"), col("n_hits"), col("n_sources"),
+        round(col("__cf"), 6).as("hit_frac"))
+    val kept = corpus.join(dropped.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    (kept, dropped)
+  }
+
   /** Absorb NEW benchmark documents (e.g. a fresh eval suite) into the
     * index. Bucketed append: one file per bucket per append — the probe
     * keeps its exchange-free shape; [[maybeCompactNgramIndex]] bounds the

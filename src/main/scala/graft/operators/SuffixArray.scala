@@ -314,6 +314,74 @@ object SuffixArray {
           col("total_tokens").cast("double"), 6).as("covered_frac"))
   }
 
+  /** Corpus-facing: ExactSubstr dedup OUTPUT (Lee et al. 2022 §4.1 —
+    * remove all but one occurrence of every repeated ≥L-token span and
+    * keep the surviving text): where [[exactSubstrCoverage]] measures the
+    * cut, this EMITS the deduplicated corpus. Policy, stated exactly so
+    * an oracle can restate it:
+    *
+    *   - every L-token window occurring ≥ 2 times corpus-wide is a
+    *     repeated group; the occurrence with the smallest (doc, pos) —
+    *     lexicographic — is the group's KEEPER;
+    *   - every non-keeper occurrence contributes its interval
+    *     [pos, pos+L) to its document's cut set; overlapping intervals
+    *     merge (the cut set is a position UNION, the q207 discipline);
+    *   - output text = the document's surviving tokens in original
+    *     order, space-joined. Documents shorter than L (and empty
+    *     documents) pass through untouched; a fully-duplicated document
+    *     can come back empty.
+    *
+    * Keep-first is greedy, not optimal (a keeper may itself lose tokens
+    * to ANOTHER group's cut — the paper accepts the same artifact); what
+    * matters at corpus scale is that the policy is deterministic and
+    * partitioning-independent, which (doc, pos)-min is.
+    *
+    * Plan: the bounded-depth ladder + one exact-L groupBy (as q207),
+    * with the keeper chosen by a `min(struct(doc, pos))` aggregate on
+    * the window key — no global window; the rebuild is a per-document
+    * sort of surviving (pos, token) pairs, bounded by document length.
+    * Output (idCol, total_tokens, kept_tokens, deduped_text) for EVERY
+    * document. */
+  def exactSubstrCut(df: DataFrame, idCol: String, textCol: String,
+      length: Int): DataFrame = {
+    val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
+    val levels = rankLevels(tokPos, stopAtWidth = length)
+    val deepEnough = levels.last._1 * 2 >= length
+    val cut: DataFrame =
+      if (!deepEnough)
+        // all-distinct stop before width L/2: no window of the final
+        // width repeats, hence no L-window either — nothing to cut
+        tokPos.filter(lit(false)).select(col(D), col(P))
+      else {
+        val keys = windowKeys(levels, tokPos, length)
+        val groups = keys.groupBy(col("__sa_k1"), col("__sa_k2"))
+          .agg(count(lit(1)).as("__sa_nocc"),
+            min(struct(col(D), col(P))).as("__sa_first"))
+          .filter(col("__sa_nocc") >= 2)
+        keys.join(groups, Seq("__sa_k1", "__sa_k2"))
+          .filter(!(col(D) === col("__sa_first")(D) &&
+            col(P) === col("__sa_first")(P)))
+          .select(col(D),
+            explode(sequence(col(P), col(P) + lit(length - 1))).as(P))
+          .distinct()
+      }
+    val kept = tokPos.join(cut, Seq(D, P), "left_anti")
+    val rebuilt = kept.groupBy(col(D))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(P), col(TOK)))),
+          s => s.getField(TOK)), " ").as("deduped_text"))
+    val totals = tokPos.groupBy(col(D))
+      .agg(count(lit(1)).as("total_tokens"))
+    df.select(col(idCol).cast("long").as(D)).distinct()
+      .join(totals, Seq(D), "left")
+      .join(rebuilt, Seq(D), "left")
+      .select(col(D).as(idCol),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("deduped_text"), lit("")).as("deduped_text"))
+  }
+
   /** Corpus-facing: the longest repeated token span — its length and every
     * position (with ≥ LRS tokens remaining) whose LRS-window repeats.
     * Output (docCol, pos, span, lrs). */

@@ -10434,7 +10434,321 @@ object Queries {
              |       ELSE round(CAST(n_hit AS DOUBLE) / n_cand, 6)
              |       END AS precision
              |FROM cum CROSS JOIN tot
-             |ORDER BY radius""".stripMargin))
+             |ORDER BY radius""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q212: ExactSubstr dedup OUTPUT (Lee et al. 2022) — q207 measures the
+    // repeated-window mass; this EMITS the deduplicated corpus: every
+    // 16-token window occurring ≥ 2 times keeps only its first occurrence
+    // (min (doc, pos)), every other occurrence's interval is cut, cuts
+    // merge per doc as a position union, and the surviving tokens are
+    // re-joined in order. The twin restates the whole policy from
+    // brute-forced window strings (keeper = row_number 1 over the window
+    // partition), so a keeper-choice, interval-merge, or rebuild-order
+    // divergence each moves the hash. Documents shorter than 16 tokens
+    // pass through byte-identical; a fully-duplicated doc comes back cut.
+    QueryDef("q212_exact_substr_cut",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SuffixArray.exactSubstrCut(docs, "doc_id", "text", length = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |win AS (SELECT doc_id, i AS pos,
+             |    array_to_string(toks[i + 1:i + 16], ' ') AS w
+             |  FROM tok, unnest(range(len(toks) - 15)) AS u(i)
+             |  WHERE len(toks) >= 16),
+             |ranked AS (SELECT doc_id, pos,
+             |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY w) AS n_occ
+             |  FROM win),
+             |cut AS (SELECT DISTINCT doc_id, pos + j AS cp
+             |  FROM ranked, unnest(range(16)) AS v(j)
+             |  WHERE n_occ >= 2 AND rn > 1),
+             |tp AS (SELECT doc_id, i AS pos, toks[i + 1] AS tk
+             |  FROM tok, unnest(range(len(toks))) AS u(i)),
+             |kept AS (SELECT t.doc_id, t.pos, t.tk
+             |  FROM tp t LEFT JOIN cut c
+             |    ON c.doc_id = t.doc_id AND c.cp = t.pos
+             |  WHERE c.doc_id IS NULL),
+             |reb AS (SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS kept_tokens,
+             |    string_agg(tk, ' ' ORDER BY pos) AS deduped_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT k.doc_id,
+             |  CAST(len(k.toks) AS BIGINT) AS total_tokens,
+             |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+             |  coalesce(r.deduped_text, '') AS deduped_text
+             |FROM tok k LEFT JOIN reb r USING (doc_id)
+             |ORDER BY k.doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q213: decontamination as an ACTION (Contam.decontaminate) — q210
+    // emits per-doc stats; this GRADES the composed filter: the corpus is
+    // split on hit_frac > 0.05 against the persisted 13-gram index, the
+    // KEPT half proves the anti-join carried the original text through
+    // (md5 of the text column), and the DROPPED half carries the X6-style
+    // provenance (hits, sources, hit_frac in integer micro-units — no
+    // float-to-string seam). The twin restates the screen AND the split,
+    // so a boundary slip, a lost kept row, or a wrong provenance value
+    // each moves the hash.
+    QueryDef("q213_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val probe = docs.filter(col("doc_id") % 50 =!= 0)
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_decontam_idx_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val name = "q213_idx_" + path.takeRight(12)
+        graft.operators.Contam.writeNgramIndex(bench, "doc_id", "text",
+          path, name, n = 13, numBuckets = 16)
+        val idx = graft.operators.Contam.readNgramIndex(s, path, name)
+        val (kept, dropped) = graft.operators.Contam.decontaminate(
+          idx, probe, "doc_id", "text", maxHitFrac = 0.05)
+        val k = kept.select(col("doc_id"), lit("kept").as("verdict"),
+          md5(col("text")).as("detail"))
+        val d = dropped.select(col("doc_id"), lit("dropped").as("verdict"),
+          concat_ws(":", col("n_hits"), col("n_sources"),
+            round(col("n_hits").cast("double") / col("n_grams") * 1e6)
+              .cast("long")).as("detail"))
+        k.unionByName(d).orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM documents),
+             |grams AS (SELECT doc_id,
+             |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+             |  FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 13
+             |      THEN list_transform(range(len(toks) - 12),
+             |             i -> array_to_string(toks[i + 1:i + 13], ' '))
+             |      ELSE [array_to_string(toks, ' ')] END) AS g
+             |    FROM tok)
+             |  GROUP BY doc_id, gram),
+             |bench AS (SELECT doc_id AS src, gram FROM grams
+             |  WHERE doc_id % 50 = 0),
+             |probe AS (SELECT doc_id, gram FROM grams WHERE doc_id % 50 <> 0),
+             |hits AS (SELECT p.doc_id,
+             |    count(DISTINCT p.gram) AS n_hits,
+             |    count(DISTINCT b.src) AS n_sources
+             |  FROM probe p JOIN bench b USING (gram)
+             |  GROUP BY p.doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM probe
+             |  GROUP BY doc_id),
+             |stats AS (SELECT t.doc_id, t.n_grams,
+             |    coalesce(h.n_hits, 0) AS n_hits,
+             |    coalesce(h.n_sources, 0) AS n_sources
+             |  FROM tot t LEFT JOIN hits h USING (doc_id)),
+             |dropped AS (SELECT * FROM stats
+             |  WHERE CAST(n_hits AS DOUBLE) / n_grams > 0.05)
+             |SELECT d.doc_id, 'kept' AS verdict, md5(d.text) AS detail
+             |FROM documents d
+             |WHERE d.doc_id % 50 <> 0
+             |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+             |UNION ALL
+             |SELECT doc_id, 'dropped',
+             |  CAST(n_hits AS VARCHAR) || ':' || CAST(n_sources AS VARCHAR)
+             |    || ':' || CAST(CAST(round(CAST(n_hits AS DOUBLE) / n_grams
+             |        * 1000000) AS BIGINT) AS VARCHAR)
+             |FROM dropped
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q214: the ANN STREAMING ingest loop end-to-end under the oracle gate
+    // — VecStream.ingestAnnStream given the q202 treatment: two real
+    // Structured Streaming drains against one checkpoint over the
+    // persisted IVF-PQ index. batch1 (copies of the 20 q200 query vectors,
+    // ids +100000) streams in, is probed for its top-10 neighbors against
+    // the BASE index, then ABSORBED (encoded with the frozen persisted
+    // model); batch2 (copies of 20 other vectors, ids +200000) streams
+    // through a RESTARTED query and must rank against base ∪ batch1.
+    // Graded output: per streamed query, recall@10 of the SINK rows
+    // against the exact brute-force truth at that batch's visibility —
+    // a routing, frozen-model encode, absorb-replay, checkpoint, or ADC
+    // divergence each moves it. The twin restates the whole pipeline from
+    // scratch (q200's deterministic sampled model), exploiting that a
+    // copied vector encodes IDENTICALLY under the frozen model, so
+    // batch1's reconstructions are the base reconstructions re-keyed.
+    QueryDef("q214_ann_ingest_stream",
+      (s, dir) => {
+        import graft.streaming.VecStream
+        val raw = t(s, dir, "embeddings")
+        val e = raw.select(col("vec_id"),
+          Vec.asDouble(col("embedding")).as("vec"))
+        val b1raw = raw.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        val b2raw = raw.filter(col("vec_id") % 25 === 5 && col("vec_id") < 500)
+          .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_q214_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        def rm(p: String): Unit = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        rm(base)
+        val (idxPath, vecsDir, outDir, ckpt) = (s"$base/idx",
+          s"$base/vecs", s"$base/nn", s"$base/ckpt")
+        val name = "q214_idx_" + base.takeRight(12)
+        Similarity.writeAnnIndex(e, "vec_id", "vec", idxPath, name,
+          m = 8, k = 16, nlist = 64, numBuckets = 16)
+        val idx = Similarity.readAnnIndex(s, idxPath, name)
+        // drain 1: batch1 lands, is probed against base, then absorbed
+        b1raw.coalesce(1).write.mode("append").parquet(vecsDir)
+        VecStream.ingestAnnStream(s, vecsDir, idx, outDir, ckpt,
+          k = 10, nprobe = 4)
+        // drain 2: a RESTART — batch2 probes base ∪ batch1
+        b2raw.coalesce(1).write.mode("append").parquet(vecsDir)
+        VecStream.ingestAnnStream(s, vecsDir, idx, outDir, ckpt,
+          k = 10, nprobe = 4)
+        val approx = s.read.parquet(outDir)
+          .select(col("query_id"), col("neighbor_id"))
+        // exact truth at each batch's visibility (phase 0 = base corpus,
+        // 1 = batch1): a query of phase p ranks corpus rows of phase < p
+        val b1d = b1raw.select(col("vec_id"),
+          Vec.asDouble(col("embedding")).as("vec"))
+        val b2d = b2raw.select(col("vec_id"),
+          Vec.asDouble(col("embedding")).as("vec"))
+        val corpus = e.withColumn("cphase", lit(0))
+          .unionByName(b1d.withColumn("cphase", lit(1)))
+          .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+            Vec.norm(col("vec")).as("cnrm"), col("cphase"))
+        val qn = b1d.withColumn("qphase", lit(1))
+          .unionByName(b2d.withColumn("qphase", lit(2)))
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+            Vec.norm(col("vec")).as("qnrm"), col("qphase"))
+        val scored = corpus.join(broadcast(qn),
+            col("cphase") < col("qphase") &&
+              col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Vec.cosineFromParts(Vec.dot(col("qvec"), col("cvec")),
+              col("qnrm"), col("cnrm")), 6).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        qn.select(col("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 10.0, 4).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      // ivfpqRecallOracle's model/encode/probe restated with PHASED
+      // visibility; batch reconstructions are the base ones re-keyed
+      // (identical input + frozen model => identical codes)
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+             |    v AS cv
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 64)),
+             |asg AS (
+             |  SELECT vec_id, v, cidx, cv FROM (
+             |    SELECT e.vec_id, e.v, cc.cidx, cc.cv, row_number() OVER (
+             |      PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cidx)
+             |      AS rn
+             |    FROM e CROSS JOIN cc) WHERE rn = 1),
+             |res AS (
+             |  SELECT vec_id, cidx, cv,
+             |    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
+             |  FROM asg),
+             |cbsrc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+             |  FROM (SELECT vec_id, r FROM res
+             |        ORDER BY vec_id LIMIT 16 OFFSET 64)),
+             |cb AS (
+             |  SELECT ms.m, code, r[ms.m*8+1 : ms.m*8+8] AS cbv
+             |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+             |keys AS (
+             |  SELECT d.vec_id, cb.m, cb.code, cb.cbv,
+             |    round(list_inner_product(cb.cbv, cb.cbv)
+             |      - 2 * list_inner_product(d.r[cb.m*8+1 : cb.m*8+8], cb.cbv),
+             |      6) AS key
+             |  FROM res d CROSS JOIN cb),
+             |pick AS (
+             |  SELECT vec_id, m, code, cbv FROM (
+             |    SELECT vec_id, m, code, cbv, row_number() OVER (
+             |      PARTITION BY vec_id, m ORDER BY key, code) AS rn
+             |    FROM keys)
+             |  WHERE rn = 1),
+             |recon AS (
+             |  SELECT p.vec_id, r.cidx,
+             |    list_transform(range(64), i -> r.cv[i+1] + p.rh[i+1])
+             |      AS xhat
+             |  FROM (SELECT vec_id, flatten(list(cbv ORDER BY m)) AS rh
+             |        FROM pick GROUP BY vec_id) p
+             |  JOIN res r USING (vec_id)),
+             |rc2 AS (
+             |  SELECT vec_id, cidx, xhat, 0 AS cphase FROM recon
+             |  UNION ALL
+             |  SELECT vec_id + 100000, cidx, xhat, 1 FROM recon
+             |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+             |qs AS (
+             |  SELECT vec_id + 100000 AS query_id, v AS qv, 1 AS qphase
+             |  FROM e WHERE vec_id % 25 = 0 AND vec_id < 500
+             |  UNION ALL
+             |  SELECT vec_id + 200000, v, 2
+             |  FROM e WHERE vec_id % 25 = 5 AND vec_id < 500),
+             |probes AS (
+             |  SELECT query_id, cidx, qphase FROM (
+             |    SELECT q.query_id, cc.cidx, q.qphase, row_number() OVER (
+             |      PARTITION BY q.query_id
+             |      ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC, cc.cidx)
+             |      AS rn
+             |    FROM qs q CROSS JOIN cc) WHERE rn <= 4),
+             |approx AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY pq_cosine DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT p.query_id, rc.vec_id AS neighbor_id,
+             |        round(list_cosine_similarity(q.qv, rc.xhat), 6)
+             |          AS pq_cosine
+             |      FROM probes p JOIN qs q USING (query_id)
+             |      JOIN rc2 rc
+             |        ON rc.cidx = p.cidx AND rc.cphase < p.qphase
+             |        AND rc.vec_id <> p.query_id))
+             |  WHERE rank <= 10),
+             |ex2 AS (
+             |  SELECT vec_id, v, 0 AS cphase FROM e
+             |  UNION ALL
+             |  SELECT vec_id + 100000, v, 1 FROM e
+             |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+             |exact AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT q.query_id, e2.vec_id AS neighbor_id,
+             |        round(list_cosine_similarity(q.qv, e2.v), 6) AS cosine
+             |      FROM qs q JOIN ex2 e2
+             |        ON e2.cphase < q.qphase AND e2.vec_id <> q.query_id))
+             |  WHERE rank <= 10),
+             |hits AS (
+             |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+             |  FROM exact x JOIN approx a
+             |    ON a.query_id = x.query_id
+             |    AND a.neighbor_id = x.neighbor_id
+             |  GROUP BY a.query_id)
+             |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+             |  round(coalesce(h.hits, 0) / 10.0, 4) AS recall
+             |FROM qs q LEFT JOIN hits h USING (query_id)
+             |ORDER BY q.query_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

@@ -117,6 +117,39 @@ class ContamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("decontaminate: kept ∪ dropped partition the corpus, provenance right") {
+    val path = tmp()
+    val idx = Contam.writeNgramIndex(bench, "doc_id", "text", path,
+      "contam_act", n = N, numBuckets = 4)
+    // conservative screen: ANY shared gram drops the doc — exactly the 3
+    // planted contaminated batch docs must fall
+    val (kept, dropped) = Contam.decontaminate(idx, batch, "doc_id",
+      "text", maxHitFrac = 0.0)
+    val keptRows = kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    val dropRows = dropped.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    Pins.flush()
+    val want = inlineProbe(bench)
+    Pins.flush()
+    assert(dropRows.keySet == want.filter(_._2._2 > 0).keySet,
+      "dropped = exactly the docs with any benchmark hit")
+    assert(dropRows.keySet.size == 3)
+    for ((id, (ng, nh, ns)) <- dropRows)
+      assert(want(id) == ((ng, nh, ns)), s"provenance for $id")
+    // kept keeps ORIGINAL columns (text intact) and partitions the corpus
+    val original = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    assert(keptRows.toMap == (original -- dropRows.keySet))
+    assert(keptRows.map(_._1).toSet.intersect(dropRows.keySet).isEmpty)
+    assert(keptRows.size + dropRows.size == 12)
+    // a permissive bar keeps everything and drops nothing
+    val (k2, d2) = Contam.decontaminate(idx, batch, "doc_id", "text",
+      maxHitFrac = 1.0)
+    assert(d2.isEmpty && k2.count() == 12)
+    Pins.flush()
+  }
+
   test("append == rebuild; retraction == rebuild-without; compaction inert") {
     val path = tmp()
     val extra = bench.select((col("doc_id") + 100).as("doc_id"),

@@ -141,6 +141,71 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(SuffixArray.longestRepeatedSpans(df, "doc_id", "text").isEmpty)
   }
 
+  /** Brute-force ExactSubstr cut: repeated L-windows keep their first
+    * (doc, pos) occurrence, every other occurrence's interval is cut,
+    * cut positions union per doc, survivors re-join in order. */
+  private def bruteCut(docs: Seq[(Long, String)], l: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val wins = docs.flatMap { case (id, text) =>
+      val tk = toks(text)
+      (0 to tk.size - l).map(p => (tk.slice(p, p + l), (id, p)))
+    }
+    val cutPos: Set[(Long, Int)] = wins.groupBy(_._1).values
+      .filter(_.size >= 2)
+      .flatMap(occ => occ.map(_._2).sorted.tail)
+      .flatMap { case (id, p) => (p until p + l).map(c => (id, c)) }
+      .toSet
+    docs.map { case (id, text) =>
+      val tk = toks(text)
+      val kept = tk.indices.filterNot(i => cutPos((id, i))).map(tk)
+      (id, (tk.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("exactSubstrCut: keep-first policy, overlapping cuts merge") {
+    // d2/d3 share TWO overlapping 3-windows ("a b c d" vs "a b c d"-ish):
+    // d3 loses [0,3) ∪ [1,4) merged = positions 0..3, keeping only "f";
+    // d2 is the keeper of both groups and stays whole. d4/d5 are full
+    // duplicates: d5 comes back EMPTY. d1 and the short d6 pass through.
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 u5"),
+      (2L, "a b c d e"),
+      (3L, "a b c d f"),
+      (4L, "p q r s p q r s p"),
+      (5L, "p q r s p q r s p"),
+      (6L, "x y"),
+      (7L, ""))
+    val df = docs.toDF("doc_id", "text")
+    val got = SuffixArray.exactSubstrCut(df, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val want = bruteCut(docs, 3)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(3L) == ((5L, 1L, "f")), "overlapping intervals must merge")
+    assert(got(5L)._3 == "", "full duplicate must come back empty")
+    assert(got(2L)._3 == "a b c d e", "the keeper doc stays whole")
+    assert(got(6L) == ((2L, 2L, "x y")) && got(7L) == ((0L, 0L, "")),
+      "short and empty docs pass through")
+  }
+
+  test("randomized corpora: exactSubstrCut == brute force") {
+    val rnd = new scala.util.Random(4127)
+    for (trial <- 1 to 4) {
+      val docs = (1L to (4 + rnd.nextInt(4)).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(14))(
+          Seq("a", "b", "c")(rnd.nextInt(3))).mkString(" "))
+      }
+      val l = 2 + rnd.nextInt(3)
+      val df = docs.toDF("doc_id", "text")
+      val got = SuffixArray.exactSubstrCut(df, "doc_id", "text", l)
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == bruteCut(docs, l), s"trial $trial L=$l corpus=$docs")
+    }
+  }
+
   test("rankLevels default stopAtWidth terminates on duplicate suffixes") {
     // docs 1 and 6 are identical, so their suffixes tie at EVERY width and
     // distinctKeys never reaches the position count: only the stationarity
