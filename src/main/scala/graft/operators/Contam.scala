@@ -63,6 +63,7 @@ object Contam {
       .bucketBy(numBuckets, "gram")
       .option("path", idx.gramsDir)
       .saveAsTable(idx.gramsTable)
+    IndexGen.commitManifest(spark, idx.gramsDir)
     writeMeta(spark, s"$path/meta.json", meta)
     idx
   }
@@ -73,6 +74,8 @@ object Contam {
       name: String): NgramIndex = {
     val idx = NgramIndex(name, path, readMeta(spark, s"$path/meta.json"),
       gen = IndexGen.resolveGen(spark, path))
+    // open-time recovery: drop a torn batch append's leftover files
+    IndexGen.repairToManifest(spark, idx.gramsDir)
     registerTable(spark, idx)
     idx
   }
@@ -149,12 +152,18 @@ object Contam {
     * keeps its exchange-free shape; [[maybeCompactNgramIndex]] bounds the
     * file growth. Caller contract: appended ids disjoint from indexed. */
   def appendToNgramIndex(index: NgramIndex, benchmark: DataFrame,
-      idCol: String, textCol: String): Unit =
+      idCol: String, textCol: String): Unit = {
+    val spark = benchmark.sparkSession
+    // manifest protocol (IndexGen): a torn append's files are repaired
+    // at the next open/append; commit only after the data write completes
+    IndexGen.repairToManifest(spark, index.gramsDir)
     gramDigests(benchmark, idCol, textCol, index.meta.n)
       .write.mode("append")
       .bucketBy(index.meta.numBuckets, "gram")
       .option("path", index.gramsDir)
       .saveAsTable(index.gramsTable)
+    IndexGen.commitManifest(spark, index.gramsDir)
+  }
 
   /** Retract benchmark documents (id tombstones; probes hide them
     * immediately, the next compaction folds them into the files). */
@@ -167,23 +176,24 @@ object Contam {
     * as [[Dedup.compactLshIndex]] (commit marker, then idempotent
     * housekeeping). */
   def compactNgramIndex(spark: SparkSession, index: NgramIndex)
-      : NgramIndex = {
-    val bases = Seq("grams")
-    val next = index.copy(
-      gen = IndexGen.nextGen(spark, index.path, bases, index.gen))
-    IndexGen.fs(spark, index.path)
-      .delete(new org.apache.hadoop.fs.Path(next.gramsDir), true)
-    val tombs = IndexGen.tombstones(spark, index.path)
-    IndexGen.rewriteBucketed(spark, index.gramsDir, next.gramsDir,
-      s"${index.name}_grams_compacting", index.meta.numBuckets,
-      Seq("gram"), tombs)
-    IndexGen.writeMarker(spark, index.path, next.gen)
-    spark.sql(s"DROP TABLE IF EXISTS ${index.gramsTable}")
-    registerTable(spark, next)
-    IndexGen.clearTombstones(spark, index.path)
-    IndexGen.sweepOld(spark, index.path, bases, next.gen)
-    next
-  }
+      : NgramIndex =
+    IndexGen.withWriterLock(spark, index.path) {
+      val bases = Seq("grams")
+      val next = index.copy(
+        gen = IndexGen.nextGen(spark, index.path, bases, index.gen))
+      IndexGen.fs(spark, index.path)
+        .delete(new org.apache.hadoop.fs.Path(next.gramsDir), true)
+      val tombs = IndexGen.tombstones(spark, index.path)
+      IndexGen.rewriteBucketed(spark, index.gramsDir, next.gramsDir,
+        s"${index.name}_grams_compacting", index.meta.numBuckets,
+        Seq("gram"), tombs)
+      IndexGen.writeMarker(spark, index.path, next.gen)
+      spark.sql(s"DROP TABLE IF EXISTS ${index.gramsTable}")
+      registerTable(spark, next)
+      IndexGen.clearTombstones(spark, index.path)
+      IndexGen.sweepOld(spark, index.path, bases, next.gen)
+      next
+    }
 
   /** Compact when append cadence has fragmented any bucket past the bar. */
   def maybeCompactNgramIndex(spark: SparkSession, index: NgramIndex,

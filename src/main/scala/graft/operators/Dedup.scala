@@ -403,6 +403,8 @@ object Dedup {
         .bucketBy(numBuckets, "id")
         .option("path", idx.postsDir)
         .saveAsTable(idx.postsTable)
+      IndexGen.commitManifest(spark, idx.bandsDir)
+      IndexGen.commitManifest(spark, idx.postsDir)
       writeMeta(spark, s"$path/meta.json", meta)
       idx
     } finally posts.unpersist(blocking = false)
@@ -422,6 +424,10 @@ object Dedup {
     val meta = readMeta(spark, s"$path/meta.json")
     val idx = LshIndex(name, path, meta,
       gen = IndexGen.resolveGen(spark, path))
+    // open-time recovery: drop any torn batch append's leftover files
+    // (files the generation's manifests do not name) before probes scan
+    IndexGen.repairToManifest(spark, idx.bandsDir)
+    IndexGen.repairToManifest(spark, idx.postsDir)
     registerTables(spark, idx)
     idx
   }
@@ -492,7 +498,16 @@ object Dedup {
     * per append, which Spark's bucketed scan groups back into the same
     * partition, so probe plans keep their no-index-side-exchange shape
     * (LshIndexSpec pins probe-after-append == an index rebuilt from
-    * scratch). Caller contract: appended ids disjoint from indexed ids. */
+    * scratch). Caller contract: appended ids disjoint from indexed ids.
+    *
+    * Crash-safe via the [[IndexGen]] manifest protocol: a torn append
+    * (any crash before BOTH manifests re-commit) leaves files that the
+    * next open/append/compaction repairs away — with one benign
+    * asymmetry: bands commit first, so a crash between the two manifest
+    * commits leaves committed "ghost" band rows whose postings were
+    * repaired; ghosts only add candidates the rescore's postings join
+    * drops (probe output as if the append never happened), and a retried
+    * append (the streaming replay path) appends postings exactly once. */
   def appendToLshIndex(index: LshIndex, batch: DataFrame, idCol: String,
       textCol: String): Unit = {
     val m = index.meta
@@ -500,6 +515,10 @@ object Dedup {
     require(batch.schema(batch.schema.fieldIndex(idCol)).dataType ==
       org.apache.spark.sql.types.LongType,
       "persisted index ids must be BIGINT")
+    val spark = batch.sparkSession
+    // a retried append must not compound a previous torn one
+    IndexGen.repairToManifest(spark, index.bandsDir)
+    IndexGen.repairToManifest(spark, index.postsDir)
     val posts = shinglePostings(batch, idCol, textCol, m.shingleSize,
       m.maxDocFreq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -514,6 +533,8 @@ object Dedup {
         .bucketBy(m.numBuckets, "id")
         .option("path", index.postsDir)
         .saveAsTable(index.postsTable)
+      IndexGen.commitManifest(spark, index.bandsDir) // bands FIRST (above)
+      IndexGen.commitManifest(spark, index.postsDir)
     } finally posts.unpersist(blocking = false)
   }
 
@@ -549,13 +570,18 @@ object Dedup {
     * leaves a committed generation that [[readLshIndex]] resolves, with
     * the remaining steps idempotent (re-applying cleared tombstones to
     * already-filtered data is a no-op anti-join). Single-writer contract,
-    * like append: don't compact concurrently with appends.
+    * like append: don't compact concurrently with appends — and since r14
+    * the contract is ENFORCED for compactions by the
+    * [[IndexGen.withWriterLock]] lease (a second concurrent compaction
+    * throws instead of silently corrupting; a crashed holder's lease
+    * expires by age).
     *
     * Returns the handle at the new generation (the session's catalog
     * tables are re-pointed in place, so existing probe code keeps
     * working). */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-      index: LshIndex): LshIndex = {
+      index: LshIndex): LshIndex =
+    IndexGen.withWriterLock(spark, index.path) {
     val m = index.meta
     val bases = Seq("bands", "posts")
     val next = index.copy(
@@ -579,7 +605,7 @@ object Dedup {
     IndexGen.clearTombstones(spark, index.path)
     IndexGen.sweepOld(spark, index.path, bases, next.gen)
     next
-  }
+    }
 
   /** Compact only when an append cadence has actually fragmented the
     * index: if either table's fullest bucket holds more than

@@ -925,6 +925,7 @@ object Similarity {
       .bucketBy(numBuckets, "cent_id")
       .option("path", idx.listsDir)
       .saveAsTable(idx.listsTable)
+    IndexGen.commitManifest(spark, idx.listsDir)
     writeAnnMeta(spark, s"$path/meta.json", idx.meta)
     idx
   }
@@ -938,6 +939,8 @@ object Similarity {
     val meta = readAnnMeta(spark, s"$path/meta.json")
     val idx = AnnIndex(name, path, meta,
       gen = IndexGen.resolveGen(spark, path))
+    // open-time recovery: drop a torn batch append's leftover files
+    IndexGen.repairToManifest(spark, idx.listsDir)
     registerAnnTable(spark, idx)
     idx
   }
@@ -986,12 +989,18 @@ object Similarity {
     require(batch.schema(batch.schema.fieldIndex(idCol)).dataType ==
       org.apache.spark.sql.types.LongType,
       "persisted index ids must be BIGINT")
+    val spark = batch.sparkSession
+    // manifest protocol (IndexGen): repair any previous torn append, then
+    // commit this one's file set only after the data write completes — a
+    // crash in between leaves files the next open/append repairs away
+    IndexGen.repairToManifest(spark, index.listsDir)
     pqEncode(batch, idCol, vecCol, index.meta.model)
       .repartition(index.meta.numBuckets, col("cent_id"))
       .write.mode("append")
       .bucketBy(index.meta.numBuckets, "cent_id")
       .option("path", index.listsDir)
       .saveAsTable(index.listsTable)
+    IndexGen.commitManifest(spark, index.listsDir)
   }
 
   /** Retract vectors: id tombstones hide them from probes immediately
@@ -1008,21 +1017,22 @@ object Similarity {
     * crash-safety and single-writer contract as
     * [[Dedup.compactLshIndex]]. */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
-      index: AnnIndex): AnnIndex = {
-    val next = index.copy(
-      gen = IndexGen.nextGen(spark, index.path, Seq("lists"), index.gen))
-    IndexGen.fs(spark, index.path)
-      .delete(new org.apache.hadoop.fs.Path(next.listsDir), true)
-    IndexGen.rewriteBucketed(spark, index.listsDir, next.listsDir,
-      s"${index.name}_lists_compacting", index.meta.numBuckets,
-      Seq("cent_id"), IndexGen.tombstones(spark, index.path))
-    IndexGen.writeMarker(spark, index.path, next.gen)
-    spark.sql(s"DROP TABLE IF EXISTS ${index.listsTable}")
-    registerAnnTable(spark, next)
-    IndexGen.clearTombstones(spark, index.path)
-    IndexGen.sweepOld(spark, index.path, Seq("lists"), next.gen)
-    next
-  }
+      index: AnnIndex): AnnIndex =
+    IndexGen.withWriterLock(spark, index.path) {
+      val next = index.copy(
+        gen = IndexGen.nextGen(spark, index.path, Seq("lists"), index.gen))
+      IndexGen.fs(spark, index.path)
+        .delete(new org.apache.hadoop.fs.Path(next.listsDir), true)
+      IndexGen.rewriteBucketed(spark, index.listsDir, next.listsDir,
+        s"${index.name}_lists_compacting", index.meta.numBuckets,
+        Seq("cent_id"), IndexGen.tombstones(spark, index.path))
+      IndexGen.writeMarker(spark, index.path, next.gen)
+      spark.sql(s"DROP TABLE IF EXISTS ${index.listsTable}")
+      registerAnnTable(spark, next)
+      IndexGen.clearTombstones(spark, index.path)
+      IndexGen.sweepOld(spark, index.path, Seq("lists"), next.gen)
+      next
+    }
 
   /** Compact only when appends have fragmented the lists: if the
     * fullest bucket holds more than `maxFilesPerBucket` files, run
