@@ -80,10 +80,36 @@ object SuffixArray {
   /** All rank levels (width, ranksAtWidth) with widths 1, 2, 4, …, each
     * frame (doc, pos, rank) pinned and materialized. Doubling stops when
     * every suffix holds a distinct rank (full resolution: rank_w is the
-    * full suffix rank) or when width ≥ stopAtWidth. The returned list is
-    * in increasing width order; the last level is the finest computed. */
-  def rankLevels(tokPos: DataFrame, stopAtWidth: Int = Int.MaxValue)
+    * full suffix rank), when a dense round goes stationary, or when
+    * width ≥ stopAtWidth. The returned list is in increasing width
+    * order; the last level is the finest computed.
+    *
+    * `keepLevels = false` retains (and returns) only the LAST TWO
+    * levels, RELEASING each earlier level's materialization as the
+    * ladder climbs past it — the single-L consumers (suffixRanks /
+    * exactSubstrCoverage / exactSubstrCut) need at most the widest
+    * level ≤ L plus the final one, so a full-depth build no longer pins
+    * O(log maxDocLen) corpus-sized materializations for the operator's
+    * lifetime (the r13 verdict's retention note). Released levels are
+    * unrecomputable; only [[longestRepeatedSpan]]'s binary search keeps
+    * the whole ladder.
+    *
+    * `checkpointDir = Some(dir)` switches the per-level materialization
+    * from `localCheckpoint` (executor-loss-fragile: a lost executor
+    * fails the job instead of recomputing) to RELIABLE `checkpoint`
+    * into `dir` — the cluster-run option; released levels delete their
+    * checkpoint files. Sets the SparkContext checkpoint dir (a
+    * context-global Spark knob). */
+  def rankLevels(tokPos: DataFrame, stopAtWidth: Int = Int.MaxValue,
+      keepLevels: Boolean = true, checkpointDir: Option[String] = None)
       : Seq[(Int, DataFrame)] = {
+    val spark = tokPos.sparkSession
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val base = Pins.pin(tokPos.select(col(D), col(P), col(TOK)))
     val total = base.count()
     if (total == 0)
@@ -107,9 +133,8 @@ object SuffixArray {
     // re-densified below so full-rank consumers (q204's oracle parity)
     // always see dense 1..K ranks.
     // width 1: in-place dense ranks over the token keys
-    var lvl = RowIds.denseRankByOrder(base, R, Seq(col(TOK)))
-      .select(col(D), col(P), col(R))
-      .localCheckpoint()
+    var lvl = ckpt(RowIds.denseRankByOrder(base, R, Seq(col(TOK)))
+      .select(col(D), col(P), col(R)))
     var width = 1
     var isDense = true
     // ranks are dense 1..K, so max(rank) IS the distinct-key count — one
@@ -142,10 +167,9 @@ object SuffixArray {
       // stop reads — at corpus scale K² > packLimit makes this moot
       if (isDense && maxKey <= packLimit) {
         // packed round: projection only (checkpoint job, no exchange)
-        lvl = paired
+        lvl = ckpt(paired
           .select(col(D), col(P),
-            (col(R) * lit(maxKey + 1L) + col(R2)).as(R))
-          .localCheckpoint()
+            (col(R) * lit(maxKey + 1L) + col(R2)).as(R)))
         maxKey = maxKey * (maxKey + 1L) + maxKey
         isDense = false
         // distinctKeys is stale on packed rounds (no cheap count); the
@@ -154,9 +178,8 @@ object SuffixArray {
       } else {
         // dense round: one range exchange + one pid-clustered window, no
         // pre-distinct frame and no join-back (RowIds.denseRankByOrder)
-        lvl = RowIds.denseRankByOrder(paired, NR, Seq(col(R), col(R2)))
-          .select(col(D), col(P), col(NR).as(R))
-          .localCheckpoint()
+        lvl = ckpt(RowIds.denseRankByOrder(paired, NR, Seq(col(R), col(R2)))
+          .select(col(D), col(P), col(NR).as(R)))
         distinctKeys = lvl.agg(max(col(R))).head().getLong(0)
         maxKey = distinctKeys
         isDense = true
@@ -169,17 +192,39 @@ object SuffixArray {
       // the full suffix for every representable document)
       width = if (width > Int.MaxValue / 2) Int.MaxValue else width * 2
       levels += ((width, lvl))
+      // release the level falling out of the retained window: the loop
+      // only ever reads the newest level, and single-L consumers only
+      // the last two — everything older is dead weight
+      if (!keepLevels && levels.size > 2)
+        release(spark, levels(levels.size - 3)._2)
     }
     if (!isDense) {
       // contract: the FINAL level is dense (suffixRanks grades against
       // dense_rank; longestRepeatedSpan reads max(rank) as a count)
-      val densified = RowIds.denseRankByOrder(lvl, NR, Seq(col(R)))
-        .select(col(D), col(P), col(NR).as(R))
-        .localCheckpoint()
+      val densified = ckpt(RowIds.denseRankByOrder(lvl, NR, Seq(col(R)))
+        .select(col(D), col(P), col(NR).as(R)))
+      if (!keepLevels) release(spark, levels(levels.size - 1)._2)
       levels(levels.size - 1) = (width, densified)
     }
-    levels.toSeq
+    if (keepLevels) levels.toSeq else levels.toSeq.takeRight(2)
   }
+
+  /** Free a checkpointed level: unpersist its blocks (localCheckpoint)
+    * and delete its reliable-checkpoint files, if any. The frame is
+    * UNRECOMPUTABLE afterwards — callers only release levels they will
+    * never read again. */
+  private def release(spark: org.apache.spark.sql.SparkSession,
+      level: DataFrame): Unit =
+    level.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      case _ => // not a checkpointed frame (empty-corpus base): nothing
+    }
 
   /** Full-resolution suffix ranks (doc, pos, rank): the dense rank of each
     * suffix among all suffixes of all documents (cross-document identical
@@ -189,8 +234,10 @@ object SuffixArray {
     * to the first power of two ≥ maxDocLen, after which levels are
     * stationary — `rankLevels` stops because doubling a stationary level
     * changes no key). */
-  def suffixRanks(tokPos: DataFrame): DataFrame = {
-    val levels = rankLevels(tokPos, stopAtWidth = maxRemaining(tokPos))
+  def suffixRanks(tokPos: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val levels = rankLevels(tokPos, stopAtWidth = maxRemaining(tokPos),
+      keepLevels = false, checkpointDir = checkpointDir)
     levels.last._2
   }
 
@@ -266,9 +313,10 @@ object SuffixArray {
 
   /** Corpus-facing: full suffix ranks with a short preview, over (id, text)
     * rows. Output (docCol, posCol, srank, preview) for every position. */
-  def suffixArray(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def suffixArray(df: DataFrame, idCol: String, textCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
     val tokPos = tokenPositions(df, idCol, textCol)
-    val ranks = suffixRanks(tokPos)
+    val ranks = suffixRanks(tokPos, checkpointDir)
     val docs = docTokens(df, idCol, textCol)
     ranks.join(docs, Seq(D))
       .select(publicCols(idCol, "pos") ++ Seq(
@@ -289,9 +337,10 @@ object SuffixArray {
     * explode of at most L covered positions — never materializes the
     * O(n·L) all-window set the naive shingle plan would. */
   def exactSubstrCoverage(df: DataFrame, idCol: String, textCol: String,
-      length: Int): DataFrame = {
+      length: Int, checkpointDir: Option[String] = None): DataFrame = {
     val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
-    val levels = rankLevels(tokPos, stopAtWidth = length)
+    val levels = rankLevels(tokPos, stopAtWidth = length,
+      keepLevels = false, checkpointDir = checkpointDir)
     val totals = tokPos.groupBy(col(D))
       .agg(count(lit(1)).as("total_tokens"))
     // all-distinct stop before width L/2 proves no repeated window of the
@@ -343,9 +392,10 @@ object SuffixArray {
     * Output (idCol, total_tokens, kept_tokens, deduped_text) for EVERY
     * document. */
   def exactSubstrCut(df: DataFrame, idCol: String, textCol: String,
-      length: Int): DataFrame = {
+      length: Int, checkpointDir: Option[String] = None): DataFrame = {
     val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
-    val levels = rankLevels(tokPos, stopAtWidth = length)
+    val levels = rankLevels(tokPos, stopAtWidth = length,
+      keepLevels = false, checkpointDir = checkpointDir)
     val deepEnough = levels.last._1 * 2 >= length
     val cut: DataFrame =
       if (!deepEnough)

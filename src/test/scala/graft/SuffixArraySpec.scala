@@ -224,6 +224,68 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(levels.size <= 7, s"ladder too deep: ${levels.map(_._1)}")
   }
 
+  test("release mode retains at most two levels' blocks (cluster posture)") {
+    // keepLevels = true (longestRepeatedSpan's mode) pins one
+    // materialization per ladder round for the operator's lifetime; the
+    // single-L consumers run with keepLevels = false, which must free
+    // every level as the ladder climbs past it — suites run sequentially,
+    // so persistent-RDD deltas around each call are attributable to it
+    val df = corpus.toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val full = SuffixArray.rankLevels(
+      SuffixArray.tokenPositions(df, "doc_id", "text"), stopAtWidth = 16)
+    val fullNew = (sc.getPersistentRDDs.keySet -- before).size
+    assert(full.size >= 4 && fullNew >= full.size,
+      s"keepAll must pin every level (got $fullNew new for ${full.size})")
+    graft.pipeline.Pins.flush()
+
+    val before2 = sc.getPersistentRDDs.keySet
+    val kept = SuffixArray.rankLevels(
+      SuffixArray.tokenPositions(df, "doc_id", "text"), stopAtWidth = 16,
+      keepLevels = false)
+    // flow-scoped pins (the base frame, denseRankByOrder internals) are
+    // the caller's to flush at the flow boundary — the Verify discipline;
+    // what release mode must NOT leak is the checkpointed LEVELS
+    graft.pipeline.Pins.flush()
+    val new2 = (sc.getPersistentRDDs.keySet -- before2).size
+    assert(kept.size == 2, s"release mode returns the last two levels")
+    assert(new2 <= 2, // exactly the two retained levels
+      s"release mode left $new2 persisted RDDs — superseded levels leak")
+    // the retained pair still answers exact-L window queries correctly
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val wantKeys = SuffixArray.windowKeys(full, tokPos, 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val gotKeys = SuffixArray.windowKeys(kept, tokPos, 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotKeys == wantKeys)
+    graft.pipeline.Pins.flush()
+  }
+
+  test("reliableCheckpoint: same ranks, released levels delete their files") {
+    val dir = java.nio.file.Files.createTempDirectory("sackpt").toString
+    val df = corpus.toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val got = SuffixArray.suffixRanks(tokPos, checkpointDir = Some(dir))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == bruteRanks(corpus),
+      "reliable-checkpoint ladder must produce identical ranks")
+    // reliable mode actually wrote checkpoints, and release deleted every
+    // superseded level's rdd-N directory — only the retained two remain
+    def rddDirs(f: java.io.File): Seq[String] =
+      Option(f.listFiles).map(_.toSeq).getOrElse(Nil).flatMap { c =>
+        if (c.isDirectory)
+          (if (c.getName.startsWith("rdd-")) Seq(c.getName) else Nil) ++
+            rddDirs(c)
+        else Nil
+      }
+    val remaining = rddDirs(new java.io.File(dir))
+    assert(remaining.nonEmpty, "reliable checkpoints were never written")
+    assert(remaining.size <= 2,
+      s"released levels left checkpoint files behind: $remaining")
+    graft.pipeline.Pins.flush()
+  }
+
   test("randomized corpora: ranks, LRS and coverage all match brute force") {
     val rnd = new scala.util.Random(1913)
     val trials = (1 to 4).map { _ =>
