@@ -18,16 +18,21 @@ import graft.functions.Text
   *     quadratic in the posting length of COMMON terms — stopword postings
   *     at 100 TB are billions long, and squaring them is the skew killer.
   *
-  * Prefix filtering bounds the index side: terms are globally ordered by
-  * ascending document frequency (rarest first, term string tiebreak), and a
-  * document indexes only its PREFIX under that order — the minimal set of
-  * rarest terms such that the unit-norm mass of the remaining (most common)
-  * tail falls below t. Cauchy–Schwarz gives the guarantee: if a pair shares
-  * no indexed term of doc y, every shared term sits in y's tail, so
-  * cos(x,y) ≤ ‖x‖ · ‖y_tail‖ < t — no qualifying pair is missed when the
-  * probe side keeps ALL terms and only the index side is pruned. Common
-  * terms carry most of a typical document's mass, so exactly the postings
-  * that explode are the ones pruned.
+  * Prefix filtering: terms are globally ordered by ascending document
+  * frequency (rarest first, term string tiebreak), and a document indexes
+  * only its PREFIX under that order — the minimal set of rarest terms
+  * such that the unit-norm mass of the remaining (most common) tail falls
+  * below t. Cauchy–Schwarz gives the guarantee: if a pair shares no
+  * indexed term of doc y, every shared term sits in y's tail, so
+  * cos(x,y) ≤ ‖x‖ · ‖y_tail‖ < t. Common terms carry most of a typical
+  * document's mass, so exactly the postings that explode are the ones
+  * pruned.
+  *
+  * Candidate generation joins prefix postings against prefix postings —
+  * BOTH sides pruned ([[candidatePairs]]: the globally-first shared term
+  * of any qualifying pair provably lies in both prefixes, the
+  * PPJoin-style strengthening of the one-sided §3.1 filter), so the
+  * common-term postings never enter the join from either side.
   *
   * Candidates are then verified with the EXACT cosine computed from
   * integer term-frequency dot products (Σ tf_a·tf_b and Σ tf² are exact
@@ -74,7 +79,8 @@ object AllPairs {
     * unit-norm mass of the strictly-more-common tail is still ≥ t.
     * Emitted ⟺ sqrt(Σ_{k ≥ this term} (tf_k/‖d‖)²) ≥ t, i.e. the
     * INCLUSIVE tail — dropping a term requires the tail from it on to be
-    * provably below the threshold. */
+    * provably below the threshold. Carries (id, tok, tf) so the candidate
+    * join can accumulate the prefix-shared dot for the positional bound. */
   private[graft] def prefixPostings(post: DataFrame, nrm: DataFrame,
       threshold: Double): DataFrame = {
     // deliberately NOT broadcast-hinted: termDf is vocab-sized and nrm is
@@ -93,8 +99,35 @@ object AllPairs {
       // tail² / ‖d‖² ≥ t²  ⟺  inclusive tail norm ≥ t (exact longs vs t²)
       .filter(col("__ap_tailsq").cast("double") >=
         lit(threshold * threshold) * col(N2).cast("double"))
-      .select(col(ID), col(TOK))
+      .select(col(ID), col(TOK), col(TF))
   }
+
+  /** Candidate pairs (__ap_a < __ap_b) from the BOTH-SIDE prefix join —
+    * the PPJoin-style strengthening of one-sided prefix filtering
+    * (Xiao et al. WWW'08 applied to Bayardo's cosine prefixes):
+    *
+    * THEOREM. Let u* be the globally-first shared term of a pair with
+    * cos ≥ t. Then u* ∈ prefix(x) AND u* ∈ prefix(y). Proof: were
+    * u* ∉ prefix(y), u* sits in y's post-prefix rest — a SUFFIX of the
+    * global order — and every shared term (all ≥ u* in the order) sits
+    * there too, so dot ≤ ‖x‖·‖y_rest‖ < t·‖x‖·‖y‖ by the prefix
+    * construction's tail bound; contradiction. Symmetrically for x.
+    *
+    * So joining prefix postings AGAINST prefix postings loses no
+    * qualifying pair, while the probe side shrinks from every posting
+    * (common terms included — the exact rows that square at corpus
+    * scale) to the rare-term prefixes only: candidate volume drops from
+    * Σ_u df(u)·df_pfx(u) to Σ_u df_pfx(u)². The pair-aggregated
+    * positional bound was evaluated here and REJECTED: with the minimal
+    * prefix, ‖b_rest‖/‖b‖ sits just under t by construction, so its bar
+    * (t − restFrac)·‖a‖‖b‖ is under one shared-term product for
+    * uniform-tf vectors — measured zero pruning. */
+  private[graft] def candidatePairs(pfx: DataFrame): DataFrame =
+    pfx.select(col(ID).as("__ap_a"), col(TOK))
+      .join(pfx.select(col(ID).as("__ap_b"), col(TOK)), Seq(TOK))
+      .filter(col("__ap_a") < col("__ap_b"))
+      .select(col("__ap_a"), col("__ap_b"))
+      .distinct()
 
   /** All unordered pairs (idA < idB) with cosine(tfVec(a), tfVec(b)) ≥ t.
     * Output (aCol, bCol, cosine) with cosine rounded to 6 dp. */
@@ -104,17 +137,12 @@ object AllPairs {
       s"threshold must be in (0, 1], got $threshold")
     val post = graft.pipeline.Pins.pin(postings(df, idCol, textCol, ngram))
     val nrm = graft.pipeline.Pins.pin(norms(post))
-    val pfx = prefixPostings(post, nrm, threshold)
+    val pfx = graft.pipeline.Pins.pin(prefixPostings(post, nrm, threshold))
 
-    // candidate pairs: probe side FULL postings, index side PREFIX only.
-    // The a < b restriction halves the space; the prefix guarantee holds
-    // per-document, so it holds for whichever doc lands on the index side.
-    val probe = post.select(col(ID).as("__ap_a"), col(TOK))
-    val index = pfx.select(col(ID).as("__ap_b"), col(TOK))
-    val cand = probe.join(index, Seq(TOK))
-      .filter(col("__ap_a") < col("__ap_b"))
-      .select(col("__ap_a"), col("__ap_b"))
-      .distinct()
+    // candidate pairs: prefix postings joined against prefix postings —
+    // BOTH sides pruned (the [[candidatePairs]] theorem); the a < b
+    // restriction halves the space
+    val cand = candidatePairs(pfx)
 
     // verification: exact integer dot product over shared terms, as a
     // candidate-keyed POSTINGS join (explode each candidate by doc a's

