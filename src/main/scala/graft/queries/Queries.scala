@@ -10748,7 +10748,74 @@ object Queries {
              |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
              |  round(coalesce(h.hits, 0) / 10.0, 4) AS recall
              |FROM qs q LEFT JOIN hits h USING (query_id)
-             |ORDER BY q.query_id""".stripMargin))
+             |ORDER BY q.query_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q215: TORN-APPEND repair under the oracle gate — the r14 manifest
+    // protocol graded end-to-end the way q202 grades the absorb markers.
+    // A COMPLETED batch append (batch1's bands and postings fully
+    // written) is turned into a simulated crash-before-commit by
+    // restoring both pre-append manifests; the next readLshIndex must
+    // repair the leftovers, so batch2's probe answers against the
+    // ORIGINAL corpus only. The twin restates the exact-Jaccard closure
+    // over corpus ∪ batch2 — any surviving batch1 band/posting row
+    // would surface extra pairs or corrupted rescore counts and move
+    // the hash.
+    QueryDef("q215_torn_append_repair",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch1 = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        val batch2 = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_q215_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val idxPath = s"$base/idx"
+        val name = "q215_idx_" + base.takeRight(12)
+        Dedup.writeLshIndex(d, "doc_id", "text", idxPath, name,
+          shingleSize = 3, numHashes = 64, bands = 16)
+        val idx = Dedup.readLshIndex(s, idxPath, name)
+        def manifest(dirp: String): String = {
+          val p = new org.apache.hadoop.fs.Path(dirp, "_manifest")
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+        def restore(dirp: String, body: String): Unit = {
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dirp, "_manifest"), true)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+        }
+        val (mBands, mPosts) = (manifest(idx.bandsDir),
+          manifest(idx.postsDir))
+        // a COMPLETED append, then the crash-before-commit simulation
+        Dedup.appendToLshIndex(idx, batch1, "doc_id", "text")
+        restore(idx.bandsDir, mBands)
+        restore(idx.postsDir, mPosts)
+        // open-time repair: batch2 must pair against the corpus ONLY
+        val repaired = Dedup.readLshIndex(s, idxPath, name)
+        Dedup.probeLshIndex(repaired, batch2, "doc_id", "text",
+            threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle
+        .replace(
+          """|  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),""".stripMargin,
+          """|  SELECT doc_id + 20000, regexp_replace(text, '\s+\S+$', '')
+             |  FROM documents WHERE doc_id % 7 = 0),""".stripMargin)
+        .replace(
+          "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
+          "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
+            "  AND id_b >= 20000")))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

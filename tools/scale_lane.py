@@ -75,6 +75,9 @@ BOUNDS = {
     # r14 ANN streaming ingest: fixed 40-query probe set + stream
     # startup dominated (the q202 class). Measured 0.02 at 3x.
     "q214_ann_ingest_stream": 1.0,
+    # r14 torn-append repair: index write + append + repair + one probe
+    # (the q194/q202 cost class). Measured 0.10 at 3x.
+    "q215_torn_append_repair": 0.9,
     # measured 0.01 / 0.23 at 3x (both near the noise floor)
     "q208_prototype_prune": 0.6,
     "q209_length_batching": 0.7,
