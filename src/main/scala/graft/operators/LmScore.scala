@@ -93,6 +93,86 @@ object LmScore {
           .as("low_quality"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing family the
+    * CCNet recipe actually deploys (KenLM's modified-KN; Kneser & Ney
+    * 1995, Chen & Goodman 1999): where add-alpha ([[lmScore]]) spreads
+    * held-out mass uniformly over the vocabulary, KN backs off to the
+    * CONTINUATION distribution — how many distinct contexts a word
+    * follows — which is what separates fluent-but-rare transitions from
+    * genuine gibberish.
+    *
+    * Model (discount D ∈ (0,1); counts from the training corpus):
+    *
+    *   P(v|u) = max(c(u,v) − D, 0)/c(u) + D·N1+(u,·)/c(u) · Pcont(v)
+    *                                                  when c(u) > 0
+    *   P(v|u) = Pcont(v)                              when u is unseen
+    *   Pcont(v) = (N1+(·,v) + 1) / (N1+(·,·) + V + 1)
+    *
+    * with c(u) = Σ_v c(u,v) (the context total), N1+(u,·)/N1+(·,v) the
+    * distinct right/left neighbor counts, N1+(·,·) the distinct-bigram
+    * total and V the training vocabulary size. The +1/(…+V+1)
+    * regularizer on Pcont is the OOV floor: a continuation class every
+    * unseen word shares, so scores stay finite without [[lmScore]]'s
+    * uniform alpha mass (the standard open-vocabulary practice).
+    *
+    * Scale posture matches [[lmScore]]: the model is three hash
+    * aggregates over the training bigram table (context totals,
+    * left-neighbor counts, one-row totals) — shuffles are |bigrams|-
+    * and |vocab|-sized, never broadcast; scoring is three hash joins of
+    * the scored bigram stream plus a per-doc partial-agg mean. Output
+    * (id, n_bigrams, kn_score, low_quality); kn_score is the 4-dp
+    * rounded mean ln P (null for sub-2-token docs, never flagged). */
+  def knScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, threshold: Double = -7.0,
+      train: Option[DataFrame] = None): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0, 1), got $discount")
+    def toks(df: DataFrame) = df.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("toks"))
+    def bigrams(df: DataFrame) = df
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+      .select(col("id"), col("p.0").as("u"), col("p.1").as("v"))
+
+    val scoreToks = toks(docs)
+    val trainToks = train.map(toks).getOrElse(scoreToks)
+    // pinned: the bigram count table feeds THREE derived aggregates
+    val bg = graft.pipeline.Pins.pin(bigrams(trainToks)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_uv")))
+    val ctx = bg.groupBy(col("u"))
+      .agg(sum(col("c_uv")).as("c_u"), count(lit(1)).as("n1f"))
+    val cont = bg.groupBy(col("v")).agg(count(lit(1)).as("n1b"))
+    val totals = bg.agg(count(lit(1)).as("n_bg"))
+      .crossJoin(trainToks.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("vsz")))
+
+    val d = lit(discount)
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1.0)) /
+      (col("n_bg") + col("vsz") + lit(1.0))
+    val lp = bigrams(scoreToks)
+      .join(bg, Seq("u", "v"), "left")
+      .join(ctx, Seq("u"), "left")
+      .join(cont, Seq("v"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        log(when(col("c_u").isNotNull,
+          greatest(coalesce(col("c_uv"), lit(0L)) - d, lit(0.0)) /
+            col("c_u") + d * col("n1f") / col("c_u") * pcont)
+          .otherwise(pcont)).as("lp"))
+    val perDoc = lp.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("kn_score"))
+    scoreToks.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_score"),
+        coalesce(col("kn_score") < lit(threshold), lit(false))
+          .as("low_quality"))
+  }
+
   /** Tercile cutoffs (c1, c2) of `scoreCol` as a 1-row frame, for
     * [[perplexityBuckets]]. CCNet computes its bucket cutoffs ONCE from the
     * score distribution and applies them as constants; this mirrors that

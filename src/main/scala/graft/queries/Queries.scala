@@ -10815,7 +10815,87 @@ object Queries {
         .replace(
           "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
           "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
-            "  AND id_b >= 20000")))
+            "  AND id_b >= 20000"))),
+
+    // ---------------------------------------------------------------------
+    // q216: interpolated Kneser–Ney bigram LM scoring — the smoothing
+    // family CCNet's KenLM actually uses, next to q98's add-alpha: held-out
+    // mass backs off to the CONTINUATION distribution (distinct-context
+    // counts), with a +1/(N1+(·,·)+V+1) OOV floor keeping open-vocabulary
+    // scores finite. Trained on HALF the corpus (doc_id % 2 = 0) and
+    // scored on all of it plus q98's planted md5 gibberish, so the graded
+    // stream exercises every branch: seen bigrams (discounted ML), unseen
+    // bigrams under seen contexts (interpolated continuation), and fully
+    // OOV text (pure regularized Pcont — the gibberish lands there and
+    // the -6.5 threshold flags exactly it). The twin retrains the
+    // identical model in SQL with matching expression shapes.
+    QueryDef("q216_kneser_ney",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val junk = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", (0 until 8).map(i =>
+              md5((col("doc_id") + lit(i)).cast("string").cast("binary")))
+              : _*).as("text"))
+        val train = d.filter(col("doc_id") % 2 === 0)
+        graft.operators.LmScore.knScore(d.unionByName(junk),
+            "doc_id", "text", discount = 0.75, threshold = -6.5,
+            train = Some(train))
+          .orderBy(col("id"))
+      },
+      Some("""WITH pl AS (
+             |  SELECT doc_id + 10000 AS id,
+             |    concat_ws(' ', md5(CAST(doc_id + 0 AS VARCHAR)),
+             |      md5(CAST(doc_id + 1 AS VARCHAR)),
+             |      md5(CAST(doc_id + 2 AS VARCHAR)),
+             |      md5(CAST(doc_id + 3 AS VARCHAR)),
+             |      md5(CAST(doc_id + 4 AS VARCHAR)),
+             |      md5(CAST(doc_id + 5 AS VARCHAR)),
+             |      md5(CAST(doc_id + 6 AS VARCHAR)),
+             |      md5(CAST(doc_id + 7 AS VARCHAR))) AS text
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |corpus AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL SELECT id, text FROM pl),
+             |d AS (
+             |  SELECT id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS toks
+             |  FROM corpus),
+             |tr AS (SELECT toks FROM d WHERE id % 2 = 0 AND id < 10000),
+             |tbg AS (
+             |  SELECT unnest(toks[1:len(toks)-1]) AS u,
+             |         unnest(toks[2:len(toks)]) AS v
+             |  FROM tr WHERE len(toks) >= 2),
+             |bgc AS (SELECT u, v, count(*) AS c_uv FROM tbg GROUP BY u, v),
+             |ctx AS (SELECT u, sum(c_uv) AS c_u, count(*) AS n1f
+             |  FROM bgc GROUP BY u),
+             |cont AS (SELECT v, count(*) AS n1b FROM bgc GROUP BY v),
+             |tot AS (SELECT
+             |    (SELECT count(*) FROM bgc) AS n_bg,
+             |    (SELECT count(DISTINCT u2)
+             |     FROM (SELECT unnest(toks) AS u2 FROM tr)) AS vsz),
+             |sbg AS (
+             |  SELECT id, unnest(toks[1:len(toks)-1]) AS u,
+             |         unnest(toks[2:len(toks)]) AS v
+             |  FROM d WHERE len(toks) >= 2),
+             |lp AS (
+             |  SELECT id,
+             |    ln(CASE WHEN c_u IS NOT NULL THEN
+             |         greatest(coalesce(c_uv, 0) - 0.75, 0) / c_u
+             |         + 0.75 * n1f / c_u
+             |           * ((coalesce(n1b, 0) + 1.0) / (n_bg + vsz + 1.0))
+             |       ELSE (coalesce(n1b, 0) + 1.0) / (n_bg + vsz + 1.0)
+             |       END) AS lp
+             |  FROM sbg LEFT JOIN bgc USING (u, v) LEFT JOIN ctx USING (u)
+             |  LEFT JOIN cont USING (v) CROSS JOIN tot),
+             |sc AS (
+             |  SELECT id, count(*) AS n_bigrams, round(avg(lp), 4) AS kn_score
+             |  FROM lp GROUP BY id)
+             |SELECT d.id, coalesce(n_bigrams, 0) AS n_bigrams, kn_score,
+             |  coalesce(kn_score < -6.5, false) AS low_quality
+             |FROM d LEFT JOIN sc USING (id)
+             |ORDER BY d.id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

@@ -309,6 +309,63 @@ class OperatorsSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("knScore == driver-side Kneser-Ney reference; continuation backoff") {
+    val trainDocs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat ran home"),
+      (3L, "a dog sat quietly"), (4L, "the dog ran"))
+    val scoreDocs = trainDocs ++ Seq(
+      (5L, "the cat sat"),            // all-seen transitions
+      (6L, "zq9 xv7 kk3"),            // fully OOV: pure regularized Pcont
+      (7L, "home the cat"),           // unseen bigram, seen context
+      (8L, "one"), (9L, ""))          // sub-bigram: null, never flagged
+    def toks(s: String) =
+      s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    // driver-side reference of the documented model
+    val D = 0.75
+    val pairs = trainDocs.flatMap(d => toks(d._2).sliding(2).toSeq
+      .filter(_.size == 2).map(p => (p(0), p(1))))
+    val cUV = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cU = cUV.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = cUV.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cUV.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nBg = cUV.size.toLong
+    val vsz = trainDocs.flatMap(d => toks(d._2)).distinct.size.toLong
+    def pcont(v: String) = (n1b.getOrElse(v, 0L) + 1.0) / (nBg + vsz + 1.0)
+    def p(u: String, v: String) = cU.get(u) match {
+      case Some(cu) =>
+        math.max(cUV.getOrElse((u, v), 0L) - D, 0.0) / cu +
+          D * n1f(u) / cu * pcont(v)
+      case None => pcont(v)
+    }
+    def ref(text: String): Option[Double] = {
+      val ps = toks(text).sliding(2).toSeq.filter(_.size == 2)
+        .map(pr => math.log(p(pr(0), pr(1))))
+      if (ps.isEmpty) None
+      else Some(BigDecimal(ps.sum / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = LmScore.knScore(scoreDocs.toDF("doc_id", "text"),
+        "doc_id", "text", discount = D, threshold = -100.0,
+        train = Some(trainDocs.toDF("doc_id", "text")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3))).toMap
+    graft.pipeline.Pins.flush()
+    for ((id, text) <- scoreDocs)
+      assert(got(id)._2 == ref(text), s"doc $id ('$text')")
+    // sub-bigram docs: null score, never flagged
+    assert(got(8L) == ((0L, None, false)) && got(9L) == ((0L, None, false)))
+    // probabilities are proper: every score is a log of p in (0, 1]
+    assert(got.values.flatMap(_._2).forall(_ <= 0.0))
+    // fluent all-seen text beats the fully-OOV soup
+    assert(got(5L)._2.get > got(6L)._2.get)
+    // the KN discriminator: 'sat' follows two distinct contexts, so its
+    // continuation mass exceeds the OOV floor — the unseen bigram
+    // (home, the) in doc 7 still scores above doc 6's pure-OOV floor
+    assert(got(7L)._2.get > got(6L)._2.get)
+  }
+
   test("bpeTrain learns the hand-computed merges (greedy, tie-broken)") {
     // Sennrich-style corpus: low x5, lower x2, newest x6, widest x3.
     // Round 1: e-s and s-t tie at 9 -> (e,s) by pair order. Round 2:

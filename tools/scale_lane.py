@@ -78,6 +78,10 @@ BOUNDS = {
     # r14 torn-append repair: index write + append + repair + one probe
     # (the q194/q202 cost class). Measured 0.10 at 3x.
     "q215_torn_append_repair": 0.9,
+    # r14 Kneser-Ney LM: three |bigrams|-keyed hash aggs + three hash
+    # joins + a per-doc mean (the q98 cost class). Measured -0.03 at 3x
+    # (count-table-bounded on this vocab).
+    "q216_kneser_ney": 0.8,
     # measured 0.01 / 0.23 at 3x (both near the noise floor)
     "q208_prototype_prune": 0.6,
     "q209_length_batching": 0.7,
