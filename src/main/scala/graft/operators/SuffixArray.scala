@@ -52,6 +52,30 @@ import graft.pipeline.{Pins, RowIds}
   */
 object SuffixArray {
 
+  /** Why the doubling ladder stopped — the stop reason decides what the
+    * FINAL level's ranks mean, which downstream consumers must not guess
+    * from depth alone (the r14 stationarity stop made "stopped shallow"
+    * ambiguous between "no repeats" and "converged WITH repeats"). */
+  sealed trait LadderStop
+  /** Every suffix holds a distinct rank: ranks are full-suffix ranks and
+    * NO window of the final width repeats anywhere in the corpus (hence
+    * none of any greater length either). */
+  case object AllDistinct extends LadderStop
+  /** A dense round split no class: the rank partition is closed under
+    * doubling, so the final level's ranks ALREADY equal full-suffix ranks
+    * — with repeats (duplicate suffixes). Equal ranks ⟺ identical
+    * suffixes to end-of-document. Proof of the fixpoint: doubling stable
+    * at width w means w-window equality ⟺ 2w-window equality corpus-wide;
+    * then w-window-equal positions (i, j) have equal tokens [0, 2w), so
+    * (i+w, j+w) are w-window-equal, so equal on [0, 2w) too — tokens
+    * [w, 3w) of (i, j) equal — and inductively the whole suffixes
+    * (end-sentinels included, so lengths match). The final level is
+    * therefore EXACT for window keys of ANY length ≥ its width. */
+  case object Stationary extends LadderStop
+  /** `stopAtWidth` reached: ranks are exact w-window ranks only — the
+    * bounded-depth contract, nothing known beyond width w. */
+  case object WidthCapped extends LadderStop
+
   private val D = "__sa_doc"
   private val P = "__sa_pos"
   private val R = "__sa_rank"
@@ -102,7 +126,20 @@ object SuffixArray {
     * context-global Spark knob). */
   def rankLevels(tokPos: DataFrame, stopAtWidth: Int = Int.MaxValue,
       keepLevels: Boolean = true, checkpointDir: Option[String] = None)
-      : Seq[(Int, DataFrame)] = {
+      : Seq[(Int, DataFrame)] =
+    rankLadder(tokPos, stopAtWidth, keepLevels, checkpointDir)._1
+
+  /** [[rankLevels]] plus the [[LadderStop]] reason. Consumers that gate
+    * on depth (exactSubstrCoverage/Cut's "nothing can repeat" early-out,
+    * longestRepeatedSpan's probe bounds) MUST read the reason: a
+    * [[Stationary]] stop can end the ladder at a width far below L while
+    * repeated L-windows DO exist (duplicate documents — the exact corpus
+    * an ExactSubstr pass targets), and its final level is then exact for
+    * every probe length (see [[Stationary]]); only [[AllDistinct]]
+    * licenses the no-repeats shortcut. */
+  def rankLadder(tokPos: DataFrame, stopAtWidth: Int = Int.MaxValue,
+      keepLevels: Boolean = true, checkpointDir: Option[String] = None)
+      : (Seq[(Int, DataFrame)], LadderStop) = {
     val spark = tokPos.sparkSession
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
@@ -113,7 +150,8 @@ object SuffixArray {
     val base = Pins.pin(tokPos.select(col(D), col(P), col(TOK)))
     val total = base.count()
     if (total == 0)
-      return Seq((1, base.select(col(D), col(P), lit(0L).as(R))))
+      return (Seq((1, base.select(col(D), col(P), lit(0L).as(R)))),
+        AllDistinct) // vacuously: zero suffixes, zero repeats
 
     // Every level is localCheckpoint-ed (the Classify.scala lineage
     // discipline): each round's plan reads the previous round through the
@@ -206,7 +244,15 @@ object SuffixArray {
       if (!keepLevels) release(spark, levels(levels.size - 1)._2)
       levels(levels.size - 1) = (width, densified)
     }
-    if (keepLevels) levels.toSeq else levels.toSeq.takeRight(2)
+    // classify the stop: AllDistinct and Stationary are only CLAIMED when
+    // a dense round measured them (a width-capped exit after a packed
+    // round reports WidthCapped even if packing happened to resolve fully
+    // — conservative, never wrong)
+    val stop =
+      if (distinctKeys == total) AllDistinct
+      else if (stationary) Stationary
+      else WidthCapped
+    (if (keepLevels) levels.toSeq else levels.toSeq.takeRight(2), stop)
   }
 
   /** Free a checkpointed level: unpersist its blocks (localCheckpoint)
@@ -250,14 +296,21 @@ object SuffixArray {
   /** Exact-L window keys: (doc, pos, k1, k2) for every position with
     * ≥ L tokens remaining; (k1, k2) equality ⟺ identical L-token windows.
     * `levels` must contain a width w with L ≤ 2w (true whenever levels
-    * were built with stopAtWidth ≥ L/2 … i.e. any full build). */
-  def windowKeys(levels: Seq[(Int, DataFrame)], tokPos: DataFrame, length: Int)
-      : DataFrame = {
+    * were built with stopAtWidth ≥ L/2 … i.e. any full build) — UNLESS
+    * `converged = true` (the ladder stopped [[Stationary]] or
+    * [[AllDistinct]]): the FINAL level's ranks then equal full-suffix
+    * ranks, so for any L ≥ its width, rank equality at positions with
+    * ≥ L remaining tokens ⟺ identical full suffixes ⟺ identical L-token
+    * windows (completeness: equal L-windows ⟹ equal w-windows ⟹ — by
+    * the [[Stationary]] fixpoint — equal suffixes), and the depth
+    * requirement is waived for it. */
+  def windowKeys(levels: Seq[(Int, DataFrame)], tokPos: DataFrame,
+      length: Int, converged: Boolean = false): DataFrame = {
     require(length >= 1, s"window length must be >= 1, got $length")
     val (w, lvl) = levels.filter(_._1 <= length).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no rank level with width <= $length"))
-    require(length <= 2 * w,
+    require(length <= 2 * w || (converged && w == levels.last._1),
       s"levels too shallow for L=$length (widest usable width $w)")
     val eligible = tokPos.filter(col(REM) >= length).select(col(D), col(P))
     val k1 = lvl.select(col(D), col(P), col(R).as("__sa_k1"))
@@ -269,8 +322,9 @@ object SuffixArray {
   /** Positions whose exact-L token window occurs ≥ minCount times across
     * the corpus: (doc, pos) plus the shared window-group size `n_occ`. */
   def repeatedSpans(levels: Seq[(Int, DataFrame)], tokPos: DataFrame,
-      length: Int, minCount: Long = 2L): DataFrame = {
-    val keys = windowKeys(levels, tokPos, length)
+      length: Int, minCount: Long = 2L, converged: Boolean = false)
+      : DataFrame = {
+    val keys = windowKeys(levels, tokPos, length, converged)
     val groups = keys.groupBy(col("__sa_k1"), col("__sa_k2"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minCount)
@@ -279,12 +333,20 @@ object SuffixArray {
   }
 
   /** Longest L such that some L-token window occurs ≥ 2 times (0 when no
-    * token repeats), and the positions achieving it. Binary search on the
-    * monotone repeated-at-L predicate: O(log maxDocLen) aggregate probes. */
+    * token repeats), the positions achieving it, and whether the ladder
+    * converged (pass the flag back into [[repeatedSpans]] when re-reading
+    * spans from the returned levels). Binary search on the monotone
+    * repeated-at-L predicate: O(log maxDocLen) aggregate probes. A
+    * [[Stationary]] ladder stop (duplicate documents) ends the ladder at
+    * the convergence width, far below maxLen — its final level is exact
+    * for EVERY probe length (see [[Stationary]]), so probes above twice
+    * the final width stay valid instead of tripping windowKeys' depth
+    * requirement. */
   def longestRepeatedSpan(tokPos: DataFrame)
-      : (Int, Seq[(Int, DataFrame)]) = {
+      : (Int, Seq[(Int, DataFrame)], Boolean) = {
     val maxLen = maxRemaining(tokPos)
-    val levels = rankLevels(tokPos, stopAtWidth = maxLen)
+    val (levels, stop) = rankLadder(tokPos, stopAtWidth = maxLen)
+    val converged = stop != WidthCapped
     // all-distinct at final width W proves no repeated W-window: LRS < W.
     val finalWidth = levels.last._1
     val nPos = tokPos.count()
@@ -295,16 +357,16 @@ object SuffixArray {
     val hi0 = if (finalDistinct == nPos) finalWidth - 1 else maxLen
 
     def repeatedAt(l: Int): Boolean =
-      !repeatedSpans(levels, tokPos, l).isEmpty
+      !repeatedSpans(levels, tokPos, l, converged = converged).isEmpty
 
-    if (hi0 < 1 || !repeatedAt(1)) return (0, levels)
+    if (hi0 < 1 || !repeatedAt(1)) return (0, levels, converged)
     var lo = 1
     var hi = hi0
     while (lo < hi) {
       val mid = (lo + hi + 1) / 2
       if (repeatedAt(mid)) lo = mid else hi = mid - 1
     }
-    (lo, levels)
+    (lo, levels, converged)
   }
 
   /** Public column names for the corpus-facing wrappers. */
@@ -339,18 +401,22 @@ object SuffixArray {
   def exactSubstrCoverage(df: DataFrame, idCol: String, textCol: String,
       length: Int, checkpointDir: Option[String] = None): DataFrame = {
     val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
-    val levels = rankLevels(tokPos, stopAtWidth = length,
+    val (levels, stop) = rankLadder(tokPos, stopAtWidth = length,
       keepLevels = false, checkpointDir = checkpointDir)
     val totals = tokPos.groupBy(col(D))
       .agg(count(lit(1)).as("total_tokens"))
-    // all-distinct stop before width L/2 proves no repeated window of the
-    // final width — hence none of length L ≥ that width either
-    val deepEnough = levels.last._1 * 2 >= length
+    // the no-repeats shortcut is licensed ONLY by an AllDistinct stop
+    // before width L/2 (no repeated final-width window ⟹ none of length
+    // L either); a Stationary stop can land just as shallow while
+    // repeated L-windows DO exist (duplicate documents) — its converged
+    // final level is then exact for any L (see [[Stationary]])
+    val converged = stop != WidthCapped
+    val deepEnough = levels.last._1 * 2 >= length || stop == Stationary
     val covered =
       if (!deepEnough) totals.filter(lit(false))
         .select(col(D), lit(0L).as("covered_tokens"))
       else
-        repeatedSpans(levels, tokPos, length)
+        repeatedSpans(levels, tokPos, length, converged = converged)
           .select(col(D),
             explode(sequence(col(P), col(P) + lit(length - 1))).as("__sa_cp"))
           .distinct()
@@ -394,16 +460,20 @@ object SuffixArray {
   def exactSubstrCut(df: DataFrame, idCol: String, textCol: String,
       length: Int, checkpointDir: Option[String] = None): DataFrame = {
     val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
-    val levels = rankLevels(tokPos, stopAtWidth = length,
+    val (levels, stop) = rankLadder(tokPos, stopAtWidth = length,
       keepLevels = false, checkpointDir = checkpointDir)
-    val deepEnough = levels.last._1 * 2 >= length
+    // same stop-reason discipline as exactSubstrCoverage: only an
+    // AllDistinct stop proves "nothing to cut"; a Stationary stop's
+    // converged final level is exact for any L
+    val converged = stop != WidthCapped
+    val deepEnough = levels.last._1 * 2 >= length || stop == Stationary
     val cut: DataFrame =
       if (!deepEnough)
         // all-distinct stop before width L/2: no window of the final
         // width repeats, hence no L-window either — nothing to cut
         tokPos.filter(lit(false)).select(col(D), col(P))
       else {
-        val keys = windowKeys(levels, tokPos, length)
+        val keys = windowKeys(levels, tokPos, length, converged)
         val groups = keys.groupBy(col("__sa_k1"), col("__sa_k2"))
           .agg(count(lit(1)).as("__sa_nocc"),
             min(struct(col(D), col(P))).as("__sa_first"))
@@ -438,7 +508,7 @@ object SuffixArray {
   def longestRepeatedSpans(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
-    val (lrs, levels) = longestRepeatedSpan(tokPos)
+    val (lrs, levels, converged) = longestRepeatedSpan(tokPos)
     val docs = docTokens(df, idCol, textCol)
     if (lrs == 0) {
       // no repeated token at all: empty frame with the contract schema
@@ -446,7 +516,7 @@ object SuffixArray {
         .select(col(D).as(idCol), lit(0L).as("pos"), lit("").as("span"),
           lit(0L).as("lrs"))
     }
-    repeatedSpans(levels, tokPos, lrs)
+    repeatedSpans(levels, tokPos, lrs, converged = converged)
       .join(docs, Seq(D))
       .select(publicCols(idCol, "pos") ++ Seq(
         array_join(slice(col("__sa_toks"), col(P) + lit(1), lit(lrs)), " ")

@@ -90,7 +90,7 @@ class SuffixArraySpec extends AnyFunSuite {
   test("longestRepeatedSpan matches brute force, incl. the full-dup doc") {
     val df = corpus.toDF("doc_id", "text")
     val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
-    val (lrs, _) = SuffixArray.longestRepeatedSpan(tokPos)
+    val (lrs, _, _) = SuffixArray.longestRepeatedSpan(tokPos)
     // brute force: max L with a repeated L-window
     val allW = for {
       (id, text) <- corpus; tk = toks(text)
@@ -136,7 +136,7 @@ class SuffixArraySpec extends AnyFunSuite {
     val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
       .toDF("doc_id", "text")
     val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
-    val (lrs, _) = SuffixArray.longestRepeatedSpan(tokPos)
+    val (lrs, _, _) = SuffixArray.longestRepeatedSpan(tokPos)
     assert(lrs == 0)
     assert(SuffixArray.longestRepeatedSpans(df, "doc_id", "text").isEmpty)
   }
@@ -197,6 +197,71 @@ class SuffixArraySpec extends AnyFunSuite {
           Seq("a", "b", "c")(rnd.nextInt(3))).mkString(" "))
       }
       val l = 2 + rnd.nextInt(3)
+      val df = docs.toDF("doc_id", "text")
+      val got = SuffixArray.exactSubstrCut(df, "doc_id", "text", l)
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == bruteCut(docs, l), s"trial $trial L=$l corpus=$docs")
+    }
+  }
+
+  test("stationary stop: exactSubstrCut still cuts duplicate docs at L=16") {
+    // two IDENTICAL 20-token docs of mutually-distinct tokens: the ladder
+    // goes stationary at width 4 (each width-1 class is already a full
+    // duplicate-suffix pair, so doubling splits nothing), far below
+    // L/2 = 8 — yet every 16-window of doc 2 repeats doc 1's. Before the
+    // stop-reason fix the shallow ladder was read as "nothing can repeat"
+    // and the cut came back EMPTY on exactly the duplicated documents an
+    // ExactSubstr pass targets (the r14 advice's false negative).
+    val dup = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, dup), (2L, dup), (3L, "u1 u2 u3 u4 u5"))
+    val df = docs.toDF("doc_id", "text")
+    val got = SuffixArray.exactSubstrCut(df, "doc_id", "text", 16)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == bruteCut(docs, 16), s"got $got")
+    assert(got(2L) == ((20L, 0L, "")),
+      "the duplicate doc must be fully cut, not silently kept")
+    assert(got(1L)._3 == dup, "the keeper doc stays whole")
+
+    // coverage reads the same shallow ladder: doc 1 and 2 fully covered
+    val cov = SuffixArray.exactSubstrCoverage(df, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(cov == Map(1L -> 20L, 2L -> 20L, 3L -> 0L), s"coverage: $cov")
+  }
+
+  test("stationary stop: longestRepeatedSpan survives probes past 2*width") {
+    // two identical 40-token docs of distinct tokens converge at width 4;
+    // the binary search must probe L up to 40 against that converged
+    // level (full-suffix ranks are exact for every L) instead of tripping
+    // windowKeys' depth requirement — pre-fix this THREW where the
+    // pre-stationarity code returned LRS = 40.
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val tokPos = SuffixArray.tokenPositions(df, "doc_id", "text")
+    val (lrs, levels, converged) = SuffixArray.longestRepeatedSpan(tokPos)
+    assert(converged, "duplicate-doc ladder must stop converged")
+    assert(lrs == 40)
+    val spans = SuffixArray.repeatedSpans(levels, tokPos, lrs,
+      converged = converged)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(spans == Set((1L, 0), (2L, 0)))
+    graft.pipeline.Pins.flush()
+  }
+
+  test("randomized duplicate-heavy corpora at large L: cut == brute force") {
+    // distinct-token docs with planted duplicates and L beyond the
+    // convergence width — the regime the stationarity stop mishandled
+    val rnd = new scala.util.Random(5501)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(20)
+      val base = (1 to n).map(i => s"g${trial}t$i").mkString(" ")
+      val tail = (1 to 6).map(i => s"h${trial}x$i").mkString(" ")
+      val docs = Seq((1L, base), (2L, base), (3L, s"$base $tail"),
+        (4L, tail.split(" ").reverse.mkString(" ")))
+      val l = 8 + rnd.nextInt(10)
       val df = docs.toDF("doc_id", "text")
       val got = SuffixArray.exactSubstrCut(df, "doc_id", "text", l)
         .collect()
@@ -303,7 +368,7 @@ class SuffixArraySpec extends AnyFunSuite {
         .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
       val want = bruteRanks(docs)
       assert(got == want, s"trial $ti ranks; corpus: $docs")
-      val (lrs, _) = SuffixArray.longestRepeatedSpan(tokPos)
+      val (lrs, _, _) = SuffixArray.longestRepeatedSpan(tokPos)
       val allW = for {
         (id, text) <- docs; tk = toks(text)
         p <- tk.indices; l <- 1 to (tk.size - p)
