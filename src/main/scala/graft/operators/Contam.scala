@@ -150,19 +150,25 @@ object Contam {
   /** Absorb NEW benchmark documents (e.g. a fresh eval suite) into the
     * index. Bucketed append: one file per bucket per append — the probe
     * keeps its exchange-free shape; [[maybeCompactNgramIndex]] bounds the
-    * file growth. Caller contract: appended ids disjoint from indexed. */
+    * file growth. Caller contract: appended ids disjoint from indexed.
+    * Holds the [[IndexGen.withWriterLock]] lease — a concurrent append's
+    * half-written files would otherwise be legitimized by this one's
+    * manifest commit. */
   def appendToNgramIndex(index: NgramIndex, benchmark: DataFrame,
       idCol: String, textCol: String): Unit = {
     val spark = benchmark.sparkSession
-    // manifest protocol (IndexGen): a torn append's files are repaired
-    // at the next open/append; commit only after the data write completes
-    IndexGen.repairToManifest(spark, index.gramsDir)
-    gramDigests(benchmark, idCol, textCol, index.meta.n)
-      .write.mode("append")
-      .bucketBy(index.meta.numBuckets, "gram")
-      .option("path", index.gramsDir)
-      .saveAsTable(index.gramsTable)
-    IndexGen.commitManifest(spark, index.gramsDir)
+    IndexGen.withWriterLock(spark, index.path) {
+      // manifest protocol (IndexGen): a torn append's files are repaired
+      // at the next open/append; commit only after the data write
+      // completes
+      IndexGen.repairToManifest(spark, index.gramsDir)
+      gramDigests(benchmark, idCol, textCol, index.meta.n)
+        .write.mode("append")
+        .bucketBy(index.meta.numBuckets, "gram")
+        .option("path", index.gramsDir)
+        .saveAsTable(index.gramsTable)
+      IndexGen.commitManifest(spark, index.gramsDir)
+    }
   }
 
   /** Retract benchmark documents (id tombstones; probes hide them

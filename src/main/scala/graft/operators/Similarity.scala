@@ -983,24 +983,31 @@ object Similarity {
     * against the index's codebooks) and append bucketed files, which the
     * bucketed scan groups back into the same partitions (no probe-plan
     * regression; compaction is the small-files counter-move). Caller
-    * contract: appended ids disjoint from indexed ids. */
+    * contract: appended ids disjoint from indexed ids. Holds the
+    * [[IndexGen.withWriterLock]] lease: commitManifest snapshots the
+    * directory's CURRENT file set, so a concurrent append would have its
+    * half-written files legitimized by this one's commit — under the
+    * lease it fails loudly instead. */
   def appendToAnnIndex(index: AnnIndex, batch: DataFrame, idCol: String,
       vecCol: String): Unit = {
     require(batch.schema(batch.schema.fieldIndex(idCol)).dataType ==
       org.apache.spark.sql.types.LongType,
       "persisted index ids must be BIGINT")
     val spark = batch.sparkSession
-    // manifest protocol (IndexGen): repair any previous torn append, then
-    // commit this one's file set only after the data write completes — a
-    // crash in between leaves files the next open/append repairs away
-    IndexGen.repairToManifest(spark, index.listsDir)
-    pqEncode(batch, idCol, vecCol, index.meta.model)
-      .repartition(index.meta.numBuckets, col("cent_id"))
-      .write.mode("append")
-      .bucketBy(index.meta.numBuckets, "cent_id")
-      .option("path", index.listsDir)
-      .saveAsTable(index.listsTable)
-    IndexGen.commitManifest(spark, index.listsDir)
+    IndexGen.withWriterLock(spark, index.path) {
+      // manifest protocol (IndexGen): repair any previous torn append,
+      // then commit this one's file set only after the data write
+      // completes — a crash in between leaves files the next
+      // open/append repairs away
+      IndexGen.repairToManifest(spark, index.listsDir)
+      pqEncode(batch, idCol, vecCol, index.meta.model)
+        .repartition(index.meta.numBuckets, col("cent_id"))
+        .write.mode("append")
+        .bucketBy(index.meta.numBuckets, "cent_id")
+        .option("path", index.listsDir)
+        .saveAsTable(index.listsTable)
+      IndexGen.commitManifest(spark, index.listsDir)
+    }
   }
 
   /** Retract vectors: id tombstones hide them from probes immediately

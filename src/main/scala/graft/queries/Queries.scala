@@ -10781,23 +10781,14 @@ object Queries {
         Dedup.writeLshIndex(d, "doc_id", "text", idxPath, name,
           shingleSize = 3, numHashes = 64, bands = 16)
         val idx = Dedup.readLshIndex(s, idxPath, name)
-        def manifest(dirp: String): String = {
-          val p = new org.apache.hadoop.fs.Path(dirp, "_manifest")
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        }
-        def restore(dirp: String, body: String): Unit = {
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(dirp, "_manifest"), true)
-          try out.write(body.getBytes("UTF-8")) finally out.close()
-        }
-        val (mBands, mPosts) = (manifest(idx.bandsDir),
-          manifest(idx.postsDir))
+        val mBands = graft.operators.IndexGen.manifestSnapshot(s,
+          idx.bandsDir)
+        val mPosts = graft.operators.IndexGen.manifestSnapshot(s,
+          idx.postsDir)
         // a COMPLETED append, then the crash-before-commit simulation
         Dedup.appendToLshIndex(idx, batch1, "doc_id", "text")
-        restore(idx.bandsDir, mBands)
-        restore(idx.postsDir, mPosts)
+        graft.operators.IndexGen.restoreManifest(s, idx.bandsDir, mBands)
+        graft.operators.IndexGen.restoreManifest(s, idx.postsDir, mPosts)
         // open-time repair: batch2 must pair against the corpus ONLY
         val repaired = Dedup.readLshIndex(s, idxPath, name)
         Dedup.probeLshIndex(repaired, batch2, "doc_id", "text",

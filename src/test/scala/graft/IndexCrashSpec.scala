@@ -21,22 +21,15 @@ class IndexCrashSpec extends AnyFunSuite {
   private def tmp() =
     java.nio.file.Files.createTempDirectory("idxcrash").toString
 
-  // manifest snapshot/restore through the Hadoop fs (the local fs keeps
-  // CRC sidecars — a raw java.nio write would fail the checksum on read)
-  private def readManifest(dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_manifest")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+  // manifest snapshot/restore through IndexGen (version-aware since the
+  // r15 `_manifest.N` scheme; goes through the Hadoop fs because the
+  // local fs keeps CRC sidecars — a raw java.nio write would fail the
+  // checksum on read)
+  private def readManifest(dir: String): (String, String) =
+    IndexGen.manifestSnapshot(spark, dir)
 
-  private def writeManifest(dir: String, body: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_manifest")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeManifest(dir: String, snap: (String, String)): Unit =
+    IndexGen.restoreManifest(spark, dir, snap)
 
   // ------------------------------------------------------------------ LSH
 
@@ -234,5 +227,161 @@ class IndexCrashSpec extends AnyFunSuite {
     val c2 = Contam.compactNgramIndex(spark, c1)
     assert(c2.gen > c1.gen)
     assert(contamMap(c2) == contamMap(idx))
+  }
+
+  test("a second concurrent APPEND raises instead of cross-committing") {
+    // commitManifest snapshots the directory's CURRENT file set, so two
+    // concurrent appends would have each other's half-written files
+    // legitimized by whichever commit lands last — since r15 every batch
+    // append holds the writer lease and the second one fails loudly
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "crash_applock", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val lock = new java.io.File(path, "_writer_lock")
+    assert(lock.createNewFile(), "simulated concurrent writer")
+    val e = intercept[IllegalStateException] {
+      Dedup.appendToLshIndex(idx, variantBatch(1000), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // no partial state: the locked-out append wrote nothing
+    val reopened = Dedup.readLshIndex(spark, path, "crash_applock")
+    assert(!lshPairs(reopened, variantBatch(2000)).exists(p =>
+      p._1 >= 1000 && p._1 < 2000))
+    // released lock: the append goes through and is visible
+    assert(lock.delete())
+    Dedup.appendToLshIndex(reopened, variantBatch(1000), "doc_id", "text")
+    assert(!lock.exists, "the append lease is released")
+    assert(lshPairs(reopened, variantBatch(2000)).exists(p =>
+      p._1 >= 1000 && p._1 < 2000))
+  }
+
+  test("ngram: the same append lease guards the single-table family") {
+    val path = tmp()
+    val idx = Contam.writeNgramIndex(bench, "doc_id", "text", path,
+      "crash_applock2", n = 4, numBuckets = 4)
+    val lock = new java.io.File(path, "_writer_lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException] {
+      Contam.appendToNgramIndex(idx,
+        bench.select((col("doc_id") + 100).as("doc_id"), col("text")),
+        "doc_id", "text")
+    }
+    assert(lock.delete())
+  }
+
+  // ----------------------------------------------------- manifest versions
+
+  private def manifestNames(dir: String): Seq[String] =
+    new java.io.File(dir.stripPrefix("file:")).listFiles.map(_.getName)
+      .filter(n => n == "_manifest" || n.matches("_manifest\\.\\d+"))
+      .toSeq.sorted
+
+  test("versioned manifests: no crash point leaves repair disabled") {
+    // the r14 single-name commit deleted the old manifest BEFORE renaming
+    // the new one in — a crash between the two silently disabled repair.
+    // The versioned commit never deletes on the read path: a fresh name
+    // is renamed in first, superseded versions swept after.
+    val path = tmp()
+    val idx = Contam.writeNgramIndex(bench, "doc_id", "text", path,
+      "crash_mver", n = 4, numBuckets = 4)
+    assert(manifestNames(idx.gramsDir).size == 1,
+      "exactly one committed version after the initial write")
+    Contam.appendToNgramIndex(idx,
+      bench.select((col("doc_id") + 100).as("doc_id"), col("text")),
+      "doc_id", "text")
+    assert(manifestNames(idx.gramsDir).size == 1,
+      "the commit sweeps superseded versions after the rename")
+    val appended = contamMap(Contam.readNgramIndex(spark, path,
+      "crash_mver"))
+
+    // crash between the tmp write and the rename of a LATER commit:
+    // stray _manifest.tmp + a torn data file; the surviving committed
+    // version still drives repair
+    val dir = new java.io.File(idx.gramsDir.stripPrefix("file:"))
+    val fw = new java.io.FileWriter(new java.io.File(dir, "_manifest.tmp"))
+    try fw.write("part-torn.parquet") finally fw.close()
+    val torn = new java.io.FileWriter(
+      new java.io.File(dir, "part-torn.parquet"))
+    try torn.write("not parquet") finally torn.close()
+    val reopened = Contam.readNgramIndex(spark, path, "crash_mver")
+    assert(!new java.io.File(dir, "part-torn.parquet").exists,
+      "repair must use the surviving committed version")
+    assert(contamMap(reopened) == appended)
+
+    // legacy fixed-name `_manifest` (a pre-versioning index) still reads
+    // as version 0, and the next commit migrates it to a versioned name
+    val cur = manifestNames(idx.gramsDir)
+      .filter(_.matches("_manifest\\.\\d+"))
+    assert(cur.nonEmpty)
+    val legacySnap = IndexGen.manifestSnapshot(spark, idx.gramsDir)
+    IndexGen.restoreManifest(spark, idx.gramsDir,
+      ("_manifest", legacySnap._2))
+    assert(contamMap(Contam.readNgramIndex(spark, path, "crash_mver"))
+      == appended, "legacy manifests must keep driving repair")
+    IndexGen.commitManifest(spark, idx.gramsDir)
+    val after = manifestNames(idx.gramsDir)
+    assert(after.size == 1 && after.head.matches("_manifest\\.\\d+"),
+      s"the next commit must migrate off the legacy name, got $after")
+  }
+
+  test("LSH: compaction dedupes the retried append's ghost band rows") {
+    // bands-committed/posts-torn crash + retry: the retried BANDS land a
+    // second time (documented in appendToLshIndex); probes stay correct
+    // but the duplication must not survive compaction
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "crash_bdup", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val batchA = variantBatch(1000)
+    val batchB = variantBatch(2000)
+    val mPosts = readManifest(idx.postsDir)
+    Dedup.appendToLshIndex(idx, batchA, "doc_id", "text")
+    writeManifest(idx.postsDir, mPosts) // crash between the two commits
+    val reopened = Dedup.readLshIndex(spark, path, "crash_bdup")
+    Dedup.appendToLshIndex(reopened, batchA, "doc_id", "text") // retry
+    val bands = spark.table(reopened.bandsTable)
+    assert(bands.count() > bands.distinct().count(),
+      "the retry duplicates the batch's committed band rows (the honest " +
+        "pre-compaction state)")
+    val compacted = Dedup.compactLshIndex(spark, reopened)
+    val b2 = spark.table(compacted.bandsTable)
+    assert(b2.count() == b2.distinct().count(),
+      "compaction must fold the duplicated band rows")
+    // and the compacted index equals a scratch build + one clean append
+    val refPath = tmp()
+    val ref = Dedup.writeLshIndex(corpus, "doc_id", "text", refPath,
+      "crash_bdup_ref", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    Dedup.appendToLshIndex(ref, batchA, "doc_id", "text")
+    assert(b2.count() == spark.table(ref.bandsTable).count())
+    assert(lshPairs(compacted, batchB) == lshPairs(ref, batchB))
+  }
+
+  // ------------------------------------------------------ stale-lock break
+
+  test("breakStaleLock: rename-based break never kills a re-created lock") {
+    val dir = tmp()
+    val f = IndexGen.fs(spark, dir)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    // 1) genuine stale lease: observed mtime matches -> broken
+    f.create(lock, false).close()
+    val stale = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(new java.io.File(dir, "_writer_lock").setLastModified(stale))
+    val observed = f.getFileStatus(lock).getModificationTime
+    IndexGen.breakStaleLock(f, lock, observed)
+    assert(!f.exists(lock), "a genuinely stale lease must be broken")
+    // 2) the race: between this breaker's age check and its break, the
+    // lock was re-created (another breaker won and acquired) — the
+    // re-stat sees a different mtime and the break must NOT touch it
+    f.create(lock, false).close()
+    IndexGen.breakStaleLock(f, lock, observed - 12345)
+    assert(f.exists(lock),
+      "a lock whose mtime moved since the age check is LIVE — keep it")
+    // no stray broken-rename leftovers in either case
+    val leftovers = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("_writer_lock.broken"))
+    assert(leftovers.isEmpty, s"leftover break files: ${leftovers.toSeq}")
+    f.delete(lock, false)
   }
 }
