@@ -978,6 +978,48 @@ object Similarity {
       centroids, nprobe)
   }
 
+  /** The PRODUCTION-RECALL probe over the persisted index: ADC
+    * candidate generation at `candK` ([[probeAnnIndex]]'s exchange-free
+    * bucketed probe, unchanged) followed by EXACT re-ranking against the
+    * original vectors — the standard fetch-and-rescore step (IVFADC+R,
+    * Jégou et al. 2011 §III-D). Quantization error leaves the operating
+    * point entirely; what remains is IVF routing loss alone, which
+    * `nprobe` buys down directly (the measured recall-vs-nprobe curve is
+    * in PLANS.md round 15; at nlist=64 on the isotropic synthetic
+    * corpus, raw ADC\@nprobe=4 sits at mean recall\@10 ≈ 0.33 while
+    * rerank\@nprobe=16 clears 0.8).
+    *
+    * Scale shape: the candidate set is |queries| · candK (id, id) rows —
+    * broadcast into the vector corpus's scan, so the original-vector
+    * fetch is a broadcast hash join against the id-keyed `vectors`
+    * table, never a corpus-wide shuffle; queries themselves broadcast as
+    * in every probe. Output contract matches [[probeAnnIndex]]:
+    * (query_id, neighbor_id, cosine, rank), rank by round-6 exact cosine
+    * then neighbor id. */
+  def probeAnnIndexRerank(index: AnnIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      nprobe: Int = 16, candK: Int = 50): DataFrame = {
+    val cands = probeAnnIndex(index, queries, queryIdCol, queryVecCol,
+        candK, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      Vec.asDouble(col(queryVecCol)).as("__qv"),
+      Vec.norm(Vec.asDouble(col(queryVecCol))).as("__qn"))
+    val cv = vectors.select(col(vecIdCol).cast("long").as("neighbor_id"),
+      Vec.asDouble(col(vecCol)).as("__cv"),
+      Vec.norm(Vec.asDouble(col(vecCol))).as("__cn"))
+    val scored = cv
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vec.cosineFromParts(Vec.dot(col("__qv"), col("__cv")),
+          col("__qn"), col("__cn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Absorb new vectors INTO the persisted index: encode with the
     * PERSISTED model (never retrained — codes must stay decodable
     * against the index's codebooks) and append bucketed files, which the

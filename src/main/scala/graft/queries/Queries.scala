@@ -10886,7 +10886,169 @@ object Queries {
              |SELECT d.id, coalesce(n_bigrams, 0) AS n_bigrams, kn_score,
              |  coalesce(kn_score < -6.5, false) AS low_quality
              |FROM d LEFT JOIN sc USING (id)
-             |ORDER BY d.id""".stripMargin))
+             |ORDER BY d.id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // q217: the RAISED production operating point over the persisted
+    // IVF-PQ index — the r14 verdict's recall question answered and
+    // graded. q200/q203/q214 pin the recall COMPUTATION at the ADC
+    // operating point (nprobe = 4, mean recall@10 ≈ 0.2–0.35 on this
+    // near-isotropic corpus); this query grades the point a production
+    // admission check would actually run: ADC CANDIDATE generation at
+    // candK = 500 over nprobe = 48 of 64 lists with k = 64 codebooks,
+    // then EXACT re-ranking against the original vectors
+    // (Similarity.probeAnnIndexRerank — IVFADC+R, Jégou et al. 2011
+    // §III-D). Measured on the AnnCurve sweep (PLANS.md round 15):
+    // mean recall@10 = 0.925 at the 2000-vector corpus vs 0.285 for raw
+    // ADC at the same nprobe — quantization error leaves the operating
+    // point entirely; the residual loss is IVF routing alone. The twin
+    // restates the WHOLE pipeline from scratch: coarse assign, residual
+    // encode with the 64-entry codebooks, 48-list routing, ADC top-500
+    // candidate cut (round-6 + id tie, the restatable order), exact
+    // re-rank, and the brute-forced truth — so a candidate-cut, fetch,
+    // or re-score divergence each moves the per-query recall hash.
+    QueryDef("q217_ann_rerank_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+        val q = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_rerank_idx_" +
+            java.security.MessageDigest.getInstance("MD5").digest(
+              dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val name = "q217_idx_" + path.takeRight(12)
+        Similarity.writeAnnIndex(e, "vec_id", "vec", path, name,
+          m = 8, k = 64, nlist = 64, numBuckets = 16)
+        val idx = Similarity.readAnnIndex(s, path, name)
+        val approx = Similarity.probeAnnIndexRerank(idx, q, "qid", "qvec",
+            k = 10, vectors = e, vecIdCol = "vec_id", vecCol = "vec",
+            nprobe = 48, candK = 500)
+          .select(col("query_id"), col("neighbor_id"))
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("vec").as("cvec"), Vec.norm(col("vec")).as("cnrm"))
+        val qn = q.select(col("qid").as("query_id"), col("qvec"),
+          Vec.norm(col("qvec")).as("qnrm"))
+        val scored = c.join(broadcast(qn),
+            col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Vec.cosineFromParts(Vec.dot(col("qvec"), col("cvec")),
+              col("qnrm"), col("cnrm")), 6).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        qn.select(col("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 10.0, 4).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      // ivfpqRecallOracle's pipeline with the raised parameters (64-entry
+      // codebooks, 48-list probes, ADC top-500 cut) plus the exact
+      // re-rank stage — the rerank reads ORIGINAL vectors, so xhat only
+      // decides candidate membership, never the final order
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+             |    v AS cv
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 64)),
+             |asg AS (
+             |  SELECT vec_id, v, cidx, cv FROM (
+             |    SELECT e.vec_id, e.v, cc.cidx, cc.cv, row_number() OVER (
+             |      PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cidx)
+             |      AS rn
+             |    FROM e CROSS JOIN cc) WHERE rn = 1),
+             |res AS (
+             |  SELECT vec_id, cidx, cv,
+             |    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
+             |  FROM asg),
+             |cbsrc AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+             |  FROM (SELECT vec_id, r FROM res
+             |        ORDER BY vec_id LIMIT 64 OFFSET 64)),
+             |cb AS (
+             |  SELECT ms.m, code, r[ms.m*8+1 : ms.m*8+8] AS cbv
+             |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+             |keys AS (
+             |  SELECT d.vec_id, cb.m, cb.code, cb.cbv,
+             |    round(list_inner_product(cb.cbv, cb.cbv)
+             |      - 2 * list_inner_product(d.r[cb.m*8+1 : cb.m*8+8], cb.cbv),
+             |      6) AS key
+             |  FROM res d CROSS JOIN cb),
+             |pick AS (
+             |  SELECT vec_id, m, code, cbv FROM (
+             |    SELECT vec_id, m, code, cbv, row_number() OVER (
+             |      PARTITION BY vec_id, m ORDER BY key, code) AS rn
+             |    FROM keys)
+             |  WHERE rn = 1),
+             |recon AS (
+             |  SELECT p.vec_id, r.cidx,
+             |    list_transform(range(64), i -> r.cv[i+1] + p.rh[i+1])
+             |      AS xhat
+             |  FROM (SELECT vec_id, flatten(list(cbv ORDER BY m)) AS rh
+             |        FROM pick GROUP BY vec_id) p
+             |  JOIN res r USING (vec_id)),
+             |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |       WHERE vec_id % 25 = 0 AND vec_id < 500),
+             |probes AS (
+             |  SELECT query_id, cidx FROM (
+             |    SELECT q.query_id, cc.cidx, row_number() OVER (
+             |      PARTITION BY q.query_id
+             |      ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC, cc.cidx)
+             |      AS rn
+             |    FROM qs q CROSS JOIN cc) WHERE rn <= 48),
+             |cands AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY pq_cosine DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT p.query_id, rc.vec_id AS neighbor_id,
+             |        round(list_cosine_similarity(q.qv, rc.xhat), 6)
+             |          AS pq_cosine
+             |      FROM probes p JOIN qs q USING (query_id)
+             |      JOIN recon rc
+             |        ON rc.cidx = p.cidx AND rc.vec_id <> p.query_id))
+             |  WHERE rank <= 500),
+             |approx AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT cd.query_id, cd.neighbor_id,
+             |        round(list_cosine_similarity(q.qv, e2.v), 6) AS cosine
+             |      FROM cands cd JOIN qs q USING (query_id)
+             |      JOIN e e2 ON e2.vec_id = cd.neighbor_id))
+             |  WHERE rank <= 10),
+             |exact AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |        PARTITION BY query_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rank
+             |    FROM (
+             |      SELECT q.query_id, e2.vec_id AS neighbor_id,
+             |        round(list_cosine_similarity(q.qv, e2.v), 6) AS cosine
+             |      FROM qs q JOIN e e2 ON e2.vec_id <> q.query_id))
+             |  WHERE rank <= 10),
+             |hits AS (
+             |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+             |  FROM exact x JOIN approx a
+             |    ON a.query_id = x.query_id
+             |    AND a.neighbor_id = x.neighbor_id
+             |  GROUP BY a.query_id)
+             |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+             |  round(coalesce(h.hits, 0) / 10.0, 4) AS recall
+             |FROM qs q LEFT JOIN hits h USING (query_id)
+             |ORDER BY q.query_id""".stripMargin))
   )
 
   /** Oracle CTE chain shared by q44/q196 — the planted-near-dup (modulo 7)

@@ -179,4 +179,63 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("BIGINT"))
   }
+
+  // ------------------------------------------------------------- re-rank
+
+  /** Exact brute-force top-k with the probe contract's order (round-6
+    * cosine desc, neighbor id asc), computed in plain Scala. */
+  private def bruteTopK(c: Seq[(Long, Seq[Double])], k: Int)
+      : Map[Long, Seq[Long]] = {
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qs = c.filter(_._1 % 30 == 0)
+    qs.map { case (qid, qv) =>
+      val qn = math.sqrt(dot(qv, qv))
+      qid -> c.filter(_._1 != qid).map { case (id, v) =>
+        val cos = math.rint(dot(qv, v) / (qn * math.sqrt(dot(v, v))) * 1e6)
+        (-cos, id)
+      }.sorted.take(k).map(_._2)
+    }.toMap
+  }
+
+  test("rerank at full routing and candK >= corpus == exact brute force") {
+    // with every list probed and no candidate cut, the re-rank IS the
+    // exact top-k: quantization decides nothing, the output order is the
+    // round-6 exact-cosine contract — the recall-1.0 anchor of the
+    // PLANS.md r15 operating-point curve
+    val path = tmp()
+    val idx = Similarity.writeAnnIndex(corpus, "vec_id", "vec", path,
+      "annspec_rr", m = 4, k = 8, nlist = 8, numBuckets = 4)
+    val got = Similarity.probeAnnIndexRerank(idx, queriesOf(corpus),
+        "qid", "qvec", k = 5, vectors = corpus, vecIdCol = "vec_id",
+        vecCol = "vec", nprobe = 8, candK = 200)
+      .orderBy(col("query_id"), col("rank"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(got == bruteTopK(rows, 5))
+  }
+
+  test("rerank candidates come from the ADC probe: a routed-away true " +
+      "neighbor stays missing (routing is the only residual loss)") {
+    val path = tmp()
+    val idx = Similarity.writeAnnIndex(corpus, "vec_id", "vec", path,
+      "annspec_rr2", m = 4, k = 8, nlist = 8, numBuckets = 4)
+    // nprobe = 1: candidates confined to each query's best list — the
+    // re-ranked output must be the exact order RESTRICTED to the ADC
+    // candidate set (subset check), never better than routing allows
+    val cands = Similarity.probeAnnIndex(idx, queriesOf(corpus),
+        "qid", "qvec", k = 200, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.probeAnnIndexRerank(idx, queriesOf(corpus),
+        "qid", "qvec", k = 5, vectors = corpus, vecIdCol = "vec_id",
+        vecCol = "vec", nprobe = 1, candK = 200)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rr.nonEmpty && rr.subsetOf(cands),
+      "re-ranked neighbors must be drawn from the routed candidate set")
+  }
 }
