@@ -124,6 +124,20 @@ object ScaleProbe {
     // item 4; invariants spec-pinned in WinnowSpec).
     "p159_winnow_md5" -> ((s, dir) => winnowShape(s, dir, "md5")),
     "p159_winnow_xxh" -> ((s, dir) => winnowShape(s, dir, "xxhash64")),
+    // q206's production DISTRIBUTION: Zipfian vocabulary shared across
+    // replicas. The lane's replicate-and-perturb tags every word per
+    // replica, so the graded q206 corpus decorrelates and its exponent
+    // reads ~linear BY CONSTRUCTION — a lost prefix prune would be
+    // invisible under the 1.2 bound (VERDICT r14 item 4). Here tokens
+    // derive from doc_id ARITHMETIC (slot-scoped Zipf via inverse-CDF
+    // over an xxhash64 uniform), so the id shift changes nothing about
+    // the vocabulary: head tokens' posting lists grow with the corpus
+    // and the prefix filter is the only thing between the candidate join
+    // and the head postings' quadratic pair space — lose the prune and
+    // this exponent reads ~2, not ~1. Planted near-dup pairs (23 of 24
+    // slots shared) keep the verify stage non-trivial; random docs share
+    // ~1/3 of slots (cos ≈ 0.33), far under the 0.8 threshold.
+    "p206_allpairs_zipf" -> ((s, dir) => zipfAllPairs(s, dir)),
     // q134's production shape: blocking granularity scales with the corpus
     // (bucket width ~ 1/n) so block SIZES stay constant and the candidate
     // pair space stays ~ n. Scoring fields are q134's (the coarse
@@ -162,6 +176,49 @@ object ScaleProbe {
           upperT = 4.0, lowerT = 0.0)
         .filter(col("decision") =!= "non_match")
     }))
+
+  /** The Zipf corpus + exact all-pairs join behind p206_allpairs_zipf.
+    * Each document is `slots` tokens; slot j of doc i draws a slot-scoped
+    * Zipf index k = ceil(u^-2), u uniform from xxhash64(doc_id, j) —
+    * P(k) ∝ k^-1.5, head-heavy with P(k=1) ≈ 0.29: slot token s<j>_z1
+    * appears in ~29% of ALL docs (every replica included), so its
+    * posting list grows with the corpus and an unpruned join pays its
+    * square — while at threshold 0.9 a doc's ~5-token Bayardo prefix is
+    * its five RAREST slots, which are head tokens with probability
+    * ~1e-5 (needs ≥ 20 of 24 slots at k ≤ 2, mean 10): the pruned
+    * candidate space stays rare-token-bounded. Docs with
+    * doc_id % 101 == 0 get a planted near-duplicate (+5e8, one slot
+    * rewritten): 23/24 shared slots, cosine ≈ 0.958 ≥ the threshold. */
+  private[graft] def zipfDocs(s: SparkSession, dir: String,
+      slots: Int = 24, vcap: Int = 2000): DataFrame =
+    zipfDocsFromIds(
+      queries.Tables(s, dir, "documents").select(col("doc_id")),
+      slots, vcap)
+
+  private[graft] def zipfDocsFromIds(ids: DataFrame,
+      slots: Int = 24, vcap: Int = 2000): DataFrame = {
+    def tok(j: Int, salt: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val u = (pmod(xxhash64(col("doc_id") + salt, lit(j)), lit(999983L))
+        .cast("double") + 1.0) / 999984.0
+      concat(lit(s"s${j}_z"),
+        least(ceil(lit(1.0) / (u * u)), lit(vcap)).cast("long")
+          .cast("string"))
+    }
+    val base = ids.select(col("doc_id"),
+      concat_ws(" ", (0 until slots).map(j => tok(j, lit(0))): _*).as("text"))
+    val planted = ids.filter(col("doc_id") % 101 === 0)
+      .select((col("doc_id") + 500000000L).as("__pid"), col("doc_id"))
+      .select(col("__pid"),
+        concat_ws(" ", (0 until slots).map(j =>
+          if (j == 0) tok(j, lit(7919)) else tok(j, lit(0))): _*).as("text"))
+      .withColumnRenamed("__pid", "doc_id")
+    base.unionByName(planted)
+  }
+
+  private def zipfAllPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AllPairs.cosineJoin(zipfDocs(s, dir), "doc_id", "text",
+      threshold = 0.9)
 
   /** q159's exact shape parameterized by the per-gram hash function. */
   private def winnowShape(s: SparkSession, dir: String,

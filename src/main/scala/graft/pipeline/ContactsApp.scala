@@ -103,9 +103,18 @@ object ContactsApp {
     * With `out = None` the returned frames stay LAZY and their pins stay
     * live so the caller's actions don't recompute the fill — the caller
     * owns the release: call `result.release()` (idempotent) when done, or
-    * the pins hold executor storage for the session. */
+    * the pins hold executor storage for the session.
+    *
+    * `singleFileArtifacts = true` (default) honors the reference's
+    * artifact contract — ONE TSV file (coalesce(1) + driver rename) and
+    * ONE pretty JSON array per audit — the documented scalability
+    * exception for small exports. `false` is the 100-TB posture: every
+    * sink writes a normal distributed directory of part files
+    * ([[Tsv.write]] with no coalesce, [[JsonAudit.writeDistributed]]) —
+    * no stage in the run narrows to one task. */
   def run(spark: SparkSession, masterPath: String, sourcesDir: String,
-      out: Option[Artifacts] = None): Pipeline.RunResult = {
+      out: Option[Artifacts] = None,
+      singleFileArtifacts: Boolean = true): Pipeline.RunResult = {
     val master = withResolvedKeys(withRowIds(Tsv.readAllString(spark, masterPath)))
 
     val sources = Tsv.listTsv(sourcesDir).flatMap { path =>
@@ -122,12 +131,17 @@ object ContactsApp {
 
     out.foreach { a =>
       Tsv.write(result.cleaned.drop("_name", "_email", "_phone"),
-        a.cleanedTsv, singleFile = true)
-      JsonAudit.writeArray(
-        result.changeLog.withColumnRenamed("row_id", "row"), a.changeLogJson)
+        a.cleanedTsv, singleFile = singleFileArtifacts)
+      val log = result.changeLog.withColumnRenamed("row_id", "row")
       // artifact parity: the reference's grouped {row, name, errors[]} shape
-      JsonAudit.writeArray(Validate.referenceReport(result.cleaned),
-        a.validationJson)
+      val report = Validate.referenceReport(result.cleaned)
+      if (singleFileArtifacts) {
+        JsonAudit.writeArray(log, a.changeLogJson)
+        JsonAudit.writeArray(report, a.validationJson)
+      } else {
+        JsonAudit.writeDistributed(log, a.changeLogJson)
+        JsonAudit.writeDistributed(report, a.validationJson)
+      }
       // every output consumed -> drop Fill's internal persist pins
       result.release()
     }

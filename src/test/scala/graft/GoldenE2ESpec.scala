@@ -123,4 +123,40 @@ class GoldenE2ESpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(out3.map(_.getAs[String]("SUB4")).toSeq == Seq("alpha", "beta", "2"))
   }
+
+  test("singleFileArtifacts=false: every sink distributed, no one-task stage") {
+    // the 100-TB posture of the X1 runner: with the flag off, the TSV and
+    // both JSON artifacts are normal part-file DIRECTORIES (no
+    // coalesce(1) + driver rename, no driver-side JSON collect), and the
+    // TSV sink itself preserves upstream parallelism
+    assume(new java.io.File(RefMaster).isFile, "reference fixtures not present")
+    val outDir = Files.createTempDirectory("e2edist").toFile
+    val arts = ContactsApp.Artifacts(
+      s"$outDir/cleaned_contacts.tsv",
+      s"$outDir/fill_missing_log.json",
+      s"$outDir/validation_errors.json")
+    val r = ContactsApp.run(spark, RefMaster, RefSources, Some(arts),
+      singleFileArtifacts = false)
+    for (p <- Seq(arts.cleanedTsv, arts.changeLogJson, arts.validationJson))
+      assert(new java.io.File(p).isDirectory,
+        s"$p must be a distributed part-file directory when the flag is off")
+    // distributed read-back equals the pipeline output
+    val back = spark.read.option("sep", "\t").option("header", true)
+      .option("quote", "\"").option("escape", "\"").option("multiLine", true)
+      .csv(arts.cleanedTsv)
+    assert(back.count() == r.cleaned.count())
+
+    // sink-level: a multi-partition frame keeps its parallelism — if a
+    // coalesce(1)/repartition(1) ever sneaks back into the flag-off path,
+    // the part count collapses to 1 and this trips
+    import spark.implicits._
+    val wide = spark.range(0, 4000, 1, 8)
+      .select(col("id"), (col("id") % 97).cast("string").as("v"))
+    val sinkDir = s"$outDir/wide.tsv"
+    Tsv.write(wide, sinkDir, singleFile = false)
+    val parts = Option(new java.io.File(sinkDir).listFiles)
+      .getOrElse(Array.empty).map(_.getName).count(_.startsWith("part-"))
+    assert(parts >= 2,
+      s"distributed TSV sink collapsed to $parts part file(s)")
+  }
 }

@@ -66,6 +66,15 @@ BOUNDS = {
     # and the single-sample spread is the 3x-noise band the module doc
     # warns about. Bound unchanged.
     "q206_allpairs_cosine": 1.2,
+    # r15: the lost-prune detector the graded q206 cannot be (VERDICT r14
+    # item 4). Slot-scoped Zipf corpus with SHARED head vocabulary across
+    # replicas (ScaleProbe.zipfDocs): head tokens' posting lists grow with
+    # the corpus, and the Bayardo prefix prune is a measured ~490x
+    # constant cut on the candidate space (SuffixArraySpec zipf tests:
+    # pruned 46.7k/429k vs unpruned 23.1M/206.7M at 4k/12k docs) — lose
+    # the prune and the probe joins the head-df^2 space, pushing the
+    # measured exponent toward ~2. Measured pruned: 0.59 at 3x.
+    "p206_allpairs_zipf": 1.0,
     # r14 ExactSubstr cut: q207's ladder + one keeper-groupBy + the
     # per-doc rebuild. Measured 0.32 at 3x.
     "q212_exact_substr_cut": 0.8,
