@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // display exists in this container, so force the headless toolkit
   "-Djava.awt.headless=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // bench-noise forensics (VERDICT r14 item 2): SPARK_GRAFT_GC_LOG=<file>
+  // turns on JVM GC logging in the forked run so a slow sample can be
+  // attributed (or not) to collector pauses vs external host stalls
+  sys.env.get("SPARK_GRAFT_GC_LOG")
+    .map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -95,7 +95,52 @@ object Bench {
     // interleaved sweeps (see scaladoc): pass p runs every query once, so
     // consecutive samples of one query sit a full registry-length apart
     val sweeps = (1 to nRuns).map(_ => names.map(n => n -> runOnce(n)).toMap)
-    val samples = names.map(n => n -> sweeps.map(_(n)))
+
+    // Stall-window forensics + bounded retry (VERDICT r14 item 2). The
+    // r14 audit file's big spreads are CONTIGUOUS: 4-9 alphabetically-
+    // consecutive queries all > 2x their own cross-pass median inside ONE
+    // pass (r14: q100-q105 in pass 0; q137-q140, q180-q187, q189-q196 in
+    // pass 1; pass 2 clean) — minutes-long external host-contention
+    // windows, not per-query noise (the SPARK_GRAFT_GC_LOG knob shows no
+    // matching collector pauses; PLANS.md round 15). Per-query minima
+    // already recover when at least one pass is clean; what the windows
+    // taint is the AUDIT (max/min spreads) and, at the margin, minima
+    // when windows cover several passes. Detection: within each pass,
+    // runs of >= 4 consecutive queries whose sample exceeds 2x their
+    // median. Mitigation: name the tainted spans in BENCH_RUNS.json
+    // (the audit file explains its own outliers) and take ONE extra full
+    // sweep when any window was detected, so every query's min draws on
+    // nRuns samples outside the known-bad spans.
+    def stallWindows(sw: Seq[Map[String, Double]])
+        : Seq[(Int, String, String, Int)] = {
+      val med = names.flatMap { n =>
+        BenchDrift.median(sw.map(_(n)).filter(_ >= 0)).map(n -> _) }.toMap
+      sw.zipWithIndex.flatMap { case (pass, pi) =>
+        val flags = names.map { n =>
+          n -> med.get(n).exists(m =>
+            m > 0 && pass(n) >= 0 && pass(n) > 2 * m)
+        }
+        val wins = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, Int)]
+        var cur = List.empty[String]
+        def close(): Unit = {
+          if (cur.size >= 4) wins += ((pi, cur.last, cur.head, cur.size))
+          cur = Nil
+        }
+        flags.foreach { case (n, f) => if (f) cur ::= n else close() }
+        close()
+        wins.toSeq
+      }
+    }
+    val windows = stallWindows(sweeps)
+    val sweepsAll =
+      if (windows.isEmpty) sweeps
+      else {
+        System.err.println(s"[bench] ${windows.size} stall window(s) " +
+          "detected — taking one extra full sweep")
+        sweeps :+ names.map(n => n -> runOnce(n)).toMap
+      }
+    val samples = names.map(n => n -> sweepsAll.map(_(n)))
     // min over the SUCCESSFUL passes: a single transient failure must not
     // discard surviving samples (the query would drop out of `total` and
     // read as a round-over-round speedup); -1 only when every pass failed
@@ -204,6 +249,13 @@ object Bench {
     val runsJson = samples.map { case (k, ss) =>
       "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // detected host-stall spans (pass index + inclusive query range in
+    // sweep order): the audit file names its own tainted samples, and
+    // "extra_sweeps" says whether the bounded retry ran
+    val windowsJson = windows.map { case (pi, from, to, n) =>
+      s"""{"pass":$pi,"from":"$from","to":"$to","n":$n}"""
+    }.mkString(""""stall_windows":[""", ",", s"""],"extra_sweeps":${
+      sweepsAll.size - sweeps.size},""")
     val confirmJson =
       if (confirmSamples.isEmpty) ""
       else confirmSamples.toSeq.sortBy(_._1).map { case (k, ss) =>
@@ -217,7 +269,7 @@ object Bench {
       BenchDrift.baselineFragment(host, sfDir, currentMed)).mkString(",")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,"drift_baseline":"$driftBaseline","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries + canaries in a later noise window whose own canary factor normalizes the re-measurements; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; drift_baseline names the compare target: prior_round = same host as the prior file, self_fingerprint = this host's own recorded baseline after a host change, cross_host_prior = no own baseline -> flags tagged advisory:true — the canary factor is class-biased across machines; baseline_<fp> objects hold each known host's most-recent medians)"${drift.jsonFields(advisory)}$confirmJson,"runs":$runsJson,$baselines}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,$windowsJson"drift_baseline":"$driftBaseline","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries + canaries in a later noise window whose own canary factor normalizes the re-measurements; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; drift_baseline names the compare target: prior_round = same host as the prior file, self_fingerprint = this host's own recorded baseline after a host change, cross_host_prior = no own baseline -> flags tagged advisory:true — the canary factor is class-biased across machines; baseline_<fp> objects hold each known host's most-recent medians)"${drift.jsonFields(advisory)}$confirmJson,"runs":$runsJson,$baselines}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps
