@@ -87,6 +87,11 @@ BOUNDS = {
     # r14 torn-append repair: index write + append + repair + one probe
     # (the q194/q202 cost class). Measured 0.10 at 3x.
     "q215_torn_append_repair": 0.9,
+    # r15 raised ANN operating point: index write (linear encode) + a
+    # FIXED 20-query rerank probe (candidates broadcast, candK fixed) +
+    # the brute truth. Measured -0.16 at 3x (write-dominated, warm-cache
+    # noise band). Same class as q215.
+    "q217_ann_rerank_recall": 0.9,
     # r14 Kneser-Ney LM: three |bigrams|-keyed hash aggs + three hash
     # joins + a per-doc mean (the q98 cost class). Measured -0.03 at 3x
     # (count-table-bounded on this vocab).
