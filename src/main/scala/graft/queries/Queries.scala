@@ -10487,6 +10487,69 @@ object Queries {
              |ORDER BY k.doc_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // q218: ExactSubstr cut on a DUPLICATE-DOCUMENT corpus — the r15
+    // stationary-ladder fix graded under the driver's oracle, not just
+    // specs. The corpus is deterministic from doc_id arithmetic so the
+    // twin regenerates it exactly: doc i holds 12 + (i % 37) % 13 tokens,
+    // token j = md5('<i % 37>_<j>') — every doc in a `% 37` group is
+    // IDENTICAL and token vocabularies are disjoint across groups, so the
+    // width-1 rank partition already equals the full-suffix partition and
+    // the doubling ladder stops STATIONARY at width 4, far below L/2 = 8.
+    // Pre-fix, that shallow stop was read as "nothing can repeat" and the
+    // cut came back empty on exactly the duplicated documents an
+    // ExactSubstr pass targets; the graded contract is the full policy:
+    // groups with length >= 16 keep only their smallest doc_id whole
+    // (min-(doc,pos) keeper) with every other member fully cut, and the
+    // short groups (length 12-15: no 16-window) pass through
+    // byte-identical. The twin is q212's brute-force window chain over
+    // the regenerated corpus.
+    QueryDef("q218_exact_substr_dup_docs",
+      (s, dir) => {
+        val g = col("doc_id") % 37
+        val len = (lit(12) + pmod(g, lit(13))).cast("int")
+        val toks = transform(sequence(lit(0), len - 1), j =>
+          md5(concat(g.cast("string"), lit("_"), j.cast("string"))
+            .cast("binary")))
+        val corpus = t(s, dir, "documents")
+          .select(col("doc_id"), array_join(toks, " ").as("text"))
+        SuffixArray.exactSubstrCut(corpus, "doc_id", "text", length = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    list_transform(range(12 + (doc_id % 37) % 13),
+             |      j -> md5(CAST(doc_id % 37 AS VARCHAR) || '_'
+             |        || CAST(j AS VARCHAR))) AS toks
+             |  FROM documents),
+             |win AS (SELECT doc_id, i AS pos,
+             |    array_to_string(toks[i + 1:i + 16], ' ') AS w
+             |  FROM tok, unnest(range(len(toks) - 15)) AS u(i)
+             |  WHERE len(toks) >= 16),
+             |ranked AS (SELECT doc_id, pos,
+             |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY w) AS n_occ
+             |  FROM win),
+             |cut AS (SELECT DISTINCT doc_id, pos + j AS cp
+             |  FROM ranked, unnest(range(16)) AS v(j)
+             |  WHERE n_occ >= 2 AND rn > 1),
+             |tp AS (SELECT doc_id, i AS pos, toks[i + 1] AS tk
+             |  FROM tok, unnest(range(len(toks))) AS u(i)),
+             |kept AS (SELECT t.doc_id, t.pos, t.tk
+             |  FROM tp t LEFT JOIN cut c
+             |    ON c.doc_id = t.doc_id AND c.cp = t.pos
+             |  WHERE c.doc_id IS NULL),
+             |reb AS (SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS kept_tokens,
+             |    string_agg(tk, ' ' ORDER BY pos) AS deduped_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT k.doc_id,
+             |  CAST(len(k.toks) AS BIGINT) AS total_tokens,
+             |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+             |  coalesce(r.deduped_text, '') AS deduped_text
+             |FROM tok k LEFT JOIN reb r USING (doc_id)
+             |ORDER BY k.doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // q213: decontamination as an ACTION (Contam.decontaminate) — q210
     // emits per-doc stats; this GRADES the composed filter: the corpus is
     // split on hit_frac > 0.05 against the persisted 13-gram index, the

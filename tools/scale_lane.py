@@ -92,6 +92,10 @@ BOUNDS = {
     # the brute truth. Measured -0.16 at 3x (write-dominated, warm-cache
     # noise band). Same class as q215.
     "q217_ann_rerank_recall": 0.9,
+    # r15 stationary-ladder grading corpus (duplicate docs): q212's cost
+    # class but the ladder CONVERGES at width 4 (3 rounds instead of 5)
+    # and group sizes grow with the corpus. Measured 0.30 at 3x.
+    "q218_exact_substr_dup_docs": 0.8,
     # r14 Kneser-Ney LM: three |bigrams|-keyed hash aggs + three hash
     # joins + a per-doc mean (the q98 cost class). Measured -0.03 at 3x
     # (count-table-bounded on this vocab).
