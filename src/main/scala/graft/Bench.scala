@@ -140,6 +140,13 @@ object Bench {
           "detected — taking one extra full sweep")
         sweeps :+ names.map(n => n -> runOnce(n)).toMap
       }
+    // the audit file must explain ALL of its own outliers: re-scan with
+    // the retry sweep included, so a stall landing IN the retry pass is
+    // named too (and the medians the flags are judged against draw on
+    // every recorded sample). Detection (windows nonempty) stays on the
+    // primary sweeps — the retry itself only ever runs once.
+    val windowsAll =
+      if (sweepsAll.size == sweeps.size) windows else stallWindows(sweepsAll)
     val samples = names.map(n => n -> sweepsAll.map(_(n)))
     // min over the SUCCESSFUL passes: a single transient failure must not
     // discard surviving samples (the query would drop out of `total` and
@@ -250,9 +257,11 @@ object Bench {
       "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // detected host-stall spans (pass index + inclusive query range in
-    // sweep order): the audit file names its own tainted samples, and
-    // "extra_sweeps" says whether the bounded retry ran
-    val windowsJson = windows.map { case (pi, from, to, n) =>
+    // sweep order): the audit file names its own tainted samples —
+    // including any window inside the retry pass itself (pass index
+    // >= nruns) — and "extra_sweeps" says whether the bounded retry ran
+    // (per-query "runs" arrays then hold nruns + extra_sweeps entries)
+    val windowsJson = windowsAll.map { case (pi, from, to, n) =>
       s"""{"pass":$pi,"from":"$from","to":"$to","n":$n}"""
     }.mkString(""""stall_windows":[""", ",", s"""],"extra_sweeps":${
       sweepsAll.size - sweeps.size},""")
@@ -269,7 +278,7 @@ object Bench {
       BenchDrift.baselineFragment(host, sfDir, currentMed)).mkString(",")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,$windowsJson"drift_baseline":"$driftBaseline","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep; cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries + canaries in a later noise window whose own canary factor normalizes the re-measurements; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; drift_baseline names the compare target: prior_round = same host as the prior file, self_fingerprint = this host's own recorded baseline after a host change, cross_host_prior = no own baseline -> flags tagged advisory:true — the canary factor is class-biased across machines; baseline_<fp> objects hold each known host's most-recent medians)"${drift.jsonFields(advisory)}$confirmJson,"runs":$runsJson,$baselines}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,$windowsJson"drift_baseline":"$driftBaseline","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep (each runs array holds nruns + extra_sweeps samples when the bounded stall retry ran, and stall_windows is scanned over ALL recorded passes including the retry); cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries + canaries in a later noise window whose own canary factor normalizes the re-measurements; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; drift_baseline names the compare target: prior_round = same host as the prior file, self_fingerprint = this host's own recorded baseline after a host change, cross_host_prior = no own baseline -> flags tagged advisory:true — the canary factor is class-biased across machines; baseline_<fp> objects hold each known host's most-recent medians)"${drift.jsonFields(advisory)}$confirmJson,"runs":$runsJson,$baselines}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps

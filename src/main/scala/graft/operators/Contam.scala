@@ -172,10 +172,14 @@ object Contam {
   }
 
   /** Retract benchmark documents (id tombstones; probes hide them
-    * immediately, the next compaction folds them into the files). */
+    * immediately, the next compaction folds them into the files).
+    * Leased: a tombstone landing between a compaction's tombstones read
+    * and its clearTombstones would be silently dropped. */
   def retractFromNgramIndex(index: NgramIndex, ids: DataFrame,
       idCol: String): Unit =
-    IndexGen.appendTombstones(index.path, ids, idCol)
+    IndexGen.withWriterLock(ids.sparkSession, index.path) {
+      IndexGen.appendTombstones(index.path, ids, idCol)
+    }
 
   /** Rewrite the grams table into the next generation — one file per
     * bucket, tombstones applied and cleared. Same crash-safety contract

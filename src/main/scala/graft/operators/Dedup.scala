@@ -559,10 +559,17 @@ object Dedup {
     * the next [[compactLshIndex]], which also clears the tombstones.
     * Re-adding a retracted id requires a compaction first — an append
     * while its tombstone is live stays hidden (the tombstone filters by
-    * id, not by file age). */
+    * id, not by file age).
+    *
+    * Holds the [[IndexGen.withWriterLock]] lease: a tombstone append
+    * racing [[compactLshIndex]] between its tombstones read and its
+    * clearTombstones would be silently dropped — the retracted ids
+    * resurfacing in probes after the compaction (a lost update). */
   def retractFromLshIndex(index: LshIndex, ids: DataFrame,
       idCol: String): Unit =
-    IndexGen.appendTombstones(index.path, ids, idCol)
+    IndexGen.withWriterLock(ids.sparkSession, index.path) {
+      IndexGen.appendTombstones(index.path, ids, idCol)
+    }
 
   /** Compact a persisted index: rewrite both bucketed tables into the
     * NEXT generation's directories with the SAME bucket spec — one file

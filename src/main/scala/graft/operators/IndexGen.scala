@@ -274,84 +274,171 @@ private[graft] object IndexGen {
   // ------------------------------------------------------ writer lease
   //
   // Write correctness assumes ONE writer per index path (by contract) —
-  // and since r15 the contract is ENFORCED for every mutating entry
-  // point: compactions AND batch appends take the lease (two concurrent
-  // appends would otherwise have each other's half-written files
-  // LEGITIMIZED by whichever commitManifest lands last, silently
-  // defeating the torn-append repair). A lock file turns a violated
-  // contract from silent file corruption into a loud failure. Stale
-  // leases (a crashed holder) expire by file age.
+  // and the contract is ENFORCED for every mutating entry point:
+  // compactions, batch appends, AND retractions take the lease (two
+  // concurrent appends would otherwise have each other's half-written
+  // files LEGITIMIZED by whichever commitManifest lands last, and a
+  // tombstone append racing a compaction between its tombstones read and
+  // clearTombstones would be silently dropped — the retracted ids
+  // resurfacing in probes). A lock file turns a violated contract from
+  // silent file corruption into a loud failure. Stale leases (a crashed
+  // holder) expire by file age; a LIVE long-running holder heartbeats
+  // the lock's mtime (every staleMs/4) so legitimate work longer than
+  // `staleMs` is never broken mid-run.
+  //
+  // Lease IDENTITY is the holder token WRITTEN INTO the lock body
+  // (UUID + pid@host), not the file's mtime: the r15 break identified a
+  // lock by mtime equality, so on stores with coarse mtime granularity a
+  // fresh lock re-created within the observed stale one's timestamp
+  // could be stolen. Tokens are unique per acquire, so content identity
+  // is exact; release verifies the token before deleting, so a holder
+  // whose lease was wrongly broken fails LOUDLY instead of silently
+  // deleting whoever locked after it.
   //
   // The lease is ADVISORY on stores without atomic create-no-overwrite /
   // rename (some object stores): there it narrows the corruption window
   // without closing it — run the writer single-driver by deployment on
   // such stores.
 
+  private def newLockToken(): String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    s"${java.util.UUID.randomUUID()}|$rt" // uuid = identity; pid@host = diagnostics
+  }
+
+  /** Lock body, or None when the lock file is missing. Unreadable bytes
+    * (a mid-write read on a checksummed store) surface as the raw
+    * IOException — callers treat any non-match conservatively. A
+    * spec-created empty lock reads as the legacy token "". */
+  private[graft] def readLockToken(f: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = f.open(lock)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Run `body` holding `$path/_writer_lock`. Throws IllegalStateException
     * when another live writer holds it; a lease older than `staleMs` is
     * considered abandoned and is broken (once, by [[breakStaleLock]] —
-    * rename-based, so a concurrent breaker can never delete the LIVE
-    * lock of whoever won the re-acquire race). */
+    * rename-based + token-verified, so a concurrent breaker can never
+    * delete the LIVE lock of whoever won the re-acquire race). While
+    * `body` runs, a daemon heartbeat refreshes the lock's mtime every
+    * `staleMs/4`, so a compaction legitimately exceeding `staleMs` keeps
+    * its lease live. Release is ownership-verified: if the lock no
+    * longer carries this holder's token (a misbehaving breaker stole the
+    * lease and someone else re-locked), release throws instead of
+    * deleting the new holder's lock — the triple-race that r15's
+    * unverified `delete` turned into a silent double-writer. */
   def withWriterLock[T](spark: SparkSession, path: String,
       staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
     val f = fs(spark, path)
     val lock = new org.apache.hadoop.fs.Path(path, "_writer_lock")
     f.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val token = newLockToken()
     def tryAcquire(): Boolean =
-      try { f.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = f.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val observed =
-        try Some(f.getFileStatus(lock).getModificationTime)
-        catch { case _: java.io.FileNotFoundException => None }
+        try {
+          val m = f.getFileStatus(lock).getModificationTime
+          readLockToken(f, lock).map(t => (t, m))
+        } catch { case _: java.io.FileNotFoundException => None }
       val age = observed
-        .map(m => System.currentTimeMillis() - m).getOrElse(Long.MaxValue)
+        .map(o => System.currentTimeMillis() - o._2).getOrElse(Long.MaxValue)
       if (age <= staleMs)
         throw new IllegalStateException(
           s"another writer holds $lock (age ${age}ms <= stale bar " +
             s"${staleMs}ms); the index family is single-writer")
-      observed.foreach(m => breakStaleLock(f, lock, m))
+      observed.foreach { case (t, _) => breakStaleLock(f, lock, t) }
       if (!tryAcquire())
         throw new IllegalStateException(
           s"lost the race re-acquiring $lock after breaking a stale lease")
     }
-    try body finally f.delete(lock, false)
+    // heartbeat: best-effort mtime touch — a failed touch only risks a
+    // stale-break, which the verified release then reports loudly
+    val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true); t })
+    val period = math.max(50L, staleMs / 4)
+    hb.scheduleAtFixedRate(() => {
+      try f.setTimes(lock, System.currentTimeMillis(), -1)
+      catch { case _: Exception => () }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    var primary: Throwable = null
+    try body
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      hb.shutdownNow()
+      try releaseLock(f, lock, token)
+      catch { case r: Throwable =>
+        if (primary != null) primary.addSuppressed(r) else throw r }
+    }
   }
 
-  /** Break an abandoned lease WITHOUT being able to kill a live one. The
-    * r14 break was check-then-`delete`: between measuring the lock's age
-    * and deleting it, another breaker could break the same stale lease
-    * and acquire a FRESH lock, which the first breaker's delete then
-    * removed — two compactions running concurrently, the exact
-    * corruption the lease exists to prevent. Instead: re-stat (the age
-    * may have been measured long ago), RENAME the lock to a
-    * breaker-unique name — rename is the atomic step, so of N concurrent
-    * breakers exactly one wins any given lock file — and verify the
-    * renamed file still carries the observed stale mtime. A mismatch
-    * means this breaker stole a fresh lock created after its stat (the
-    * losing side of the race): put it back, and let the caller's
-    * re-acquire fail loudly. */
+  /** Ownership-verified release: delete the lock only when it still
+    * carries this holder's token; anything else means the lease was
+    * broken or stolen mid-run — fail loudly (the holder's writes raced
+    * an unknown concurrent writer and must be treated as suspect) and
+    * leave the current holder's lock intact. */
+  private def releaseLock(f: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, token: String): Unit =
+    readLockToken(f, lock) match {
+      case Some(t) if t == token => f.delete(lock, false)
+      case other =>
+        throw new IllegalStateException(
+          s"releasing $lock: lease no longer held by this writer " +
+            s"(found ${other.getOrElse("<missing>")}, expected $token) — " +
+            "the lease was broken mid-run; this writer's work raced an " +
+            "unknown concurrent writer and the index should be audited")
+    }
+
+  /** Break an abandoned lease WITHOUT being able to kill a live one.
+    * Identity is the lock's TOKEN (body content), never its mtime:
+    * re-read the body (the age was measured by the caller, possibly long
+    * ago), RENAME the lock to a breaker-unique name — rename is the
+    * atomic step, so of N concurrent breakers exactly one wins any given
+    * lock file — and verify the renamed file still carries the observed
+    * token. A mismatch means this breaker stole a FRESH lock created
+    * between its read and its rename (the losing side of the race): put
+    * it back for its live holder; if the rename-back fails because a
+    * third writer re-locked meanwhile, THROW naming the stranded file —
+    * r15's delete-on-restore-failure silently left the stolen holder
+    * lockless AND its later release deleting the third writer's lock.
+    *
+    * `raceAfterRead`/`raceAfterRename` are deterministic race-injection
+    * seams for IndexCrashSpec (the windows are sub-millisecond in
+    * production); real callers leave the no-op defaults. */
   private[graft] def breakStaleLock(f: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path, observedMtime: Long): Unit = {
-    val current =
-      try f.getFileStatus(lock).getModificationTime
-      catch { case _: java.io.FileNotFoundException => return } // broken
-    if (current != observedMtime) return // re-created since: not ours
+      lock: org.apache.hadoop.fs.Path, observedToken: String,
+      raceAfterRead: () => Unit = () => (),
+      raceAfterRename: () => Unit = () => ()): Unit = {
+    readLockToken(f, lock) match {
+      case None => return // broken by someone else already
+      case Some(t) if t != observedToken => return // re-created: LIVE
+      case Some(_) =>
+    }
+    raceAfterRead()
     val broken = new org.apache.hadoop.fs.Path(lock.getParent,
       s"_writer_lock.broken.${java.util.UUID.randomUUID()}")
     val renamed =
       try f.rename(lock, broken)
       catch { case _: java.io.IOException => false }
     if (!renamed) return // another breaker won this lock file
-    val got =
-      try Some(f.getFileStatus(broken).getModificationTime)
-      catch { case _: java.io.FileNotFoundException => None }
-    if (got.contains(observedMtime)) { f.delete(broken, false); return }
-    // stole a FRESH lock created between the stat and the rename: restore
-    // it for its live holder (if a third writer locked meanwhile, the
-    // holder's release already happened or will fail loudly — either way
-    // this breaker must not keep the file)
-    if (!f.rename(broken, lock)) f.delete(broken, false)
+    raceAfterRename()
+    val got = readLockToken(f, broken)
+    if (got.contains(observedToken)) { f.delete(broken, false); return }
+    // stole a FRESH lock created between the read and the rename: restore
+    // it for its live holder
+    if (!f.rename(broken, lock))
+      throw new IllegalStateException(
+        s"stole live lock $lock (token ${got.getOrElse("<missing>")}) " +
+          s"while breaking a stale lease, and a third writer re-locked " +
+          s"before it could be restored; the stolen lease is stranded at " +
+          s"$broken — resolve by hand before the next write")
   }
 
   /** Max parquet-file count over the buckets of one bucketed table

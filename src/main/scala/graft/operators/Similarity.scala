@@ -1055,10 +1055,15 @@ object Similarity {
   /** Retract vectors: id tombstones hide them from probes immediately
     * ([[IndexGen.appendTombstones]]); the rows leave the files at the
     * next [[compactAnnIndex]]. Re-adding a retracted id requires a
-    * compaction first (the tombstone filters by id, not file age). */
+    * compaction first (the tombstone filters by id, not file age).
+    * Leased like every other mutation: a tombstone landing between a
+    * compaction's tombstones read and its clearTombstones would be
+    * silently dropped. */
   def retractFromAnnIndex(index: AnnIndex, ids: DataFrame,
       idCol: String): Unit =
-    IndexGen.appendTombstones(index.path, ids, idCol)
+    IndexGen.withWriterLock(ids.sparkSession, index.path) {
+      IndexGen.appendTombstones(index.path, ids, idCol)
+    }
 
   /** Compact the lists table: rewrite into the next generation with the
     * same bucket spec — one file per bucket — applying and clearing

@@ -360,28 +360,156 @@ class IndexCrashSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ stale-lock break
 
-  test("breakStaleLock: rename-based break never kills a re-created lock") {
+  private def writeLock(dir: String, token: String): Unit = {
+    val f = IndexGen.fs(spark, dir)
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, "_writer_lock"),
+      true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def lockToken(dir: String): Option[String] =
+    IndexGen.readLockToken(IndexGen.fs(spark, dir),
+      new org.apache.hadoop.fs.Path(dir, "_writer_lock"))
+
+  test("breakStaleLock is token-identified: a same-mtime re-created lock " +
+      "is never stolen") {
     val dir = tmp()
     val f = IndexGen.fs(spark, dir)
     val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
-    // 1) genuine stale lease: observed mtime matches -> broken
-    f.create(lock, false).close()
+    // 1) genuine stale lease: observed TOKEN matches -> broken
+    writeLock(dir, "T0-crashed-holder")
+    IndexGen.breakStaleLock(f, lock, "T0-crashed-holder")
+    assert(!f.exists(lock), "a genuinely stale lease must be broken")
+    // 2) the r15 coarse-mtime hazard: between this breaker's age check
+    // and its break, another breaker broke the same stale lease and
+    // re-acquired — possibly within the SAME filesystem timestamp. The
+    // fresh lock carries a different token, so the break must not touch
+    // it no matter what the mtimes say.
+    writeLock(dir, "T1-live-winner")
     val stale = System.currentTimeMillis() - 2L * 60 * 60 * 1000
     assert(new java.io.File(dir, "_writer_lock").setLastModified(stale))
-    val observed = f.getFileStatus(lock).getModificationTime
-    IndexGen.breakStaleLock(f, lock, observed)
-    assert(!f.exists(lock), "a genuinely stale lease must be broken")
-    // 2) the race: between this breaker's age check and its break, the
-    // lock was re-created (another breaker won and acquired) — the
-    // re-stat sees a different mtime and the break must NOT touch it
-    f.create(lock, false).close()
-    IndexGen.breakStaleLock(f, lock, observed - 12345)
-    assert(f.exists(lock),
-      "a lock whose mtime moved since the age check is LIVE — keep it")
+    IndexGen.breakStaleLock(f, lock, "T0-crashed-holder")
+    assert(lockToken(dir).contains("T1-live-winner"),
+      "a re-created lock is LIVE regardless of mtime — keep it")
     // no stray broken-rename leftovers in either case
     val leftovers = new java.io.File(dir).listFiles.map(_.getName)
       .filter(_.startsWith("_writer_lock.broken"))
     assert(leftovers.isEmpty, s"leftover break files: ${leftovers.toSeq}")
     f.delete(lock, false)
+  }
+
+  test("breakStaleLock race seams: a lock swapped after the token read is " +
+      "restored; with a third writer the breaker raises and the winner's " +
+      "lock survives") {
+    val dir = tmp()
+    val f = IndexGen.fs(spark, dir)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    // (a) swap after the read, rename-back SUCCEEDS: the stolen fresh
+    // lock is restored for its holder and nothing is broken
+    writeLock(dir, "T0-stale")
+    IndexGen.breakStaleLock(f, lock, "T0-stale",
+      raceAfterRead = () => writeLock(dir, "T1-fresh-holder"))
+    assert(lockToken(dir).contains("T1-fresh-holder"),
+      "the stolen fresh lock must be renamed back for its live holder")
+    f.delete(lock, false)
+
+    // (b) the TRIPLE race: stale break in flight, the lock re-created by
+    // a fresh holder after the token read (so the rename steals a LIVE
+    // lock), and a THIRD writer locking before the rename-back — the
+    // breaker must RAISE naming the stranded lease (r15 deleted it,
+    // leaving the fresh holder silently lockless and its release
+    // deleting the third writer's lock), and the third writer's lock
+    // must survive untouched.
+    writeLock(dir, "T0-stale")
+    val e = intercept[IllegalStateException] {
+      IndexGen.breakStaleLock(f, lock, "T0-stale",
+        raceAfterRead = () => writeLock(dir, "T1-fresh-holder"),
+        raceAfterRename = () => writeLock(dir, "T2-third-writer"))
+    }
+    assert(e.getMessage.contains("stranded"))
+    assert(lockToken(dir).contains("T2-third-writer"),
+      "the third writer's (winner's) lock must remain intact")
+    val stranded = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("_writer_lock.broken"))
+    assert(stranded.size == 1,
+      "the stolen lease must be preserved for manual resolution, not deleted")
+  }
+
+  test("release verifies ownership: a stolen lease raises loudly and " +
+      "never deletes the next holder's lock") {
+    val dir = tmp()
+    // the holder acquires normally; mid-body a misbehaving breaker
+    // deletes its lease and a different writer re-locks — release must
+    // throw (this holder's writes raced an unknown writer) and leave the
+    // new holder's lock in place, not silently delete it (r15's
+    // unverified finally-delete)
+    val e = intercept[IllegalStateException] {
+      IndexGen.withWriterLock(spark, dir) {
+        writeLock(dir, "T9-next-holder") // overwrite = steal + re-lock
+      }
+    }
+    assert(e.getMessage.contains("lease was broken mid-run"))
+    assert(lockToken(dir).contains("T9-next-holder"),
+      "the next holder's lock must survive the verified release")
+  }
+
+  test("release failure does not mask the body's own exception") {
+    val dir = tmp()
+    val e = intercept[RuntimeException] {
+      IndexGen.withWriterLock(spark, dir) {
+        writeLock(dir, "T9-next-holder")
+        throw new RuntimeException("body failed first")
+      }
+    }
+    assert(e.getMessage == "body failed first")
+    assert(e.getSuppressed.exists(
+      _.getMessage.contains("lease was broken mid-run")),
+      "the release failure must ride along as a suppressed exception")
+    assert(lockToken(dir).contains("T9-next-holder"))
+  }
+
+  test("heartbeat keeps a legitimately long-running lease live past " +
+      "staleMs") {
+    val dir = tmp()
+    val staleMs = 600L
+    IndexGen.withWriterLock(spark, dir, staleMs = staleMs) {
+      // body runs 3x the stale bar: without the heartbeat a contender
+      // would see an expired lease, break it, and acquire concurrently
+      Thread.sleep(3 * staleMs)
+      val e = intercept[IllegalStateException] {
+        IndexGen.withWriterLock(spark, dir, staleMs = staleMs) { fail() }
+      }
+      assert(e.getMessage.contains("another writer holds"),
+        s"the heartbeat must keep the lease younger than $staleMs ms; " +
+          s"got: ${e.getMessage}")
+    }
+    assert(lockToken(dir).isEmpty, "released after the body")
+  }
+
+  test("retract holds the lease: a tombstone cannot race a compaction") {
+    // the lost-update race: a tombstone appended between a compaction's
+    // tombstones read and its clearTombstones is cleared WITHOUT being
+    // folded into the files — the retracted ids resurface. All three
+    // retract entry points are leased; a concurrent writer makes them
+    // raise with nothing written.
+    val path = tmp()
+    val idx = Contam.writeNgramIndex(bench, "doc_id", "text", path,
+      "crash_retract", n = 4, numBuckets = 4)
+    val lock = new java.io.File(path, "_writer_lock")
+    assert(lock.createNewFile(), "simulated concurrent compaction")
+    intercept[IllegalStateException] {
+      Contam.retractFromNgramIndex(idx,
+        bench.select(col("doc_id")), "doc_id")
+    }
+    assert(!new java.io.File(path, "tombstones").exists,
+      "the locked-out retract must not have appended tombstones")
+    assert(lock.delete())
+    // and with the lease free the retract lands and probes hide the ids
+    Contam.retractFromNgramIndex(idx, bench.select(col("doc_id")),
+      "doc_id")
+    assert(!lock.exists, "the retract lease is released")
+    assert(contamMap(idx).values.forall { case (_, hits, srcs) =>
+      hits == 0L && srcs == 0L },
+      "tombstoned benchmark docs must stop contaminating probes")
   }
 }
