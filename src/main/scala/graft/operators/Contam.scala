@@ -153,21 +153,34 @@ object Contam {
     * file growth. Caller contract: appended ids disjoint from indexed.
     * Holds the [[IndexGen.withWriterLock]] lease — a concurrent append's
     * half-written files would otherwise be legitimized by this one's
-    * manifest commit. */
+    * manifest commit.
+    *
+    * `batchTag` makes a RETRIED append exactly-once (tag committed
+    * atomically with the manifest; a retry whose tag already heads the
+    * newest manifest appends nothing). Unlike the LSH/ANN families this
+    * is a size/scan concern only: [[probeNgramIndex]] aggregates with
+    * countDistinct on both the gram and the source id, so duplicated
+    * gram rows cannot change any probe answer — the tag just keeps a
+    * replay from doubling the benchmark's physical footprint. */
   def appendToNgramIndex(index: NgramIndex, benchmark: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String,
+      batchTag: Option[String] = None): Unit = {
     val spark = benchmark.sparkSession
     IndexGen.withWriterLock(spark, index.path) {
       // manifest protocol (IndexGen): a torn append's files are repaired
       // at the next open/append; commit only after the data write
       // completes
       IndexGen.repairToManifest(spark, index.gramsDir)
-      gramDigests(benchmark, idCol, textCol, index.meta.n)
-        .write.mode("append")
-        .bucketBy(index.meta.numBuckets, "gram")
-        .option("path", index.gramsDir)
-        .saveAsTable(index.gramsTable)
-      IndexGen.commitManifest(spark, index.gramsDir)
+      val done = batchTag.isDefined &&
+        IndexGen.manifestTag(spark, index.gramsDir) == batchTag
+      if (!done) {
+        gramDigests(benchmark, idCol, textCol, index.meta.n)
+          .write.mode("append")
+          .bucketBy(index.meta.numBuckets, "gram")
+          .option("path", index.gramsDir)
+          .saveAsTable(index.gramsTable)
+        IndexGen.commitManifest(spark, index.gramsDir, batchTag)
+      }
     }
   }
 

@@ -506,13 +506,21 @@ object Dedup {
     * asymmetry: bands commit first, so a crash between the two manifest
     * commits leaves committed "ghost" band rows whose postings were
     * repaired; ghosts only add candidates the rescore's postings join
-    * drops (probe output as if the append never happened), and a retried
-    * append (the streaming replay path) appends postings exactly once —
-    * but the retried BANDS land a second time (the crashed attempt's
-    * band write DID commit), so the batch's band rows are duplicated
-    * until the next [[compactLshIndex]] dedupes them (probes stay
-    * correct throughout: the candidate set dedupes; only index size and
-    * candidate volume are inflated in the interim).
+    * drops (probe output as if the append never happened).
+    *
+    * `batchTag` makes a RETRIED append (the streaming replay path)
+    * exactly-once: each manifest commit carries the tag atomically
+    * ([[IndexGen.commitManifest]]), and the retry skips any directory
+    * whose newest manifest already carries it — a bands-committed crash
+    * re-appends only the postings (no duplicated band rows), and a crash
+    * AFTER both commits but before the caller's own replay marker
+    * re-appends nothing at all. That last window matters for
+    * correctness, not just size: duplicated postings double one side of
+    * every jaccard rescore count, so the replayed batch's pair scores
+    * would be WRONG until compaction. Untagged appends keep the
+    * at-least-once behavior (a retry lands the batch's committed
+    * directories twice; [[compactLshIndex]]'s dedup rewrite is the
+    * bounded cleanup).
     *
     * Holds the [[IndexGen.withWriterLock]] lease for the whole append:
     * `commitManifest` snapshots the directory's CURRENT file set, so two
@@ -521,7 +529,7 @@ object Dedup {
     * lands last, silently defeating the torn-append repair; under the
     * lease the second append fails loudly instead. */
   def appendToLshIndex(index: LshIndex, batch: DataFrame, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, batchTag: Option[String] = None): Unit = {
     val m = index.meta
     val rows = m.numHashes / m.bands
     require(batch.schema(batch.schema.fieldIndex(idCol)).dataType ==
@@ -532,23 +540,31 @@ object Dedup {
       // a retried append must not compound a previous torn one
       IndexGen.repairToManifest(spark, index.bandsDir)
       IndexGen.repairToManifest(spark, index.postsDir)
-      val posts = shinglePostings(batch, idCol, textCol, m.shingleSize,
-        m.maxDocFreq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val banded = minhashSignatures(posts, m.numHashes).select(col("id"),
-          posexplode(bandBuckets(col("sig"), m.bands, rows))
-            .as(Seq("band", "bucket")))
-        banded.write.mode("append")
-          .bucketBy(m.numBuckets, "band", "bucket")
-          .option("path", index.bandsDir)
-          .saveAsTable(index.bandsTable)
-        posts.write.mode("append")
-          .bucketBy(m.numBuckets, "id")
-          .option("path", index.postsDir)
-          .saveAsTable(index.postsTable)
-        IndexGen.commitManifest(spark, index.bandsDir) // bands FIRST (above)
-        IndexGen.commitManifest(spark, index.postsDir)
-      } finally posts.unpersist(blocking = false)
+      def done(dir: String): Boolean =
+        batchTag.isDefined && IndexGen.manifestTag(spark, dir) == batchTag
+      // posts commit LAST: their tag proves the whole append committed
+      if (!done(index.postsDir)) {
+        val posts = shinglePostings(batch, idCol, textCol, m.shingleSize,
+          m.maxDocFreq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!done(index.bandsDir)) {
+            val banded = minhashSignatures(posts, m.numHashes)
+              .select(col("id"),
+                posexplode(bandBuckets(col("sig"), m.bands, rows))
+                  .as(Seq("band", "bucket")))
+            banded.write.mode("append")
+              .bucketBy(m.numBuckets, "band", "bucket")
+              .option("path", index.bandsDir)
+              .saveAsTable(index.bandsTable)
+            IndexGen.commitManifest(spark, index.bandsDir, batchTag)
+          }
+          posts.write.mode("append")
+            .bucketBy(m.numBuckets, "id")
+            .option("path", index.postsDir)
+            .saveAsTable(index.postsTable)
+          IndexGen.commitManifest(spark, index.postsDir, batchTag)
+        } finally posts.unpersist(blocking = false)
+      }
     }
   }
 

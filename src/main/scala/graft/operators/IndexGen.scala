@@ -166,9 +166,28 @@ private[graft] object IndexGen {
   // between the two manifest commits leaves committed "ghost" band rows
   // whose postings were repaired away — ghosts only add candidates that
   // the rescore's postings join then drops (probe output is as if the
-  // append never happened), and the retry appends postings exactly once
-  // (the retried BANDS, whose first write DID commit, land twice: see
-  // the band-dedup note on [[rewriteBucketed]]).
+  // append never happened), and a TAGGED retry (below) skips the
+  // committed bands entirely; an untagged retry appends the bands a
+  // second time (see the band-dedup note on [[rewriteBucketed]]).
+  //
+  // BATCH TAGS make retried appends exactly-once. The streaming absorb
+  // path writes an `_absorbed_<batchId>` marker after the append, so a
+  // crash between the last manifest commit and the marker makes the
+  // replay re-append a FULLY-COMMITTED batch — and duplicated rows are
+  // not merely size inflation: duplicated LSH postings double one side
+  // of every jaccard rescore count (wrong pair scores until compaction),
+  // and duplicated ANN list rows give the same neighbor two ranks in
+  // top-k (the ngram index alone is immune — its probe aggregates with
+  // countDistinct). Two separate files cannot commit atomically, so the
+  // batch identity is committed INSIDE the manifest: `commitManifest`
+  // takes an optional tag written as a `#tag:` header line (the rename
+  // commits file set + tag in one atomic step), and a retry carrying the
+  // same tag skips every directory whose NEWEST manifest already carries
+  // it. Compaction commits untagged manifests, which is safe: the
+  // `_absorbed_` markers carry idempotence across compactions, and the
+  // tag only needs to bridge the commit→marker window, inside which no
+  // compaction can have run (it is sequenced after the absorb in the
+  // same micro-batch). Untagged appends keep at-least-once semantics.
   //
   // Manifests are VERSIONED (`_manifest.N`; readers take the max N, with
   // the legacy fixed-name `_manifest` read as version 0): the r14
@@ -219,10 +238,18 @@ private[graft] object IndexGen {
     * Crash-safe at every point: tmp write (invisible), rename to a fresh
     * `_manifest.N` (the atomic commit), THEN sweep superseded versions —
     * a crash mid-sweep leaves extra versions that readers ignore (max N
-    * wins) and the next commit re-sweeps. */
-  def commitManifest(spark: SparkSession, dir: String): Unit = {
+    * wins) and the next commit re-sweeps.
+    *
+    * `tag` commits the writing batch's identity atomically with the file
+    * set (a `#tag:` header line readers of the file list skip): a
+    * retried append carrying the same tag sees it via [[manifestTag]]
+    * and skips the directory — the exactly-once protocol above. */
+  def commitManifest(spark: SparkSession, dir: String,
+      tag: Option[String] = None): Unit = {
+    tag.foreach(t => require(!t.contains("\n"), "manifest tag is one line"))
     val f = fs(spark, dir)
-    val body = dataFiles(f, dir).mkString("\n").getBytes("UTF-8")
+    val body = (tag.map("#tag:" + _).toSeq ++ dataFiles(f, dir))
+      .mkString("\n").getBytes("UTF-8")
     val old = manifestVersions(f, dir)
     val next = old.lastOption.map(_._1).getOrElse(0) + 1
     val tmp = new org.apache.hadoop.fs.Path(dir, "_manifest.tmp")
@@ -234,6 +261,17 @@ private[graft] object IndexGen {
     old.foreach { case (_, op) => f.delete(op, false) }
   }
 
+  /** The batch tag the NEWEST committed manifest carries, if any — None
+    * for untagged commits (compaction rewrites, legacy manifests) and
+    * for directories without a manifest. */
+  def manifestTag(spark: SparkSession, dir: String): Option[String] = {
+    val f = fs(spark, dir)
+    manifestVersions(f, dir).lastOption.flatMap { case (_, mp) =>
+      readManifestFile(f, mp).linesIterator
+        .find(_.startsWith("#tag:")).map(_.stripPrefix("#tag:"))
+    }
+  }
+
   /** Delete every data file the NEWEST committed manifest does not name
     * (torn-append leftovers). No-op without a manifest. Returns the
     * removed count. */
@@ -243,7 +281,9 @@ private[graft] object IndexGen {
       case None => 0
       case Some((_, mp)) =>
         val committed = readManifestFile(f, mp)
-          .linesIterator.filter(_.nonEmpty).toSet
+          .linesIterator.filter(_.nonEmpty)
+          .filterNot(_.startsWith("#")) // header lines (the batch tag)
+          .toSet
         val torn = dataFiles(f, dir).filterNot(committed)
         torn.foreach(n =>
           f.delete(new org.apache.hadoop.fs.Path(dir, n), false))

@@ -1029,9 +1029,16 @@ object Similarity {
     * [[IndexGen.withWriterLock]] lease: commitManifest snapshots the
     * directory's CURRENT file set, so a concurrent append would have its
     * half-written files legitimized by this one's commit — under the
-    * lease it fails loudly instead. */
+    * lease it fails loudly instead.
+    *
+    * `batchTag` makes a RETRIED append exactly-once (the streaming
+    * replay path): the tag commits atomically with the manifest, and a
+    * retry whose tag already heads the newest manifest appends nothing.
+    * This matters for probe CORRECTNESS, not just index size — a
+    * duplicated list row gives the same neighbor two of the top-k ranks
+    * until compaction. Untagged appends keep at-least-once semantics. */
   def appendToAnnIndex(index: AnnIndex, batch: DataFrame, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, batchTag: Option[String] = None): Unit = {
     require(batch.schema(batch.schema.fieldIndex(idCol)).dataType ==
       org.apache.spark.sql.types.LongType,
       "persisted index ids must be BIGINT")
@@ -1042,13 +1049,17 @@ object Similarity {
       // completes — a crash in between leaves files the next
       // open/append repairs away
       IndexGen.repairToManifest(spark, index.listsDir)
-      pqEncode(batch, idCol, vecCol, index.meta.model)
-        .repartition(index.meta.numBuckets, col("cent_id"))
-        .write.mode("append")
-        .bucketBy(index.meta.numBuckets, "cent_id")
-        .option("path", index.listsDir)
-        .saveAsTable(index.listsTable)
-      IndexGen.commitManifest(spark, index.listsDir)
+      val done = batchTag.isDefined &&
+        IndexGen.manifestTag(spark, index.listsDir) == batchTag
+      if (!done) {
+        pqEncode(batch, idCol, vecCol, index.meta.model)
+          .repartition(index.meta.numBuckets, col("cent_id"))
+          .write.mode("append")
+          .bucketBy(index.meta.numBuckets, "cent_id")
+          .option("path", index.listsDir)
+          .saveAsTable(index.listsTable)
+        IndexGen.commitManifest(spark, index.listsDir, batchTag)
+      }
     }
   }
 

@@ -10872,6 +10872,67 @@ object Queries {
             "  AND id_b >= 20000"))),
 
     // ---------------------------------------------------------------------
+    // q219: REPLAYED-ABSORB exactly-once under the oracle gate — the r16
+    // batch-tag protocol graded end-to-end the way q215 grades torn-append
+    // repair. The streaming absorb writes its `_absorbed_<id>` marker
+    // AFTER the append, so a crash in between replays a batch whose
+    // manifests already COMMITTED; without the tag the replay lands the
+    // whole batch a second time, and duplicated postings double one side
+    // of every jaccard rescore count — wrong pair scores, not just index
+    // bloat. Here batch1 is absorbed with its tag, the marker is never
+    // written (the simulated crash), and the replay re-enters absorbOnce:
+    // it must recognize the committed tag and append nothing, so batch2's
+    // probe sees batch1 EXACTLY once. The twin restates the exact-Jaccard
+    // closure over corpus ∪ batch1 ∪ batch2 (pairs with a batch2 member):
+    // any double-landed batch1 row moves jaccard denominators and the
+    // hash.
+    QueryDef("q219_replayed_absorb",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch1 = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        val batch2 = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_q219_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val idxPath = s"$base/idx"
+        val name = "q219_idx_" + base.takeRight(12)
+        Dedup.writeLshIndex(d, "doc_id", "text", idxPath, name,
+          shingleSize = 3, numHashes = 64, bands = 16)
+        val idx = Dedup.readLshIndex(s, idxPath, name)
+        // a COMMITTED tagged absorb whose marker never landed (the crash)…
+        Dedup.appendToLshIndex(idx, batch1, "doc_id", "text",
+          batchTag = Some("absorb_0"))
+        // …then the streaming replay re-absorbs the same micro-batch
+        val reopened = Dedup.readLshIndex(s, idxPath, name)
+        graft.streaming.DocStream.absorbOnce(reopened, batch1, 0L)
+        Dedup.probeLshIndex(reopened, batch2, "doc_id", "text",
+            threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle
+        .replace(
+          """|  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0),""".stripMargin,
+          """|  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 20000, regexp_replace(text, '\s+\S+$', '')
+             |  FROM documents WHERE doc_id % 7 = 0),""".stripMargin)
+        .replace(
+          "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7",
+          "WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7\n" +
+            "  AND id_b >= 20000"))),
+
+    // ---------------------------------------------------------------------
     // q216: interpolated Kneser–Ney bigram LM scoring — the smoothing
     // family CCNet's KenLM actually uses, next to q98's add-alpha: held-out
     // mass backs off to the CONTINUATION distribution (distinct-context

@@ -181,7 +181,14 @@ object DocStream {
   /** Idempotent absorb: append `batch` to the index unless this batchId
     * already left its marker (a replayed micro-batch must not double the
     * postings — duplicate posting rows inflate every later rescore's
-    * intersection counts). Returns true when the append ran. */
+    * intersection counts). The append itself carries the batchId as a
+    * manifest tag ([[Dedup.appendToLshIndex]]'s `batchTag`), closing the
+    * crash window BETWEEN the append's last manifest commit and the
+    * marker write: the replay re-enters the append, finds its own tag
+    * already committed, and appends nothing — without the tag the
+    * fully-committed batch would land twice and corrupt every rescore
+    * count it touches until compaction. Returns true when the append
+    * ran (or was recognized as already committed). */
   def absorbOnce(index: Dedup.LshIndex, batch: DataFrame,
       batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -190,7 +197,8 @@ object DocStream {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
     else {
-      Dedup.appendToLshIndex(index, batch, "doc_id", "text")
+      Dedup.appendToLshIndex(index, batch, "doc_id", "text",
+        batchTag = Some(s"absorb_$batchId"))
       fs.create(marker, true).close()
       true
     }

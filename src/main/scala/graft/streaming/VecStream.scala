@@ -68,7 +68,11 @@ object VecStream {
 
   /** Idempotent absorb ([[DocStream.absorbOnce]] semantics): append the
     * batch to the lists unless this batchId already left its marker.
-    * Returns true when the append ran. */
+    * The append carries the batchId as a manifest tag, so a replay that
+    * crashed between the manifest commit and the marker write appends
+    * nothing the second time (a duplicated list row would give the same
+    * neighbor two top-k ranks until compaction). Returns true when the
+    * append ran (or was recognized as already committed). */
   def absorbOnce(index: Similarity.AnnIndex, batch: DataFrame,
       batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -80,7 +84,7 @@ object VecStream {
       Similarity.appendToAnnIndex(index,
         batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("vec")),
-        "vec_id", "vec")
+        "vec_id", "vec", batchTag = Some(s"absorb_$batchId"))
       fs.create(marker, true).close()
       true
     }

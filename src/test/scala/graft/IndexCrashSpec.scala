@@ -486,6 +486,145 @@ class IndexCrashSpec extends AnyFunSuite {
     assert(lockToken(dir).isEmpty, "released after the body")
   }
 
+  // ---------------------------------------------------- tagged exactly-once
+
+  test("LSH: a TAGGED replay of a fully-committed append is exactly-once " +
+      "(the commit-to-marker crash window)") {
+    // the streaming absorb writes its _absorbed_ marker AFTER the append;
+    // a crash in between replays a batch whose manifests already
+    // committed. Untagged, the whole batch lands twice — and duplicated
+    // POSTINGS are not benign: jaccardRescore counts rows, so every pair
+    // touching the batch doubles one side of its intersection/size
+    // counts. The batch tag commits atomically with each manifest and
+    // the replay appends nothing.
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "crash_tag", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val batchA = variantBatch(1000)
+    val batchB = variantBatch(2000)
+    Dedup.appendToLshIndex(idx, batchA, "doc_id", "text",
+      batchTag = Some("absorb_7"))
+    val bands1 = spark.table(idx.bandsTable).count()
+    val posts1 = spark.table(idx.postsTable).count()
+    val pairs1 = lshPairs(idx, batchB)
+    assert(pairs1.exists(p => p._1 >= 1000 && p._1 < 2000))
+    // the replay: same batch, same tag — nothing may land
+    Dedup.appendToLshIndex(idx, batchA, "doc_id", "text",
+      batchTag = Some("absorb_7"))
+    assert(spark.table(idx.bandsTable).count() == bands1,
+      "replayed tagged append must not duplicate band rows")
+    assert(spark.table(idx.postsTable).count() == posts1,
+      "replayed tagged append must not duplicate posting rows")
+    assert(lshPairs(idx, batchB) == pairs1,
+      "probe results (jaccard values included) must be unchanged")
+    // a DIFFERENT tag is a new batch and does append
+    Dedup.appendToLshIndex(idx, variantBatch(3000), "doc_id", "text",
+      batchTag = Some("absorb_8"))
+    assert(spark.table(idx.postsTable).count() > posts1)
+  }
+
+  test("LSH: a TAGGED retry of a bands-committed/posts-torn crash lands " +
+      "the batch exactly once — no ghost band rows at all") {
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "crash_tag2", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val batchA = variantBatch(1000)
+    val batchB = variantBatch(2000)
+    val mPosts = readManifest(idx.postsDir)
+    Dedup.appendToLshIndex(idx, batchA, "doc_id", "text",
+      batchTag = Some("absorb_3"))
+    writeManifest(idx.postsDir, mPosts) // crash between the two commits
+    val reopened = Dedup.readLshIndex(spark, path, "crash_tag2")
+    Dedup.appendToLshIndex(reopened, batchA, "doc_id", "text",
+      batchTag = Some("absorb_3")) // the replay
+    // equal to a scratch build + ONE clean append — bands included
+    // (the untagged path duplicates them until compaction)
+    val refPath = tmp()
+    val ref = Dedup.writeLshIndex(corpus, "doc_id", "text", refPath,
+      "crash_tag2_ref", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    Dedup.appendToLshIndex(ref, batchA, "doc_id", "text")
+    val bands = spark.table(reopened.bandsTable)
+    assert(bands.count() == spark.table(ref.bandsTable).count(),
+      "the tagged retry must skip the committed bands directory")
+    assert(bands.count() == bands.distinct().count(), "no duplicates")
+    assert(lshPairs(reopened, batchB) == lshPairs(ref, batchB))
+  }
+
+  test("ANN: a TAGGED replay appends nothing — no neighbor holds two " +
+      "top-k ranks") {
+    val path = tmp()
+    val idx = Similarity.writeAnnIndex(vecs, "vec_id", "vec", path,
+      "crash_tagann", m = 4, k = 8, nlist = 8, numBuckets = 4)
+    val batch = vecs.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500).as("vec_id"), col("vec"))
+    Similarity.appendToAnnIndex(idx, batch, "vec_id", "vec",
+      batchTag = Some("absorb_1"))
+    val lists1 = spark.table(idx.listsTable).count()
+    val topk1 = annTopk(idx)
+    Similarity.appendToAnnIndex(idx, batch, "vec_id", "vec",
+      batchTag = Some("absorb_1"))
+    assert(spark.table(idx.listsTable).count() == lists1,
+      "replayed tagged append must not duplicate list rows")
+    assert(annTopk(idx) == topk1)
+  }
+
+  test("ngram: a TAGGED replay appends nothing (probe was already immune " +
+      "via countDistinct; the tag bounds physical size)") {
+    val path = tmp()
+    val idx = Contam.writeNgramIndex(bench, "doc_id", "text", path,
+      "crash_tagng", n = 4, numBuckets = 4)
+    val g0 = spark.table(idx.gramsTable).count()
+    val extra = bench.select((col("doc_id") + 100).as("doc_id"),
+      col("text"))
+    Contam.appendToNgramIndex(idx, extra, "doc_id", "text",
+      batchTag = Some("absorb_1"))
+    val grams1 = spark.table(idx.gramsTable).count()
+    val extraGrams = grams1 - g0
+    val probe1 = contamMap(idx)
+    // double-append UNTAGGED first to prove the probe immunity claim…
+    Contam.appendToNgramIndex(idx, extra, "doc_id", "text")
+    assert(spark.table(idx.gramsTable).count() == grams1 + extraGrams,
+      "sanity: an untagged re-append duplicates the batch's rows")
+    assert(contamMap(idx) == probe1,
+      "countDistinct makes the ngram probe immune to duplicated rows")
+    // …then a tagged replay on a fresh index appends nothing
+    val path2 = tmp()
+    val idx2 = Contam.writeNgramIndex(bench, "doc_id", "text", path2,
+      "crash_tagng2", n = 4, numBuckets = 4)
+    Contam.appendToNgramIndex(idx2, extra, "doc_id", "text",
+      batchTag = Some("absorb_1"))
+    val g2 = spark.table(idx2.gramsTable).count()
+    Contam.appendToNgramIndex(idx2, extra, "doc_id", "text",
+      batchTag = Some("absorb_1"))
+    assert(spark.table(idx2.gramsTable).count() == g2)
+  }
+
+  test("absorbOnce closes the commit-to-marker window end-to-end") {
+    // simulate the exact crash: the append committed (tagged) but the
+    // process died before the _absorbed_ marker landed; the streaming
+    // replay re-enters absorbOnce, which must recognize the committed
+    // tag, append nothing, and write the marker
+    val path = tmp()
+    val idx = Dedup.writeLshIndex(corpus, "doc_id", "text", path,
+      "crash_absorb", shingleSize = 3, numHashes = 64, bands = 16,
+      numBuckets = 4)
+    val batchA = variantBatch(1000)
+    Dedup.appendToLshIndex(idx, batchA, "doc_id", "text",
+      batchTag = Some("absorb_0")) // absorbOnce's tag for batchId 0
+    val posts1 = spark.table(idx.postsTable).count()
+    assert(!new java.io.File(path, "_absorbed_0").exists)
+    val ran = graft.streaming.DocStream.absorbOnce(idx, batchA, 0L)
+    assert(ran, "the replay runs the (no-op) append and writes the marker")
+    assert(new java.io.File(path, "_absorbed_0").exists)
+    assert(spark.table(idx.postsTable).count() == posts1,
+      "the replayed absorb must not re-append the committed batch")
+    // and the NEXT replay short-circuits on the marker
+    assert(!graft.streaming.DocStream.absorbOnce(idx, batchA, 0L))
+  }
+
   test("retract holds the lease: a tombstone cannot race a compaction") {
     // the lost-update race: a tombstone appended between a compaction's
     // tombstones read and its clearTombstones is cleared WITHOUT being
