@@ -19,10 +19,15 @@ import graft.queries.Tables
   * ([[Similarity.probeAnnIndexRerank]]) — against the brute-force truth,
   * and prints one line per (variant, nprobe) with mean/min recall@10.
   * The measured table lives in PLANS.md (round 15); q217 grades the
-  * chosen point under the driver's oracle.
+  * chosen point under the driver's oracle, q220 the √n-scaled one.
   *
-  *   runMain graft.AnnCurve <sfDir> [candK]
-  */
+  *   runMain graft.AnnCurve <sfDir> [candK] [m] [k] [nlist] [replicas]
+  *
+  * `nlist = 0` (default) applies [[Similarity.scaledNlist]] to the
+  * corpus; `replicas > 1` sweeps over a [[ScaleProbe.replicate]]d
+  * corpus (rotated-decorrelated replica embeddings) — the r16 10x
+  * sizing-rule measurement is `AnnCurve <sf0.1> 500 8 64 0 10`
+  * (20 000 vectors → nlist 256). */
 object AnnCurve {
 
   def main(args: Array[String]): Unit = {
@@ -30,18 +35,28 @@ object AnnCurve {
     val candK = args.lift(1).map(_.toInt).getOrElse(50)
     val m = args.lift(2).map(_.toInt).getOrElse(8)
     val k = args.lift(3).map(_.toInt).getOrElse(16)
+    val nlist = args.lift(4).map(_.toInt).getOrElse(0)
+    val replicas = args.lift(5).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .appName("graft-ann-curve").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    try run(spark, sfDir, candK, m, k) finally spark.stop()
+    try run(spark, sfDir, candK, m, k, nlist, replicas)
+    finally spark.stop()
   }
 
   def run(spark: SparkSession, sfDir: String, candK: Int, pqM: Int,
-      pqK: Int): Unit = {
-    val e = Pins.pin(Tables(spark, sfDir, "embeddings")
+      pqK: Int, nlistArg: Int = 0, replicas: Int = 1): Unit = {
+    val dataDir = if (replicas <= 1) sfDir else {
+      val rd = s"${System.getProperty("java.io.tmpdir")}/graft_anncurve_x$replicas"
+      ScaleProbe.replicate(spark, sfDir, rd, replicas)
+      rd
+    }
+    val e = Pins.pin(Tables(spark, dataDir, "embeddings")
       .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec")))
+    val nlist =
+      if (nlistArg > 0) nlistArg else Similarity.scaledNlist(e.count())
     val q = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
 
@@ -50,7 +65,7 @@ object AnnCurve {
     val hp = new org.apache.hadoop.fs.Path(base)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     Similarity.writeAnnIndex(e, "vec_id", "vec", s"$base/idx", "anncurve",
-      m = pqM, k = pqK, nlist = 64, numBuckets = 16)
+      m = pqM, k = pqK, nlist = nlist, numBuckets = 16)
     val idx = Similarity.readAnnIndex(spark, s"$base/idx", "anncurve")
 
     // brute-force truth (q200's contract: round-6 cosine, id tiebreak)
@@ -78,8 +93,10 @@ object AnnCurve {
     }
 
     println(
-      f"# sfDir=$sfDir candK=$candK m=$pqM k=$pqK nlist=64 queries=20 k=10")
-    for (nprobe <- Seq(1, 2, 4, 8, 16, 24, 32, 48, 64)) {
+      f"# sfDir=$dataDir candK=$candK m=$pqM k=$pqK nlist=$nlist" +
+        " queries=20 k=10")
+    for (nprobe <- Seq(1, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192)
+        .filter(_ <= nlist)) {
       val (adcMean, adcMin) = recall(
         Similarity.probeAnnIndex(idx, q, "qid", "qvec", k = 10,
           nprobe = nprobe)

@@ -138,6 +138,25 @@ object ScaleProbe {
     // slots shared) keep the verify stage non-trivial; random docs share
     // ~1/3 of slots (cos ≈ 0.33), far under the 0.8 threshold.
     "p206_allpairs_zipf" -> ((s, dir) => zipfAllPairs(s, dir)),
+    // q212's ladder through the RELIABLE checkpoint path (the cluster
+    // posture rankLadder offers but the registry runs localCheckpoint-
+    // only): same corpus, same cut, plus per-level HDFS-API writes and
+    // the release-time file sweeps. SuffixArraySpec pins result equality
+    // with the localCheckpoint path; this row keeps the checkpointed
+    // ladder's SCALING CLASS under the recurring lane (VERDICT r15
+    // item 4).
+    "p212_ckpt_ladder" -> ((s, dir) => {
+      import graft.operators.SuffixArray
+      val ck = s"${System.getProperty("java.io.tmpdir")}/graft_p212_ckpt_" +
+        java.security.MessageDigest.getInstance("MD5").digest(
+          dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val fs = new org.apache.hadoop.fs.Path(ck)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      SuffixArray.exactSubstrCut(
+        queries.Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", length = 16, checkpointDir = Some(ck))
+    }),
     // q134's production shape: blocking granularity scales with the corpus
     // (bucket width ~ 1/n) so block SIZES stay constant and the candidate
     // pair space stays ~ n. Scoring fields are q134's (the coarse

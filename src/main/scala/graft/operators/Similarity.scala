@@ -601,6 +601,18 @@ object Similarity {
     * lookup: ||c||^2 + sum_mi (2 c_sub.cb[code] + ||cb[code]||^2).
     * Output gains the `cent_id` column (the list is part of the code).
     */
+  /** Unsigned decode of a stored 1-byte PQ code into a 1-based
+    * `element_at` index. Codes are stored TINYINT (one byte per
+    * subspace — the FAISS uint8 list layout) but the JVM byte is
+    * signed, so codebooks past k = 128 wrap codes 128..255 to
+    * negatives at the storage boundary; `(c + 256) % 256` restores the
+    * unsigned code for any k ≤ 256 without widening the stored column
+    * (k = 256 is the 8-bit industry-standard codebook size — q220's
+    * scaled operating point trains it, and PqCodegenSpec pins the
+    * wrap's round-trip). */
+  private def codeIdx(c: Column): Column =
+    (c.cast("int") + 256) % 256 + 1
+
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
     val v = Vec.asDouble(col(vecCol))
@@ -627,7 +639,7 @@ object Similarity {
             array(model.codebooks(mi).map { case (_, cv) =>
               lit(cv.map(x => x * x).sum)
             }: _*),
-            col(s"__c$mi").cast("int") + 1)
+            codeIdx(col(s"__c$mi")))
         df.select(col(idCol).as("id") +: codeCols: _*)
           .select(col("id"),
             array((0 until model.m).map(mi => col(s"__c$mi")): _*).as("codes"),
@@ -670,7 +682,7 @@ object Similarity {
                 }: _*)
               }: _*),
               col("cent_id") + 1),
-            col(s"__c$mi").cast("int") + 1)
+            codeIdx(col(s"__c$mi")))
         df.select(col(idCol).as("id"), v.as("__v"))
           .withColumn("cent_id", assignment)
           .select(Seq(col("id"), col("cent_id")) ++ codeCols: _*)
@@ -697,7 +709,7 @@ object Similarity {
       val sub = slice(vec, mi * model.ds + 1, model.ds)
       val cvArr = element_at(
         array(cb.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
-        codes.getItem(mi).cast("int") + 1)
+        codeIdx(codes.getItem(mi)))
       Vec.dot(sub, cvArr)
     }.reduce(_ + _)
   }
@@ -821,11 +833,17 @@ object Similarity {
     // per-match loop, so the 128-dot LUT build re-ran PER CANDIDATE
     // (measured 6x the whole query at sf0.1; materializing the probe side
     // dropped it right back).
+    // native LUT kernel (PqLut): the unrolled array(k x VecDot) form
+    // codegens k dot trees per subspace and dies in janino at the 8-bit
+    // codebook size (k = 256, m = 8 -> 2048 inlined dots); the kernel
+    // runs the k x ds loop at runtime over the literal matrix —
+    // bit-identical entries, one static call per subspace at any k
     val lutCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
       val qsub = slice(col("vec"), mi * model.ds + 1, model.ds)
-      array(cb.map { case (_, cv) =>
-        Vec.dot(qsub, array(cv.map(lit): _*))
-      }: _*).as(s"__lut$mi")
+      val cbMat = array(cb.map { case (_, cv) =>
+        array(cv.map(lit): _*)
+      }: _*)
+      graft.expressions.PqLut.column(qsub, cbMat).as(s"__lut$mi")
     }
     // residual mode adds dot(q, c_list), against the broadcast centroid
     // row (same values as the model's literals, computed per probed pair
@@ -859,7 +877,7 @@ object Similarity {
           col("__luts").getField(s"__lut$mi").as(s"__lut$mi")): _*)
 
     val adcDot = (0 until model.m).map(mi =>
-      element_at(col(s"__lut$mi"), col("codes").getItem(mi).cast("int") + 1))
+      element_at(col(s"__lut$mi"), codeIdx(col("codes").getItem(mi))))
       .reduce(_ + _) + col("q.__qc")
     val cand = c.as("c")
       .join(q.as("q"),
@@ -898,6 +916,27 @@ object Similarity {
       gen: Int = 0) {
     def listsTable: String = s"${name}_lists"
     def listsDir: String = IndexGen.dirFor(path, "lists", gen)
+  }
+
+  /** The production IVF sizing rule: `nlist` grows with the SQUARE ROOT
+    * of the corpus (the standard IVF design point — per-list length and
+    * list count balance at √n, so probe cost and routing cost stay
+    * O(√n) together; FAISS's guidelines prescribe the same shape),
+    * rounded UP to a power of two for stable bucket layouts. A fixed
+    * `nlist` silently degrades either recall (lists too long — the
+    * candidate cut truncates true neighbors) or probe cost (too many
+    * near-empty lists) as the corpus grows; q220 grades this rule's
+    * operating point (nprobe = 3·nlist/4, the q217 fraction) at every
+    * corpus scale under the oracle, with a hard recall@10 ≥ 0.9 floor.
+    * At the testdata scales: 500 → 32, 2 000 → 64 (q217's graded
+    * point), 20 000 → 256, 10⁹ → 65 536 — all driver-metadata-sized
+    * (nlist·dim doubles) far below corpus scale. */
+  def scaledNlist(n: Long, minLists: Int = 16): Int = {
+    require(n > 0, "scaledNlist needs a positive corpus size")
+    val s = math.sqrt(n.toDouble)
+    var p = minLists
+    while (p < s && p < (1 << 30)) p <<= 1
+    p
   }
 
   /** Build and PERSIST an IVF-PQ index: train the residual model

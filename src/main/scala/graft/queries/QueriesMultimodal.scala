@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Cleaning, Text, Vec}
+import graft.operators.{AllPairs, Boilerplate, Classify, Dedup, Mix, Multimodal, Sessionize, Similarity, SuffixArray}
+import graft.pipeline.{Fill, GoldenRecord, Validate}
+
+import graft.queries.Queries.QueryDef
+import graft.queries.Shared._
+
+/** Multimodal binary columns: image/audio decode, pixel features, resize, histograms.
+  *
+  * One registry shard of [[Queries.all]] — same QueryDef/oracle
+  * conventions (see [[Queries]]'s scaladoc); split from the single
+  * 11.6k-line Queries.scala in round 16 for maintainability. */
+private[queries] object QueriesMultimodal {
+
+  def defs: Seq[QueryDef] = Seq(
+
+
+    // ---------------------------------------------------------------------
+    // q22: stride byte-sampling (the video frame-grab plan shape) over a
+    // GENUINELY DECODED raster: per-doc ARGB PNGs encoded on the executors
+    // (dimensions arithmetic in doc_id, pixel p(x,y) = (x*31+y*17)|FF<<24 —
+    // encodePng's formula), pixel-decoded back by Multimodal.decodePixels
+    // (real ImageIO decode to row-major ARGB bytes), then every 97th pixel
+    // byte hex-sampled by the SAME sampleBytes stride projection. The
+    // oracle reconstructs the pixel byte stream arithmetically — only a
+    // real decode of the PNG the engine itself wrote matches. Pure per-row
+    // projection; no shuffle until the final sort. (Until r12 this query
+    // sampled UTF-8 text blobs — real plumbing, but no codec in the loop.)
+    QueryDef("q22_pixel_sample",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val px = ids.mapPartitions(_.map { id =>
+          val blob = graft.operators.Multimodal.encodePng(
+            ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
+          val bytes = graft.operators.Multimodal.decodePixels(blob)
+            .getOrElse(Array.empty[Byte])
+          graft.operators.Multimodal.MediaRow(id, bytes)
+        }).toDF("doc_id", "pixels")
+        px.select(col("doc_id"),
+            octet_length(col("pixels")).cast("long").as("n_pixel_bytes"),
+            upper(Multimodal.sampleBytes(col("pixels"), 97)).as("pixel_sample"))
+          .orderBy(col("doc_id"))
+      },
+      // pixel byte stream: index i (0-based) -> component i%4 of pixel
+      // i//4 = (y*w+x); A=255, R=(v>>16)&255 = 0 (v <= 30*31+16*17 = 1202),
+      // G=v//256, B=v%256 for v = x*31+y*17. Sampled at 0,97,194,...
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h
+             |  FROM documents),
+             |samp AS (
+             |  SELECT doc_id, w * h * 4 AS n_pixel_bytes,
+             |    list_transform(range(0, CAST(w * h * 4 AS BIGINT), 97), i ->
+             |      CASE CAST(i % 4 AS INT)
+             |        WHEN 0 THEN 255
+             |        WHEN 1 THEN 0
+             |        WHEN 2 THEN (((i // 4) % w) * 31 + ((i // 4) // w) * 17) // 256
+             |        ELSE (((i // 4) % w) * 31 + ((i // 4) // w) * 17) % 256
+             |      END) AS vals
+             |  FROM dims)
+             |SELECT doc_id, CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes,
+             |  upper(array_to_string(list_transform(vals,
+             |    v -> lpad(to_hex(v), 2, '0')), '')) AS pixel_sample
+             |FROM samp ORDER BY doc_id""".stripMargin)),
+
+
+    // ---------------------------------------------------------------------
+    // q23: mapPartitions feature extraction over binary media blobs — the
+    // batch shape a codec-backed featurizer needs — answering from a
+    // GENUINE parse since r12: per-doc ARGB PNGs encoded on the executors,
+    // fully pixel-decoded back by Multimodal.pixelStats (real ImageIO
+    // decode, exact per-channel byte sums — integer features, so the
+    // compare is exact, no float rounding seam). The oracle recomputes the
+    // channel sums arithmetically from encodePng's pixel formula
+    // p(x,y) = (x*31+y*17)|FF<<24, so a fake featurizer, a channel-order
+    // slip, or a colorspace-converting decode all move every hash. (The
+    // rolling-hash fake featurizer q23 graded until r12 was DELETED in
+    // r13; featurize's default is now the real imageFeatures, graded as
+    // q201.)
+    QueryDef("q23_pixel_features",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.encodePng(
+              ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4))
+        })
+        graft.operators.Multimodal.pixelStats(media).toDF()
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      // v = x*31+y*17 <= 1202 < 2^16, so R=(v>>16)&255 = 0, G=v//256,
+      // B=v%256, A=255 per pixel; sums over the w x h raster.
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |    unnest(range(0, CAST(w * h AS BIGINT))) AS p
+             |  FROM dims),
+             |v AS (SELECT doc_id, (p % w) * 31 + (p // w) * 17 AS val FROM px)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_pixels,
+             |  CAST(255 * count(*) AS BIGINT) AS sum_a,
+             |  CAST(0 AS BIGINT) AS sum_r,
+             |  CAST(sum(val // 256) AS BIGINT) AS sum_g,
+             |  CAST(sum(val % 256) AS BIGINT) AS sum_b
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+
+    // ---------------------------------------------------------------------
+    // q191: REAL image decode — per-doc PNGs generated on the executors
+    // (JDK ImageIO encode, dimensions/channels arithmetic in doc_id), then
+    // header-decoded back by Multimodal.decodeImageMeta (ImageIO readers,
+    // header-only). The oracle computes the SAME dimensions arithmetically,
+    // so the engine passes only by actually parsing the PNG headers it
+    // wrote — a fake/fallback decode moves every hash. mapPartitions
+    // encode/decode is the per-row projection shape: no shuffle until the
+    // final sort.
+    QueryDef("q191_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          val ch = (id % 3) match { case 0 => 1L; case 1 => 3L; case _ => 4L }
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.encodePng(
+              ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, ch.toInt))
+        })
+        graft.operators.Multimodal.decodeMetaBatch(media)
+          .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.channels").cast("long").as("channels"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'image' AS kind,
+             |  (doc_id % 31) + 1 AS width,
+             |  (doc_id % 17) + 1 AS height,
+             |  CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+             |    AS channels
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+
+    // ---------------------------------------------------------------------
+    // q192: REAL audio decode — per-doc 16-bit PCM WAVs generated on the
+    // executors (javax.sound encode; frame count a multiple of 8 at 8 kHz
+    // so the millisecond duration is exact), header-decoded back by
+    // Multimodal.decodeAudioMeta. The oracle recomputes channels and
+    // duration arithmetically; only a genuine WAV header parse matches.
+    QueryDef("q192_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.encodeWav(
+              (((id % 50) + 1) * 8).toInt, ((id % 2) + 1).toInt))
+        })
+        graft.operators.Multimodal.decodeMetaBatch(media)
+          .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+            col("meta.channels").cast("long").as("channels"),
+            col("meta.durationMs").as("duration_ms"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'audio' AS kind,
+             |  (doc_id % 2) + 1 AS channels,
+             |  (doc_id % 50) + 1 AS duration_ms
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+
+    // ---------------------------------------------------------------------
+    // q193: REAL image resize round-trip — per-doc PNGs at (doc_id-derived)
+    // source dims, resized by Multimodal.resizeImage (full ImageIO decode ->
+    // Graphics2D scale -> PNG re-encode) to doc_id-derived TARGET dims, then
+    // header-decoded back. The oracle computes the target dims
+    // arithmetically, so a pass-through (source dims), a failed decode
+    // (honest None -> kind 'unknown'), or a broken re-encode all move every
+    // hash. Per-row projection shape; the codec is the cost, the plan has
+    // no shuffle until the final sort.
+    QueryDef("q193_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val resized = ids.mapPartitions(_.map { id =>
+          val src = graft.operators.Multimodal.encodePng(
+            ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
+          val out = graft.operators.Multimodal.resizeImage(src,
+            ((id % 13) + 1).toInt, ((id % 11) + 1).toInt)
+          graft.operators.Multimodal.MediaRow(id,
+            out.getOrElse(Array.empty[Byte]))
+        })
+        graft.operators.Multimodal.decodeMetaBatch(resized)
+          .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.channels").cast("long").as("channels"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'image' AS kind,
+             |  (doc_id % 13) + 1 AS width,
+             |  (doc_id % 11) + 1 AS height,
+             |  4 AS channels
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+
+    // ---------------------------------------------------------------------
+    // q201: the REAL default featurizer (featurize -> imageFeatures),
+    // graded through its integer primitive imageHistogram: executor-
+    // encoded ARGB PNGs (the q22/q23 fixture) are fully raster-decoded
+    // and folded into per-channel 4-bucket value histograms; the twin
+    // recomputes every bucket count arithmetically from encodePng's
+    // pixel formula p(x,y) = (x*31+y*17)|FF<<24. Exact counts — no float
+    // seam — while the normalized float vector divides these counts by
+    // n_pixels (the spec pins that equivalence). Non-zero buckets only
+    // (the oracle's GROUP BY shape). This retires the last fake code
+    // path: fakeFeatures was deleted with this query's landing.
+    QueryDef("q201_image_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val hist = ids.mapPartitions(_.map { id =>
+          val blob = graft.operators.Multimodal.encodePng(
+            ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
+          (id, graft.operators.Multimodal.imageHistogram(blob, 4)
+            .getOrElse(Array.empty[Long]))
+        }).toDF("doc_id", "hist")
+        hist.select(col("doc_id"),
+            posexplode(col("hist")).as(Seq("pos", "cnt")))
+          .filter(col("cnt") > 0)
+          .select(col("doc_id"), (col("pos") / 4).cast("int").as("channel"),
+            pmod(col("pos"), lit(4)).cast("int").as("bucket"), col("cnt"))
+          .orderBy(col("doc_id"), col("channel"), col("bucket"))
+      },
+      // channels A,R,G,B; bucket width 64. v = x*31+y*17 <= 1202:
+      // A = 255 -> bucket 3; R = (v>>16)&255 = 0 -> bucket 0;
+      // G = v//256 <= 4 -> bucket 0; B = v%256 spreads over all buckets.
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |    unnest(range(0, CAST(w * h AS BIGINT))) AS p
+             |  FROM dims),
+             |v AS (SELECT doc_id, (p % w) * 31 + (p // w) * 17 AS val
+             |      FROM px),
+             |comp AS (
+             |  SELECT doc_id, 0 AS channel, 3 AS bucket FROM v
+             |  UNION ALL SELECT doc_id, 1, 0 FROM v
+             |  UNION ALL SELECT doc_id, 2, CAST((val // 256) // 64 AS INT)
+             |    FROM v
+             |  UNION ALL SELECT doc_id, 3, CAST((val % 256) // 64 AS INT)
+             |    FROM v)
+             |SELECT doc_id, channel, bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM comp GROUP BY doc_id, channel, bucket
+             |ORDER BY doc_id, channel, bucket""".stripMargin))
+  )
+}

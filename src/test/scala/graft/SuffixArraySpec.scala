@@ -351,6 +351,43 @@ class SuffixArraySpec extends AnyFunSuite {
     graft.pipeline.Pins.flush()
   }
 
+  test("reliableCheckpoint end-to-end on q212's corpus: exactSubstrCut " +
+      "equals the localCheckpoint path, superseded levels clean up") {
+    // the cluster-run posture exercised through the operator a registry
+    // query actually grades (q212 = exactSubstrCut over the documents
+    // table, L = 16) rather than only through suffixRanks on a toy
+    // corpus — VERDICT r15 item 4
+    val dir = java.nio.file.Files.createTempDirectory("sackpt212").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val local = rows(
+      SuffixArray.exactSubstrCut(docs, "doc_id", "text", length = 16))
+    val reliable = rows(SuffixArray.exactSubstrCut(docs, "doc_id", "text",
+      length = 16, checkpointDir = Some(dir)))
+    assert(reliable == local,
+      "reliable-checkpoint cut must equal the localCheckpoint cut")
+    // something was cut (q212's corpus has repeated 16-grams at sf0.001),
+    // so the ladder really ran through the checkpointed path
+    assert(local.exists { case (_, total, kept, _) => kept < total },
+      "corpus sanity: the L=16 cut should remove tokens at sf0.001")
+    def rddDirs(f: java.io.File): Seq[String] =
+      Option(f.listFiles).map(_.toSeq).getOrElse(Nil).flatMap { c =>
+        if (c.isDirectory)
+          (if (c.getName.startsWith("rdd-")) Seq(c.getName) else Nil) ++
+            rddDirs(c)
+        else Nil
+      }
+    val remaining = rddDirs(new java.io.File(dir))
+    assert(remaining.nonEmpty, "reliable checkpoints were never written")
+    assert(remaining.size <= 2,
+      s"released levels left checkpoint files behind: $remaining")
+    graft.pipeline.Pins.flush()
+  }
+
   test("randomized corpora: ranks, LRS and coverage all match brute force") {
     val rnd = new scala.util.Random(1913)
     val trials = (1 to 4).map { _ =>

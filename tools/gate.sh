@@ -35,6 +35,7 @@ if [ "${GATE_NO_RECALL:-0}" != "1" ]; then
   RECALL_QS="$RECALL_QS,q35_ann_ivf,q87_quantized_ivf,q93_pq_ann"
   RECALL_QS="$RECALL_QS,q95_pq_residual,q97_ann_binary,q100_incremental_lsh"
   RECALL_QS="$RECALL_QS,q117_bitext_margin,q217_ann_rerank_recall"
+  RECALL_QS="$RECALL_QS,q220_ann_rerank_scaled"
   outr=/tmp/gate_out_recall
   SPARK_GRAFT_ONLY="$RECALL_QS" sbt -batch \
     "runMain graft.Verify /root/testdata/sf0.1 $outr" \

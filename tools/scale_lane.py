@@ -96,6 +96,22 @@ BOUNDS = {
     # class but the ladder CONVERGES at width 4 (3 rounds instead of 5)
     # and group sizes grow with the corpus. Measured 0.30 at 3x.
     "q218_exact_substr_dup_docs": 0.8,
+    # r16 tagged replayed-absorb: q215's cost class (index write + two
+    # appends + a probe) plus the replay no-op. Measured 0.11 at 3x.
+    "q219_replayed_absorb": 0.9,
+    # r16 scaled ANN operating point: the builder HARD-FAILS below mean
+    # recall@10 = 0.9, so this row is BOTH a recall gate at 3x corpus
+    # growth (n = 6000 -> nlist 128 / nprobe 96 / candK 1500) and a time
+    # bound. Cost class: k=256 codebook train + the n x nlist encode
+    # assignment (an n^1.5 term at the √n sizing rule — the documented
+    # price of exact deterministic assignment; sampled k-means training
+    # is the production counter-move past ~10M vectors) + a fixed
+    # 20-query rerank probe + the brute truth. Measured 0.48 at 3x.
+    "q220_ann_rerank_scaled": 1.0,
+    # r16 reliable-checkpoint ladder (q212's corpus/cut through a real
+    # checkpoint dir — the cluster posture): q212's class + per-level
+    # checkpoint IO. Measured 0.31 at 3x.
+    "p212_ckpt_ladder": 0.8,
     # r14 Kneser-Ney LM: three |bigrams|-keyed hash aggs + three hash
     # joins + a per-doc mean (the q98 cost class). Measured -0.03 at 3x
     # (count-table-bounded on this vocab).
