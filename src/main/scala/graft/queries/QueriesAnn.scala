@@ -1888,7 +1888,13 @@ private[queries] object QueriesAnn {
     // 2000-vector sf0.1 corpus; this query grades the SIZING RULE instead
     // (VERDICT r15 item 2): nlist = Similarity.scaledNlist(n) (√n rounded
     // up to a power of two, the standard IVF design point), nprobe =
-    // 3·nlist/4 (q217's fraction), k = 256 codebooks (the 8-bit industry
+    // min(nlist, max(3·nlist/4, 32)) — q217's fraction with an
+    // EXHAUSTIVE-PROBE FLOOR: at the √n rule, 32 lists is n ≈ 1k, below
+    // which IVF routing is risk without savings (the sf0.01 500-vector
+    // draw measured 0.895 at 24/32 — one routed-away hit under the
+    // floor — while probing all 32 lists there costs exactly a brute
+    // scan, which a 500-vector corpus wants anyway; PLANS.md round 16
+    // records the honest failure) — k = 256 codebooks (the 8-bit industry
     // size — SAME 1-byte/subspace storage as q217's k = 64, unlocked by
     // the r16 unsigned-code decode), and candK = max(500, n/4). The
     // candidate-cut scaling is what the r16 10x AnnCurve sweeps proved
@@ -1898,7 +1904,8 @@ private[queries] object QueriesAnn {
     // 20k vectors, while the n/4 cut holds 0.990 mean / 0.90 min at the
     // same 10x point (PLANS.md round 16; clustered real-world corpora
     // hold constant-candK — the knob is exposed and the rule errs
-    // toward the floor). Derived points: n = 500 → 32/24, n = 2000 (the
+    // toward the floor). Derived points: n = 500 → 32/32 (exhaustive:
+    // recall 1.0 by construction), n = 2000 (the
     // gate's sf0.1 recall lane) → 64/48, lane 3x n = 6000 → 128/96, 10x
     // n = 20000 → 256/192. The builder HARD-FAILS (require) when mean
     // recall@10 drops below 0.9, so the gate, the sf0.01 driver sweep,
@@ -1913,7 +1920,7 @@ private[queries] object QueriesAnn {
           .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
         val n = e.count()
         val nlist = Similarity.scaledNlist(n)
-        val nprobe = nlist * 3 / 4
+        val nprobe = math.min(nlist, math.max(nlist * 3 / 4, 32))
         val candK = math.max(500L, n / 4).toInt
         val q = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
@@ -1969,7 +1976,13 @@ private[queries] object QueriesAnn {
              |prm AS (
              |  SELECT CAST(power(2, ceil(log2(sqrt(count(*))))) AS INT)
              |    AS nl,
-             |    CAST(greatest(500, count(*) // 4) AS INT) AS ck
+             |    CAST(greatest(500, count(*) // 4) AS INT) AS ck,
+             |    CAST(least(
+             |      CAST(power(2, ceil(log2(sqrt(count(*))))) AS INT),
+             |      greatest(
+             |        (3 * CAST(power(2, ceil(log2(sqrt(count(*))))) AS INT))
+             |          // 4,
+             |        32)) AS INT) AS np
              |  FROM e),
              |cc AS (
              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
@@ -2026,7 +2039,7 @@ private[queries] object QueriesAnn {
              |      ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC, cc.cidx)
              |      AS rn
              |    FROM qs q CROSS JOIN cc)
-             |  WHERE rn <= (SELECT (3 * nl) // 4 FROM prm)),
+             |  WHERE rn <= (SELECT np FROM prm)),
              |cands AS (
              |  SELECT query_id, neighbor_id FROM (
              |    SELECT query_id, neighbor_id, row_number() OVER (
