@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Phase-level wall-clock probe for the heavy composite queries (the
+  * streaming-ingest and persisted-index paths whose cost is NOT shuffle
+  * volume — Plans --metrics shows them shuffling kilobytes — but job
+  * count, plan/codegen size, stream startup, and FS protocol work).
+  * Prints one `[probe] <phase> <sec>` line per phase so an optimization
+  * round can attribute seconds to the right fixed cost before touching
+  * anything (guide §1: measure first; the bench only gives per-query
+  * totals). Usage: runMain graft.OptProbe <probeName> — names below. */
+object OptProbe {
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(
+      f"[probe] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.headOption.getOrElse("q202") match {
+      case "q202" => q202(spark, sfDir)
+      case "q220" => q220(spark, sfDir)
+      case "q206" => q206(spark, sfDir)
+      case "ckpt" =>
+        // does localCheckpoint preserve partitioning/ordering into the
+        // LogicalRDD? If yes, the window below plans with NO Exchange.
+        import org.apache.spark.sql.expressions.Window
+        val df = spark.range(0, 100000)
+          .select((col("id") % 97).as("d"), col("id").as("p"))
+          .repartition(col("d")).sortWithinPartitions(col("d"), col("p"))
+          .localCheckpoint()
+        df.withColumn("l", lead(col("p"), 2)
+            .over(Window.partitionBy(col("d")).orderBy(col("p"))))
+          .explain("formatted")
+      case other => System.err.println(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+
+  /** q202_ingest_stream decomposed: index build, each streaming drain,
+    * the final sink read. Phases mirror QueriesDedup's q202 exactly. */
+  private def q202(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Dedup
+    import graft.streaming.DocStream
+    val d = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch1 = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val batch2 = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_probe_q202"
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    rm(base)
+    val (idxPath, docsDir, outDir, ckpt) =
+      (s"$base/idx", s"$base/docs", s"$base/pairs", s"$base/ckpt")
+    val name = "probe_q202_idx"
+    val idx0 = timed("writeLshIndex") {
+      Dedup.writeLshIndex(d, "doc_id", "text", idxPath, name,
+        shingleSize = 3, numHashes = 64, bands = 16)
+    }
+    val idx = timed("readLshIndex") {
+      Dedup.readLshIndex(spark, idxPath, name)
+    }
+    require(idx0.path == idx.path)
+    timed("write batch1 parquet") {
+      batch1.coalesce(1).write.mode("append").parquet(docsDir)
+    }
+    timed("drain1 (stream)") {
+      DocStream.ingestDedupStream(spark, docsDir, idx, outDir, ckpt,
+        threshold = 0.7)
+    }
+    timed("write batch2 parquet") {
+      batch2.coalesce(1).write.mode("append").parquet(docsDir)
+    }
+    timed("drain2 (stream)") {
+      DocStream.ingestDedupStream(spark, docsDir, idx, outDir, ckpt,
+        threshold = 0.7)
+    }
+    timed("final read+sort (noop)") {
+      spark.read.parquet(outDir)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // batch replay of one drain against a FRESH index copy: the same
+    // probe + sink + absorb work with no Structured Streaming around it —
+    // the delta against "drain1 (stream)" is the stream machinery itself
+    rm(s"$base/idx2")
+    val idx2w = timed("writeLshIndex (2nd, warm)") {
+      Dedup.writeLshIndex(d, "doc_id", "text", s"$base/idx2",
+        "probe_q202_idx2", shingleSize = 3, numHashes = 64, bands = 16)
+    }
+    val b1 = spark.read.parquet(docsDir)
+      .filter(col("doc_id") < 20000)
+    timed("batch probeLshIndex (noop)") {
+      Dedup.probeLshIndex(idx2w, b1, "doc_id", "text", threshold = 0.7)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("batch pairs parquet write") {
+      Dedup.probeLshIndex(idx2w, b1, "doc_id", "text", threshold = 0.7)
+        .write.mode("append").parquet(s"$base/pairs2")
+    }
+    timed("batch appendToLshIndex") {
+      Dedup.appendToLshIndex(idx2w, b1, "doc_id", "text",
+        batchTag = Some("probe_batch"))
+    }
+  }
+
+  /** q206_allpairs_cosine decomposed: postings/norms/prefix builds, the
+    * both-side prefix candidate join, and the integer-tf verification. */
+  private def q206(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.AllPairs
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val post = graft.pipeline.Pins.pin(
+      AllPairs.postings(docs, "doc_id", "text", 3))
+    timed("postings (count)")(post.count())
+    val nrm = graft.pipeline.Pins.pin(AllPairs.norms(post))
+    timed("norms (count)")(nrm.count())
+    val pfx = graft.pipeline.Pins.pin(
+      AllPairs.prefixPostings(post, nrm, 0.65))
+    timed("prefixPostings (count)")(pfx.count())
+    val cand = AllPairs.candidatePairs(pfx)
+    timed("candidatePairs (count)") {
+      System.err.println("  cand rows = " + cand.count())
+    }
+    timed("full cosineJoin (noop)") {
+      AllPairs.cosineJoin(docs, "doc_id", "text", threshold = 0.65,
+          ngram = 3)
+        .orderBy(col("id_a"), col("id_b"))
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** q220_ann_rerank_scaled decomposed: count, index build (train +
+    * encode + bucketed write), open, rerank probe, brute-force truth,
+    * the recall `require` action, final sink. */
+  private def q220(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.Vec
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.queries.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
+    val n = timed("count")(e.count())
+    val nlist = Similarity.scaledNlist(n)
+    val nprobe = math.min(nlist, math.max(nlist * 3 / 4, 32))
+    val candK = math.max(500L, n / 4).toInt
+    val q = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_probe_q220"
+    val name = "probe_q220_idx"
+    val model = timed("pqTrainResidual") {
+      Similarity.pqTrainResidual(e, "vec_id", "vec", 8, 256, nlist, 0)
+    }
+    timed("pqEncode plan + noop") {
+      Similarity.pqEncode(e, "vec_id", "vec", model)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("writeAnnIndex") {
+      Similarity.writeAnnIndex(e, "vec_id", "vec", path, name,
+        m = 8, k = 256, nlist = nlist, numBuckets = 16)
+    }
+    val idx = timed("readAnnIndex") {
+      Similarity.readAnnIndex(spark, path, name)
+    }
+    val approx = timed("rerank probe (noop)") {
+      val a = Similarity.probeAnnIndexRerank(idx, q, "qid", "qvec",
+          k = 10, vectors = e, vecIdCol = "vec_id", vecCol = "vec",
+          nprobe = nprobe, candK = candK)
+        .select(col("query_id"), col("neighbor_id"))
+      a.write.format("noop").mode("overwrite").save()
+      a
+    }
+    val out = timed("brute force + recall table") {
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), Vec.norm(col("vec")).as("cnrm"))
+      val qn = q.select(col("qid").as("query_id"), col("qvec"),
+        Vec.norm(col("qvec")).as("qnrm"))
+      val scored = c.join(broadcast(qn),
+          col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Vec.cosineFromParts(Vec.dot(col("qvec"), col("cvec")),
+            col("qnrm"), col("cnrm")), 6).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val exact = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      graft.pipeline.Pins.pin(qn.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 10.0, 4).as("recall"))
+        .orderBy(col("query_id")))
+    }
+    timed("recall require action") {
+      val mean = out.agg(avg(col("recall"))).head().getDouble(0)
+      require(mean >= 0.9, f"recall $mean%.3f")
+    }
+    timed("final sink (noop)") {
+      out.write.format("noop").mode("overwrite").save()
+    }
+  }
+}

@@ -395,14 +395,34 @@ object Dedup {
       // (DocStream.absorbOnce) of a previous index at this path must not
       // shadow, filter, or skip-absorb against the fresh generation-0 write
       IndexGen.cleanAll(spark, path, Seq("bands", "posts"))
-      banded.write.mode("overwrite")
-        .bucketBy(numBuckets, "band", "bucket")
-        .option("path", idx.bandsDir)
-        .saveAsTable(idx.bandsTable)
-      posts.write.mode("overwrite")
-        .bucketBy(numBuckets, "id")
-        .option("path", idx.postsDir)
-        .saveAsTable(idx.postsTable)
+      // The two table writes are independent jobs over the same pinned
+      // postings, and a FRESH build has no ordering contract (the index
+      // only becomes visible when meta.json lands below — contrast
+      // appendToLshIndex, whose bands-before-posts order IS the crash
+      // protocol). Overlapping them backfills each job's straggler tail
+      // with the other's tasks (guide §2.6). Materialize the pin first so
+      // the two jobs don't both compute the postings partitions.
+      posts.count()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fb = scala.concurrent.Future {
+          banded.write.mode("overwrite")
+            .bucketBy(numBuckets, "band", "bucket")
+            .option("path", idx.bandsDir)
+            .saveAsTable(idx.bandsTable)
+        }
+        val fp = scala.concurrent.Future {
+          posts.write.mode("overwrite")
+            .bucketBy(numBuckets, "id")
+            .option("path", idx.postsDir)
+            .saveAsTable(idx.postsTable)
+        }
+        import scala.concurrent.duration.Duration
+        scala.concurrent.Await.result(fb, Duration.Inf)
+        scala.concurrent.Await.result(fp, Duration.Inf)
+      } finally pool.shutdown()
       IndexGen.commitManifest(spark, idx.bandsDir)
       IndexGen.commitManifest(spark, idx.postsDir)
       writeMeta(spark, s"$path/meta.json", meta)

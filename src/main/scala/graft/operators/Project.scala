@@ -42,7 +42,9 @@ object Project {
     * an array<double> of length dOut via the literal sign matrix. */
   def jlProject(vec: Column, dOut: Int, dIn: Int): Column = {
     val m = signMatrix(dOut, dIn)
-    val rows = array(m.map(r => array(r.map(lit(_)): _*)): _*)
+    // one 2-D Literal instead of dOut·dIn CreateArray/Literal nodes
+    // (identical values — constant folding produced this Literal anyway)
+    val rows = typedLit(m.map(_.toSeq).toSeq)
     transform(rows, row =>
       aggregate(zip_with(vec, row, (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x))

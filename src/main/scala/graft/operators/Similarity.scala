@@ -26,7 +26,9 @@ object Similarity {
     * (an explicit-determinism requirement, SURVEY.md §4). */
   def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Seq[Column] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(n)(array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*))
+    // same draw order as the old per-component lit() form → identical
+    // planes; one array Literal per plane instead of `dim` Literal nodes
+    Seq.fill(n)(typedLit((0 until dim).map(_ => rnd.nextGaussian()).toSeq))
   }
 
   /** Dimensionality of an array column, probed with one aggregate. Returns 1
@@ -290,10 +292,14 @@ object Similarity {
       // and the position->id lookup is a literal array. The winner's sim
       // is recomputed against its centroid row — the same left-to-right
       // VecDot ops, so the value is bit-identical to the struct field.
-      val centMat = array(cents.map { case (_, v) =>
-        array(v.map(lit): _*)
-      }: _*)
-      val centIds = array(cents.map { case (cid, _) => lit(cid) }: _*)
+      // ONE nested-array Literal per matrix (typedLit), not an
+      // array(array(lit…)) tree: the CreateArray form puts nlist·dim
+      // Literal nodes into every analyzer/optimizer pass before constant
+      // folding collapses it to exactly this Literal — same runtime
+      // values, orders of magnitude fewer plan nodes (the q220 k=256
+      // encode plan carried ~280k of them)
+      val centMat = typedLit(cents.map(_._2))
+      val centIds = typedLit(cents.map(_._1))
       val assigned = corpus
         .select(Vec.asDouble(col(vecCol)).as("__v"))
         .withColumn("__ci",
@@ -355,7 +361,7 @@ object Similarity {
       BigDecimal(1.0 / math.sqrt(dim.toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     for (_ <- 1 to iters) {
-      val vLit = array(v.map(lit): _*)
+      val vLit = typedLit(v)
       val row = corpus
         .select(Vec.asDouble(col(vecCol)).as("x"))
         .select(col("x"), Vec.dot(col("x"), vLit).as("s"))
@@ -621,24 +627,30 @@ object Similarity {
     // (array_min over k candidate structs) codegen'd past the JVM's 64 KB
     // method limit on the residual path and dropped the encode projection
     // to interpreted mode.
-    def cbMat(mi: Int) = array(model.codebooks(mi).map { case (_, cv) =>
-      array(cv.map(lit): _*)
-    }: _*)
+    // every codebook/centroid/const matrix is ONE nested-array Literal
+    // (typedLit), never an array(array(lit…)) tree: constant folding
+    // produces the identical Literal anyway, but only after every
+    // analyzer/optimizer pass has walked the k·ds (and nlist·k) Literal
+    // nodes — at the 8-bit size (m=8, k=256, nlist=64) the r15 encode
+    // plan carried ~280k such nodes and spent seconds per pass in tree
+    // transforms (measured: q220's writeAnnIndex at 8.7s warm, dropping
+    // to the job cost once collapsed). Values are bit-identical.
+    def cbMat(mi: Int) = typedLit(model.codebooks(mi).map(_._2))
     model.residualCentroids match {
       case None =>
         val codeCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
           val sub = slice(v, mi * model.ds + 1, model.ds)
-          val consts = array(cb.map { case (_, cv) =>
-            lit(cv.map(x => x * x).sum)
-          }: _*)
+          val consts = typedLit(cb.map { case (_, cv) =>
+            cv.map(x => x * x).sum
+          })
           graft.expressions.PqArgmin.column(sub, cbMat(mi), consts)
             .as(s"__c$mi")
         }
         val norm2Of = (mi: Int) =>
           element_at(
-            array(model.codebooks(mi).map { case (_, cv) =>
-              lit(cv.map(x => x * x).sum)
-            }: _*),
+            typedLit(model.codebooks(mi).map { case (_, cv) =>
+              cv.map(x => x * x).sum
+            }),
             codeIdx(col(s"__c$mi")))
         df.select(col(idCol).as("id") +: codeCols: _*)
           .select(col("id"),
@@ -657,30 +669,29 @@ object Similarity {
         // dropping the encode to interpreted mode (PqCodegenSpec pins the
         // fix); resolved against the projected __v, not the caller's column
         val assignment = graft.expressions.ArgmaxCosine.column(col("__v"),
-          array(cents.map { case (_, cv) => array(cv.map(lit): _*) }: _*))
-        // per-(list, code) constant ||cb||^2 + 2 c_sub.cb — a foldable 2-D
-        // literal; the row's list selects its k-wide const row for PqArgmin
-        val constsByList = (mi: Int) => array(cents.map { case (_, cv) =>
-          array(model.codebooks(mi).map { case (_, cbv) =>
-            lit(dotd(cbv, cbv) + 2.0 * dotd(subOf(cv, mi), cbv))
-          }: _*)
-        }: _*)
+          typedLit(cents.map(_._2)))
+        // per-(list, code) constant ||cb||^2 + 2 c_sub.cb — one 2-D
+        // Literal; the row's list selects its k-wide const row for PqArgmin
+        val constsByList = (mi: Int) => typedLit(cents.map { case (_, cv) =>
+          model.codebooks(mi).map { case (_, cbv) =>
+            dotd(cbv, cbv) + 2.0 * dotd(subOf(cv, mi), cbv)
+          }
+        })
         val codeCols = (0 until model.m).map { mi =>
           val sub = slice(col("__v"), mi * model.ds + 1, model.ds)
           graft.expressions.PqArgmin.column(sub, cbMat(mi),
             element_at(constsByList(mi), col("cent_id") + 1)).as(s"__c$mi")
         }
         // ||c + r_hat||^2 = ||c||^2 + sum_mi (2 c_sub.cb[code] + ||cb[code]||^2)
-        val centNorm2 =
-          array(cents.map { case (_, cv) => lit(dotd(cv, cv)) }: _*)
+        val centNorm2 = typedLit(cents.map { case (_, cv) => dotd(cv, cv) })
         val resTerm = (mi: Int) =>
           element_at(
             element_at(
-              array(cents.map { case (_, cv) =>
-                array(model.codebooks(mi).map { case (_, cbv) =>
-                  lit(2.0 * dotd(subOf(cv, mi), cbv) + dotd(cbv, cbv))
-                }: _*)
-              }: _*),
+              typedLit(cents.map { case (_, cv) =>
+                model.codebooks(mi).map { case (_, cbv) =>
+                  2.0 * dotd(subOf(cv, mi), cbv) + dotd(cbv, cbv)
+                }
+              }),
               col("cent_id") + 1),
             codeIdx(col(s"__c$mi")))
         df.select(col(idCol).as("id"), v.as("__v"))
@@ -707,8 +718,7 @@ object Similarity {
         "needs the row's cent_id too")
     model.codebooks.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(vec, mi * model.ds + 1, model.ds)
-      val cvArr = element_at(
-        array(cb.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
+      val cvArr = element_at(typedLit(cb.map(_._2)),
         codeIdx(codes.getItem(mi)))
       Vec.dot(sub, cvArr)
     }.reduce(_ + _)
@@ -840,9 +850,8 @@ object Similarity {
     // bit-identical entries, one static call per subspace at any k
     val lutCols = model.codebooks.zipWithIndex.map { case (cb, mi) =>
       val qsub = slice(col("vec"), mi * model.ds + 1, model.ds)
-      val cbMat = array(cb.map { case (_, cv) =>
-        array(cv.map(lit): _*)
-      }: _*)
+      // one nested-array Literal, not k·ds CreateArray nodes (see pqEncode)
+      val cbMat = typedLit(cb.map(_._2))
       graft.expressions.PqLut.column(qsub, cbMat).as(s"__lut$mi")
     }
     // residual mode adds dot(q, c_list), against the broadcast centroid
@@ -1233,7 +1242,7 @@ object Similarity {
     var exhausted = centers.isEmpty
     while (rank <= k && !exhausted) {
       val minD2 = centers.map { case (_, _, c) =>
-        val cl = array(c.map(lit): _*)
+        val cl = typedLit(c)
         Vec.norm2(col("x")) - lit(2.0) * Vec.dot(col("x"), cl) +
           lit(c.map(x => x * x).sum)
       }.reduce(least(_, _))
@@ -1263,7 +1272,7 @@ object Similarity {
       .withColumn("center_id", lit(-1L))
       .withColumn("d2", lit(Double.MaxValue))) {
       case (df, (rank, cid, c)) =>
-        val cl = array(c.map(lit): _*)
+        val cl = typedLit(c)
         val d2 = round(Vec.norm2(col("x")) -
           lit(2.0) * Vec.dot(col("x"), cl) + lit(c.map(x => x * x).sum), 9)
         // strict less: the earlier (lower-rank) center keeps ties

@@ -18,8 +18,9 @@ import graft.pipeline.{Pins, RowIds}
   * shorter-is-smaller tie semantics (a proper prefix sorts before its
   * extensions). Doubling builds `rank_2w` from `(rank_w(i), rank_w(i+w))`
   * with a 0 sentinel for past-end positions, so each level is exactly one
-  * equi-join on the shifted position plus one dense-id assignment over the
-  * DISTINCT key frame — every step a key-partitioned shuffle, nothing
+  * per-document lead(rank, w) window (positions are dense 0..len-1, so the
+  * shifted rank needs no self-join — one doc-keyed exchange) plus one
+  * dense-id assignment — every step a key-partitioned shuffle, nothing
   * single-task:
   *
   *   - the dense ids come from [[RowIds.denseByOrder]] (range-partitioned
@@ -147,6 +148,14 @@ object SuffixArray {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    // NOTE (r16 optimization round, measured dead end): materializing
+    // each level pre-partitioned by doc (repartition(doc) + sort before
+    // the checkpoint) so consumers skip their window exchange does NOT
+    // work on this Spark version — Dataset.localCheckpoint returns a
+    // LogicalRDD with UnknownPartitioning (verified by plan), so every
+    // consumer re-exchanges anyway and the extra repartition is pure
+    // cost. Levels therefore checkpoint in whatever layout their rank
+    // pass leaves.
     val base = Pins.pin(tokPos.select(col(D), col(P), col(TOK)))
     val total = base.count()
     if (total == 0)
@@ -194,11 +203,17 @@ object SuffixArray {
       (width, lvl))
 
     while (distinctKeys < total && width < stopAtWidth && !stationary) {
-      // rank of the suffix w positions ahead, keyed back to this position
-      val shifted = lvl.select(col(D), (col(P) - lit(width)).as(P),
-        col(R).as(R2))
-      val paired = lvl.join(shifted, Seq(D, P), "left")
-        .withColumn(R2, coalesce(col(R2), lit(0L))) // past-end: sorts first
+      // rank of the suffix w positions ahead, keyed back to this position.
+      // Positions are DENSE 0..len-1 per document (tokenPositions'
+      // posexplode), so "the rank at pos + width" is exactly lead(rank,
+      // width) over a per-document window — one doc-keyed exchange + sort
+      // instead of the r15 self-join's two (doc, pos)-keyed sides (guide
+      // §2.4: two operations keyed the same way share one exchange; the
+      // window IS the keying). Per-doc windows are bounded by document
+      // length, never corpus size — the operator's standing scale stance.
+      val wDoc = Window.partitionBy(col(D)).orderBy(col(P))
+      val paired = lvl.withColumn(R2,
+        coalesce(lead(col(R), width).over(wDoc), lit(0L))) // past-end: 0 sorts first
       // strict pack/dense alternation (what the ladder comment promises):
       // consecutive packs are only possible on tiny corpora (K² under the
       // pack limit) but would starve the dense rounds the stationarity
@@ -312,11 +327,25 @@ object SuffixArray {
         s"no rank level with width <= $length"))
     require(length <= 2 * w || (converged && w == levels.last._1),
       s"levels too shallow for L=$length (widest usable width $w)")
-    val eligible = tokPos.filter(col(REM) >= length).select(col(D), col(P))
-    val k1 = lvl.select(col(D), col(P), col(R).as("__sa_k1"))
-    val k2 = lvl.select(col(D), (col(P) - lit(length - w)).as(P),
-      col(R).as("__sa_k2"))
-    eligible.join(k1, Seq(D, P)).join(k2, Seq(D, P))
+    // Both keys come from the SAME level frame and positions are dense
+    // 0..len-1 per document, so k2 (the rank at pos + L - w) is
+    // lead(rank, L - w) over a per-document window and the document
+    // length (for the rem >= L eligibility that tokPos' REM encoded) is
+    // count(*) over the same partition — ONE doc-keyed exchange replaces
+    // the r15 three-frame chain (eligible ⋈ k1 ⋈ k2: two (doc, pos)
+    // joins, each a broadcast build or a shuffle of the level). Eligible
+    // positions always have pos + L - w <= len - 1, so their lead is
+    // never null; ineligible rows are filtered regardless of k2.
+    val wDoc = Window.partitionBy(col(D)).orderBy(col(P))
+    val k2 = if (length == w) col(R)
+      else lead(col(R), length - w).over(wDoc)
+    lvl
+      .withColumn("__sa_k1", col(R))
+      .withColumn("__sa_k2", k2)
+      .withColumn("__sa_len",
+        count(lit(1)).over(Window.partitionBy(col(D))))
+      .filter(col(P) <= col("__sa_len") - length)
+      .select(col(D), col(P), col("__sa_k1"), col("__sa_k2"))
   }
 
   /** Positions whose exact-L token window occurs ≥ minCount times across
@@ -324,11 +353,17 @@ object SuffixArray {
   def repeatedSpans(levels: Seq[(Int, DataFrame)], tokPos: DataFrame,
       length: Int, minCount: Long = 2L, converged: Boolean = false)
       : DataFrame = {
+    // group size as a key-partitioned window count: the r15 form
+    // (groupBy + join the keys back on the group key) shuffled the keys
+    // frame twice and planned a join; the window computes n_occ in the
+    // single key-keyed exchange (guide §2.4 — an aggregation and its
+    // join-back keyed the same way are one window). Key-partitioned,
+    // never global (PlanGuard-safe).
     val keys = windowKeys(levels, tokPos, length, converged)
-    val groups = keys.groupBy(col("__sa_k1"), col("__sa_k2"))
-      .agg(count(lit(1)).as("n_occ"))
+    keys
+      .withColumn("n_occ", count(lit(1)).over(
+        Window.partitionBy(col("__sa_k1"), col("__sa_k2"))))
       .filter(col("n_occ") >= minCount)
-    keys.join(groups, Seq("__sa_k1", "__sa_k2"))
       .select(col(D), col(P), col("n_occ"))
   }
 
@@ -356,8 +391,16 @@ object SuffixArray {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     val hi0 = if (finalDistinct == nPos) finalWidth - 1 else maxLen
 
+    // existence probe only: a partial-agg groupBy (map-side combine, no
+    // join-back, no window sort) answers "does any L-window repeat" —
+    // the full repeatedSpans frame is built once at the end, not per
+    // binary-search step
     def repeatedAt(l: Int): Boolean =
-      !repeatedSpans(levels, tokPos, l, converged = converged).isEmpty
+      !windowKeys(levels, tokPos, l, converged = converged)
+        .groupBy(col("__sa_k1"), col("__sa_k2"))
+        .agg(count(lit(1)).as("__sa_n"))
+        .filter(col("__sa_n") >= 2)
+        .isEmpty
 
     if (hi0 < 1 || !repeatedAt(1)) return (0, levels, converged)
     var lo = 1
@@ -473,12 +516,16 @@ object SuffixArray {
         // width repeats, hence no L-window either — nothing to cut
         tokPos.filter(lit(false)).select(col(D), col(P))
       else {
+        // group size + keeper in ONE key-partitioned window pass (the
+        // repeatedSpans rewrite applied with the min-(doc, pos) keeper
+        // aggregate riding the same frame) — no groupBy + join-back
         val keys = windowKeys(levels, tokPos, length, converged)
-        val groups = keys.groupBy(col("__sa_k1"), col("__sa_k2"))
-          .agg(count(lit(1)).as("__sa_nocc"),
-            min(struct(col(D), col(P))).as("__sa_first"))
+        val wk = Window.partitionBy(col("__sa_k1"), col("__sa_k2"))
+        keys
+          .withColumn("__sa_nocc", count(lit(1)).over(wk))
+          .withColumn("__sa_first",
+            min(struct(col(D), col(P))).over(wk))
           .filter(col("__sa_nocc") >= 2)
-        keys.join(groups, Seq("__sa_k1", "__sa_k2"))
           .filter(!(col(D) === col("__sa_first")(D) &&
             col(P) === col("__sa_first")(P)))
           .select(col(D),

@@ -804,7 +804,7 @@ private[queries] object QueriesAnn {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), Vec.asDouble(col("embedding")).as("vec"))
         val v = graft.operators.Similarity.powerIteration(e, "vec", 2)
-        val vLit = array(v.map(lit): _*)
+        val vLit = typedLit(v)
         e.select(col("vec_id"),
             round(Vec.dot(col("vec"), vLit), 6).as("proj"))
           .orderBy(col("vec_id"))

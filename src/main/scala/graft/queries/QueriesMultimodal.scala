@@ -35,7 +35,13 @@ private[queries] object QueriesMultimodal {
     QueryDef("q22_pixel_sample",
       (s, dir) => {
         import s.implicits._
+        // repartition BEFORE the codec mapPartitions: the compact parquet
+        // scan yields 1-2 input splits, which would run every ImageIO /
+        // javax.sound encode+decode on 1-2 of the session's cores (guide
+        // §2.5 input-skew fix; the Winnow.fingerprints stance) — the
+        // exchange moves 8-byte ids, the codec work is the whole cost
         val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val px = ids.mapPartitions(_.map { id =>
           val blob = graft.operators.Multimodal.encodePng(
             ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
@@ -86,7 +92,13 @@ private[queries] object QueriesMultimodal {
     QueryDef("q23_pixel_features",
       (s, dir) => {
         import s.implicits._
+        // repartition BEFORE the codec mapPartitions: the compact parquet
+        // scan yields 1-2 input splits, which would run every ImageIO /
+        // javax.sound encode+decode on 1-2 of the session's cores (guide
+        // §2.5 input-skew fix; the Winnow.fingerprints stance) — the
+        // exchange moves 8-byte ids, the codec work is the whole cost
         val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val media = ids.mapPartitions(_.map { id =>
           graft.operators.Multimodal.MediaRow(id,
             graft.operators.Multimodal.encodePng(
@@ -127,7 +139,13 @@ private[queries] object QueriesMultimodal {
     QueryDef("q191_image_decode",
       (s, dir) => {
         import s.implicits._
+        // repartition BEFORE the codec mapPartitions: the compact parquet
+        // scan yields 1-2 input splits, which would run every ImageIO /
+        // javax.sound encode+decode on 1-2 of the session's cores (guide
+        // §2.5 input-skew fix; the Winnow.fingerprints stance) — the
+        // exchange moves 8-byte ids, the codec work is the whole cost
         val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val media = ids.mapPartitions(_.map { id =>
           val ch = (id % 3) match { case 0 => 1L; case 1 => 3L; case _ => 4L }
           graft.operators.Multimodal.MediaRow(id,
@@ -159,6 +177,11 @@ private[queries] object QueriesMultimodal {
     QueryDef("q192_audio_decode",
       (s, dir) => {
         import s.implicits._
+        // deliberately NOT repartitioned like the image queries:
+        // javax.sound's AudioSystem provider path serializes concurrent
+        // decodes on a shared registry, so fanning the WAV decode out to
+        // 32 tasks measured SLOWER (3.4 s vs 2.3 s at sf0.1) than the
+        // scan's natural 1-2 splits — lock contention, not CPU, bounds it
         val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
         val media = ids.mapPartitions(_.map { id =>
           graft.operators.Multimodal.MediaRow(id,
@@ -190,7 +213,13 @@ private[queries] object QueriesMultimodal {
     QueryDef("q193_image_resize",
       (s, dir) => {
         import s.implicits._
+        // repartition BEFORE the codec mapPartitions: the compact parquet
+        // scan yields 1-2 input splits, which would run every ImageIO /
+        // javax.sound encode+decode on 1-2 of the session's cores (guide
+        // §2.5 input-skew fix; the Winnow.fingerprints stance) — the
+        // exchange moves 8-byte ids, the codec work is the whole cost
         val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val resized = ids.mapPartitions(_.map { id =>
           val src = graft.operators.Multimodal.encodePng(
             ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
@@ -228,7 +257,13 @@ private[queries] object QueriesMultimodal {
     QueryDef("q201_image_histogram",
       (s, dir) => {
         import s.implicits._
+        // repartition BEFORE the codec mapPartitions: the compact parquet
+        // scan yields 1-2 input splits, which would run every ImageIO /
+        // javax.sound encode+decode on 1-2 of the session's cores (guide
+        // §2.5 input-skew fix; the Winnow.fingerprints stance) — the
+        // exchange moves 8-byte ids, the codec work is the whole cost
         val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val hist = ids.mapPartitions(_.map { id =>
           val blob = graft.operators.Multimodal.encodePng(
             ((id % 31) + 1).toInt, ((id % 17) + 1).toInt, 4)
