@@ -52,6 +52,13 @@ object Bench {
       // — the cost the warm-up sweep exists to absorb (measured: +32%
       // on the registry total when this was left at default)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // allow shuffled-hash join where Spark's own size conditions hold
+      // (guide §3.1/§9: SHJ skips both sides' sorts; the planner still
+      // falls back to SMJ whenever a per-partition build side could not
+      // fit, so this is scale-safe, not a local[32] tune). Env knob so a
+      // driver A/B can restore the SMJ-always default.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

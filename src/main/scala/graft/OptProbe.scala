@@ -35,6 +35,7 @@ object OptProbe {
       case "q202" => q202(spark, sfDir)
       case "q220" => q220(spark, sfDir)
       case "q206" => q206(spark, sfDir)
+      case "q141" => q141(spark, sfDir)
       case "ckpt" =>
         // does localCheckpoint preserve partitioning/ordering into the
         // LogicalRDD? If yes, the window below plans with NO Exchange.
@@ -124,6 +125,61 @@ object OptProbe {
     timed("batch appendToLshIndex") {
       Dedup.appendToLshIndex(idx2w, b1, "doc_id", "text",
         batchTag = Some("probe_batch"))
+    }
+  }
+
+  /** q141_er_pipeline decomposed: the two blocking passes, scoring,
+    * connected components, and the final rollup. */
+  private def q141(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Dedup, Fuzzy, Linkage}
+    import graft.operators.Linkage.FsField
+    val base = graft.queries.Tables(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("id"),
+      concat(lit("cust"),
+        lpad(col("c_custkey").cast("string"), 9, "0")).as("name"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+    val dirty = base.filter(col("id") % 4 === 0)
+      .withColumn("id", col("id") + 1000000)
+      .withColumn("name", concat(col("name"), lit("x")))
+    val exact = base.filter(col("id") % 10 === 0)
+      .withColumn("id", col("id") + 2000000)
+    val recs = base.unionByName(dirty).unionByName(exact)
+    val p1 = timed("p1 blockedPairs (count)") {
+      val p = Fuzzy.blockedPairs(recs, "id", "name",
+          substring(col("name"), 5, 8), maxDist = 2)
+        .select(col("id_a"), col("id_b"))
+      System.err.println("  p1 rows = " + p.count()); p
+    }
+    val p2 = timed("p2 sortedNeighborhood (count)") {
+      val p = Fuzzy.sortedNeighborhood(recs, "id", col("name"), 5)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+      System.err.println("  p2 rows = " + p.count()); p
+    }
+    val cand = timed("cand union distinct (count)") {
+      val c = p1.unionByName(p2).distinct()
+      System.err.println("  cand rows = " + c.count()); c
+    }
+    val links = timed("fellegiSunter links (count)") {
+      val l = Linkage.fellegiSunter(recs, "id", cand,
+          Seq(FsField("name", 0.95), FsField("seg", 0.9),
+            FsField("bal_bucket", 0.85)),
+          upperT = 4.0, lowerT = 0.0)
+        .filter(col("weight") > 0)
+        .select(col("id_a"), col("id_b"))
+      System.err.println("  links rows = " + l.count()); l
+    }
+    val cc = timed("connectedComponents") {
+      Dedup.connectedComponents(recs.select(col("id")), links)
+    }
+    timed("final rollup (noop)") {
+      val sz = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sz, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+        .orderBy(col("id"))
+        .write.format("noop").mode("overwrite").save()
     }
   }
 
