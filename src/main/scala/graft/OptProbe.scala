@@ -36,6 +36,8 @@ object OptProbe {
       case "q220" => q220(spark, sfDir)
       case "q206" => q206(spark, sfDir)
       case "q141" => q141(spark, sfDir)
+      case "fsproto" => fsproto(spark)
+      case "q205" => q205(spark, sfDir)
       case "ckpt" =>
         // does localCheckpoint preserve partitioning/ordering into the
         // LogicalRDD? If yes, the window below plans with NO Exchange.
@@ -47,9 +49,109 @@ object OptProbe {
         df.withColumn("l", lead(col("p"), 2)
             .over(Window.partitionBy(col("d")).orderBy(col("p"))))
           .explain("formatted")
+      case "ckpt2" =>
+        // same question for RELIABLE checkpoint (VERDICT r16 item 4) and
+        // for a persist() pin — three candidate carriers of a
+        // doc-partitioned level layout.
+        import org.apache.spark.sql.expressions.Window
+        spark.sparkContext.setCheckpointDir(
+          s"${System.getProperty("java.io.tmpdir")}/graft_probe_ckpt2")
+        val base = spark.range(0, 100000)
+          .select((col("id") % 97).as("d"), col("id").as("p"))
+          .repartition(col("d")).sortWithinPartitions(col("d"), col("p"))
+        def win(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("l", lead(col("p"), 2)
+            .over(Window.partitionBy(col("d")).orderBy(col("p"))))
+        System.err.println("=== reliable checkpoint ===")
+        win(base.checkpoint()).explain("formatted")
+        System.err.println("=== persist pin ===")
+        val pinned = base.persist(); pinned.count()
+        win(pinned).explain("formatted")
       case other => System.err.println(s"unknown probe $other")
     }
     spark.stop()
+  }
+
+  /** The per-append crash-safety FS protocol in isolation (VERDICT r16
+    * item 1 asked whether lease acquire/heartbeat/release + manifest-tag
+    * reads explain q202's per-batch cost): 100 iterations each of the
+    * lease cycle, manifestTag read, and repairToManifest over a live
+    * q202-shaped index directory. If these are micro/millisecond-scale,
+    * the attribution was wrong and the cost is the Spark jobs. */
+  private def fsproto(spark: SparkSession): Unit = {
+    import graft.operators.{Dedup, IndexGen}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_probe_q202"
+    val idxPath = s"$base/idx"
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/meta.json"))) {
+      System.err.println("run `OptProbe q202` first (needs its index)")
+      return
+    }
+    val idx = Dedup.readLshIndex(spark, idxPath, "probe_q202_idx")
+    timed("100x withWriterLock(noop body)") {
+      (1 to 100).foreach(_ =>
+        IndexGen.withWriterLock(spark, idxPath) { () })
+    }
+    timed("100x manifestTag(bands+posts)") {
+      (1 to 100).foreach { _ =>
+        IndexGen.manifestTag(spark, idx.bandsDir)
+        IndexGen.manifestTag(spark, idx.postsDir)
+      }
+    }
+    timed("100x repairToManifest(b+p)") {
+      (1 to 100).foreach { _ =>
+        IndexGen.repairToManifest(spark, idx.bandsDir)
+        IndexGen.repairToManifest(spark, idx.postsDir)
+      }
+    }
+  }
+
+  /** q205_longest_repeated_span decomposed: ladder build (per-level
+    * timing lands in rankLadder's own jobs — timed as one phase), the
+    * LRS binary-search probes, and the final spans+join pass. */
+  private def q205(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.SuffixArray
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val tokPos = graft.pipeline.Pins.pin(
+      SuffixArray.tokenPositions(docs, "doc_id", "text"))
+    timed("tokenPositions count")(
+      System.err.println("  rows = " + tokPos.count()))
+    val maxLen = timed("maxRemaining") {
+      tokPos.agg(max(col("__sa_rem"))).head().getInt(0)
+    }
+    System.err.println(s"  maxLen = $maxLen")
+    val (levels, stop) = timed("rankLadder (full)") {
+      SuffixArray.rankLadder(tokPos, stopAtWidth = maxLen)
+    }
+    System.err.println(s"  levels = ${levels.map(_._1).mkString(",")}" +
+      s" stop = $stop")
+    val converged = stop != SuffixArray.WidthCapped
+    def repeatedAt(l: Int): Boolean = timed(s"probe L=$l") {
+      !SuffixArray.windowKeys(levels, tokPos, l, converged = converged)
+        .groupBy(col("__sa_k1"), col("__sa_k2"))
+        .agg(count(lit(1)).as("__sa_n"))
+        .filter(col("__sa_n") >= 2)
+        .isEmpty
+    }
+    val nPos = tokPos.count()
+    val finalDistinct = levels.last._2.agg(max(col("__sa_rank")))
+      .head().getLong(0)
+    val hi0 = if (finalDistinct == nPos) levels.last._1 - 1 else maxLen
+    var lo = 1; var hi = hi0
+    if (!repeatedAt(1)) { System.err.println("  lrs=0"); return }
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (repeatedAt(mid)) lo = mid else hi = mid - 1
+    }
+    System.err.println(s"  lrs = $lo")
+    timed("final repeatedSpans+join (noop)") {
+      val spans = SuffixArray.repeatedSpans(levels, tokPos, lo,
+        converged = converged)
+      spans.join(SuffixArray.docTokens(docs, "doc_id", "text"),
+          Seq("__sa_doc"))
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   /** q202_ingest_stream decomposed: index build, each streaming drain,

@@ -407,14 +407,25 @@ object Dedup {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
+        // repartition on the bucket columns BEFORE the bucketed write:
+        // bucketed writes emit one file per (task, bucket), and the
+        // banded frame arrives partitioned by id (the minhash agg), so
+        // every task held every bucket — ~numBuckets² tiny files per
+        // build (measured: 1,283 files under q202's bands dir), paid
+        // again by every probe's file-open/footer pass (guide §6 small
+        // files). The repartition uses bucketing's own murmur3-pmod
+        // hash (the IndexGen.rewriteBucketed precedent), so each task
+        // holds exactly one bucket: numBuckets files, not numBuckets².
         val fb = scala.concurrent.Future {
-          banded.write.mode("overwrite")
+          banded.repartition(numBuckets, col("band"), col("bucket"))
+            .write.mode("overwrite")
             .bucketBy(numBuckets, "band", "bucket")
             .option("path", idx.bandsDir)
             .saveAsTable(idx.bandsTable)
         }
         val fp = scala.concurrent.Future {
-          posts.write.mode("overwrite")
+          posts.repartition(numBuckets, col("id"))
+            .write.mode("overwrite")
             .bucketBy(numBuckets, "id")
             .option("path", idx.postsDir)
             .saveAsTable(idx.postsTable)
@@ -572,13 +583,17 @@ object Dedup {
               .select(col("id"),
                 posexplode(bandBuckets(col("sig"), m.bands, rows))
                   .as(Seq("band", "bucket")))
-            banded.write.mode("append")
+            // one file per bucket per append, not one per (task, bucket)
+            // — see the writeLshIndex repartition note (guide §6)
+            banded.repartition(m.numBuckets, col("band"), col("bucket"))
+              .write.mode("append")
               .bucketBy(m.numBuckets, "band", "bucket")
               .option("path", index.bandsDir)
               .saveAsTable(index.bandsTable)
             IndexGen.commitManifest(spark, index.bandsDir, batchTag)
           }
-          posts.write.mode("append")
+          posts.repartition(m.numBuckets, col("id"))
+            .write.mode("append")
             .bucketBy(m.numBuckets, "id")
             .option("path", index.postsDir)
             .saveAsTable(index.postsTable)

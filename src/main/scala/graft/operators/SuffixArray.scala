@@ -130,6 +130,15 @@ object SuffixArray {
       : Seq[(Int, DataFrame)] =
     rankLadder(tokPos, stopAtWidth, keepLevels, checkpointDir)._1
 
+  /** The shallowest stopAtWidth that still serves exact-L window keys:
+    * [[windowKeys]] needs one level of width w with L ≤ 2w (the
+    * two-overlapping-windows trick), so the ladder only has to reach
+    * ⌈L/2⌉ — the first power of two ≥ that satisfies every probe ≤ L.
+    * Building to width ≥ L (the r16 call sites) paid one full extra
+    * doubling round whose level no consumer could ever pick (windowKeys
+    * takes the widest level ≤ L). */
+  def widthFor(length: Int): Int = math.max(1, (length + 1) / 2)
+
   /** [[rankLevels]] plus the [[LadderStop]] reason. Consumers that gate
     * on depth (exactSubstrCoverage/Cut's "nothing can repeat" early-out,
     * longestRepeatedSpan's probe bounds) MUST read the reason: a
@@ -139,7 +148,8 @@ object SuffixArray {
     * every probe length (see [[Stationary]]); only [[AllDistinct]]
     * licenses the no-repeats shortcut. */
   def rankLadder(tokPos: DataFrame, stopAtWidth: Int = Int.MaxValue,
-      keepLevels: Boolean = true, checkpointDir: Option[String] = None)
+      keepLevels: Boolean = true, checkpointDir: Option[String] = None,
+      denseFinal: Boolean = true)
       : (Seq[(Int, DataFrame)], LadderStop) = {
     val spark = tokPos.sparkSession
     val ckpt: DataFrame => DataFrame = checkpointDir match {
@@ -251,9 +261,12 @@ object SuffixArray {
       if (!keepLevels && levels.size > 2)
         release(spark, levels(levels.size - 3)._2)
     }
-    if (!isDense) {
+    if (!isDense && denseFinal) {
       // contract: the FINAL level is dense (suffixRanks grades against
-      // dense_rank; longestRepeatedSpan reads max(rank) as a count)
+      // dense_rank; longestRepeatedSpan reads max(rank) as a count).
+      // denseFinal = false waives it for equality-only consumers
+      // (windowKeys group keys — packing preserves equality), saving the
+      // re-densify round when the ladder happens to end on a packed level.
       val densified = ckpt(RowIds.denseRankByOrder(lvl, NR, Seq(col(R)))
         .select(col(D), col(P), col(NR).as(R)))
       if (!keepLevels) release(spark, levels(levels.size - 1)._2)
@@ -380,7 +393,10 @@ object SuffixArray {
   def longestRepeatedSpan(tokPos: DataFrame)
       : (Int, Seq[(Int, DataFrame)], Boolean) = {
     val maxLen = maxRemaining(tokPos)
-    val (levels, stop) = rankLadder(tokPos, stopAtWidth = maxLen)
+    // probes never exceed L = maxLen, and windowKeys only needs a level
+    // of width ≥ ⌈L/2⌉ — building to maxLen (the r16 bound) paid one
+    // extra doubling round no probe could pick
+    val (levels, stop) = rankLadder(tokPos, stopAtWidth = widthFor(maxLen))
     val converged = stop != WidthCapped
     // all-distinct at final width W proves no repeated W-window: LRS < W.
     val finalWidth = levels.last._1
@@ -444,8 +460,11 @@ object SuffixArray {
   def exactSubstrCoverage(df: DataFrame, idCol: String, textCol: String,
       length: Int, checkpointDir: Option[String] = None): DataFrame = {
     val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
-    val (levels, stop) = rankLadder(tokPos, stopAtWidth = length,
-      keepLevels = false, checkpointDir = checkpointDir)
+    // widthFor: the exact-L keys need width ≥ ⌈L/2⌉ only; equality-only
+    // consumer, so a packed final level serves (denseFinal = false)
+    val (levels, stop) = rankLadder(tokPos, stopAtWidth = widthFor(length),
+      keepLevels = false, checkpointDir = checkpointDir,
+      denseFinal = false)
     val totals = tokPos.groupBy(col(D))
       .agg(count(lit(1)).as("total_tokens"))
     // the no-repeats shortcut is licensed ONLY by an AllDistinct stop
@@ -503,8 +522,10 @@ object SuffixArray {
   def exactSubstrCut(df: DataFrame, idCol: String, textCol: String,
       length: Int, checkpointDir: Option[String] = None): DataFrame = {
     val tokPos = Pins.pin(tokenPositions(df, idCol, textCol))
-    val (levels, stop) = rankLadder(tokPos, stopAtWidth = length,
-      keepLevels = false, checkpointDir = checkpointDir)
+    // widthFor + denseFinal = false: see exactSubstrCoverage
+    val (levels, stop) = rankLadder(tokPos, stopAtWidth = widthFor(length),
+      keepLevels = false, checkpointDir = checkpointDir,
+      denseFinal = false)
     // same stop-reason discipline as exactSubstrCoverage: only an
     // AllDistinct stop proves "nothing to cut"; a Stationary stop's
     // converged final level is exact for any L
