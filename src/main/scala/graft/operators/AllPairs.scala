@@ -19,7 +19,7 @@ import graft.functions.Text
   *     at 100 TB are billions long, and squaring them is the skew killer.
   *
   * Prefix filtering: terms are globally ordered by ascending document
-  * frequency (rarest first, term string tiebreak), and a document indexes
+  * frequency (rarest first, hashed-term tiebreak), and a document indexes
   * only its PREFIX under that order — the minimal set of rarest terms
   * such that the unit-norm mass of the remaining (most common) tail falls
   * below t. Cauchy–Schwarz gives the guarantee: if a pair shares no
@@ -87,7 +87,9 @@ object AllPairs {
       .agg(sum(col(TF) * col(TF)).as(N2))
 
   /** The prefix postings a document must index: its terms in ascending
-    * document-frequency order (term-string tiebreak), kept while the
+    * document-frequency order (hashed-term tiebreak — postings carry
+    * xxhash64 longs, and the prefix theorem holds for any fixed total
+    * order), kept while the
     * unit-norm mass of the strictly-more-common tail is still ≥ t.
     * Emitted ⟺ sqrt(Σ_{k ≥ this term} (tf_k/‖d‖)²) ≥ t, i.e. the
     * INCLUSIVE tail — dropping a term requires the tail from it on to be
@@ -141,35 +143,84 @@ object AllPairs {
       .select(col("__ap_a"), col("__ap_b"))
       .distinct()
 
+  /** Bounded-skew bar for [[cosineJoin]]'s verification-strategy pick:
+    * the direct inverted-index self-join costs Σ_u df(u)² probe rows, so
+    * it is taken only when that measures ≤ MaxAvgDf × |postings| (mean
+    * posting-list length ≤ MaxAvgDf — a linear plan with a small
+    * constant). Corpora with common-term skew (stopword shingles at
+    * 100 TB: df in the millions, Σ df² quadratic) fail the bar and keep
+    * the prefix-filter path, whose candidate volume is bounded by the
+    * RARE-term prefixes regardless of how common the common terms get. */
+  private[graft] val MaxAvgDf = 32L
+
   /** All unordered pairs (idA < idB) with cosine(tfVec(a), tfVec(b)) ≥ t.
     * Output (aCol, bCol, cosine) with cosine rounded to 6 dp. */
   def cosineJoin(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, ngram: Int = 1): DataFrame = {
+      threshold: Double, ngram: Int = 1): DataFrame =
+    cosineJoinImpl(df, idCol, textCol, threshold, ngram, MaxAvgDf)
+
+  /** [[cosineJoin]] with the skew bar injectable — the test seam that
+    * forces either verification branch (0 = always prefix-filter,
+    * Long.MaxValue = always direct) so both are held to the brute-force
+    * equality contract. */
+  private[graft] def cosineJoinImpl(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, ngram: Int,
+      maxAvgDf: Long): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val post = graft.pipeline.Pins.pin(postings(df, idCol, textCol, ngram))
     val nrm = graft.pipeline.Pins.pin(norms(post))
-    val pfx = graft.pipeline.Pins.pin(prefixPostings(post, nrm, threshold))
 
-    // candidate pairs: prefix postings joined against prefix postings —
-    // BOTH sides pruned (the [[candidatePairs]] theorem); the a < b
-    // restriction halves the space
-    val cand = candidatePairs(pfx)
+    // Verification-strategy pick, decided from a vocab-sized statistic
+    // (one aggregate over the pinned postings — the same groupBy the
+    // prefix path's termDf pays anyway). Σ df² IS the direct join's row
+    // count, known before any pair is materialized:
+    //   - bounded skew (Σ df² ≤ MaxAvgDf·|postings|): the direct
+    //     postings self-join computes every overlapping pair's exact dot
+    //     in Σ df² probe rows. Measured on the sf0.1 shingle corpus:
+    //     2.79M rows (max df 25) vs the prefix path's 493k candidates ×
+    //     ~98 terms ≈ 48M-row verification explode — 17x fewer rows, and
+    //     the prefix build's own window pass is skipped too.
+    //   - skewed (common terms): prefix filtering, the WWW'07 plan —
+    //     at 100 TB stopword-shingle df makes Σ df² quadratic while the
+    //     prefix candidate volume stays rare-term-bounded.
+    // Both branches are EXACT (any pair with cos ≥ t > 0 shares a term),
+    // so the result set is identical; only the plan changes — the same
+    // statistics-driven strategy pick AQE applies to join algorithms.
+    val Seq(nPost, sumDf2) = {
+      val r = post.groupBy(col(TOK)).agg(count(lit(1)).as(DF))
+        .agg(sum(col(DF)), sum(col(DF) * col(DF))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
 
-    // verification: exact integer dot product over shared terms, as a
-    // candidate-keyed POSTINGS join (explode each candidate by doc a's
-    // terms, equi-join doc b's postings on (b, term), sum). The textbook
-    // record-fetch alternative — join the two term→tf MAPS per pair and
-    // fold — was measured 4x SLOWER here: Spark's GetMapValue is a linear
-    // key scan, so the fold costs |a|·|b| string compares per pair, while
-    // the postings join stays hash-based and whole-stage-codegen'd.
-    val pa = post.select(col(ID).as("__ap_a"), col(TOK),
-      col(TF).as("__ap_tfa"))
-    val pb = post.select(col(ID).as("__ap_b"), col(TOK),
-      col(TF).as("__ap_tfb"))
-    val dots = cand.join(pa, Seq("__ap_a")).join(pb, Seq("__ap_b", TOK))
-      .groupBy(col("__ap_a"), col("__ap_b"))
-      .agg(sum(col("__ap_tfa") * col("__ap_tfb")).as("__ap_dot"))
+    val dots =
+      if (sumDf2 <= maxAvgDf * nPost) {
+        // direct: one term-keyed self-join, one pair-keyed aggregate
+        post.as("a").join(post.as("b"),
+            col(s"a.$TOK") === col(s"b.$TOK") &&
+              col(s"a.$ID") < col(s"b.$ID"))
+          .groupBy(col(s"a.$ID").as("__ap_a"), col(s"b.$ID").as("__ap_b"))
+          .agg(sum(col(s"a.$TF") * col(s"b.$TF")).as("__ap_dot"))
+      } else {
+        // prefix-filter path: candidates from the both-side prefix join,
+        // then the candidate-keyed verification (explode each candidate
+        // by doc a's terms, equi-join doc b's postings on (b, term),
+        // sum). The textbook record-fetch alternative — join the two
+        // term→tf MAPS per pair and fold — was measured 4x SLOWER here:
+        // Spark's GetMapValue is a linear key scan, so the fold costs
+        // |a|·|b| compares per pair, while the postings join stays
+        // hash-based and whole-stage-codegen'd.
+        val pfx = graft.pipeline.Pins.pin(
+          prefixPostings(post, nrm, threshold))
+        val cand = candidatePairs(pfx)
+        val pa = post.select(col(ID).as("__ap_a"), col(TOK),
+          col(TF).as("__ap_tfa"))
+        val pb = post.select(col(ID).as("__ap_b"), col(TOK),
+          col(TF).as("__ap_tfb"))
+        cand.join(pa, Seq("__ap_a")).join(pb, Seq("__ap_b", TOK))
+          .groupBy(col("__ap_a"), col("__ap_b"))
+          .agg(sum(col("__ap_tfa") * col("__ap_tfb")).as("__ap_dot"))
+      }
     val na = nrm.select(col(ID).as("__ap_a"), col(N2).as("__ap_n2a"))
     val nb = nrm.select(col(ID).as("__ap_b"), col(N2).as("__ap_n2b"))
     dots.join(na, Seq("__ap_a")).join(nb, Seq("__ap_b"))

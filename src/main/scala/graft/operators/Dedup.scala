@@ -824,17 +824,28 @@ object Dedup {
     * where cluster = min id in the component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // cached PRE-PARTITIONED on dst: the per-round neighbor-min join keys
+    // on dst every time, so one exchange at materialization replaces one
+    // edge-side exchange per round (guide §2.4 — operations keyed the
+    // same way share one exchange; InMemoryRelation preserves the layout)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .cache()
     var labels = nodes.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // round 0 skips the edges ⋈ labels join: labels are still the
+      // identity mapping, so label-of-dst IS dst and the neighbor min is
+      // a plain edge aggregate — one join exchange saved in the round
+      // every caller pays (the same identity argument as the jump skip)
+      val neighborMin =
+        if (i == 0) edges.groupBy(col("src")).agg(min(col("dst")).as("nlabel"))
+        else edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val stepped = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),

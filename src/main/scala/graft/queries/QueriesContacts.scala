@@ -672,7 +672,12 @@ private[queries] object QueriesContacts {
           .withColumn("name", concat(col("name"), lit("x")))
         val exact = base.filter(col("id") % 10 === 0)
           .withColumn("id", col("id") + 2000000)
-        val recs = base.unionByName(dirty).unionByName(exact)
+        // pinned: consumed by both blocking passes (each a self-join),
+        // the FS scorer's record sides + three u-probability aggregates,
+        // and the CC node set — ~8 re-derivations of the same projection
+        // without it
+        val recs = graft.pipeline.Pins.pin(
+          base.unionByName(dirty).unionByName(exact))
         val p1 = Fuzzy.blockedPairs(recs, "id", "name",
             substring(col("name"), 5, 8), maxDist = 2)
           .select(col("id_a"), col("id_b"))

@@ -494,6 +494,28 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("cosineJoin: both verification branches equal the brute force") {
+    // the r17 stat-adaptive verification pick (direct inverted join under
+    // bounded skew, prefix-filter path otherwise) must be invisible in
+    // the result: force EACH branch through the test seam and hold both
+    // to the same brute-force contract on the same corpus
+    val docs = corpus ++ Seq(
+      (7L, "the quick brown fox jumps over the lazy cat"),
+      (8L, "pack my box with five dozen liquor jugs pack my box"))
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8); ng <- Seq(1, 3)) {
+      val want = bruteCosinePairs(docs, t, ngram = ng)
+      for (bar <- Seq(0L, Long.MaxValue)) {
+        val got = AllPairs.cosineJoinImpl(df, "doc_id", "text", t, ng, bar)
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        assert(got.keySet == want.keySet, s"pair set at t=$t ng=$ng bar=$bar")
+        for ((k, c) <- want)
+          assert(math.abs(got(k) - c) < 1e-6, s"cosine at $k bar=$bar")
+      }
+    }
+  }
+
   test("both-side prefix join prunes candidates the one-sided join keeps") {
     // the candidatePairs theorem: the first shared term of any qualifying
     // pair lies in BOTH prefixes, so joining prefix-vs-prefix (instead of
