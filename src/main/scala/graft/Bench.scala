@@ -52,11 +52,16 @@ object Bench {
       // — the cost the warm-up sweep exists to absorb (measured: +32%
       // on the registry total when this was left at default)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // allow shuffled-hash join where Spark's own size conditions hold
-      // (guide §3.1/§9: SHJ skips both sides' sorts; the planner still
-      // falls back to SMJ whenever a per-partition build side could not
-      // fit, so this is scale-safe, not a local[32] tune). Env knob so a
-      // driver A/B can restore the SMJ-always default.
+      // allow shuffled-hash join where Spark's size conditions hold
+      // (guide §3.1/§9: SHJ skips both sides' sorts). The fallback to SMJ
+      // is decided from STATS ESTIMATES (canBuildLocalHashMap), not
+      // runtime sizes — a misestimated build side builds a non-spilling
+      // hash map (ADVICE r16) — so the r17 audit enumerated every query
+      // whose strategy changes under this flag (20; PLANS.md round 17):
+      // each SHJ builds on a unique-key id-universe frame (no hot key
+      // can concentrate one build map) and the measured A/B delta at
+      // sf0.1 is a wash (median ratio 0.997). The env knob is the
+      // recovery path if an SHJ build-side OOM ever appears at scale.
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
@@ -283,9 +288,22 @@ object Bench {
     // history instead of an advisory cross-host read
     val baselines = (BenchDrift.carryBaselines(priorBody, host) :+
       BenchDrift.baselineFragment(host, sfDir, currentMed)).mkString(",")
+    // registry fingerprint + qnum→name map (VERDICT r16 item 8): the
+    // stdout line's positional "queries" array is driver-tail-budget
+    // constrained, so the NAME alignment lives here — "qmap" maps query
+    // number to full name, and "registry_fingerprint" (md5 of the sorted
+    // name list, 12 hex) lets a cross-round comparator prove two runs
+    // share a registry before aligning positionally. The stdout JSON
+    // carries the same fingerprint as "fp" plus a "qmap" pointer.
+    def qnumOf(n: String): Int = n.takeWhile(_ != '_').drop(1).toInt
+    val fpHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.sorted.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val qmapJson = names.sortBy(qnumOf)
+      .map(n => s""""${qnumOf(n)}":"$n"""").mkString("{", ",", "}")
     val fw = new java.io.FileWriter("BENCH_RUNS.json")
     try fw.write(
-      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,$windowsJson"drift_baseline":"$driftBaseline","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep (each runs array holds nruns + extra_sweeps samples when the bounded stall retry ran, and stall_windows is scanned over ALL recorded passes including the retry); cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries + canaries in a later noise window whose own canary factor normalizes the re-measurements; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; drift_baseline names the compare target: prior_round = same host as the prior file, self_fingerprint = this host's own recorded baseline after a host change, cross_host_prior = no own baseline -> flags tagged advisory:true — the canary factor is class-biased across machines; baseline_<fp> objects hold each known host's most-recent medians)"${drift.jsonFields(advisory)}$confirmJson,"runs":$runsJson,$baselines}\n""")
+      s"""{"nruns":$nRuns,"sf":"$sfDir","host":"$host","cross_host":$crossHost,"registry_fingerprint":"$fpHex","qmap":$qmapJson,$windowsJson"drift_baseline":"$driftBaseline","policy":"per-query min over nruns interleaved full-registry sweeps after one warm-up sweep (each runs array holds nruns + extra_sweeps samples when the bounded stall retry ran, and stall_windows is scanned over ALL recorded passes including the retry); cleanup untimed since r6; drift compare on per-query MEDIANS vs the prior committed BENCH_RUNS.json (host_factor = median canary ratio; flagged = normalized median ratio > 1.3 and drift-adjusted excess > 0.2s, CONFIRMED by 2 extra passes of the flagged queries + canaries in a later noise window whose own canary factor normalizes the re-measurements; final flags restricted to the provisionally-flagged = re-measured queries AND to those whose confirm-window median itself still trips the bar; drift_baseline names the compare target: prior_round = same host as the prior file, self_fingerprint = this host's own recorded baseline after a host change, cross_host_prior = no own baseline -> flags tagged advisory:true — the canary factor is class-biased across machines; baseline_<fp> objects hold each known host's most-recent medians)"${drift.jsonFields(advisory)}$confirmJson,"runs":$runsJson,$baselines}\n""")
     finally fw.close()
 
     // Positional per-query encoding on the stdout line: the driver keeps
@@ -310,7 +328,7 @@ object Bench {
     // lives in BENCH_RUNS.json to protect the ~2000-char tail window.
     // Cleanup has been untimed since r6 — treat r6 as the baseline for
     // cross-round deltas (r1-r5 totals timed cleanup)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"qunit":"centisec",$qkeys"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nruns":$nRuns,"qunit":"centisec","fp":"$fpHex","qmap":"BENCH_RUNS.json",$qkeys"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,9 +43,15 @@ object Plans {
       // must audit the plan the driver actually runs
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench/Verify's join-strategy posture (see Bench.scala) so
+      // the audited plans ARE the benched plans; SPARK_GRAFT_PREFER_SMJ=true
+      // A/Bs the SMJ-always default for the r17 join-strategy audit
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (qargs.nonEmpty) qargs
+    val names = if (qargs == Seq("--all")) SparkEntry.queries.keys.toSeq.sorted
+      else if (qargs.nonEmpty) qargs
       else if (metricsMode) SparkEntry.queries.keys.toSeq.sorted
       else Seq("q1_pricing_summary", "q2_revenue_filter", "q3_top_orders",
         "q9_part_text", "q21_ann_topk", "q28_embed_neardup")

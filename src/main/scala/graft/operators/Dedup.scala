@@ -431,6 +431,15 @@ object Dedup {
             .saveAsTable(idx.postsTable)
         }
         import scala.concurrent.duration.Duration
+        // await BOTH futures even when the first throws (ADVICE r16):
+        // pool.shutdown() does not cancel an in-flight write job, and
+        // returning while one still runs would let the outer finally
+        // unpersist the postings under it and leave a committed table
+        // registered behind the exception. Await.ready never throws on
+        // failure, so both jobs are quiesced before the first error
+        // (if any) is rethrown by Await.result.
+        scala.concurrent.Await.ready(fb, Duration.Inf)
+        scala.concurrent.Await.ready(fp, Duration.Inf)
         scala.concurrent.Await.result(fb, Duration.Inf)
         scala.concurrent.Await.result(fp, Duration.Inf)
       } finally pool.shutdown()

@@ -112,7 +112,11 @@ object Graphs {
     val withDeg = canon
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-    val oriented = withDeg.select(
+    // pinned: consumed THREE times (both wedge sides + the closing edge
+    // join) — unpinned, each consumer re-ran the whole canon→deg→orient
+    // pipeline and the query plan reached 841 operators / 183 Exchanges
+    // with zero reuse (r17 plan audit); the pin makes it one pass
+    val oriented = graft.pipeline.Pins.pin(withDeg.select(
       when(col("du") < col("dv")
           || (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddeg")))
@@ -120,7 +124,7 @@ object Graphs {
           struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddeg")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.ddeg").as("ddeg"))
+        col("e.ddeg").as("ddeg")))
     // wedges at the lowest-rank apex: (a->b, a->c) with rank(b) < rank(c)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&

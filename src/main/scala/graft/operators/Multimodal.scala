@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Every ImageIO source here is an in-memory ByteArrayInputStream, but
+  // ImageIO's default stream factory (useCache = true) still spills each
+  // decode through a FileCache temp FILE — pure disk traffic the codec
+  // path never needs. Memory-cached streams are strictly better for
+  // in-memory sources; decoded values are identical (JVM-global knob,
+  // set once per executor when this object classloads).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata for an opaque media blob. */
   case class MediaMeta(kind: String, width: Int, height: Int, channels: Int,
       durationMs: Long)
@@ -171,20 +179,22 @@ object Multimodal {
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
+      // bulk getRGB: identical default-sRGB values to the per-pixel call,
+      // but one internal data-elements buffer reused across the raster
+      // instead of one allocation PER PIXEL — the per-pixel form made the
+      // codec queries allocation-bound under full-registry heap pressure
+      // (r17 drift flags: 8-10x inflation on identical code)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Byte](w * h * 4)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          val i = (y * w + x) * 4
-          out(i) = ((p >>> 24) & 0xff).toByte
-          out(i + 1) = ((p >>> 16) & 0xff).toByte
-          out(i + 2) = ((p >>> 8) & 0xff).toByte
-          out(i + 3) = (p & 0xff).toByte
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        val o = i * 4
+        out(o) = ((p >>> 24) & 0xff).toByte
+        out(o + 1) = ((p >>> 16) & 0xff).toByte
+        out(o + 2) = ((p >>> 8) & 0xff).toByte
+        out(o + 3) = (p & 0xff).toByte
+        i += 1
       }
       Some(out)
     } catch { case _: Exception => None }

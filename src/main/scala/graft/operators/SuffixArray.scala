@@ -371,7 +371,13 @@ object SuffixArray {
     // frame twice and planned a join; the window computes n_occ in the
     // single key-keyed exchange (guide §2.4 — an aggregation and its
     // join-back keyed the same way are one window). Key-partitioned,
-    // never global (PlanGuard-safe).
+    // never global (PlanGuard-safe). Hot-key caveat (ADVICE r16): a
+    // degenerate corpus where ONE window key owns most positions puts
+    // that whole group into a single WindowExec task — it spills
+    // (ExternalAppendOnlyUnsafeRowArray) rather than OOMs, but becomes a
+    // straggler; keep the map-side-combined groupBy existence-probe shape
+    // (longestRepeatedSpan's repeatedAt) for paths where group sizes can
+    // reach corpus scale.
     val keys = windowKeys(levels, tokPos, length, converged)
     keys
       .withColumn("n_occ", count(lit(1)).over(

@@ -36,7 +36,7 @@ class CoverageSpec extends AnyFunSuite {
         + "full-name map and blows the line budget)")
     val qs = names.indices.map(i => if (i < 40) "9999" else "999")
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","nruns":3,"qunit":"centisec","qkeys":"1-${names.size}","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","nruns":3,"qunit":"centisec","fp":"0123456789ab","qmap":"BENCH_RUNS.json","qkeys":"1-${names.size}","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length < 1950,
       s"bench stdout line would be ${line.length} chars at ${names.size} "
         + "queries — past the driver's ~2000-char tail window")
