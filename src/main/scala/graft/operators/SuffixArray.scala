@@ -227,8 +227,13 @@ object SuffixArray {
       // strict pack/dense alternation (what the ladder comment promises):
       // consecutive packs are only possible on tiny corpora (K² under the
       // pack limit) but would starve the dense rounds the stationarity
-      // stop reads — at corpus scale K² > packLimit makes this moot
-      if (isDense && maxKey <= packLimit) {
+      // stop reads — at corpus scale K² > packLimit makes this moot.
+      // When the upcoming round is the LAST the width cap admits AND the
+      // caller requires a dense final level, run it dense directly: a
+      // packed last round would only be re-densified by the epilogue —
+      // one whole extra materialization for a level nothing reads packed.
+      val lastRound = 2L * width >= stopAtWidth.toLong
+      if (isDense && maxKey <= packLimit && !(lastRound && denseFinal)) {
         // packed round: projection only (checkpoint job, no exchange)
         lvl = ckpt(paired
           .select(col(D), col(P),
